@@ -1,13 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2.2 (plus the LLM-data-pipeline
+  * extras) is one entry in `queries` with a DuckDB oracle in `oracleSql`.
+  * Column names are aliased identically on both sides; every query has a
+  * total ORDER BY so the driver's hash compare is deterministic.
+  */
 object SparkEntry {
+
+  private val groups: Seq[Map[String, (CoreQueries.Q, String)]] = Seq(
+    CoreQueries.entries,
+    FnQueries.entries,
+    GraphQueries.entries,
+    SnapshotQueries.entries,
+    StreamQueries.entries,
+    TextQueries.entries,
+    VectorQueries.entries)
+
+  private val merged: Map[String, (CoreQueries.Q, String)] =
+    groups.reduce(_ ++ _)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    merged("q_join_link")._1(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    merged.map { case (k, (q, _)) => k -> q }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. */
+  def oracleSql: Map[String, String] =
+    merged.map { case (k, (_, sql)) => k -> sql }
 }

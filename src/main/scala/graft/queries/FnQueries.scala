@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables.t
+
+/** Scalar-function query surface (SURVEY.md §2.2): dates, strings, hash,
+  * map→entries, JSON stringify, arrays, plus the CSV scan (P14's second
+  * output format). All codegen'd built-ins — no UDFs anywhere.
+  */
+object FnQueries {
+
+  import CoreQueries.Q
+
+  /** CSV round-trip location. nation is dimension-sized and identical at
+    * every scale factor, so a fixed path is safe for the oracle. */
+  private val csvDir = "/tmp/graft_csv_nation"
+
+  val entries: Map[String, (Q, String)] = Map(
+
+    // CSV write + schema'd read-back (arrow/writer.py:245-249 analogue;
+    // explicit schema, never inferred — SURVEY §1.2).
+    "q_scan_csv" -> ((
+      (s: SparkSession, d: String) => {
+        val n = t(s, d, "nation")
+        n.coalesce(1).write.mode("overwrite").option("header", "true")
+          .csv(csvDir)
+        val schema = StructType(Seq(
+          StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType)))
+        s.read.schema(schema).option("header", "true").csv(csvDir)
+          .orderBy("n_nationkey")
+      },
+      s"""SELECT n_nationkey, n_name, n_regionkey
+         |FROM read_csv('$csvDir/*.csv', header = true,
+         |  columns = {'n_nationkey':'INTEGER','n_name':'VARCHAR','n_regionkey':'INTEGER'})
+         |ORDER BY n_nationkey""".stripMargin)),
+
+    // UTC datetime string <-> timestamp round-trip + date parts
+    // (reference DateTimeString/DateString codecs, sql.py:43-70).
+    "q_dates" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders")
+          .select(
+            col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("d_str"),
+            year(col("o_orderdate")).as("yr"),
+            month(col("o_orderdate")).as("mo"),
+            date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+              .as("month_start"),
+            to_timestamp(
+              date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+              "yyyy-MM-dd HH:mm:ss").as("ts_rt"))
+          .orderBy("o_orderkey"),
+      """SELECT o_orderkey,
+        |strftime(o_orderdate, '%Y-%m-%d') AS d_str,
+        |CAST(year(o_orderdate) AS INT) AS yr,
+        |CAST(month(o_orderdate) AS INT) AS mo,
+        |strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts_rt
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // Table/link naming functions (schema_utils.py:28-36: replace,
+    // truncate-to-25, concat, lower).
+    "q_string_fns" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "nation")
+          .select(
+            col("n_nationkey"),
+            lower(col("n_name")).as("lname"),
+            regexp_replace(col("n_name"), " ", "_").as("snake"),
+            substring(col("n_name"), 1, 3).as("pre3"),
+            concat(lit("link_"), substring(lower(col("n_name")), 1, 25))
+              .as("link_name"),
+            length(col("n_name")).as("name_len"))
+          .orderBy("n_nationkey"),
+      """SELECT n_nationkey,
+        |lower(n_name) AS lname,
+        |replace(n_name, ' ', '_') AS snake,
+        |substr(n_name, 1, 3) AS pre3,
+        |'link_' || substr(lower(n_name), 1, 25) AS link_name,
+        |CAST(length(n_name) AS INT) AS name_len
+        |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    // sha256 identifier hashing (upload dir naming, arrow/writer.py:227-230).
+    "q_hash" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "nation")
+          .select(col("n_nationkey"), sha2(col("n_name"), 256).as("h"))
+          .orderBy("n_nationkey"),
+      """SELECT n_nationkey, sha256(n_name) AS h
+        |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    // MapType -> entry list (P13's core rewrite, arrow/writer.py:144-148):
+    // build a map column, explode its entries.
+    "q_map_to_entries" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "nation")
+          .select(col("n_nationkey"),
+            map(lit("name"), col("n_name"),
+              lit("regionkey"), col("n_regionkey").cast("string")).as("m"))
+          .select(col("n_nationkey"), explode(col("m")).as(Seq("key", "value")))
+          .orderBy("n_nationkey", "key"),
+      """SELECT n_nationkey, 'name' AS key, n_name AS value FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, 'regionkey', CAST(n_regionkey AS VARCHAR) FROM nation
+        |ORDER BY n_nationkey, key""".stripMargin)),
+
+    // Non-string value under a string-typed column -> JSON text
+    // (arrow/writer.py:130-132). Oracle builds the same JSON by hand so
+    // no engine-specific serializer quirks can differ.
+    "q_json_str" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "nation")
+          .select(col("n_nationkey"),
+            to_json(struct(col("n_nationkey"), col("n_name"))).as("js"))
+          .orderBy("n_nationkey"),
+      """SELECT n_nationkey,
+        |'{"n_nationkey":' || n_nationkey || ',"n_name":"' || n_name || '"}' AS js
+        |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    // Array columns (T[] kinds, type_converter.py:7-8): size, element,
+    // sort+join, membership.
+    "q_array_fns" -> ((
+      (s: SparkSession, d: String) => {
+        val words = split(col("p_name"), " ")
+        t(s, d, "part")
+          .select(
+            col("p_partkey"),
+            size(words).as("n_words"),
+            element_at(words, 1).as("first_word"),
+            array_join(array_sort(words), ",").as("sorted_words"),
+            array_contains(words, "green").as("has_green"))
+          .orderBy("p_partkey")
+      },
+      """SELECT p_partkey,
+        |CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+        |string_split(p_name, ' ')[1] AS first_word,
+        |array_to_string(list_sort(string_split(p_name, ' ')), ',') AS sorted_words,
+        |list_contains(string_split(p_name, ' '), 'green') AS has_green
+        |FROM part ORDER BY p_partkey""".stripMargin))
+  )
+}

@@ -1,0 +1,313 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** LLM-training-data pipeline operators over the `documents` table:
+  * exact dedup, n-gram-Jaccard near-dup (inverted-index join), MinHash-LSH
+  * and SimHash candidate generation with exact verification, language-ID
+  * heuristic, quality scoring, token counting, document fingerprinting,
+  * and the multimodal binary-column plumbing.
+  *
+  * Scale design: no all-pairs/cartesian shapes anywhere. The exact n-gram
+  * dedup uses an inverted-index (shingle-equality) join; MinHash/SimHash
+  * prune candidates to same-bucket pairs before the verify join. For the
+  * approximate operators the DuckDB oracle re-verifies the *candidate
+  * pairs* (written to a side parquet) exactly — the bucketing is
+  * hash-function-specific, the verification math is engine-independent
+  * (per VERDICT.md round-1 guidance).
+  */
+object TextQueries {
+
+  import CoreQueries.Q
+
+  /** Distinct word 3-gram shingles of `text` (space-tokenized). */
+  private val shingles: Column = expr(
+    """CASE WHEN size(split(text, ' ')) >= 3 THEN
+      |  array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
+      |    i -> concat_ws(' ', element_at(split(text, ' '), i),
+      |                        element_at(split(text, ' '), i + 1),
+      |                        element_at(split(text, ' '), i + 2))))
+      |ELSE array() END""".stripMargin)
+
+  /** DuckDB twin of `shingles` (same tokenization, same 3-grams). */
+  private val shinglesSqlCte: String =
+    """sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      |      list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |        i -> string_split(text, ' ')[i] || ' ' ||
+      |             string_split(text, ' ')[i+1] || ' ' ||
+      |             string_split(text, ' ')[i+2])
+      |    ELSE CAST([] AS VARCHAR[]) END)) AS s
+      |  FROM documents),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  private def docShingleSets(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"), shingles.as("sh"))
+
+  /** Exploded (doc_id, shingle) inverted-index relation. */
+  private def shingleIndex(s: SparkSession, d: String): DataFrame =
+    docShingleSets(s, d).select(col("doc_id"), explode(col("sh")).as("s"))
+
+  private def sfTag(d: String): String = d.stripSuffix("/").split('/').last
+
+  /** Exact Jaccard verification of candidate pairs against the per-doc
+    * shingle sets; keeps pairs with jaccard >= threshold. */
+  private def verifyPairs(s: SparkSession, d: String, cand: DataFrame,
+      threshold: Double): DataFrame = {
+    val sets = docShingleSets(s, d)
+    val a = sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", round(col("inter") * 1.0 /
+        (size(col("sha")) + size(col("shb")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle twin of verifyPairs over a candidate parquet side-file. */
+  private def verifySql(candPath: String, threshold: Double): String =
+    s"""WITH cand AS (SELECT DISTINCT doc_a, doc_b
+       |  FROM read_parquet('$candPath/*.parquet')),
+       |$shinglesSqlCte,
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+       |  GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b,
+       |  round(i.inter * 1.0 / (sa.n + sb.n - i.inter), 6) AS jaccard
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.doc_a
+       |JOIN sizes sb ON sb.doc_id = i.doc_b
+       |WHERE i.inter * 1.0 / (sa.n + sb.n - i.inter) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- MinHash-LSH: 32 hashes, 16 bands x 2 rows ----------------------
+  private val numHashes = 32
+  private val bandRows = 2
+  private val numBands = numHashes / bandRows
+
+  private def minhashCandidates(s: SparkSession, d: String): DataFrame = {
+    val idx = shingleIndex(s, d)
+    // One shuffle: 32 min-hash aggregates computed in a single groupBy.
+    val aggs = (0 until numHashes)
+      .map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    val sigs = idx.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val bandStructs = (0 until numBands).map { j =>
+      struct(lit(j).as("b"),
+        hash(col(s"h${bandRows * j}"), col(s"h${bandRows * j + 1}")).as("v"))
+    }
+    val bands = sigs.select(col("doc_id"),
+      explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.v").as("v"))
+    // Same-bucket pairs only — the LSH prune that avoids all-pairs.
+    val l = bands.select(col("doc_id").as("doc_a"), col("b"), col("v"))
+    val r = bands.select(col("doc_id").as("doc_b"), col("b"), col("v"))
+    l.join(r, Seq("b", "v")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  // ---- SimHash: 64-bit signature over distinct tokens, 4x16-bit bands -
+  private def simhashCandidates(s: SparkSession, d: String): DataFrame = {
+    val tok = t(s, d, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tk"))
+      .withColumn("h", xxhash64(lit(9), col("tk")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$i"))
+    val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val chunks = (0 until 4).map { c =>
+      val v = (0 until 16).map(k =>
+        when(col(s"b${16 * c + k}") > 0, lit(1L << k)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      struct(lit(c).as("b"), v.as("v"))
+    }
+    val bands = sums.select(col("doc_id"), explode(array(chunks: _*)).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.v").as("v"))
+    val l = bands.select(col("doc_id").as("doc_a"), col("b"), col("v"))
+    val r = bands.select(col("doc_id").as("doc_b"), col("b"), col("v"))
+    l.join(r, Seq("b", "v")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Persist candidates for the oracle's verify-only pass, then verify. */
+  private def candidateVerify(s: SparkSession, d: String, cand: DataFrame,
+      path: String, threshold: Double): DataFrame = {
+    cand.write.mode("overwrite").parquet(path)
+    verifyPairs(s, d, s.read.parquet(path), threshold)
+  }
+
+  private val stopEn = Seq("the", "and", "of", "to", "a", "in", "is")
+  private val stopDe = Seq("der", "die", "und", "das", "ist", "nicht")
+  private val stopEs = Seq("el", "la", "de", "y", "que", "los")
+
+  private def inList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val entries: Map[String, (Q, String)] = Map(
+
+    // Exact dedup: hash groupBy on content, keep lowest doc_id.
+    "q_dedup_exact" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .groupBy("text")
+          .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+          .select("doc_id", "text", "n_copies")
+          .orderBy("doc_id"),
+      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text,
+        |CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin)),
+
+    // Exact n-gram Jaccard near-dup via inverted-index join (shingle
+    // equality), never all-pairs. Fully recomputed by the oracle.
+    "q_dedup_ngram" -> ((
+      (s: SparkSession, d: String) => {
+        val idx = shingleIndex(s, d)
+        val a = idx.select(col("doc_id").as("doc_a"), col("s"))
+        val b = idx.select(col("doc_id").as("doc_b"), col("s"))
+        val pairs = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+        verifyPairs(s, d, pairs.select("doc_a", "doc_b"), 0.8)
+      },
+      s"""WITH $shinglesSqlCte,
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i.doc_a, i.doc_b,
+         |  round(i.inter * 1.0 / (sa.n + sb.n - i.inter), 6) AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON sa.doc_id = i.doc_a
+         |JOIN sizes sb ON sb.doc_id = i.doc_b
+         |WHERE i.inter * 1.0 / (sa.n + sb.n - i.inter) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // MinHash-LSH near-dup: banded signature bucketing -> candidate
+    // pairs -> exact verify. Oracle re-verifies the candidates.
+    "q_dedup_minhash" -> ((
+      (s: SparkSession, d: String) =>
+        candidateVerify(s, d, minhashCandidates(s, d),
+          s"/tmp/graft_cand_minhash_${sfTag(d)}", 0.7),
+      verifySql("/tmp/graft_cand_minhash_sf0.01", 0.7))),
+
+    // SimHash near-dup: 64-bit signature, 16-bit bands -> candidates ->
+    // exact verify. Oracle re-verifies the candidates.
+    "q_dedup_simhash" -> ((
+      (s: SparkSession, d: String) =>
+        candidateVerify(s, d, simhashCandidates(s, d),
+          s"/tmp/graft_cand_simhash_${sfTag(d)}", 0.7),
+      verifySql("/tmp/graft_cand_simhash_sf0.01", 0.7))),
+
+    // Language-ID heuristic: stopword hits per language, argmax.
+    "q_text_lang" -> ((
+      (s: SparkSession, d: String) => {
+        def hits(ws: Seq[String]) = expr(
+          s"size(filter(split(text, ' '), t -> t IN ${inList(ws)}))")
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            hits(stopEn).as("en_hits"),
+            hits(stopDe).as("de_hits"),
+            hits(stopEs).as("es_hits"))
+          .withColumn("pred",
+            when(col("en_hits") >= col("de_hits") &&
+              col("en_hits") >= col("es_hits") && col("en_hits") > 0, "en")
+              .when(col("de_hits") >= col("es_hits") &&
+                col("de_hits") > 0, "de")
+              .when(col("es_hits") > 0, "es")
+              .otherwise("unknown"))
+          .orderBy("doc_id")
+      },
+      s"""SELECT doc_id,
+         |CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopEn)})) AS INT) AS en_hits,
+         |CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopDe)})) AS INT) AS de_hits,
+         |CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopEs)})) AS INT) AS es_hits,
+         |CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopEn)})) >= len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopDe)}))
+         |      AND len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopEn)})) >= len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopEs)}))
+         |      AND len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopEn)})) > 0 THEN 'en'
+         |     WHEN len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopDe)})) >= len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopEs)}))
+         |      AND len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopDe)})) > 0 THEN 'de'
+         |     WHEN len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopEs)})) > 0 THEN 'es'
+         |     ELSE 'unknown' END AS pred
+         |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Quality scoring: char/word counts, avg word length, stopword
+    // ratio, type-token ratio. Pure per-row expressions (map-only).
+    "q_text_quality" -> ((
+      (s: SparkSession, d: String) => {
+        val words = split(col("text"), " ")
+        val nWords = size(words)
+        val stopHits = expr(
+          s"size(filter(split(text, ' '), t -> t IN ${inList(stopEn)}))")
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            length(col("text")).as("n_chars_m"),
+            nWords.as("n_words"),
+            round(length(expr("replace(text, ' ', '')")) * 1.0 / nWords, 6)
+              .as("avg_word_len"),
+            round(stopHits * 1.0 / nWords, 6).as("stop_ratio"),
+            round(size(array_distinct(words)) * 1.0 / nWords, 6).as("ttr"))
+          .orderBy("doc_id")
+      },
+      s"""SELECT doc_id,
+         |CAST(length(text) AS INT) AS n_chars_m,
+         |CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+         |round(length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')), 6) AS avg_word_len,
+         |round(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopEn)})) * 1.0 / len(string_split(text, ' ')), 6) AS stop_ratio,
+         |round(len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')), 6) AS ttr
+         |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Token counting: whitespace tokens + a BPE-ish regex segmentation.
+    "q_text_tokens" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).as("ws_tokens"),
+            size(expr("regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]', 0)"))
+              .as("bpe_tokens"))
+          .orderBy("doc_id"),
+      """SELECT doc_id,
+        |CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        |CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Document fingerprint: sha256 over the sorted distinct token set —
+    // an order-insensitive content fingerprint for fuzzy-dedup blocking.
+    "q_text_fingerprint" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            sha2(array_join(array_sort(array_distinct(
+              split(col("text"), " "))), " "), 256).as("fp"))
+          .orderBy("doc_id"),
+      """SELECT doc_id,
+        |sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Multimodal plumbing: opaque binary payload column + typed metadata.
+    // The real decode would be a per-partition codec (see
+    // graft.multimodal); here the Spark-side schema/typing contract is
+    // exercised: utf8 payload bytes, byte length, content head as hex.
+    "q_multimodal_meta" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"),
+            lit("text/plain").as("mime"))
+          .select(col("doc_id"),
+            length(col("payload")).as("n_bytes"),
+            col("mime"),
+            substring(hex(col("payload")), 1, 16).as("head_hex"))
+          .orderBy("doc_id"),
+      """SELECT doc_id,
+        |CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |'text/plain' AS mime,
+        |substr(upper(hex(encode(text))), 1, 16) AS head_hex
+        |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}
