@@ -22,58 +22,78 @@ object TextQueries {
 
   import CoreQueries.Q
 
-  /** Distinct word 3-gram shingles of `text` (space-tokenized). */
-  private val shingles: Column = expr(
-    """CASE WHEN size(split(text, ' ')) >= 3 THEN
-      |  array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
-      |    i -> concat_ws(' ', element_at(split(text, ' '), i),
-      |                        element_at(split(text, ' '), i + 1),
-      |                        element_at(split(text, ' '), i + 2))))
-      |ELSE array() END""".stripMargin)
+  /** Distinct word n-gram shingles over a pre-tokenized `tk` column.
+    * Tokenization is materialized as its own column first — a split()
+    * inlined in the lambda would be re-evaluated per element (O(words²)
+    * per document); over an attribute each element_at is O(1). */
+  private def shingles(n: Int): Column = {
+    val parts = (0 until n).map(o => s"element_at(tk, i + $o)").mkString(", ")
+    expr(
+      s"""CASE WHEN size(tk) >= $n THEN
+         |  transform(sequence(1, size(tk) - ${n - 1}),
+         |    i -> concat_ws(' ', $parts))
+         |ELSE array() END""".stripMargin)
+  }
 
-  /** DuckDB twin of `shingles` (same tokenization, same 3-grams). */
-  private val shinglesSqlCte: String =
-    """sh AS (
-      |  SELECT doc_id, unnest(list_distinct(
-      |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
-      |      list_transform(range(1, len(string_split(text, ' ')) - 1),
-      |        i -> string_split(text, ' ')[i] || ' ' ||
-      |             string_split(text, ' ')[i+1] || ' ' ||
-      |             string_split(text, ' ')[i+2])
-      |    ELSE CAST([] AS VARCHAR[]) END)) AS s
-      |  FROM documents),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+  /** DuckDB twin of `shingles` (same tokenization, same n-grams). */
+  private def shinglesSqlCte(n: Int): String = {
+    val parts = (0 until n)
+      .map(o => s"string_split(text, ' ')[i + $o]").mkString(" || ' ' || ")
+    s"""sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(string_split(text, ' ')) >= $n THEN
+       |      list_transform(range(1, len(string_split(text, ' ')) - ${n - 2}),
+       |        i -> $parts)
+       |    ELSE CAST([] AS VARCHAR[]) END)) AS s
+       |  FROM documents),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+  }
 
-  private def docShingleSets(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents").select(col("doc_id"), shingles.as("sh"))
-
-  /** Exploded (doc_id, shingle) inverted-index relation. */
-  private def shingleIndex(s: SparkSession, d: String): DataFrame =
-    docShingleSets(s, d).select(col("doc_id"), explode(col("sh")).as("s"))
+  /** Distinct (doc_id, shingle) inverted-index relation. Set semantics
+    * come from a shuffle distinct on the exploded rows — cheaper and
+    * scale-friendlier than per-row array_distinct/array_intersect, which
+    * are quadratic in shingle count per document. Persisted because the
+    * dedup pipelines scan it several times (signatures + sizes + both
+    * sides of the verify join). */
+  private def shingleIndex(s: SparkSession, d: String, n: Int = 3): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), explode(shingles(n)).as("s"))
+      .distinct()
+      .persist()
 
   private def sfTag(d: String): String = d.stripSuffix("/").split('/').last
 
-  /** Exact Jaccard verification of candidate pairs against the per-doc
-    * shingle sets; keeps pairs with jaccard >= threshold. */
-  private def verifyPairs(s: SparkSession, d: String, cand: DataFrame,
+  /** Exact Jaccard over (doc_a, doc_b) pairs given their shingle-set
+    * intersection size; keeps pairs with jaccard >= threshold. */
+  private def jaccardFilter(pairsWithInter: DataFrame, idx: DataFrame,
       threshold: Double): DataFrame = {
-    val sets = docShingleSets(s, d)
-    val a = sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
-    val b = sets.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
-    cand.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val na = sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))
+    val nb = sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))
+    pairsWithInter.join(na, "doc_a").join(nb, "doc_b")
       .withColumn("jaccard", round(col("inter") * 1.0 /
-        (size(col("sha")) + size(col("shb")) - col("inter")), 6))
+        (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Relational intersection counts for an explicit candidate-pair set:
+    * cand ⋈ index(doc_a) ⋈ index(doc_b, same shingle) → count. */
+  private def interFor(cand: DataFrame, idx: DataFrame): DataFrame = {
+    val a = idx.select(col("doc_id").as("doc_a"), col("s"))
+    val b = idx.select(col("doc_id").as("doc_b"), col("s"))
+    cand.join(a, "doc_a").join(b, Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+  }
+
   /** Oracle twin of verifyPairs over a candidate parquet side-file. */
-  private def verifySql(candPath: String, threshold: Double): String =
+  private def verifySql(candPath: String, threshold: Double,
+      n: Int = 3): String =
     s"""WITH cand AS (SELECT DISTINCT doc_a, doc_b
        |  FROM read_parquet('$candPath/*.parquet')),
-       |$shinglesSqlCte,
+       |${shinglesSqlCte(n)},
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS inter
        |  FROM cand c
@@ -93,8 +113,7 @@ object TextQueries {
   private val bandRows = 2
   private val numBands = numHashes / bandRows
 
-  private def minhashCandidates(s: SparkSession, d: String): DataFrame = {
-    val idx = shingleIndex(s, d)
+  private def minhashCandidates(idx: DataFrame): DataFrame = {
     // One shuffle: 32 min-hash aggregates computed in a single groupBy.
     val aggs = (0 until numHashes)
       .map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
@@ -113,12 +132,12 @@ object TextQueries {
       .select("doc_a", "doc_b").distinct()
   }
 
-  // ---- SimHash: 64-bit signature over distinct tokens, 4x16-bit bands -
-  private def simhashCandidates(s: SparkSession, d: String): DataFrame = {
-    val tok = t(s, d, "documents")
-      .select(col("doc_id"),
-        explode(array_distinct(split(col("text"), " "))).as("tk"))
-      .withColumn("h", xxhash64(lit(9), col("tk")))
+  // ---- SimHash: 64-bit signature over distinct 3-gram shingles,
+  // 4x16-bit bands. Shingles, not raw tokens: with a small vocabulary
+  // every document contains nearly every token, so token-feature
+  // signatures collapse into one bucket; shingle sets stay distinctive.
+  private def simhashCandidates(idx: DataFrame): DataFrame = {
+    val tok = idx.withColumn("h", xxhash64(lit(9), col("s")))
     val bitSums = (0 until 64).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"b$i"))
@@ -138,10 +157,11 @@ object TextQueries {
   }
 
   /** Persist candidates for the oracle's verify-only pass, then verify. */
-  private def candidateVerify(s: SparkSession, d: String, cand: DataFrame,
+  private def candidateVerify(s: SparkSession, cand: DataFrame, idx: DataFrame,
       path: String, threshold: Double): DataFrame = {
     cand.write.mode("overwrite").parquet(path)
-    verifyPairs(s, d, s.read.parquet(path), threshold)
+    val persisted = s.read.parquet(path)
+    jaccardFilter(interFor(persisted, idx), idx, threshold)
   }
 
   private val stopEn = Seq("the", "and", "of", "to", "a", "in", "is")
@@ -166,17 +186,22 @@ object TextQueries {
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin)),
 
     // Exact n-gram Jaccard near-dup via inverted-index join (shingle
-    // equality), never all-pairs. Fully recomputed by the oracle.
+    // equality), never all-pairs. 5-grams, not 3-grams: the corpus
+    // vocabulary is small, so short shingles are hub keys shared by
+    // dozens of documents and the index join explodes quadratically;
+    // 5-gram shingles are nearly unique (max hub = 4 docs at sf0.1)
+    // while planted near-dups keep jaccard >= 0.8 vs 0.0 noise.
+    // Fully recomputed by the oracle.
     "q_dedup_ngram" -> ((
       (s: SparkSession, d: String) => {
-        val idx = shingleIndex(s, d)
+        val idx = shingleIndex(s, d, 5)
         val a = idx.select(col("doc_id").as("doc_a"), col("s"))
         val b = idx.select(col("doc_id").as("doc_b"), col("s"))
         val pairs = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
           .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-        verifyPairs(s, d, pairs.select("doc_a", "doc_b"), 0.8)
+        jaccardFilter(pairs, idx, 0.5)
       },
-      s"""WITH $shinglesSqlCte,
+      s"""WITH ${shinglesSqlCte(5)},
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -186,23 +211,27 @@ object TextQueries {
          |FROM inter i
          |JOIN sizes sa ON sa.doc_id = i.doc_a
          |JOIN sizes sb ON sb.doc_id = i.doc_b
-         |WHERE i.inter * 1.0 / (sa.n + sb.n - i.inter) >= 0.8
+         |WHERE i.inter * 1.0 / (sa.n + sb.n - i.inter) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // MinHash-LSH near-dup: banded signature bucketing -> candidate
     // pairs -> exact verify. Oracle re-verifies the candidates.
     "q_dedup_minhash" -> ((
-      (s: SparkSession, d: String) =>
-        candidateVerify(s, d, minhashCandidates(s, d),
-          s"/tmp/graft_cand_minhash_${sfTag(d)}", 0.7),
+      (s: SparkSession, d: String) => {
+        val idx = shingleIndex(s, d)
+        candidateVerify(s, minhashCandidates(idx), idx,
+          s"/tmp/graft_cand_minhash_${sfTag(d)}", 0.7)
+      },
       verifySql("/tmp/graft_cand_minhash_sf0.01", 0.7))),
 
     // SimHash near-dup: 64-bit signature, 16-bit bands -> candidates ->
     // exact verify. Oracle re-verifies the candidates.
     "q_dedup_simhash" -> ((
-      (s: SparkSession, d: String) =>
-        candidateVerify(s, d, simhashCandidates(s, d),
-          s"/tmp/graft_cand_simhash_${sfTag(d)}", 0.7),
+      (s: SparkSession, d: String) => {
+        val idx = shingleIndex(s, d)
+        candidateVerify(s, simhashCandidates(idx), idx,
+          s"/tmp/graft_cand_simhash_${sfTag(d)}", 0.7)
+      },
       verifySql("/tmp/graft_cand_simhash_sf0.01", 0.7))),
 
     // Language-ID heuristic: stopword hits per language, argmax.
