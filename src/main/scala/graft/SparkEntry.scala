@@ -17,6 +17,7 @@ object SparkEntry {
     FnQueries.entries,
     GraphQueries.entries,
     SnapshotQueries.entries,
+    PipelineQueries.entries,
     StreamQueries.entries,
     TextQueries.entries,
     VectorQueries.entries)

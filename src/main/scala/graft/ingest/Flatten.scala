@@ -1,0 +1,87 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.{Kind, Model, ModelCompiler}
+
+/** Node/edge envelope flattening (P8/P9) — pure projections, no shuffle.
+  *
+  * Node envelope (reference: sql.py:228-240, tests/sql_test.py:71-107):
+  * {type:"node", id, reported:{...}, ancestors:{cloud/account/region/
+  * zone:{reported:{id}}}} → one flat row per the compiled kind schema:
+  * `_id` from the envelope id, each known property lifted from
+  * `reported.*` (missing → typed null — the project-and-pad contract,
+  * sql.py:236-237), and the carz ancestry denormalized onto the row.
+  *
+  * Edge envelope: {type:"edge", from, to} → (from_id, to_id)
+  * (reference: sql.py:241-242).
+  */
+object Flatten {
+
+  private def hasField(schema: StructType, path: Seq[String]): Boolean =
+    path match {
+      case Seq(last) => schema.fields.exists(_.name == last)
+      case head +: tail =>
+        schema.fields.find(_.name == head).map(_.dataType) match {
+          case Some(st: StructType) => hasField(st, tail)
+          case _ => false
+        }
+      case _ => false
+    }
+
+  /** Project a node-envelope DataFrame to the compiled schema of `kind`.
+    * Known properties are lifted from `reported`; properties absent from
+    * the input schema are padded with typed nulls. */
+  def flattenNodes(nodes: DataFrame, kind: Kind, model: Model): DataFrame = {
+    val schema = ModelCompiler.tableSchema(kind, model)
+    val inSchema = nodes.schema
+    val cols: Seq[Column] = schema.fields.toSeq.map { f =>
+      f.name match {
+        case "_id" => col("id").cast(StringType).as("_id")
+        case c if ModelCompiler.carz.contains(c) =>
+          val path = Seq("ancestors", c, "reported", "id")
+          if (hasField(inSchema, path))
+            col(path.mkString(".")).cast(StringType).as(c)
+          else lit(null).cast(StringType).as(c)
+        case p =>
+          if (hasField(inSchema, Seq("reported", p)))
+            col(s"reported.$p").cast(f.dataType).as(p)
+          else lit(null).cast(f.dataType).as(p)
+      }
+    }
+    nodes
+      .filter(col("type") === "node" &&
+        col("reported.kind") === kind.fqn)
+      .select(cols: _*)
+  }
+
+  /** Edge envelope → (from_id, to_id). */
+  def flattenEdges(edges: DataFrame): DataFrame =
+    edges.filter(col("type") === "edge")
+      .select(col("from").cast(StringType).as("from_id"),
+        col("to").cast(StringType).as("to_id"))
+
+  /** Edge keying (P5): route each edge to its link table by joining both
+    * endpoints against the node→kind map (reference's checksum lookup,
+    * collect_plugins.py:49-62, re-expressed as a distributed join — the
+    * node map is typically dimension-sized relative to edges, so it is
+    * broadcast). */
+  def keyEdges(edges: DataFrame, nodeKinds: DataFrame): DataFrame = {
+    val fk = broadcast(nodeKinds
+      .select(col("id").as("from"), col("kind").as("from_kind")))
+    val tk = broadcast(nodeKinds
+      .select(col("id").as("to"), col("kind").as("to_kind")))
+    flattenEdges(edges)
+      .withColumnRenamed("from_id", "from")
+      .withColumnRenamed("to_id", "to")
+      .join(fk, "from").join(tk, "to")
+      .select(col("from").as("from_id"), col("to").as("to_id"),
+        col("from_kind"), col("to_kind"))
+  }
+
+  /** Edge-kind discovery (P4): distinct (from_kind, to_kind) pairs over
+    * keyed edges (reference: collect_plugins.py:44-47). */
+  def edgeKinds(keyedEdges: DataFrame): DataFrame =
+    keyedEdges.select("from_kind", "to_kind").distinct()
+}

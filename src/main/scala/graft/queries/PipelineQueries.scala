@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.ingest.Flatten
+import graft.model.{Kind, Model, ModelCompiler, Property}
+import graft.sink.TableSink
+
+/** q_pipeline_e2e: the reference's whole sync path in one driver-checked
+  * query — the §7.2 end-to-end slice. Node/edge envelopes (built here
+  * from the nation/region tables so the oracle can recompute the result
+  * relationally) flow through: model compile (P7) → node flatten with
+  * carz denormalization (P8) → edge flatten (P9) → per-table parquet
+  * write behind the staging→prod swap (P14+P12) → temp-view catalog →
+  * answered via spark.sql (P16). The oracle derives the same rows
+  * straight from the base tables: the pipeline must be lossless.
+  */
+object PipelineQueries {
+
+  import CoreQueries.Q
+
+  private val model = Model(
+    Kind("resource",
+      properties = Seq(
+        Property("id", "string"),
+        Property("name", "string"),
+        Property("kind", "string")),
+      aggregateRoot = true),
+    Kind("infra_nation",
+      bases = Seq("resource"),
+      properties = Seq(Property("regionkey", "int32"))))
+
+  private def sfTag(d: String): String = d.stripSuffix("/").split('/').last
+
+  private def nodeEnvelopes(s: SparkSession, d: String): DataFrame =
+    t(s, d, "nation").select(
+      lit("node").as("type"),
+      concat(lit("N"), col("n_nationkey")).as("id"),
+      struct(
+        lit("infra_nation").as("kind"),
+        concat(lit("N"), col("n_nationkey")).as("id"),
+        col("n_name").as("name"),
+        col("n_regionkey").as("regionkey")).as("reported"),
+      struct(
+        struct(struct(concat(lit("R"), col("n_regionkey")).as("id"))
+          .as("reported")).as("region")).as("ancestors"))
+
+  private def edgeEnvelopes(s: SparkSession, d: String): DataFrame =
+    t(s, d, "nation").select(
+      lit("edge").as("type"),
+      concat(lit("R"), col("n_regionkey")).as("from"),
+      concat(lit("N"), col("n_nationkey")).as("to"))
+
+  val entries: Map[String, (Q, String)] = Map(
+    "q_pipeline_e2e" -> ((
+      (s: SparkSession, d: String) => {
+        val kind = model("infra_nation")
+        val nationTable = Flatten.flattenNodes(nodeEnvelopes(s, d), kind, model)
+        val linkTable = Flatten.flattenEdges(edgeEnvelopes(s, d))
+        val base = s"/tmp/graft_pipe_${sfTag(d)}"
+        val paths = TableSink.writeAll(Map(
+          ModelCompiler.tableName(kind.fqn) -> nationTable,
+          ModelCompiler.linkTableName("infra_region", "infra_nation") ->
+            linkTable), base)
+        TableSink.registerProd(s, paths)
+        s.sql(
+          """SELECT l.from_id, l.to_id, n.name, n.regionkey, n.region
+            |FROM link_infra_region_infra_nation l
+            |JOIN infra_nation n ON n._id = l.to_id
+            |ORDER BY l.to_id""".stripMargin)
+      },
+      """SELECT 'R' || n_regionkey AS from_id, 'N' || n_nationkey AS to_id,
+        |n_name AS name, n_regionkey AS regionkey,
+        |'R' || n_regionkey AS region
+        |FROM nation ORDER BY to_id""".stripMargin))
+  )
+}

@@ -1,0 +1,38 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.sink.{SnapshotSwap, TableSink}
+
+/** Mirrors the reference's swap behavior test (tests/sql_test.py:54-67):
+  * after a swap, prod contains exactly the new sync; staging is gone. */
+class SnapshotSwapSpec extends SparkSpecBase {
+
+  test("staging -> prod swap replaces the previous snapshot atomically") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_swap").toString
+    val v1 = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val v2 = Seq((3, "c")).toDF("id", "v")
+
+    val p1 = SnapshotSwap.write(v1, base, "t")
+    assert(spark.read.parquet(p1).count() == 2)
+
+    val p2 = SnapshotSwap.write(v2, base, "t")
+    assert(p1 == p2)
+    val rows = spark.read.parquet(p2).as[(Int, String)].collect().toSeq
+    assert(rows == Seq((3, "c")))
+    assert(!Files.exists(Paths.get(base, "_staging_t")))
+    assert(!Files.exists(Paths.get(base, "_old_t")))
+  }
+
+  test("writeAll + registerProd: catalog sees the last completed sync") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sink").toString
+    val tables = Map(
+      "ka" -> Seq(("x", 1)).toDF("id", "n"),
+      "kb" -> Seq(("y", 2), ("z", 3)).toDF("id", "n"))
+    val paths = TableSink.writeAll(tables, base)
+    TableSink.registerProd(spark, paths)
+    assert(spark.sql("SELECT count(*) FROM kb").collect().head.getLong(0) == 2)
+    assert(spark.sql("SELECT n FROM ka").collect().head.getInt(0) == 1)
+  }
+}
