@@ -1,0 +1,82 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: image/audio/video payloads ride through
+  * the engine as opaque `binary` columns with typed metadata, and
+  * decode/feature-extract steps run as per-partition codecs (the Scala
+  * analogue of a Pandas UDF over mapInPandas: one iterator of rows per
+  * partition, batch-shaped, no per-row JVM boundary crossing).
+  *
+  * The actual media decode is STUBBED (this environment has no
+  * image/audio libraries): `decodeStub` derives deterministic fake
+  * features from the payload bytes. The Spark-side plumbing — schema,
+  * encoders, partitioning, per-partition batch shape — is real and
+  * tested; swapping `decodeStub` for a JNI/FFI codec changes no plan
+  * shape.
+  */
+object Multimodal {
+
+  /** An asset row: payload + typed metadata (schema contract). */
+  final case class Asset(
+      asset_id: Long,
+      mime: String,
+      payload: Array[Byte])
+
+  /** Extracted features (what a real decoder would emit). */
+  final case class AssetFeatures(
+      asset_id: Long,
+      mime: String,
+      n_bytes: Int,
+      width: Int, // fake: derived from payload hash
+      height: Int, // fake: derived from payload hash
+      checksum: Long)
+
+  /** Deterministic fake decode of one payload — stands in for the real
+    * codec (??? in spirit; deterministic so tests can golden it). */
+  def decodeStub(a: Asset): AssetFeatures = {
+    var h = 1125899906842597L // FNV-ish rolling hash over the bytes
+    a.payload.foreach(b => h = h * 31 + (b & 0xff))
+    AssetFeatures(
+      asset_id = a.asset_id,
+      mime = a.mime,
+      n_bytes = a.payload.length,
+      width = 64 + math.floorMod(h, 1024).toInt,
+      height = 64 + math.floorMod(h >> 10, 1024).toInt,
+      checksum = h)
+  }
+
+  /** Per-partition decode — the mapInPandas-shaped boundary: the codec
+    * sees a whole partition iterator (amortizes codec init per task,
+    * exactly like batch-wise Pandas UDF execution). */
+  def decode(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // Real impl: initialize the codec once per partition here.
+      it.map(decodeStub)
+    }
+  }
+
+  /** Build an asset table from any binary column (here: text bytes as
+    * payloads so the shape is testable without media files). */
+  def assetsFromBinary(df: DataFrame, idCol: String, binCol: String,
+      mime: String): Dataset[Asset] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("asset_id"),
+      lit(mime).as("mime"),
+      col(binCol).cast("binary").as("payload")).as[Asset]
+  }
+
+  /** Frame-sampling shape: one row per sampled frame index — the
+    * explode-side of video handling (plumbing only; the stub "samples"
+    * indices, a real impl would slice the payload). */
+  def sampleFrames(features: Dataset[AssetFeatures], every: Int): DataFrame = {
+    require(every > 0)
+    features.toDF()
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), pmod(col("checksum"), lit(10)), lit(every))))
+      .select("asset_id", "frame_idx", "n_bytes")
+  }
+}

@@ -6,6 +6,7 @@ import graft.Tables.t
 import graft.ingest.Flatten
 import graft.model.{Kind, Model, ModelCompiler, Property}
 import graft.sink.TableSink
+import graft.sources.GraphSource
 
 /** q_pipeline_e2e: the reference's whole sync path in one driver-checked
   * query — the §7.2 end-to-end slice. Node/edge envelopes (built here
@@ -73,6 +74,40 @@ object PipelineQueries {
       """SELECT 'R' || n_regionkey AS from_id, 'N' || n_nationkey AS to_id,
         |n_name AS name, n_regionkey AS regionkey,
         |'R' || n_regionkey AS region
-        |FROM nation ORDER BY to_id""".stripMargin))
+        |FROM nation ORDER BY to_id""".stripMargin)),
+
+    // Graph source + search pushdown (P1/P2): dump a region→nation graph
+    // as JSONL envelopes, read it back through the source, evaluate the
+    // reference-shaped search `is(graph_root) -[1:]->` (descendants of
+    // the root kind). The oracle recomputes the reachable set directly.
+    "q_source_search" -> ((
+      (s: SparkSession, d: String) => {
+        val dump = s"/tmp/graft_envelopes_${sfTag(d)}"
+        val regionNodes = t(s, d, "region").select(to_json(struct(
+          lit("node").as("type"),
+          concat(lit("R"), col("r_regionkey")).as("id"),
+          struct(lit("graph_root").as("kind"),
+            concat(lit("R"), col("r_regionkey")).as("id"),
+            col("r_name").as("name")).as("reported"))).as("value"))
+        val nationNodes = t(s, d, "nation").select(to_json(struct(
+          lit("node").as("type"),
+          concat(lit("N"), col("n_nationkey")).as("id"),
+          struct(lit("infra_nation").as("kind"),
+            concat(lit("N"), col("n_nationkey")).as("id"),
+            col("n_name").as("name")).as("reported"))).as("value"))
+        val edgeLines = t(s, d, "nation").select(to_json(struct(
+          lit("edge").as("type"),
+          concat(lit("R"), col("n_regionkey")).as("from"),
+          concat(lit("N"), col("n_nationkey")).as("to"))).as("value"))
+        regionNodes.unionByName(nationNodes).unionByName(edgeLines)
+          .write.mode("overwrite").text(dump)
+        val env = GraphSource.readEnvelopes(s, dump)
+        val search = GraphSource.parseSearch("is(graph_root) -[1:]->").get
+        GraphSource.evaluate(env, search, maxDepth = 2)
+          .select(col("id"), col("reported.name").as("name"))
+          .orderBy("id")
+      },
+      """SELECT 'N' || n_nationkey AS id, n_name AS name
+        |FROM nation ORDER BY id""".stripMargin))
   )
 }

@@ -1,0 +1,65 @@
+package graft
+
+import graft.sources.{GraphSource, ModelJson}
+import graft.model.Property
+
+/** Graph-source + model-export reader tests (P1/P2/P3). */
+class SourcesSpec extends SparkSpecBase {
+
+  private lazy val envelopes = {
+    import spark.implicits._
+    // root -> cloud -> account: the depth-shape of the reference's
+    // remote-graph fixture (tests/conftest.py:67-85).
+    val lines = Seq(
+      """{"type":"node","id":"root","reported":{"kind":"graph_root","id":"root"}}""",
+      """{"type":"node","id":"c1","reported":{"kind":"cloud","id":"c1"}}""",
+      """{"type":"node","id":"a1","reported":{"kind":"account","id":"a1"}}""",
+      """{"type":"node","id":"a2","reported":{"kind":"account","id":"a2"}}""",
+      """{"type":"edge","from":"root","to":"c1"}""",
+      """{"type":"edge","from":"c1","to":"a1"}""",
+      """{"type":"edge","from":"c1","to":"a2"}""")
+    spark.read.json(spark.createDataset(lines))
+  }
+
+  test("search parser handles the reference default") {
+    assert(GraphSource.parseSearch("is(graph_root) -[2:]->") ==
+      Some(GraphSource.Search("graph_root", Some(2))))
+    assert(GraphSource.parseSearch("is(aws.ec2_instance)") ==
+      Some(GraphSource.Search("aws.ec2_instance", None)))
+    assert(GraphSource.parseSearch("name == foo") == None)
+  }
+
+  test("is(kind) filters nodes") {
+    val out = GraphSource.evaluate(envelopes,
+      GraphSource.Search("account", None))
+    assert(out.select("id").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("a1", "a2"))
+  }
+
+  test("is(graph_root) -[2:]-> returns depth>=2 descendants") {
+    val out = GraphSource.evaluate(envelopes,
+      GraphSource.Search("graph_root", Some(2)), maxDepth = 4)
+    assert(out.select("id").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("a1", "a2"))
+  }
+
+  test("model export JSON round-trips into the ADT") {
+    val m = ModelJson.fromJson(
+      """[
+        |{"fqn":"resource","aggregate_root":true,
+        | "properties":[{"name":"id","kind":"string"},
+        |   {"name":"name","kind":"string","metadata":{"len":34}},
+        |   {"name":"age","kind":"duration","synthetic":true}]},
+        |{"fqn":"some_instance","bases":["resource"],
+        | "properties":[{"name":"cores","kind":"int32"}],
+        | "successor_kinds":{"default":["some_volume"]}},
+        |{"fqn":"color","runtime_kind":"string"}
+        |]""".stripMargin)
+    assert(m("some_instance").bases == Seq("resource"))
+    assert(m("some_instance").successorKinds("default") == Seq("some_volume"))
+    assert(m("resource").properties(1) ==
+      Property("name", "string", synthetic = false, len = Some(34)))
+    assert(m("resource").properties(2).synthetic)
+    assert(m("color").runtimeKind == Some("string"))
+  }
+}
