@@ -4,21 +4,27 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables.t
+import graft.functions.VectorFunctions
 
 /** Similarity search over the `embeddings` table (vec_id, embedding:
   * array<float>, label).
   *
   * q_embed_cosine — brute-force cosine top-k for a small query set: the
   * query side is broadcast, the corpus side streams once; dot products
-  * run inside codegen via zip_with/aggregate (no UDF). This is the
-  * correctness baseline: per-query cost is one corpus scan.
+  * use the native codegen'd `vec_dot` expression
+  * (graft.functions.DotProduct) — no UDFs, no interpreted lambdas.
   *
   * q_embed_ann — the scale path: random-hyperplane LSH. Each vector
   * hashes to one bucket per hash table; candidates are same-bucket
   * equality-join matches (hash join, never a cartesian), then exact
-  * cosine re-ranking on the candidate set only. The oracle re-ranks the
-  * same candidate set (written to a side parquet) relationally — the
-  * bucketing is seed-specific, the cosine math is engine-independent.
+  * cosine re-ranking on the candidate set only.
+  *
+  * q_embed_dup — embedding near-duplicate pairs corpus-wide: same LSH
+  * buckets self-joined, exact cosine >= threshold on candidates.
+  *
+  * For the LSH operators the DuckDB oracle re-verifies the *candidate
+  * pairs* (written to a side parquet) exactly — the bucketing is
+  * seed-specific, the cosine math is engine-independent.
   */
 object VectorQueries {
 
@@ -26,18 +32,18 @@ object VectorQueries {
 
   private val K = 5
   private val NQ = 5 // query vectors: vec_id < NQ
+  private val DupThreshold = 0.45
 
   private def sfTag(d: String): String = d.stripSuffix("/").split('/').last
 
-  /** embeddings with double-cast vector and L2 norm. */
-  private def emb(s: SparkSession, d: String): DataFrame =
+  /** embeddings with double-cast vector and L2 norm (codegen'd dot). */
+  private def emb(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
     t(s, d, "embeddings").select(
       col("vec_id"),
       expr("transform(embedding, x -> cast(x AS double))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
-
-  private val dotQV: Column =
-    expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (a, e) -> a + e)")
+      .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+  }
 
   private def rankTopK(pairs: DataFrame): DataFrame = {
     val w = Window.partitionBy("qid")
@@ -57,7 +63,7 @@ object VectorQueries {
       col("nrm").as("qn"))
     val c = e.select(col("vec_id").as("nid"), col("v"), col("nrm"))
     pairs.join(broadcast(q), "qid").join(c, "nid")
-      .withColumn("cosraw", dotQV / (col("qn") * col("nrm")))
+      .withColumn("cosraw", expr("vec_dot(qv, v)") / (col("qn") * col("nrm")))
       .select("qid", "nid", "cosraw")
   }
 
@@ -101,8 +107,7 @@ object VectorQueries {
   /** bucket value for one hash table: sign bits of plane dot products. */
   private def bucketCol(tbl: Int): Column =
     (0 until bitsPerTable).map { j =>
-      val dot = expr(
-        s"aggregate(zip_with(v, pl_${tbl}_$j, (x, p) -> x * p), 0D, (a, e) -> a + e)")
+      val dot = expr(s"vec_dot(v, pl_${tbl}_$j)")
       when(dot >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
@@ -129,6 +134,15 @@ object VectorQueries {
       .select("qid", "nid").distinct()
   }
 
+  /** Corpus-wide same-bucket pairs (i < j) — the near-dup candidates. */
+  private def dupCandidates(s: SparkSession, d: String): DataFrame = {
+    val buckets = withBuckets(emb(s, d))
+    val l = buckets.select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
+    val r = buckets.select(col("vec_id").as("nid"), col("tbl"), col("bkt"))
+    l.join(r, Seq("tbl", "bkt")).filter(col("qid") < col("nid"))
+      .select("qid", "nid").distinct()
+  }
+
   val entries: Map[String, (Q, String)] = Map(
 
     // Brute-force exact cosine top-k (baseline).
@@ -139,7 +153,8 @@ object VectorQueries {
           .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
         val pairs = broadcast(q).crossJoin(e)
           .filter(col("vec_id") =!= col("qid"))
-          .withColumn("cosraw", dotQV / (col("qn") * col("nrm")))
+          .withColumn("cosraw",
+            expr("vec_dot(qv, v)") / (col("qn") * col("nrm")))
           .select(col("qid"), col("vec_id").as("nid"), col("cosraw"))
         rankTopK(pairs)
       },
@@ -153,6 +168,38 @@ object VectorQueries {
         annCandidates(s, d).write.mode("overwrite").parquet(path)
         rankTopK(cosineFor(s, d, s.read.parquet(path)))
       },
-      rankSql("SELECT DISTINCT qid, nid FROM read_parquet('/tmp/graft_cand_ann_sf0.01/*.parquet')")))
+      rankSql("SELECT DISTINCT qid, nid FROM read_parquet('/tmp/graft_cand_ann_sf0.01/*.parquet')"))),
+
+    // Embedding near-duplicate pairs: LSH buckets corpus-wide, exact
+    // cosine threshold on candidates. Oracle re-verifies the candidates.
+    "q_embed_dup" -> ((
+      (s: SparkSession, d: String) => {
+        val path = s"/tmp/graft_cand_embdup_${sfTag(d)}"
+        dupCandidates(s, d).write.mode("overwrite").parquet(path)
+        cosineFor(s, d, s.read.parquet(path))
+          .filter(col("cosraw") >= DupThreshold)
+          .select(col("qid").as("vec_a"), col("nid").as("vec_b"),
+            round(col("cosraw"), 6).as("cosine"))
+          .orderBy("vec_a", "vec_b")
+      },
+      s"""WITH pairs AS (SELECT DISTINCT qid, nid
+         |  FROM read_parquet('/tmp/graft_cand_embdup_sf0.01/*.parquet')),
+         |e AS (SELECT vec_id, unnest(embedding) AS x,
+         |        generate_subscripts(embedding, 1) AS pos FROM embeddings),
+         |norms AS (SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+         |          FROM e GROUP BY vec_id),
+         |dots AS (
+         |  SELECT p.qid, p.nid, sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+         |  FROM pairs p
+         |  JOIN e a ON a.vec_id = p.qid
+         |  JOIN e b ON b.vec_id = p.nid AND b.pos = a.pos
+         |  GROUP BY 1, 2)
+         |SELECT d.qid AS vec_a, d.nid AS vec_b,
+         |  round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+         |FROM dots d
+         |JOIN norms na ON na.vec_id = d.qid
+         |JOIN norms nb ON nb.vec_id = d.nid
+         |WHERE d.dot / (na.nrm * nb.nrm) >= $DupThreshold
+         |ORDER BY vec_a, vec_b""".stripMargin))
   )
 }
