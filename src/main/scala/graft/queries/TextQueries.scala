@@ -114,13 +114,25 @@ object TextQueries {
   private val numBands = numHashes / bandRows
 
   private def minhashCandidates(idx: DataFrame): DataFrame = {
-    // One shuffle: 32 min-hash aggregates computed in a single groupBy.
-    val aggs = (0 until numHashes)
-      .map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    val sigs = idx.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val spark = idx.sparkSession
+    import spark.implicits._
+    // Typed Aggregators run via ObjectHashAggregate, which falls back to
+    // sort-based aggregation after 128 keys/partition by default — far
+    // too conservative for a small fixed-size buffer per document.
+    spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+    // One shuffle, one typed aggregate: the whole 32-long signature per
+    // document in a single Aggregator buffer.
+    val sigs = idx.select(col("doc_id").cast("long"), col("s"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.functions.MinHashAggregator.toColumn.name("sig"))
+      .toDF("doc_id", "sig")
     val bandStructs = (0 until numBands).map { j =>
       struct(lit(j).as("b"),
-        hash(col(s"h${bandRows * j}"), col(s"h${bandRows * j + 1}")).as("v"))
+        hash(col("sig").getItem(bandRows * j),
+          col("sig").getItem(bandRows * j + 1)).as("v"))
     }
     val bands = sigs.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("band"))
@@ -137,14 +149,23 @@ object TextQueries {
   // every document contains nearly every token, so token-feature
   // signatures collapse into one bucket; shingle sets stay distinctive.
   private def simhashCandidates(idx: DataFrame): DataFrame = {
-    val tok = idx.withColumn("h", xxhash64(lit(9), col("s")))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$i"))
-    val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val spark = idx.sparkSession
+    import spark.implicits._
+    spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+    // One typed Aggregator column accumulates the whole 64-bit signed
+    // bit-count vector per document (vs 64 separate sum(CASE...) agg
+    // expressions, whose generated update code is enormous).
+    val sums = idx.withColumn("h", xxhash64(lit(9), col("s")))
+      .select(col("doc_id").cast("long"), col("h")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.functions.BitSumAggregator.toColumn.name("bits"))
+      .toDF("doc_id", "bits")
     val chunks = (0 until 4).map { c =>
       val v = (0 until 16).map(k =>
-        when(col(s"b${16 * c + k}") > 0, lit(1L << k)).otherwise(lit(0L)))
+        when(col("bits").getItem(16 * c + k) > 0, lit(1L << k))
+          .otherwise(lit(0L)))
         .reduce(_ + _)
       struct(lit(c).as("b"), v.as("v"))
     }

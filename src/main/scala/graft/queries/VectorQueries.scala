@@ -101,27 +101,26 @@ object VectorQueries {
     Array.fill(numTables, bitsPerTable, dim)(rnd.nextGaussian())
   }
 
-  private def planeCol(p: Array[Double]): Column =
-    array(p.map(lit(_)): _*)
-
-  /** bucket value for one hash table: sign bits of plane dot products. */
-  private def bucketCol(tbl: Int): Column =
-    (0 until bitsPerTable).map { j =>
-      val dot = expr(s"vec_dot(v, pl_${tbl}_$j)")
-      when(dot >= 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
-
+  /** (vec_id, tbl, bkt): one bucket per vector per hash table. The
+    * planes ride as a broadcast 16-row DataFrame joined against the
+    * corpus — one small vec_dot per (vector, plane) row — rather than 16
+    * inlined 64-literal expressions, whose generated code is enormous
+    * (whole-stage codegen compile time dominated the query). The bucket
+    * value is the plane-sign bit vector: sum of 2^j over planes with
+    * dot >= 0. */
   private def withBuckets(e: DataFrame): DataFrame = {
-    val withPlanes = (0 until numTables).foldLeft(e) { (df, t0) =>
-      (0 until bitsPerTable).foldLeft(df) { (df2, j) =>
-        df2.withColumn(s"pl_${t0}_$j", planeCol(planes(t0)(j)))
-      }
-    }
-    val bucketStructs = (0 until numTables).map(t0 =>
-      struct(lit(t0).as("tbl"), bucketCol(t0).as("bkt")))
-    withPlanes
-      .select(col("vec_id"), explode(array(bucketStructs: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val spark = e.sparkSession
+    import spark.implicits._
+    val planeRows = for {
+      t0 <- 0 until numTables
+      j <- 0 until bitsPerTable
+    } yield (t0, 1L << j, planes(t0)(j).toSeq)
+    val planesDf = planeRows.toDF("tbl", "w", "plane")
+    e.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(planesDf))
+      .withColumn("dot", expr("vec_dot(v, plane)"))
+      .groupBy("vec_id", "tbl")
+      .agg(sum(when(col("dot") >= 0, col("w")).otherwise(lit(0L))).as("bkt"))
   }
 
   private def annCandidates(s: SparkSession, d: String): DataFrame = {
