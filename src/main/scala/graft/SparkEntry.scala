@@ -18,6 +18,7 @@ object SparkEntry {
     GraphQueries.entries,
     SnapshotQueries.entries,
     PipelineQueries.entries,
+    ExtraQueries.entries,
     StreamQueries.entries,
     TextQueries.entries,
     VectorQueries.entries)

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
@@ -16,9 +17,33 @@ object Tables {
   val all = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects outright; read it with nanos-as-long and convert to
+    * a microsecond TimestampType column (the same truncation DuckDB's
+    * CAST(ts AS TIMESTAMP) applies). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      spark.read.parquet(s"$dir/events.parquet")
+        // integer div, not /: true division returns double and rounds
+        // the microsecond up, diverging from truncating casts.
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   /** Register every table as a temp view so `spark.sql` works over the
     * synced catalog — the Spark analogue of the reference's execute_sql
     * passthrough (reference: collect_plugins.py:220-228). */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    all.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else t(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

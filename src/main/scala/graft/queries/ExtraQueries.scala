@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+
+/** Query-surface extensions beyond the reference's own inventory —
+  * capabilities a consumer of the synced tables gets from Spark SQL
+  * (SURVEY.md §2.2 "absent from the reference" list): hierarchical
+  * rollup aggregation, set operations, and an as-of (most-recent-match)
+  * join expressed scalably as union + running window, not a range join.
+  */
+object ExtraQueries {
+
+  import CoreQueries.Q
+
+  val entries: Map[String, (Q, String)] = Map(
+
+    // ROLLUP hierarchy totals. Grouping nulls are coalesced to a
+    // sentinel so both engines order identically.
+    "q_agg_rollup" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("cnt"),
+            round(sum("l_quantity") * 100).cast("long").as("sum_qty_e2"))
+          .select(
+            coalesce(col("l_returnflag"), lit("_all_")).as("rf"),
+            coalesce(col("l_linestatus"), lit("_all_")).as("ls"),
+            col("cnt"), col("sum_qty_e2"))
+          .orderBy("rf", "ls"),
+      """SELECT COALESCE(l_returnflag, '_all_') AS rf,
+        |COALESCE(l_linestatus, '_all_') AS ls,
+        |CAST(count(*) AS BIGINT) AS cnt,
+        |CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_e2
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin)),
+
+    // INTERSECT / EXCEPT over nation keys of customers vs suppliers.
+    "q_set_ops" -> ((
+      (s: SparkSession, d: String) => {
+        val c = t(s, d, "customer").select(col("c_nationkey").as("n"))
+        val su = t(s, d, "supplier").select(col("s_nationkey").as("n"))
+        val both = c.intersect(su).withColumn("src", lit("both"))
+        val custOnly = c.except(su).withColumn("src", lit("cust_only"))
+        both.unionByName(custOnly).orderBy("src", "n")
+      },
+      """SELECT n, src FROM (
+        |  SELECT n, 'both' AS src FROM
+        |    (SELECT c_nationkey AS n FROM customer
+        |     INTERSECT SELECT s_nationkey FROM supplier)
+        |  UNION ALL
+        |  SELECT n, 'cust_only' FROM
+        |    (SELECT c_nationkey AS n FROM customer
+        |     EXCEPT SELECT s_nationkey FROM supplier))
+        |ORDER BY src, n""".stripMargin)),
+
+    // As-of join: each error event matched to the user's most recent
+    // purchase at-or-before it. Spark shape: tag + union + running
+    // last() window over (ts, tag) — one shuffle on user_id, no range
+    // explosion, scales as a sort within partitions. Ties (equal ts)
+    // order purchase-first to match the >= semantics of ASOF JOIN.
+    "q_asof_join" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = graft.Tables.events(s, d)
+        val err = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            lit(1).as("tag"), lit(null).cast("double").as("p_value"))
+        val pur = ev.filter(col("event_type") === "purchase")
+          .select(lit(-1L).as("event_id"), col("user_id"), col("ts"),
+            lit(0).as("tag"), col("value").as("p_value"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("tag"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        err.unionByName(pur)
+          .withColumn("purchase_ts",
+            last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
+          .withColumn("purchase_value",
+            last(when(col("tag") === 0, col("p_value")), ignoreNulls = true)
+              .over(w))
+          .filter(col("tag") === 1 && col("purchase_ts").isNotNull)
+          .select("event_id", "user_id", "purchase_ts", "purchase_value")
+          .orderBy("event_id")
+      },
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'error'),
+        |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, p.ts AS purchase_ts,
+        |  p.value AS purchase_value
+        |FROM e ASOF JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin))
+  )
+}

@@ -29,18 +29,7 @@ object StreamQueries {
     // real file-stream source directory would have) and stream from it.
     val tag = d.stripSuffix("/").split('/').last
     val srcDir = s"/tmp/graft_stream_src_$tag"
-    val prevNanos = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try {
-      s.read.parquet(s"$d/events.parquet")
-        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
-        .write.mode("overwrite").parquet(srcDir)
-    } finally {
-      prevNanos match {
-        case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-        case None => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-      }
-    }
+    graft.Tables.events(s, d).write.mode("overwrite").parquet(srcDir)
     val schema = s.read.parquet(srcDir).schema
     val qn = "graft_ev_" + math.abs(d.hashCode).toString
     val stream = s.readStream.schema(schema)
