@@ -53,6 +53,40 @@ object StreamQueries {
       (s: SparkSession, d: String) => streamCounts(s, d),
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
         |event_type, CAST(count(*) AS BIGINT) AS cnt
-        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin))
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
+
+    // Per-key session windows (30-minute inactivity gap) — the
+    // session-window flavor of P6's per-key batching; the same
+    // session_window() aggregation runs unchanged under readStream with
+    // a watermark. Oracle: gaps-and-islands (lag + running sum). A new
+    // session starts when the gap is >= 30min, matching Spark's
+    // half-open [ts, ts+gap) session extension.
+    "q_session_window" -> ((
+      (s: SparkSession, d: String) =>
+        graft.Tables.events(s, d)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("session_start_us"),
+            unix_micros(col("session_window.end")).as("session_end_us"),
+            col("n_events"))
+          .orderBy("user_id", "session_start_us"),
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+        |  epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM numbered GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin))
   )
 }

@@ -133,6 +133,43 @@ object VectorQueries {
       .select("qid", "nid").distinct()
   }
 
+  // ---- IVF-style partitioning: nearest-centroid inverted lists -------
+  private val numCentroids = 16
+  private val numProbes = 2
+
+  /** (vec_id, cid, rank): each vector's nearest centroids by cosine.
+    * Centroids are the first `numCentroids` vectors (training-free
+    * deterministic seeding; a k-means refinement would slot in here
+    * without changing any downstream shape). */
+  private def centroidAssignment(e: DataFrame): DataFrame = {
+    val centroids = broadcast(e.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cnrm")))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cid"))
+    e.select(col("vec_id"), col("v"), col("nrm"))
+      .crossJoin(centroids)
+      .withColumn("sim", expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
+      .withColumn("crank", row_number().over(w))
+      .select("vec_id", "cid", "crank")
+  }
+
+  /** IVF candidates: queries probe their top `numProbes` centroid lists;
+    * corpus vectors live in their single nearest list. The probe is an
+    * equality join on centroid id — partition-pruned search, never a
+    * full scan per query. */
+  private def ivfCandidates(s: SparkSession, d: String): DataFrame = {
+    val assign = centroidAssignment(emb(s, d))
+    val lists = assign.filter(col("crank") === 1)
+      .select(col("cid"), col("vec_id").as("nid"))
+    val probes = assign.filter(col("vec_id") < NQ &&
+      col("crank") <= numProbes)
+      .select(col("vec_id").as("qid"), col("cid"))
+    broadcast(probes).join(lists, "cid")
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+  }
+
   /** Corpus-wide same-bucket pairs (i < j) — the near-dup candidates. */
   private def dupCandidates(s: SparkSession, d: String): DataFrame = {
     val buckets = withBuckets(emb(s, d))
@@ -168,6 +205,16 @@ object VectorQueries {
         rankTopK(cosineFor(s, d, s.read.parquet(path)))
       },
       rankSql("SELECT DISTINCT qid, nid FROM read_parquet('/tmp/graft_cand_ann_sf0.01/*.parquet')"))),
+
+    // IVF-style ANN: nearest-centroid inverted lists, multi-probe,
+    // exact re-rank on the probed lists only.
+    "q_embed_ivf" -> ((
+      (s: SparkSession, d: String) => {
+        val path = s"/tmp/graft_cand_ivf_${sfTag(d)}"
+        ivfCandidates(s, d).write.mode("overwrite").parquet(path)
+        rankTopK(cosineFor(s, d, s.read.parquet(path)))
+      },
+      rankSql("SELECT DISTINCT qid, nid FROM read_parquet('/tmp/graft_cand_ivf_sf0.01/*.parquet')"))),
 
     // Embedding near-duplicate pairs: LSH buckets corpus-wide, exact
     // cosine threshold on candidates. Oracle re-verifies the candidates.

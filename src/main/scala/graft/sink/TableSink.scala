@@ -1,6 +1,8 @@
 package graft.sink
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 
 /** Per-table batch file sink (P10/P14/P15): each table written as a
   * partitioned parquet or CSV directory, routed through the staging→prod
@@ -22,13 +24,28 @@ object TableSink {
       name -> SnapshotSwap.write(df, base, name)
     }
 
+  /** CSV parity for nested data (the reference's CSV converter maps
+    * complex kinds to JSON text, arrow/type_converter.py:35-55, and its
+    * normalizer json-stringifies non-strings under string leaves,
+    * arrow/writer.py:124-168): every array/map/struct column becomes a
+    * to_json string column; atomic columns pass through. */
+  def stringifyNested(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType =>
+          to_json(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
+
   /** CSV variant (header, explicit layout — reference
-    * arrow/writer.py:245-249). Nested columns must be stringified by the
-    * caller first (the reference's CSV converter maps complex kinds to
-    * JSON text, type_converter.py:35-55). */
+    * arrow/writer.py:245-249). Nested columns are stringified to JSON
+    * text automatically. */
   def writeAllCsv(tables: Map[String, DataFrame], base: String): Unit =
     tables.foreach { case (name, df) =>
-      df.write.mode("overwrite").option("header", "true")
+      stringifyNested(df).write.mode("overwrite").option("header", "true")
         .csv(s"$base/$name")
     }
 

@@ -24,6 +24,21 @@ class SnapshotSwapSpec extends SparkSpecBase {
     assert(!Files.exists(Paths.get(base, "_old_t")))
   }
 
+  test("stringifyNested maps complex columns to JSON text for CSV") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1, Seq("a", "b"), Map("k" -> 2)))
+      .toDF("id", "arr", "m")
+      .withColumn("st", struct(col("id").as("x")))
+    val flat = graft.sink.TableSink.stringifyNested(df)
+    assert(flat.schema.fields.map(_.dataType.typeName).toSeq ==
+      Seq("integer", "string", "string", "string"))
+    val row = flat.collect().head
+    assert(row.getString(1) == """["a","b"]""")
+    assert(row.getString(2) == """{"k":2}""")
+    assert(row.getString(3) == """{"x":1}""")
+  }
+
   test("writeAll + registerProd: catalog sees the last completed sync") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_sink").toString
