@@ -2,31 +2,37 @@ package graft.functions
 
 import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.unsafe.types.UTF8String
 
 /** MinHash signature accumulator: per group, the element-wise minimum of
-  * `numHashes` xxhash64 values (seeded 0..n-1) over the input shingles.
+  * `numHashes` derived hash values over the input shingle hashes.
   *
-  * One typed Aggregator column replaces `numHashes` separate
-  * `min(xxhash64(lit(i), s))` aggregate expressions: the shingle bytes
-  * are hashed once per seed in a tight JVM loop against a single
-  * long[32] buffer, instead of widening the aggregation buffer to 32
-  * independent expression slots.
+  * The shingle is hashed once on the codegen side (xxhash64 column);
+  * this aggregator receives that single long and derives the hash
+  * family by splitmix64-style avalanche mixing per seed — a standard
+  * minhash construction that keeps the typed-aggregation input a
+  * primitive (no per-row String materialization) and the buffer one
+  * long[32], updated in a tight loop. One Aggregator column replaces 32
+  * separate `min(xxhash64(lit(i), s))` aggregate expressions.
   */
-object MinHashAggregator extends Aggregator[String, Array[Long], Seq[Long]] {
+object MinHashAggregator extends Aggregator[Long, Array[Long], Seq[Long]] {
 
   val numHashes = 32
 
+  // splitmix64 finalizer: full-avalanche bijective mixing.
+  @inline private def mix(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   override def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
 
-  override def reduce(buf: Array[Long], s: String): Array[Long] = {
-    val u = UTF8String.fromString(s)
+  override def reduce(buf: Array[Long], h0: Long): Array[Long] = {
     var i = 0
     while (i < numHashes) {
-      val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
-        u.numBytes(), i.toLong)
+      val h = mix(h0 + i * 0x9e3779b97f4a7c15L)
       if (h < buf(i)) buf(i) = h
       i += 1
     }

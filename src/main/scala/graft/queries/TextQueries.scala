@@ -122,9 +122,11 @@ object TextQueries {
     spark.conf.set(
       "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
     // One shuffle, one typed aggregate: the whole 32-long signature per
-    // document in a single Aggregator buffer.
-    val sigs = idx.select(col("doc_id").cast("long"), col("s"))
-      .as[(Long, String)]
+    // document in a single Aggregator buffer. The shingle is hashed
+    // once in codegen; the aggregator derives the hash family.
+    val sigs = idx
+      .select(col("doc_id").cast("long"), xxhash64(col("s")).as("h"))
+      .as[(Long, Long)]
       .groupByKey(_._1)
       .mapValues(_._2)
       .agg(graft.functions.MinHashAggregator.toColumn.name("sig"))
