@@ -125,17 +125,19 @@ object CoreQueries {
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin)),
 
-    // Anti join: customers with no orders (orphan detection).
+    // Anti join (orphan detection): customers with no finished order.
+    // The filtered right side keeps the result non-vacuous at every SF.
     "q_join_anti" -> ((
       (s: SparkSession, d: String) => {
         val c = t(s, d, "customer")
-        val o = t(s, d, "orders")
+        val o = t(s, d, "orders").filter(col("o_orderstatus") === "F")
         c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
           .select("c_custkey", "c_name")
           .orderBy("c_custkey")
       },
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin)),
 
     // Hash aggregate with map-side partials (TPC-H Q1 shape). min/max of

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+import graft.ingest.Flatten
+import graft.model.{Kind, Model, ModelCompiler, Property}
+import graft.sink.TableSink
+
+/** End-to-end sync golden: a multi-kind graph flows through model
+  * compile → flatten → swap-write → catalog, and the synced layout has
+  * exactly the expected tables and per-table row counts — the Spark
+  * mirror of the reference's example-collector test
+  * (tests/collect_plugins_test.py:19-46, FIXTURES.md §3).
+  */
+class SyncE2ESpec extends SparkSpecBase {
+
+  private val model = Model(
+    Kind("resource", properties = Seq(
+      Property("id", "string"), Property("name", "string"),
+      Property("kind", "string"))),
+    Kind("example_region", bases = Seq("resource"),
+      successorKinds = Map("default" -> Seq("example_instance"))),
+    Kind("example_instance", bases = Seq("resource"),
+      properties = Seq(Property("cores", "int32")),
+      successorKinds = Map("default" -> Seq("example_volume"))),
+    Kind("example_volume", bases = Seq("resource"),
+      properties = Seq(Property("capacity", "int32"))))
+
+  private def node(kind: String, id: String, extra: String = ""): String =
+    s"""{"type":"node","id":"$id","reported":{"kind":"$kind","id":"$id","name":"n-$id"$extra},
+        "ancestors":{"cloud":{"reported":{"id":"cl"}},"region":{"reported":{"id":"r1"}}}}"""
+      .replaceAll("\n\\s*", " ")
+
+  private def edge(from: String, to: String): String =
+    s"""{"type":"edge","from":"$from","to":"$to","edge_type":"default"}"""
+
+  private lazy val lines = Seq(
+    node("example_region", "r1"),
+    node("example_region", "r2"),
+    node("example_instance", "i1", ""","cores":4"""),
+    node("example_instance", "i2", ""","cores":8"""),
+    node("example_volume", "v1", ""","capacity":100"""),
+    node("example_volume", "v2", ""","capacity":200"""),
+    edge("r1", "i1"), edge("r1", "i2"),
+    edge("i1", "v1"), edge("i2", "v2"))
+
+  test("multi-kind sync: expected table set and per-table counts") {
+    import spark.implicits._
+    val env = spark.read.json(spark.createDataset(lines))
+
+    // Route nodes per kind, key edges by endpoint kinds (P5), build the
+    // per-table DataFrames the compiled layout prescribes.
+    val nodeKinds = env.filter($"type" === "node")
+      .select($"id", $"reported.kind".as("kind"))
+    val keyed = Flatten.keyEdges(env, nodeKinds)
+    val observed = Flatten.edgeKinds(keyed).as[(String, String)]
+      .collect().toSet
+    val layout = ModelCompiler.tables(model, observed)
+
+    val kindTables = ModelCompiler.tableKinds(model).map { k =>
+      ModelCompiler.tableName(k.fqn) -> Flatten.flattenNodes(env, k, model)
+    }.toMap
+    val linkTables = observed.map { case (f, t0) =>
+      ModelCompiler.linkTableName(f, t0) ->
+        keyed.filter($"from_kind" === f && $"to_kind" === t0)
+          .select("from_id", "to_id")
+    }.toMap
+
+    assert((kindTables ++ linkTables).keySet == layout.keySet)
+    assert(layout.keySet == Set(
+      "example_region", "example_instance", "example_volume",
+      "link_example_region_example_instance",
+      "link_example_instance_example_volume"))
+
+    val base = Files.createTempDirectory("graft_sync").toString
+    val paths = TableSink.writeAll(kindTables ++ linkTables, base)
+    TableSink.registerProd(spark, paths)
+
+    val counts = layout.keySet.map(t0 =>
+      t0 -> spark.table(t0).count()).toMap
+    assert(counts == Map(
+      "example_region" -> 2L,
+      "example_instance" -> 2L,
+      "example_volume" -> 2L,
+      "link_example_region_example_instance" -> 2L,
+      "link_example_instance_example_volume" -> 2L))
+
+    // Query golden through the catalog (execute_sql parity,
+    // tests/collect_plugins_test.py:83-96).
+    val rows = spark.sql(
+      """SELECT i._id, i.cores, v.capacity
+        |FROM example_instance i
+        |JOIN link_example_instance_example_volume l ON l.from_id = i._id
+        |JOIN example_volume v ON v._id = l.to_id
+        |ORDER BY i._id""".stripMargin)
+      .as[(String, Int, Int)].collect().toSeq
+    assert(rows == Seq(("i1", 4, 100), ("i2", 8, 200)))
+    // carz denormalization survived the sync.
+    val carz = spark.sql(
+      "SELECT DISTINCT cloud, region FROM example_instance").collect()
+    assert(carz.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("cl", "r1")))
+  }
+}
