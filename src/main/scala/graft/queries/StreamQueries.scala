@@ -29,7 +29,9 @@ object StreamQueries {
     // real file-stream source directory would have) and stream from it.
     val tag = d.stripSuffix("/").split('/').last
     val srcDir = s"/tmp/graft_stream_src_$tag"
-    graft.Tables.events(s, d).write.mode("overwrite").parquet(srcDir)
+    // The sf dirs are immutable fixtures; re-encode once per sf.
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(srcDir, "_SUCCESS")))
+      graft.Tables.events(s, d).write.mode("overwrite").parquet(srcDir)
     val schema = s.read.parquet(srcDir).schema
     val qn = "graft_ev_" + math.abs(d.hashCode).toString
     val stream = s.readStream.schema(schema)
