@@ -21,6 +21,15 @@ class VectorExprSpec extends SparkSpecBase {
     assert(df.filter(col("fast") =!= col("slow")).count() == 0)
   }
 
+  test("extension-injected function resolves without runtime registration") {
+    import spark.implicits._
+    // vec_dot_ext is only ever registered through GraftExtensions
+    // (session-creation injection), never via VectorFunctions.register.
+    val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+      .selectExpr("vec_dot_ext(a, b) AS dp")
+    assert(df.collect().head.getDouble(0) == 11.0)
+  }
+
   test("vec_dot handles nulls and length mismatch") {
     import spark.implicits._
     VectorFunctions.register(spark)
