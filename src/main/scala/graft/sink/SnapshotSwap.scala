@@ -22,8 +22,11 @@ object SnapshotSwap {
 
   private def rm(p: Path): Unit = {
     if (Files.exists(p)) {
-      if (Files.isDirectory(p))
-        Files.list(p).forEach(rm(_))
+      if (Files.isDirectory(p)) {
+        val children = Files.list(p)
+        try children.forEach(rm(_))
+        finally children.close() // unclosed list() leaks a dir handle
+      }
       Files.deleteIfExists(p)
     }
   }
