@@ -64,14 +64,16 @@ object Flatten {
 
   /** Edge keying (P5): route each edge to its link table by joining both
     * endpoints against the node→kind map (reference's checksum lookup,
-    * collect_plugins.py:49-62, re-expressed as a distributed join — the
-    * node map is typically dimension-sized relative to edges, so it is
-    * broadcast). */
+    * collect_plugins.py:49-62, re-expressed as a distributed join). The
+    * node map scales with the graph, so no broadcast is forced — AQE
+    * broadcasts it when it is actually small; at 100 TB both joins
+    * shuffle on the node id (bucketing nodes and edges by id makes them
+    * co-located). */
   def keyEdges(edges: DataFrame, nodeKinds: DataFrame): DataFrame = {
-    val fk = broadcast(nodeKinds
-      .select(col("id").as("from"), col("kind").as("from_kind")))
-    val tk = broadcast(nodeKinds
-      .select(col("id").as("to"), col("kind").as("to_kind")))
+    val fk = nodeKinds
+      .select(col("id").as("from"), col("kind").as("from_kind"))
+    val tk = nodeKinds
+      .select(col("id").as("to"), col("kind").as("to_kind"))
     flattenEdges(edges)
       .withColumnRenamed("from_id", "from")
       .withColumnRenamed("to_id", "to")
