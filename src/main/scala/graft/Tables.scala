@@ -14,6 +14,20 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Collision-safe tag for scratch/staging paths derived from a data
+    * dir: basename for readability + a hash of the full path so two
+    * dirs with the same basename never share staging state. */
+  def dirTag(dir: String): String = {
+    val norm = java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+    val base = norm.split('/').last.replaceAll("[^A-Za-z0-9.]", "_")
+    f"${base}_${math.abs(norm.hashCode)}%08x"
+  }
+
+  /** The scale factor the driver's DuckDB-oracle correctness gate runs
+    * at (TESTDATA.md): oracle SQL that references side-files uses this
+    * dir's tag. */
+  val VerifySfDir = "/root/testdata/sf0.01"
+
   val all = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 

@@ -45,8 +45,11 @@ object GraphQueries {
       // Fresh edge lineage per step — re-using one DataFrame across a
       // self-referencing iteration makes its attributes ambiguous.
       val e = edges(s, d)
+      // distinct per level: on graphs with converging paths the
+      // per-path frontier multiplies exponentially with depth.
       frontier = frontier.join(e, frontier("node") === e("src"))
         .select(e("dst").as("node"), lit(depth).as("depth"))
+        .distinct()
       reached = reached.unionByName(frontier)
     }
     reached.groupBy("node").agg(min("depth").as("depth"))

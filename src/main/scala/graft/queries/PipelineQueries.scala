@@ -32,8 +32,6 @@ object PipelineQueries {
       bases = Seq("resource"),
       properties = Seq(Property("regionkey", "int32"))))
 
-  private def sfTag(d: String): String = d.stripSuffix("/").split('/').last
-
   private def nodeEnvelopes(s: SparkSession, d: String): DataFrame =
     t(s, d, "nation").select(
       lit("node").as("type"),
@@ -59,7 +57,7 @@ object PipelineQueries {
         val kind = model("infra_nation")
         val nationTable = Flatten.flattenNodes(nodeEnvelopes(s, d), kind, model)
         val linkTable = Flatten.flattenEdges(edgeEnvelopes(s, d))
-        val base = s"/tmp/graft_pipe_${sfTag(d)}"
+        val base = s"/tmp/graft_pipe_${graft.Tables.dirTag(d)}"
         val paths = TableSink.writeAll(Map(
           ModelCompiler.tableName(kind.fqn) -> nationTable,
           ModelCompiler.linkTableName("infra_region", "infra_nation") ->
@@ -82,7 +80,7 @@ object PipelineQueries {
     // the root kind). The oracle recomputes the reachable set directly.
     "q_source_search" -> ((
       (s: SparkSession, d: String) => {
-        val dump = s"/tmp/graft_envelopes_${sfTag(d)}"
+        val dump = s"/tmp/graft_envelopes_${graft.Tables.dirTag(d)}"
         val regionNodes = t(s, d, "region").select(to_json(struct(
           lit("node").as("type"),
           concat(lit("R"), col("r_regionkey")).as("id"),

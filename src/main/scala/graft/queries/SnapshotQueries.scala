@@ -27,8 +27,7 @@ object SnapshotQueries {
       (s: SparkSession, d: String) => {
         // Base dir keyed by the sf dir name so verify (sf0.01) and bench
         // (sf0.1) runs never clobber each other's snapshots.
-        val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
-        val base = s"/tmp/graft_snap_$tag"
+        val base = s"/tmp/graft_snap_${graft.Tables.dirTag(d)}"
         // First sync: stale snapshot (limited); second sync: full data.
         SnapshotSwap.write(rollup(s, d).limit(1), base, "orders_rollup")
         SnapshotSwap.writeAndRead(s, rollup(s, d), base, "orders_rollup")

@@ -27,8 +27,7 @@ object StreamQueries {
     // events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
     // reader rejects; re-encode once to a micros staging dir (the shape a
     // real file-stream source directory would have) and stream from it.
-    val tag = d.stripSuffix("/").split('/').last
-    val srcDir = s"/tmp/graft_stream_src_$tag"
+    val srcDir = s"/tmp/graft_stream_src_${graft.Tables.dirTag(d)}"
     // The sf dirs are immutable fixtures; re-encode once per sf.
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(srcDir, "_SUCCESS")))
       graft.Tables.events(s, d).write.mode("overwrite").parquet(srcDir)

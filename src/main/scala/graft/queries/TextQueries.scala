@@ -62,8 +62,6 @@ object TextQueries {
       .distinct()
       .persist()
 
-  private def sfTag(d: String): String = d.stripSuffix("/").split('/').last
-
   /** Exact Jaccard over (doc_a, doc_b) pairs given their shingle-set
     * intersection size; keeps pairs with jaccard >= threshold. */
   private def jaccardFilter(pairsWithInter: DataFrame, idx: DataFrame,
@@ -72,10 +70,12 @@ object TextQueries {
     val na = sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))
     val nb = sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))
     pairsWithInter.join(na, "doc_a").join(nb, "doc_b")
-      .withColumn("jaccard", round(col("inter") * 1.0 /
-        (col("na") + col("nb") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .withColumn("jacraw",
+        col("inter") * 1.0 / (col("na") + col("nb") - col("inter")))
+      // Threshold on the raw ratio (as the oracle does); round only in
+      // the projection.
+      .filter(col("jacraw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jacraw"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -116,11 +116,6 @@ object TextQueries {
   private def minhashCandidates(idx: DataFrame): DataFrame = {
     val spark = idx.sparkSession
     import spark.implicits._
-    // Typed Aggregators run via ObjectHashAggregate, which falls back to
-    // sort-based aggregation after 128 keys/partition by default — far
-    // too conservative for a small fixed-size buffer per document.
-    spark.conf.set(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
     // One shuffle, one typed aggregate: the whole 32-long signature per
     // document in a single Aggregator buffer. The shingle is hashed
     // once in codegen; the aggregator derives the hash family.
@@ -153,8 +148,6 @@ object TextQueries {
   private def simhashCandidates(idx: DataFrame): DataFrame = {
     val spark = idx.sparkSession
     import spark.implicits._
-    spark.conf.set(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
     // One typed Aggregator column accumulates the whole 64-bit signed
     // bit-count vector per document (vs 64 separate sum(CASE...) agg
     // expressions, whose generated update code is enormous).
@@ -243,9 +236,9 @@ object TextQueries {
       (s: SparkSession, d: String) => {
         val idx = shingleIndex(s, d)
         candidateVerify(s, minhashCandidates(idx), idx,
-          s"/tmp/graft_cand_minhash_${sfTag(d)}", 0.7)
+          s"/tmp/graft_cand_minhash_${graft.Tables.dirTag(d)}", 0.7)
       },
-      verifySql("/tmp/graft_cand_minhash_sf0.01", 0.7))),
+      verifySql(s"/tmp/graft_cand_minhash_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}", 0.7))),
 
     // SimHash near-dup: 64-bit signature, 16-bit bands -> candidates ->
     // exact verify. Oracle re-verifies the candidates.
@@ -253,9 +246,9 @@ object TextQueries {
       (s: SparkSession, d: String) => {
         val idx = shingleIndex(s, d)
         candidateVerify(s, simhashCandidates(idx), idx,
-          s"/tmp/graft_cand_simhash_${sfTag(d)}", 0.7)
+          s"/tmp/graft_cand_simhash_${graft.Tables.dirTag(d)}", 0.7)
       },
-      verifySql("/tmp/graft_cand_simhash_sf0.01", 0.7))),
+      verifySql(s"/tmp/graft_cand_simhash_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}", 0.7))),
 
     // Language-ID heuristic: stopword hits per language, argmax.
     "q_text_lang" -> ((

@@ -34,8 +34,6 @@ object VectorQueries {
   private val NQ = 5 // query vectors: vec_id < NQ
   private val DupThreshold = 0.45
 
-  private def sfTag(d: String): String = d.stripSuffix("/").split('/').last
-
   /** embeddings with double-cast vector and L2 norm (codegen'd dot). */
   private def emb(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
@@ -200,27 +198,27 @@ object VectorQueries {
     // re-rank on candidates only. Oracle re-ranks the same candidates.
     "q_embed_ann" -> ((
       (s: SparkSession, d: String) => {
-        val path = s"/tmp/graft_cand_ann_${sfTag(d)}"
+        val path = s"/tmp/graft_cand_ann_${graft.Tables.dirTag(d)}"
         annCandidates(s, d).write.mode("overwrite").parquet(path)
         rankTopK(cosineFor(s, d, s.read.parquet(path)))
       },
-      rankSql("SELECT DISTINCT qid, nid FROM read_parquet('/tmp/graft_cand_ann_sf0.01/*.parquet')"))),
+      rankSql(s"SELECT DISTINCT qid, nid FROM read_parquet('/tmp/graft_cand_ann_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/*.parquet')"))),
 
     // IVF-style ANN: nearest-centroid inverted lists, multi-probe,
     // exact re-rank on the probed lists only.
     "q_embed_ivf" -> ((
       (s: SparkSession, d: String) => {
-        val path = s"/tmp/graft_cand_ivf_${sfTag(d)}"
+        val path = s"/tmp/graft_cand_ivf_${graft.Tables.dirTag(d)}"
         ivfCandidates(s, d).write.mode("overwrite").parquet(path)
         rankTopK(cosineFor(s, d, s.read.parquet(path)))
       },
-      rankSql("SELECT DISTINCT qid, nid FROM read_parquet('/tmp/graft_cand_ivf_sf0.01/*.parquet')"))),
+      rankSql(s"SELECT DISTINCT qid, nid FROM read_parquet('/tmp/graft_cand_ivf_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/*.parquet')"))),
 
     // Embedding near-duplicate pairs: LSH buckets corpus-wide, exact
     // cosine threshold on candidates. Oracle re-verifies the candidates.
     "q_embed_dup" -> ((
       (s: SparkSession, d: String) => {
-        val path = s"/tmp/graft_cand_embdup_${sfTag(d)}"
+        val path = s"/tmp/graft_cand_embdup_${graft.Tables.dirTag(d)}"
         dupCandidates(s, d).write.mode("overwrite").parquet(path)
         cosineFor(s, d, s.read.parquet(path))
           .filter(col("cosraw") >= DupThreshold)
@@ -229,7 +227,7 @@ object VectorQueries {
           .orderBy("vec_a", "vec_b")
       },
       s"""WITH pairs AS (SELECT DISTINCT qid, nid
-         |  FROM read_parquet('/tmp/graft_cand_embdup_sf0.01/*.parquet')),
+         |  FROM read_parquet('/tmp/graft_cand_embdup_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/*.parquet')),
          |e AS (SELECT vec_id, unnest(embedding) AS x,
          |        generate_subscripts(embedding, 1) AS pos FROM embeddings),
          |norms AS (SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm

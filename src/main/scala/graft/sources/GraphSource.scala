@@ -65,8 +65,11 @@ object GraphSource {
         for (depth <- 1 to maxDepth) {
           val e = edges(envelopes)
             .select(col("from").as("src"), col("to").as("dst"))
+          // distinct per level bounds the frontier at the node count on
+          // graphs with converging paths or cycles.
           frontier = frontier.join(e, frontier("node") === e("src"))
             .select(e("dst").as("node"), lit(depth).as("depth"))
+            .distinct()
           reached = reached.unionByName(frontier)
         }
         val wanted = reached.groupBy("node").agg(min(col("depth")).as("d"))

@@ -27,7 +27,9 @@ object StatefulBatcher {
     val buf = state.getOption.getOrElse(Seq.empty) ++ incoming.map(_._2)
     val nFull = buf.length / batchSize
     val (full, rest) = buf.splitAt(nFull * batchSize)
-    state.update(rest)
+    // Drop fully-flushed keys from the store — an empty-but-present
+    // entry per key would grow state with distinct-key count forever.
+    if (rest.isEmpty) state.remove() else state.update(rest)
     full.grouped(batchSize).map(Batch(key, _))
   }
 
