@@ -56,6 +56,67 @@ object ExtraQueries {
         |     EXCEPT SELECT s_nationkey FROM supplier))
         |ORDER BY src, n""".stripMargin)),
 
+    // Analytic window frames beyond top-k: running sum and a bounded
+    // moving average per customer over their order history.
+    "q_window_frames" -> ((
+      (s: SparkSession, d: String) => {
+        val wRun = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wMov = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(-2, Window.currentRow)
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(sum("o_totalprice").over(wRun) * 100).cast("long")
+              .as("run_total_e2"),
+            round(avg("o_totalprice").over(wMov), 4).as("mov_avg3"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      """SELECT o_custkey, o_orderkey,
+        |CAST(round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS UNBOUNDED PRECEDING) * 100) AS BIGINT) AS run_total_e2,
+        |round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // CUBE: all grouping combinations, sentinel-coalesced like rollup.
+    "q_agg_cube" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders")
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("cnt"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("_all_")).as("st"),
+            coalesce(col("o_orderpriority"), lit("_all_")).as("prio"),
+            col("cnt"))
+          .orderBy("st", "prio"),
+      """SELECT COALESCE(o_orderstatus, '_all_') AS st,
+        |COALESCE(o_orderpriority, '_all_') AS prio,
+        |CAST(count(*) AS BIGINT) AS cnt
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY st, prio""".stripMargin)),
+
+    // Statistical aggregates: exact interpolated median and sample
+    // stddev per group (rounded: stddev accumulation order differs
+    // across engines in the last bits).
+    "q_agg_stats" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+            round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+            round(min("l_quantity") + max("l_quantity"), 2).as("minmax_qty"))
+          .orderBy("l_returnflag"),
+      """SELECT l_returnflag,
+        |round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |round(min(l_quantity) + max(l_quantity), 2) AS minmax_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // As-of join: each error event matched to the user's most recent
     // purchase at-or-before it. Spark shape: tag + union + running
     // last() window over (ts, tag) — one shuffle on user_id, no range
