@@ -36,10 +36,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    merged.map { case (k, (q, _)) => k -> q }
+    merged.map { case (k, (q, _)) => k -> q } ++ ExtraQueries.noOracleEntries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. */
+    * the same parquet tables. Approximate (sketch-based) operators are
+    * deliberately absent → the driver records a rows-only check. */
   def oracleSql: Map[String, String] =
     merged.map { case (k, (_, sql)) => k -> sql }
 }

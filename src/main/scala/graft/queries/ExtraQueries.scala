@@ -15,6 +15,21 @@ object ExtraQueries {
 
   import CoreQueries.Q
 
+  /** Approximate operators have no exact SQL oracle (sketch results are
+    * implementation-specific) — the driver records a rows-only check.
+    * q_approx_distinct: HLL++ distinct counts next to the group keys;
+    * at 100 TB this replaces exact countDistinct's full shuffle with a
+    * fixed-size sketch per group. */
+  val noOracleEntries: Map[String, Q] = Map(
+    "q_approx_distinct" -> ((s: SparkSession, d: String) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+        .orderBy("l_returnflag"))
+  )
+
   val entries: Map[String, (Q, String)] = Map(
 
     // ROLLUP hierarchy totals. Grouping nulls are coalesced to a

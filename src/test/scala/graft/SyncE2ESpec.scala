@@ -1,9 +1,7 @@
 package graft
 
 import java.nio.file.Files
-import graft.ingest.Flatten
 import graft.model.{Kind, Model, ModelCompiler, Property}
-import graft.sink.TableSink
 
 /** End-to-end sync golden: a multi-kind graph flows through model
   * compile → flatten → swap-write → catalog, and the synced layout has
@@ -47,33 +45,20 @@ class SyncE2ESpec extends SparkSpecBase {
     import spark.implicits._
     val env = spark.read.json(spark.createDataset(lines))
 
-    // Route nodes per kind, key edges by endpoint kinds (P5), build the
-    // per-table DataFrames the compiled layout prescribes.
-    val nodeKinds = env.filter($"type" === "node")
-      .select($"id", $"reported.kind".as("kind"))
-    val keyed = Flatten.keyEdges(env, nodeKinds)
-    val observed = Flatten.edgeKinds(keyed).as[(String, String)]
-      .collect().toSet
-    val layout = ModelCompiler.tables(model, observed)
-
-    val kindTables = ModelCompiler.tableKinds(model).map { k =>
-      ModelCompiler.tableName(k.fqn) -> Flatten.flattenNodes(env, k, model)
-    }.toMap
-    val linkTables = observed.map { case (f, t0) =>
-      ModelCompiler.linkTableName(f, t0) ->
-        keyed.filter($"from_kind" === f && $"to_kind" === t0)
-          .select("from_id", "to_id")
-    }.toMap
-
-    assert((kindTables ++ linkTables).keySet == layout.keySet)
+    // The whole sync through the public façade (collect_sql analogue).
+    val synced = graft.Sync.tables(env, model)
+    val layout = ModelCompiler.tables(model,
+      Set(("example_region", "example_instance"),
+        ("example_instance", "example_volume")))
+    assert(synced.keySet == layout.keySet)
     assert(layout.keySet == Set(
       "example_region", "example_instance", "example_volume",
       "link_example_region_example_instance",
       "link_example_instance_example_volume"))
 
     val base = Files.createTempDirectory("graft_sync").toString
-    val paths = TableSink.writeAll(kindTables ++ linkTables, base)
-    TableSink.registerProd(spark, paths)
+    val paths = graft.Sync.toParquet(spark, env, model, base)
+    assert(paths.keySet == layout.keySet)
 
     val counts = layout.keySet.map(t0 =>
       t0 -> spark.table(t0).count()).toMap
