@@ -46,10 +46,48 @@ object Sync {
   }
 
   /** Sync to parquet dirs behind the snapshot swap and register the
-    * catalog; returns table → prod path. */
+    * catalog; returns table → prod path.
+    *
+    * Scale shape: the envelope stream is scanned exactly TWICE (once
+    * staging nodes partitioned by kind, once keying+staging edges
+    * partitioned by kind pair); every per-kind flatten job then reads
+    * only its own partition directory (partition pruning), instead of
+    * N full input scans for N kinds. */
   def toParquet(spark: SparkSession, envelopes: DataFrame, model: Model,
       baseDir: String): Map[String, String] = {
-    val paths = TableSink.writeAll(tables(envelopes, model), baseDir)
+    import org.apache.spark.sql.functions.col
+    val nodeStage = s"$baseDir/_ingest_nodes"
+    val edgeStage = s"$baseDir/_ingest_edges"
+
+    // Scan 1: nodes staged once, partitioned by kind.
+    envelopes.filter(col("type") === "node")
+      .withColumn("node_kind", col("reported.kind"))
+      .write.mode("overwrite").partitionBy("node_kind").parquet(nodeStage)
+    val stagedNodes = spark.read.parquet(nodeStage)
+
+    // Scan 2: edges keyed against the staged node->kind map, staged
+    // partitioned by kind pair.
+    val nodeKinds = stagedNodes.select(col("id"), col("node_kind").as("kind"))
+    Flatten.keyEdges(envelopes, nodeKinds)
+      .write.mode("overwrite").partitionBy("from_kind", "to_kind")
+      .parquet(edgeStage)
+    val stagedEdges = spark.read.parquet(edgeStage)
+
+    val observed = stagedEdges.select("from_kind", "to_kind").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+    val kindTables = ModelCompiler.tableKinds(model).map { k =>
+      // Partition-pruned read: only kind=k files feed this flatten.
+      ModelCompiler.tableName(k.fqn) -> Flatten.flattenNodes(
+        stagedNodes.filter(col("node_kind") === k.fqn), k, model)
+    }.toMap
+    val linkTables = observed.map { case (f, t0) =>
+      ModelCompiler.linkTableName(f, t0) ->
+        stagedEdges.filter(col("from_kind") === f && col("to_kind") === t0)
+          .select("from_id", "to_id")
+    }.toMap
+
+    val paths = TableSink.writeAll(kindTables ++ linkTables, baseDir)
     TableSink.registerProd(spark, paths)
     paths
   }
