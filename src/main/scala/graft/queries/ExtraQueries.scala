@@ -97,6 +97,27 @@ object ExtraQueries {
         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // Pivot: long-to-wide reshaping with an explicit column list (the
+    // explicit list keeps the plan a single pass — no distinct-values
+    // pre-query — and fixes the output schema at any scale).
+    "q_pivot" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders")
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select(col("o_orderpriority"),
+            coalesce(col("F"), lit(0L)).as("F"),
+            coalesce(col("O"), lit(0L)).as("O"),
+            coalesce(col("P"), lit(0L)).as("P"))
+          .orderBy("o_orderpriority"),
+      """SELECT o_orderpriority,
+        |CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+        |CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+        |CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)),
+
     // CUBE: all grouping combinations, sentinel-coalesced like rollup.
     "q_agg_cube" -> ((
       (s: SparkSession, d: String) =>

@@ -43,6 +43,13 @@ class SourcesSpec extends SparkSpecBase {
       .toSeq == Seq("a1", "a2"))
   }
 
+  test("source round-trip preserves node and edge counts") {
+    // The remote-graph contract: re-materializing a dumped graph loses
+    // nothing (reference: tests/remote_graph_test.py:11-25).
+    assert(GraphSource.nodes(envelopes).count() == 4)
+    assert(GraphSource.edges(envelopes).count() == 3)
+  }
+
   test("model export JSON round-trips into the ADT") {
     val m = ModelJson.fromJson(
       """[
