@@ -55,12 +55,15 @@ object TextQueries {
     * are quadratic in shingle count per document. Persisted because the
     * dedup pipelines scan it several times (signatures + sizes + both
     * sides of the verify join). */
-  private def shingleIndex(s: SparkSession, d: String, n: Int = 3): DataFrame =
-    t(s, d, "documents")
+  private def shingleIndexOf(docs: DataFrame, n: Int): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), explode(shingles(n)).as("s"))
       .distinct()
       .persist()
+
+  private def shingleIndex(s: SparkSession, d: String, n: Int = 3): DataFrame =
+    shingleIndexOf(t(s, d, "documents"), n)
 
   /** Exact Jaccard over (doc_a, doc_b) pairs given their shingle-set
     * intersection size; keeps pairs with jaccard >= threshold. */
@@ -334,6 +337,70 @@ object TextQueries {
       """SELECT doc_id,
         |sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // The composed training-data pipeline: quality gate -> exact dedup
+    // by content fingerprint -> near-dup removal (5-gram jaccard >= 0.5
+    // via the inverted index, dropping the higher doc_id of every
+    // confirmed pair). Each stage is the scalable shape of its
+    // standalone operator; the oracle composes the identical relational
+    // steps end-to-end.
+    "q_corpus_clean" -> ((
+      (s: SparkSession, d: String) => {
+        val toks = split(col("text"), " ")
+        val q = t(s, d, "documents")
+          .filter(size(toks) >= 20 &&
+            size(array_distinct(toks)) * 1.0 / size(toks) >= 0.3)
+        val fp = q
+          .withColumn("fp", sha2(array_join(array_sort(
+            array_distinct(toks)), " "), 256))
+          .groupBy("fp").agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        val s1 = q.join(fp, "doc_id")
+        val idx = shingleIndexOf(s1.select("doc_id", "text"), 5)
+        val a = idx.select(col("doc_id").as("doc_a"), col("s"))
+        val b = idx.select(col("doc_id").as("doc_b"), col("s"))
+        val pairs = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+        val dups = jaccardFilter(pairs, idx, 0.5)
+          .select(col("doc_b")).distinct()
+        s1.join(dups, s1("doc_id") === dups("doc_b"), "left_anti")
+          .select("doc_id", "lang", "n_chars")
+          .orderBy("doc_id")
+      },
+      s"""WITH q AS (
+         |  SELECT doc_id, text, lang, n_chars FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 20
+         |    AND len(list_distinct(string_split(text, ' '))) * 1.0
+         |        / len(string_split(text, ' ')) >= 0.3),
+         |fp AS (
+         |  SELECT min(doc_id) AS doc_id FROM q
+         |  GROUP BY sha256(array_to_string(
+         |    list_sort(list_distinct(string_split(text, ' '))), ' '))),
+         |s1 AS (SELECT q.* FROM q JOIN fp USING (doc_id)),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(string_split(text, ' ')) >= 5 THEN
+         |      list_transform(range(1, len(string_split(text, ' ')) - 3),
+         |        i -> string_split(text, ' ')[i] || ' ' ||
+         |             string_split(text, ' ')[i+1] || ' ' ||
+         |             string_split(text, ' ')[i+2] || ' ' ||
+         |             string_split(text, ' ')[i+3] || ' ' ||
+         |             string_split(text, ' ')[i+4])
+         |    ELSE CAST([] AS VARCHAR[]) END)) AS s
+         |  FROM s1),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |dups AS (
+         |  SELECT DISTINCT p.doc_b FROM pairs p
+         |  JOIN sizes sa ON sa.doc_id = p.doc_a
+         |  JOIN sizes sb ON sb.doc_id = p.doc_b
+         |  WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= 0.5)
+         |SELECT doc_id, lang, n_chars FROM s1
+         |WHERE doc_id NOT IN (SELECT doc_b FROM dups)
+         |ORDER BY doc_id""".stripMargin)),
 
     // Multimodal plumbing: opaque binary payload column + typed metadata.
     // The real decode would be a per-partition codec (see
