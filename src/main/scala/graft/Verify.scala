@@ -19,6 +19,15 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       spark.catalog.clearCache()
+      // Drop any previous run's output first: a failed query must leave
+      // a MISSING dir (reported as FAIL by the checker), not a stale
+      // result that silently masks the regression as a PASS.
+      val dest = Paths.get(s"$outDir/$name")
+      if (Files.exists(dest)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(dest).iterator().asScala.toSeq.reverse
+          .foreach(Files.delete)
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -13,9 +13,11 @@ object FnQueries {
 
   import CoreQueries.Q
 
-  /** CSV round-trip location. nation is dimension-sized and identical at
-    * every scale factor, so a fixed path is safe for the oracle. */
-  private val csvDir = "/tmp/graft_csv_nation"
+  /** CSV round-trip location, collision-safe per data dir (a fixed
+    * shared path would race if verify and bench overlapped). The oracle
+    * reads the copy the verify run writes at its own scale factor. */
+  private def csvDir(d: String) =
+    s"/tmp/graft_csv_nation_${graft.Tables.dirTag(d)}"
 
   val entries: Map[String, (Q, String)] = Map(
 
@@ -25,16 +27,16 @@ object FnQueries {
       (s: SparkSession, d: String) => {
         val n = t(s, d, "nation")
         n.coalesce(1).write.mode("overwrite").option("header", "true")
-          .csv(csvDir)
+          .csv(csvDir(d))
         val schema = StructType(Seq(
           StructField("n_nationkey", IntegerType),
           StructField("n_name", StringType),
           StructField("n_regionkey", IntegerType)))
-        s.read.schema(schema).option("header", "true").csv(csvDir)
+        s.read.schema(schema).option("header", "true").csv(csvDir(d))
           .orderBy("n_nationkey")
       },
       s"""SELECT n_nationkey, n_name, n_regionkey
-         |FROM read_csv('$csvDir/*.csv', header = true,
+         |FROM read_csv('${csvDir(graft.Tables.VerifySfDir)}/*.csv', header = true,
          |  columns = {'n_nationkey':'INTEGER','n_name':'VARCHAR','n_regionkey':'INTEGER'})
          |ORDER BY n_nationkey""".stripMargin)),
 

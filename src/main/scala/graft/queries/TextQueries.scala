@@ -54,7 +54,10 @@ object TextQueries {
     * scale-friendlier than per-row array_distinct/array_intersect, which
     * are quadratic in shingle count per document. Persisted because the
     * dedup pipelines scan it several times (signatures + sizes + both
-    * sides of the verify join). */
+    * sides of the verify join); callers must go through
+    * [[withShingleIndex]] so the cache is dropped when the pipeline is
+    * done — a long-lived session must not accumulate executor memory
+    * per dedup run. */
   private def shingleIndexOf(docs: DataFrame, n: Int): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
@@ -62,8 +65,20 @@ object TextQueries {
       .distinct()
       .persist()
 
-  private def shingleIndex(s: SparkSession, d: String, n: Int = 3): DataFrame =
-    shingleIndexOf(t(s, d, "documents"), n)
+  /** Scoped-cache harness for the dedup pipelines: builds the persisted
+    * shingle index, runs `body`, materializes its (small) result to
+    * `resultPath`, unpersists the index, and returns the materialized
+    * result. Eager materialization is what makes the unpersist safe —
+    * a lazily returned plan would silently recompute the index per
+    * downstream scan. Callers re-apply their ORDER BY after read-back
+    * (a parallel parquet read does not preserve global order). */
+  private def withShingleIndex(s: SparkSession, docs: DataFrame, n: Int,
+      resultPath: String)(body: DataFrame => DataFrame): DataFrame = {
+    val idx = shingleIndexOf(docs, n)
+    try body(idx).write.mode("overwrite").parquet(resultPath)
+    finally idx.unpersist(blocking = false)
+    s.read.parquet(resultPath)
+  }
 
   /** Exact Jaccard over (doc_a, doc_b) pairs given their shingle-set
     * intersection size; keeps pairs with jaccard >= threshold. */
@@ -192,12 +207,19 @@ object TextQueries {
 
   val entries: Map[String, (Q, String)] = Map(
 
-    // Exact dedup: hash groupBy on content, keep lowest doc_id.
+    // Exact dedup: hash groupBy on a sha256 digest of the content, keep
+    // lowest doc_id. Grouping on the digest (not the raw text) keeps the
+    // shuffle KEY at 32 bytes/row, and map-side partial aggregation
+    // collapses duplicate documents before the exchange — at corpus
+    // scale a raw-text group key would push the whole dataset through
+    // the shuffle as keys. `first(text)` is deterministic here: every
+    // row in a digest group carries the identical text.
     "q_dedup_exact" -> ((
       (s: SparkSession, d: String) =>
         t(s, d, "documents")
-          .groupBy("text")
-          .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+          .groupBy(sha2(col("text"), 256).as("fp"))
+          .agg(min("doc_id").as("doc_id"), first("text").as("text"),
+            count(lit(1)).as("n_copies"))
           .select("doc_id", "text", "n_copies")
           .orderBy("doc_id"),
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text,
@@ -212,14 +234,15 @@ object TextQueries {
     // while planted near-dups keep jaccard >= 0.8 vs 0.0 noise.
     // Fully recomputed by the oracle.
     "q_dedup_ngram" -> ((
-      (s: SparkSession, d: String) => {
-        val idx = shingleIndex(s, d, 5)
-        val a = idx.select(col("doc_id").as("doc_a"), col("s"))
-        val b = idx.select(col("doc_id").as("doc_b"), col("s"))
-        val pairs = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
-          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-        jaccardFilter(pairs, idx, 0.5)
-      },
+      (s: SparkSession, d: String) =>
+        withShingleIndex(s, t(s, d, "documents"), 5,
+          s"/tmp/graft_res_ngram_${graft.Tables.dirTag(d)}") { idx =>
+          val a = idx.select(col("doc_id").as("doc_a"), col("s"))
+          val b = idx.select(col("doc_id").as("doc_b"), col("s"))
+          val pairs = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+            .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+          jaccardFilter(pairs, idx, 0.5)
+        }.orderBy("doc_a", "doc_b"),
       s"""WITH ${shinglesSqlCte(5)},
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -236,21 +259,23 @@ object TextQueries {
     // MinHash-LSH near-dup: banded signature bucketing -> candidate
     // pairs -> exact verify. Oracle re-verifies the candidates.
     "q_dedup_minhash" -> ((
-      (s: SparkSession, d: String) => {
-        val idx = shingleIndex(s, d)
-        candidateVerify(s, minhashCandidates(idx), idx,
-          s"/tmp/graft_cand_minhash_${graft.Tables.dirTag(d)}", 0.7)
-      },
+      (s: SparkSession, d: String) =>
+        withShingleIndex(s, t(s, d, "documents"), 3,
+          s"/tmp/graft_res_minhash_${graft.Tables.dirTag(d)}") { idx =>
+          candidateVerify(s, minhashCandidates(idx), idx,
+            s"/tmp/graft_cand_minhash_${graft.Tables.dirTag(d)}", 0.7)
+        }.orderBy("doc_a", "doc_b"),
       verifySql(s"/tmp/graft_cand_minhash_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}", 0.7))),
 
     // SimHash near-dup: 64-bit signature, 16-bit bands -> candidates ->
     // exact verify. Oracle re-verifies the candidates.
     "q_dedup_simhash" -> ((
-      (s: SparkSession, d: String) => {
-        val idx = shingleIndex(s, d)
-        candidateVerify(s, simhashCandidates(idx), idx,
-          s"/tmp/graft_cand_simhash_${graft.Tables.dirTag(d)}", 0.7)
-      },
+      (s: SparkSession, d: String) =>
+        withShingleIndex(s, t(s, d, "documents"), 3,
+          s"/tmp/graft_res_simhash_${graft.Tables.dirTag(d)}") { idx =>
+          candidateVerify(s, simhashCandidates(idx), idx,
+            s"/tmp/graft_cand_simhash_${graft.Tables.dirTag(d)}", 0.7)
+        }.orderBy("doc_a", "doc_b"),
       verifySql(s"/tmp/graft_cand_simhash_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}", 0.7))),
 
     // Language-ID heuristic: stopword hits per language, argmax.
@@ -356,16 +381,17 @@ object TextQueries {
           .groupBy("fp").agg(min("doc_id").as("doc_id"))
           .select("doc_id")
         val s1 = q.join(fp, "doc_id")
-        val idx = shingleIndexOf(s1.select("doc_id", "text"), 5)
-        val a = idx.select(col("doc_id").as("doc_a"), col("s"))
-        val b = idx.select(col("doc_id").as("doc_b"), col("s"))
-        val pairs = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
-          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-        val dups = jaccardFilter(pairs, idx, 0.5)
-          .select(col("doc_b")).distinct()
-        s1.join(dups, s1("doc_id") === dups("doc_b"), "left_anti")
-          .select("doc_id", "lang", "n_chars")
-          .orderBy("doc_id")
+        withShingleIndex(s, s1.select("doc_id", "text"), 5,
+          s"/tmp/graft_res_clean_${graft.Tables.dirTag(d)}") { idx =>
+          val a = idx.select(col("doc_id").as("doc_a"), col("s"))
+          val b = idx.select(col("doc_id").as("doc_b"), col("s"))
+          val pairs = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+            .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+          val dups = jaccardFilter(pairs, idx, 0.5)
+            .select(col("doc_b")).distinct()
+          s1.join(dups, s1("doc_id") === dups("doc_b"), "left_anti")
+            .select("doc_id", "lang", "n_chars")
+        }.orderBy("doc_id")
       },
       s"""WITH q AS (
          |  SELECT doc_id, text, lang, n_chars FROM documents

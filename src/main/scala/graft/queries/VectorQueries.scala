@@ -91,27 +91,40 @@ object VectorQueries {
 
   // ---- LSH planes: deterministic pseudo-gaussian hyperplanes ----------
   private val numTables = 2
-  private val bitsPerTable = 8
   private val dim = 64
 
-  private lazy val planes: Array[Array[Array[Double]]] = {
+  /** Scale bucket-bits with the corpus: 2^bits buckets per table sized
+    * so the expected bucket holds ~`targetBucket` vectors. A constant
+    * bit width saturates as N grows and same-bucket pair counts go
+    * O(N²/buckets) — quadratic; bits ≈ log₂(N) − log₂(targetBucket)
+    * keeps expected per-bucket work constant at any corpus size.
+    * Clamped to [6, 24] (below 6 bits LSH prunes nothing; 24 bits =
+    * 16M buckets per table is enough for ~10⁹ vectors at bucket 64). */
+  private[queries] def bitsFor(n: Long, targetBucket: Int = 16): Int = {
+    val needed = math.ceil(
+      math.log(math.max(n.toDouble / targetBucket, 1.0)) / math.log(2.0)).toInt
+    math.min(24, math.max(6, needed))
+  }
+
+  private def planesFor(bits: Int): Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(7)
-    Array.fill(numTables, bitsPerTable, dim)(rnd.nextGaussian())
+    Array.fill(numTables, bits, dim)(rnd.nextGaussian())
   }
 
   /** (vec_id, tbl, bkt): one bucket per vector per hash table. The
-    * planes ride as a broadcast 16-row DataFrame joined against the
-    * corpus — one small vec_dot per (vector, plane) row — rather than 16
-    * inlined 64-literal expressions, whose generated code is enormous
-    * (whole-stage codegen compile time dominated the query). The bucket
-    * value is the plane-sign bit vector: sum of 2^j over planes with
-    * dot >= 0. */
-  private def withBuckets(e: DataFrame): DataFrame = {
+    * planes ride as a broadcast (numTables×bits)-row DataFrame joined
+    * against the corpus — one small vec_dot per (vector, plane) row —
+    * rather than inlined 64-literal expressions, whose generated code is
+    * enormous (whole-stage codegen compile time dominated the query).
+    * The bucket value is the plane-sign bit vector: sum of 2^j over
+    * planes with dot >= 0. */
+  private def withBuckets(e: DataFrame, bits: Int): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
+    val planes = planesFor(bits)
     val planeRows = for {
       t0 <- 0 until numTables
-      j <- 0 until bitsPerTable
+      j <- 0 until bits
     } yield (t0, 1L << j, planes(t0)(j).toSeq)
     val planesDf = planeRows.toDF("tbl", "w", "plane")
     e.select(col("vec_id"), col("v"))
@@ -121,8 +134,30 @@ object VectorQueries {
       .agg(sum(when(col("dot") >= 0, col("w")).otherwise(lit(0L))).as("bkt"))
   }
 
+  /** Skew guard for bucket self-joins: deterministically keep the first
+    * `cap` members (by vec_id) of each (tbl, bkt) bucket, so a
+    * degenerate bucket (all-identical embeddings, adversarial inputs)
+    * contributes at most cap·(cap−1)/2 pairs instead of O(size²). The
+    * dropped-member count is logged — a silent cap would read as full
+    * coverage when it isn't. */
+  private[queries] val MaxBucket = 256
+  private[queries] def capBuckets(buckets: DataFrame,
+      cap: Int = MaxBucket): DataFrame = {
+    val w = Window.partitionBy("tbl", "bkt").orderBy("vec_id")
+    val ranked = buckets.withColumn("rk", row_number().over(w))
+    val spilled = ranked.filter(col("rk") > cap).count()
+    if (spilled > 0)
+      System.err.println(
+        s"[graft] embed LSH: $spilled bucket members beyond cap=$cap " +
+          "excluded from candidate generation (recall reduced)")
+    ranked.filter(col("rk") <= cap).drop("rk")
+  }
+
+  private def corpusBits(e: DataFrame): Int = bitsFor(e.count())
+
   private def annCandidates(s: SparkSession, d: String): DataFrame = {
-    val buckets = withBuckets(emb(s, d))
+    val e = emb(s, d)
+    val buckets = withBuckets(e, corpusBits(e))
     val q = buckets.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
     val c = buckets.select(col("vec_id").as("nid"), col("tbl"), col("bkt"))
@@ -168,9 +203,13 @@ object VectorQueries {
       .select("qid", "nid").distinct()
   }
 
-  /** Corpus-wide same-bucket pairs (i < j) — the near-dup candidates. */
+  /** Corpus-wide same-bucket pairs (i < j) — the near-dup candidates.
+    * Bucket-bit count scales with corpus size (bitsFor) and each bucket
+    * is capped (capBuckets), so per-bucket pair work stays bounded no
+    * matter how large or how skewed the corpus gets. */
   private def dupCandidates(s: SparkSession, d: String): DataFrame = {
-    val buckets = withBuckets(emb(s, d))
+    val e = emb(s, d)
+    val buckets = capBuckets(withBuckets(e, corpusBits(e)))
     val l = buckets.select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
     val r = buckets.select(col("vec_id").as("nid"), col("tbl"), col("bkt"))
     l.join(r, Seq("tbl", "bkt")).filter(col("qid") < col("nid"))
