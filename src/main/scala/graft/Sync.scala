@@ -20,7 +20,12 @@ import graft.sink.{JdbcSink, TableSink}
 object Sync {
 
   /** Build the per-table DataFrames of one sync: kind tables + link
-    * tables from observed default edges. */
+    * tables. A link table exists for every DECLARED successor-kind pair
+    * (inheritance-accumulated, both endpoints table kinds — empty when
+    * no such edge was observed) plus every OBSERVED table-kind pair,
+    * matching the reference's create_schema steps 2 and 3
+    * (sql.py:203-217): a consumer querying a declared link table must
+    * get 0 rows, not "table not found". */
   def tables(envelopes: DataFrame, model: Model,
       baseKinds: Set[String] = ModelCompiler.defaultBaseKinds)
       : Map[String, DataFrame] = {
@@ -37,13 +42,30 @@ object Sync {
       ModelCompiler.tableName(k.fqn) ->
         Flatten.flattenNodes(envelopes, k, model)
     }.toMap
-    val linkTables = observed.map { case (f, t0) =>
-      ModelCompiler.linkTableName(f, t0) ->
-        keyed.filter(s"from_kind = '$f' AND to_kind = '$t0'")
-          .select("from_id", "to_id")
-    }.toMap
+    // Declared-but-unobserved pairs fall out naturally: the filter
+    // yields an empty (from_id, to_id) DataFrame for them.
+    val linkTables = linkPairs(model, observed, baseKinds)
+      .map { case (f, t0) =>
+        ModelCompiler.linkTableName(f, t0) ->
+          keyed.filter(s"from_kind = '$f' AND to_kind = '$t0'")
+            .select("from_id", "to_id")
+      }.toMap
     kindTables ++ linkTables
   }
+
+  /** All link pairs of a sync: declared (endpoint-table-filtered,
+    * possibly unobserved) ∪ observed (endpoint-table-filtered, the
+    * reference's link_table_schema skips pairs whose endpoint tables
+    * don't exist, sql.py:195-201). */
+  private def linkPairs(model: Model, observed: Set[(String, String)],
+      baseKinds: Set[String]): Set[(String, String)] = {
+    val tableFqns = ModelCompiler.tableKinds(model, baseKinds)
+      .map(_.fqn).toSet
+    ModelCompiler.declaredLinkPairs(model, baseKinds) ++
+      observed.filter(p => tableFqns.contains(p._1) &&
+        tableFqns.contains(p._2))
+  }
+
 
   /** Sync to parquet dirs behind the snapshot swap and register the
     * catalog; returns table → prod path.
@@ -71,7 +93,17 @@ object Sync {
     Flatten.keyEdges(envelopes, nodeKinds)
       .write.mode("overwrite").partitionBy("from_kind", "to_kind")
       .parquet(edgeStage)
-    val stagedEdges = spark.read.parquet(edgeStage)
+    // Explicit schema: an edge-free graph (legal — a single node syncs
+    // fine in the reference) stages zero parquet files, and schema
+    // inference over an empty dir throws UNABLE_TO_INFER_SCHEMA.
+    val stagedEdges = spark.read
+      .schema(org.apache.spark.sql.types.StructType(
+        ModelCompiler.linkSchema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("from_kind",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("to_kind",
+            org.apache.spark.sql.types.StringType))))
+      .parquet(edgeStage)
 
     val observed = stagedEdges.select("from_kind", "to_kind").distinct()
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
@@ -81,7 +113,10 @@ object Sync {
       ModelCompiler.tableName(k.fqn) -> Flatten.flattenNodes(
         stagedNodes.filter(col("node_kind") === k.fqn), k, model)
     }.toMap
-    val linkTables = observed.map { case (f, t0) =>
+    // Declared pairs (inheritance-accumulated, endpoint-table-filtered)
+    // materialize even when unobserved — the filter yields 0 rows.
+    val linkTables = linkPairs(model, observed,
+      ModelCompiler.defaultBaseKinds).map { case (f, t0) =>
       ModelCompiler.linkTableName(f, t0) ->
         stagedEdges.filter(col("from_kind") === f && col("to_kind") === t0)
           .select("from_id", "to_id")
@@ -92,7 +127,17 @@ object Sync {
     paths
   }
 
-  /** Sync to a SQL database over JDBC (staging write + rename swap). */
-  def toJdbc(envelopes: DataFrame, model: Model, url: String): Unit =
-    JdbcSink.sync(tables(envelopes, model), url)
+  /** Sync to a SQL database over JDBC (staging write + rename swap);
+    * kind tables carry the model's len-driven string widths into their
+    * CREATE TABLE, link tables VARCHAR(255) ids. */
+  def toJdbc(envelopes: DataFrame, model: Model, url: String): Unit = {
+    val ts = tables(envelopes, model)
+    val byKind = ModelCompiler.tableKinds(model)
+      .map(k => ModelCompiler.tableName(k.fqn) ->
+        ModelCompiler.jdbcColumnTypes(k, model)).toMap
+    val columnTypes = ts.keys.map { name =>
+      name -> byKind.getOrElse(name, ModelCompiler.jdbcLinkColumnTypes)
+    }.toMap
+    JdbcSink.sync(ts, url, columnTypes)
+  }
 }

@@ -56,11 +56,21 @@ object Flatten {
       .select(cols: _*)
   }
 
-  /** Edge envelope → (from_id, to_id). */
-  def flattenEdges(edges: DataFrame): DataFrame =
-    edges.filter(col("type") === "edge")
-      .select(col("from").cast(StringType).as("from_id"),
-        col("to").cast(StringType).as("to_id"))
+  /** Edge envelope → (from_id, to_id). Only default-type edges
+    * participate in link tables (reference: collect_plugins.py:45-47,
+    * batch_stream.py:74-77); an absent edge_type means default. The
+    * from/to/edge_type columns are padded when the input schema lacks
+    * them — a node-only envelope stream (legal: a single-node graph)
+    * must flatten to zero edges, not fail analysis. */
+  def flattenEdges(edges: DataFrame): DataFrame = {
+    val names = edges.schema.fieldNames.toSet
+    def c(n: String): Column =
+      if (names.contains(n)) col(n).cast(StringType)
+      else lit(null).cast(StringType)
+    edges.filter(col("type") === "edge" &&
+        (c("edge_type").isNull || c("edge_type") === "default"))
+      .select(c("from").as("from_id"), c("to").as("to_id"))
+  }
 
   /** Edge keying (P5): route each edge to its link table by joining both
     * endpoints against the node→kind map (reference's checksum lookup,

@@ -106,6 +106,68 @@ object PipelineQueries {
           .orderBy("id")
       },
       """SELECT 'N' || n_nationkey AS id, n_name AS name
-        |FROM nation ORDER BY id""".stripMargin))
+        |FROM nation ORDER BY id""".stripMargin)),
+
+    // Bounded traversal + property filter (the rest of the reference's
+    // server-side search grammar, remote_graph.py:62): a 3-level
+    // region→nation→customer graph, searched with
+    // `is(graph_root) and name != "ASIA" -[1:1]->` — depth exactly 1
+    // from non-ASIA roots: their nations, NOT their customers (the
+    // upper bound prunes depth 2). The oracle walks the same graph with
+    // a recursive CTE and applies the identical shortest-depth window.
+    "q_source_search_depth" -> ((
+      (s: SparkSession, d: String) => {
+        val dump = s"/tmp/graft_envelopes3_${graft.Tables.dirTag(d)}"
+        val regionNodes = t(s, d, "region").select(to_json(struct(
+          lit("node").as("type"),
+          concat(lit("R"), col("r_regionkey")).as("id"),
+          struct(lit("graph_root").as("kind"),
+            concat(lit("R"), col("r_regionkey")).as("id"),
+            col("r_name").as("name")).as("reported"))).as("value"))
+        val nationNodes = t(s, d, "nation").select(to_json(struct(
+          lit("node").as("type"),
+          concat(lit("N"), col("n_nationkey")).as("id"),
+          struct(lit("infra_nation").as("kind"),
+            concat(lit("N"), col("n_nationkey")).as("id"),
+            col("n_name").as("name")).as("reported"))).as("value"))
+        val custNodes = t(s, d, "customer").select(to_json(struct(
+          lit("node").as("type"),
+          concat(lit("C"), col("c_custkey")).as("id"),
+          struct(lit("infra_customer").as("kind"),
+            concat(lit("C"), col("c_custkey")).as("id"),
+            col("c_name").as("name")).as("reported"))).as("value"))
+        val rnEdges = t(s, d, "nation").select(to_json(struct(
+          lit("edge").as("type"),
+          concat(lit("R"), col("n_regionkey")).as("from"),
+          concat(lit("N"), col("n_nationkey")).as("to"))).as("value"))
+        val ncEdges = t(s, d, "customer").select(to_json(struct(
+          lit("edge").as("type"),
+          concat(lit("N"), col("c_nationkey")).as("from"),
+          concat(lit("C"), col("c_custkey")).as("to"))).as("value"))
+        regionNodes.unionByName(nationNodes).unionByName(custNodes)
+          .unionByName(rnEdges).unionByName(ncEdges)
+          .write.mode("overwrite").text(dump)
+        val env = GraphSource.readEnvelopes(s, dump)
+        val search = GraphSource.parseSearch(
+          """is(graph_root) and name != "ASIA" -[1:1]->""").get
+        GraphSource.evaluate(env, search)
+          .select(col("id"), col("reported.name").as("name"))
+          .orderBy("id")
+      },
+      """WITH RECURSIVE edges AS (
+        |  SELECT 'R' || n_regionkey AS src, 'N' || n_nationkey AS dst FROM nation
+        |  UNION ALL
+        |  SELECT 'N' || c_nationkey, 'C' || c_custkey FROM customer
+        |), reach(node, depth) AS (
+        |  SELECT 'R' || r_regionkey, 0 FROM region WHERE r_name <> 'ASIA'
+        |  UNION ALL
+        |  SELECT e.dst, r.depth + 1 FROM reach r JOIN edges e ON e.src = r.node
+        |  WHERE r.depth < 1
+        |), wanted AS (
+        |  SELECT node FROM reach GROUP BY node
+        |  HAVING min(depth) >= 1 AND min(depth) <= 1)
+        |SELECT w.node AS id, n_name AS name
+        |FROM wanted w JOIN nation ON 'N' || n_nationkey = w.node
+        |ORDER BY id""".stripMargin))
   )
 }

@@ -198,6 +198,39 @@ object TextQueries {
     jaccardFilter(interFor(persisted, idx), idx, threshold)
   }
 
+  /** Unmaterialized pipeline plans for plan-quality inspection (the
+    * gate queries materialize eagerly inside withShingleIndex, so their
+    * returned plan is just the result-file scan). Not part of the
+    * driver contract. */
+  private[graft] def planProbe(s: SparkSession, d: String,
+      which: String): DataFrame = {
+    val idx = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), explode(shingles(if (which == "ngram") 5 else 3)).as("s"))
+      .distinct()
+    which match {
+      case "ngram" =>
+        val a = idx.select(col("doc_id").as("doc_a"), col("s"))
+        val b = idx.select(col("doc_id").as("doc_b"), col("s"))
+        val pairs = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+        jaccardFilter(pairs, idx, 0.5)
+      case "minhash" => jaccardFilter(
+        interFor(minhashCandidates(idx), idx), idx, 0.7)
+      case "simhash" => jaccardFilter(
+        interFor(simhashCandidates(idx), idx), idx, 0.7)
+      case "exact" => entriesExactPlan(s, d)
+    }
+  }
+
+  private def entriesExactPlan(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .groupBy(sha2(col("text"), 256).as("fp"))
+      .agg(min("doc_id").as("doc_id"), first("text").as("text"),
+        count(lit(1)).as("n_copies"))
+      .select("doc_id", "text", "n_copies")
+      .orderBy("doc_id")
+
   private val stopEn = Seq("the", "and", "of", "to", "a", "in", "is")
   private val stopDe = Seq("der", "die", "und", "das", "ist", "nicht")
   private val stopEs = Seq("el", "la", "de", "y", "que", "los")
@@ -215,13 +248,7 @@ object TextQueries {
     // the shuffle as keys. `first(text)` is deterministic here: every
     // row in a digest group carries the identical text.
     "q_dedup_exact" -> ((
-      (s: SparkSession, d: String) =>
-        t(s, d, "documents")
-          .groupBy(sha2(col("text"), 256).as("fp"))
-          .agg(min("doc_id").as("doc_id"), first("text").as("text"),
-            count(lit(1)).as("n_copies"))
-          .select("doc_id", "text", "n_copies")
-          .orderBy("doc_id"),
+      (s: SparkSession, d: String) => entriesExactPlan(s, d),
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text,
         |CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin)),

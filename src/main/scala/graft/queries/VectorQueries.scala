@@ -100,7 +100,7 @@ object VectorQueries {
     * keeps expected per-bucket work constant at any corpus size.
     * Clamped to [6, 24] (below 6 bits LSH prunes nothing; 24 bits =
     * 16M buckets per table is enough for ~10⁹ vectors at bucket 64). */
-  private[queries] def bitsFor(n: Long, targetBucket: Int = 16): Int = {
+  private[graft] def bitsFor(n: Long, targetBucket: Int = 16): Int = {
     val needed = math.ceil(
       math.log(math.max(n.toDouble / targetBucket, 1.0)) / math.log(2.0)).toInt
     math.min(24, math.max(6, needed))
@@ -140,8 +140,8 @@ object VectorQueries {
     * contributes at most cap·(cap−1)/2 pairs instead of O(size²). The
     * dropped-member count is logged — a silent cap would read as full
     * coverage when it isn't. */
-  private[queries] val MaxBucket = 256
-  private[queries] def capBuckets(buckets: DataFrame,
+  private[graft] val MaxBucket = 256
+  private[graft] def capBuckets(buckets: DataFrame,
       cap: Int = MaxBucket): DataFrame = {
     val w = Window.partitionBy("tbl", "bkt").orderBy("vec_id")
     val ranked = buckets.withColumn("rk", row_number().over(w))

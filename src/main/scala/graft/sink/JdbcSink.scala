@@ -26,14 +26,21 @@ object JdbcSink {
     p
   }
 
-  /** Write each table to its staging name (`tmp_<table>`). */
+  /** Write each table to its staging name (`tmp_<table>`). Per-table
+    * `columnTypes` carry the model's `len`-driven string widths into
+    * the CREATE TABLE the writer issues (reference: sql.py:92-100 sizes
+    * every string column from its metadata len; without this every
+    * string would land as the dialect's default text type). */
   def writeStaging(tables: Map[String, DataFrame], url: String,
-      driver: String = "org.apache.derby.jdbc.EmbeddedDriver"): Unit =
+      driver: String = "org.apache.derby.jdbc.EmbeddedDriver",
+      columnTypes: Map[String, String] = Map.empty): Unit =
     tables.foreach { case (name, df) =>
-      TableSink.stringifyNested(df).write
+      val w = TableSink.stringifyNested(df).write
         .mode("overwrite")
         .option("batchsize", InsertBatchSize)
-        .jdbc(url, staging(name), props(driver))
+      columnTypes.get(name).filter(_.nonEmpty)
+        .foreach(ddl => w.option("createTableColumnTypes", ddl))
+      w.jdbc(url, staging(name), props(driver))
     }
 
   def staging(name: String): String = graft.model.ModelCompiler.tmpName(name)
@@ -63,8 +70,9 @@ object JdbcSink {
 
   /** Whole sync: staging writes + swap (one call per reference
     * update_sql run, collect_plugins.py:155-217). */
-  def sync(tables: Map[String, DataFrame], url: String): Unit = {
-    writeStaging(tables, url)
+  def sync(tables: Map[String, DataFrame], url: String,
+      columnTypes: Map[String, String] = Map.empty): Unit = {
+    writeStaging(tables, url, columnTypes = columnTypes)
     swapTempTables(url, tables.keys)
   }
 

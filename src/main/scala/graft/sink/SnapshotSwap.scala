@@ -31,6 +31,27 @@ object SnapshotSwap {
     }
   }
 
+  /** Stage `df` as parquet at `dir`, guaranteeing the dir is
+    * self-describing: a zero-partition input (e.g. a
+    * declared-but-unobserved link table filtered from an empty edge
+    * stage) writes only _SUCCESS, and read-back would fail schema
+    * inference — materialize the schema as a single empty part file. */
+  private def stageParquet(df: DataFrame, dir: Path): Unit = {
+    df.write.mode("overwrite").parquet(dir.toString)
+    val wrotePart = {
+      val children = Files.list(dir)
+      try children.anyMatch(p => p.getFileName.toString.startsWith("part-"))
+      finally children.close()
+    }
+    if (!wrotePart) {
+      val spark = df.sparkSession
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            Seq.empty[org.apache.spark.sql.Row], 1), df.schema)
+        .write.mode("overwrite").parquet(dir.toString)
+    }
+  }
+
   /** Write df as the new snapshot of `table` under `base`; returns the
     * prod path. */
   def write(df: DataFrame, base: String, table: String): String = {
@@ -39,13 +60,64 @@ object SnapshotSwap {
     val old = Paths.get(base, s"_old_$table")
     Files.createDirectories(Paths.get(base))
     rm(staging)
-    df.write.mode("overwrite").parquet(staging.toString)
+    stageParquet(df, staging)
     rm(old)
     if (Files.exists(prod))
       Files.move(prod, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(staging, prod, StandardCopyOption.ATOMIC_MOVE)
     rm(old)
     prod.toString
+  }
+
+  // ---- Manifest variant: swap without directory renames --------------
+  //
+  // Object stores (S3/GCS — the reference's upload targets,
+  // arrow/writer.py:187-219) have no atomic directory rename; the
+  // industry-standard protocol (Iceberg/Delta-style) publishes an
+  // immutable snapshot dir and then atomically swaps a single small
+  // POINTER object naming it. Data dirs are never renamed: each sync
+  // writes a fresh versioned dir, the manifest repoint IS the commit,
+  // and readers resolve through the manifest — they either see the old
+  // complete snapshot or the new complete snapshot, never a mix.
+
+  private def manifestPath(base: String, table: String): Path =
+    Paths.get(base, s"$table.manifest")
+
+  /** The currently published snapshot dir name, if any. */
+  def currentSnapshot(base: String, table: String): Option[String] = {
+    val m = manifestPath(base, table)
+    if (Files.exists(m)) Some(Files.readString(m).trim) else None
+  }
+
+  /** Write df as a fresh immutable versioned dir and atomically repoint
+    * the manifest at it; the previous snapshot dir is deleted after the
+    * commit. Returns the new snapshot path. */
+  def writeManifested(df: DataFrame, base: String, table: String): String = {
+    Files.createDirectories(Paths.get(base))
+    val prev = currentSnapshot(base, table)
+    val version = prev.flatMap(_.split('-').lastOption)
+      .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(0L) + 1
+    val dataDir = Paths.get(base, s"_snap_$table-$version")
+    rm(dataDir)
+    stageParquet(df, dataDir)
+    // Single-object atomic publish (the local analogue of an atomic
+    // object PUT): stage the pointer, move it over the manifest.
+    val tmp = Paths.get(base, s"_manifest_tmp_$table")
+    Files.writeString(tmp, dataDir.getFileName.toString)
+    Files.move(tmp, manifestPath(base, table),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    prev.filter(_ != dataDir.getFileName.toString)
+      .foreach(p => rm(Paths.get(base, p)))
+    dataDir.toString
+  }
+
+  /** Reader half of the manifest protocol: resolve the pointer, read
+    * the snapshot it names. */
+  def readManifested(spark: SparkSession, base: String,
+      table: String): DataFrame = {
+    val snap = currentSnapshot(base, table).getOrElse(
+      sys.error(s"no published snapshot for $table under $base"))
+    spark.read.parquet(Paths.get(base, snap).toString)
   }
 
   /** Swap + read back: the consumer-visible contract (a query against

@@ -30,7 +30,7 @@ class EdgeCasesSpec extends SparkSpecBase {
 
   test("graph search over an empty graph returns no nodes") {
     val out = GraphSource.evaluate(emptyEnvelopes,
-      GraphSource.Search("graph_root", Some(2)), maxDepth = 3)
+      GraphSource.Search("graph_root", minDepth = Some(2)), maxDepth = 3)
     assert(out.count() == 0)
   }
 

@@ -40,4 +40,44 @@ class JdbcSinkSpec extends SparkSpecBase {
       assert(!names.contains(JdbcSink.staging("things").toLowerCase))
     } finally conn.close()
   }
+
+  test("len metadata drives VARCHAR widths in the created table") {
+    import graft.model.{Kind, Model, ModelCompiler, Property}
+    val model = Model(
+      Kind("widthy", properties = Seq(
+        Property("nick", "string", len = Some(5)), // <32 -> 32
+        Property("title", "string", len = Some(34)), // -> next pow2 = 64
+        Property("body", "string", len = Some(1500)), // >1024 -> text/CLOB
+        Property("note", "string")))) // no len -> 255
+    val kind = model("widthy")
+    val ddl = ModelCompiler.jdbcColumnTypes(kind, model)
+    assert(ddl.contains("nick VARCHAR(32)"))
+    assert(ddl.contains("title VARCHAR(64)"))
+    assert(!ddl.contains("body VARCHAR")) // omitted -> dialect text type
+    assert(ddl.contains("note VARCHAR(255)"))
+
+    import spark.implicits._
+    val df = Seq(("w1", "n", "t", "b", "x", "cl", "ac", "rg", "zn"))
+      .toDF("_id", "nick", "title", "body", "note",
+        "cloud", "account", "region", "zone")
+    JdbcSink.sync(Map("widthy" -> df), url,
+      columnTypes = Map("widthy" -> ddl))
+
+    // Reference contract (sql.py:92-100, tests/sql_test.py:34-38): the
+    // created column widths come from the len metadata.
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getColumns(null, null, "WIDTHY", "%")
+      val cols = scala.collection.mutable.Map[String, (String, Int)]()
+      while (rs.next())
+        cols += rs.getString("COLUMN_NAME").toLowerCase ->
+          ((rs.getString("TYPE_NAME"), rs.getInt("COLUMN_SIZE")))
+      assert(cols("nick") == ("VARCHAR", 32))
+      assert(cols("title") == ("VARCHAR", 64))
+      assert(cols("body")._1 == "CLOB") // Derby's unbounded text
+      assert(cols("note") == ("VARCHAR", 255))
+      assert(cols("_id") == ("VARCHAR", 255))
+      assert(cols("cloud") == ("VARCHAR", 255))
+    } finally conn.close()
+  }
 }

@@ -29,17 +29,21 @@ class ModelCompilerPropSpec extends AnyFunSuite {
     })
   } yield Model(kinds.map(k => k.fqn -> k).toMap)
 
-  test("kindProperties terminates, dedups, and shadows child-first") {
+  test("kindProperties terminates, dedups, and keeps own-property positions") {
     val prop = Prop.forAll(genModel) { m =>
       m.kinds.values.forall { k =>
         val props = ModelCompiler.kindProperties(k, m)
         val names = props.map(_.name)
+        val own = k.properties.filter(p => !p.synthetic && p.name != "kind")
         names.distinct == names && // no duplicate columns
           !names.contains("kind") && // discriminator dropped
           props.forall(!_.synthetic) && // synthetic dropped
-          // child-first: any own (non-synthetic, non-kind) property wins.
-          k.properties.filter(p => !p.synthetic && p.name != "kind")
-            .forall(p => props.find(_.name == p.name).contains(p))
+          // every own property appears (possibly with a base's type —
+          // parent-wins collision semantics, schema_utils.py:53-56) and
+          // own properties keep their declaration order.
+          own.forall(p => names.contains(p.name)) &&
+          own.map(_.name).filter(names.contains) ==
+            names.filter(own.map(_.name).contains)
       }
     }
     val r = SCTest.check(SCTest.Parameters.default

@@ -40,13 +40,52 @@ class ModelCompilerSpec extends AnyFunSuite {
     assert(props == Seq("cores", "memory", "id", "name", "alias", "description"))
   }
 
-  test("child shadows parent on name collision") {
+  test("parent overwrites child on name collision (reference semantics)") {
+    // The reference's base_props_not_visited assigns
+    // properties[prop.name] = prop WHILE WALKING BASES
+    // (schema_utils.py:53-56), so a base property overwrites the
+    // child's entry: parent-wins, column keeps the child's position.
     val m = Model(
       Kind("base", properties = Seq(Property("x", "string"))),
       Kind("child", bases = Seq("base"),
-        properties = Seq(Property("x", "int32"))))
+        properties = Seq(Property("x", "int32"), Property("y", "int64"))))
     val props = ModelCompiler.kindProperties(m("child"), m)
-    assert(props == Seq(Property("x", "int32")))
+    assert(props == Seq(Property("x", "string"), Property("y", "int64")))
+  }
+
+  test("successor kinds accumulate through the inheritance closure") {
+    val m = Model(
+      Kind("base", successorKinds = Map("default" -> Seq("vol"))),
+      Kind("child", bases = Seq("base"),
+        successorKinds = Map("default" -> Seq("disk"))),
+      Kind("vol"), Kind("disk"))
+    assert(ModelCompiler.kindSuccessors(m("child"), m) == Seq("disk", "vol"))
+    // declaredLinkPairs keeps only pairs whose endpoints are tables.
+    val pairs = ModelCompiler.declaredLinkPairs(m, baseKinds = Set("base"))
+    assert(pairs == Set(("child", "vol"), ("child", "disk")))
+  }
+
+  test("recursive complex kind degrades to JSON text, not stack overflow") {
+    val m = Model(
+      Kind("tree", properties = Seq(
+        Property("label", "string"),
+        Property("children", "tree[]"))))
+    val dt = ModelCompiler.toDataType("tree", m)
+    val st = dt.asInstanceOf[org.apache.spark.sql.types.StructType]
+    // The self-reference under children collapses to StringType (JSON).
+    assert(st("children").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))
+    // Mutual recursion is equally safe.
+    val m2 = Model(
+      Kind("a", properties = Seq(Property("b", "b"))),
+      Kind("b", properties = Seq(Property("a", "a"))))
+    assert(ModelCompiler.toDataType("a", m2) ==
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("a",
+              org.apache.spark.sql.types.StringType)))))))
   }
 
   test("inheritance cycles are safe") {

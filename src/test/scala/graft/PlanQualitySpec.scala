@@ -37,11 +37,58 @@ class PlanQualitySpec extends SparkSpecBase {
   }
 
   test("no unintended cartesian shapes in the bucketed similarity ops") {
-    Seq("q_dedup_minhash", "q_dedup_ngram", "q_embed_ann", "q_embed_ivf")
-      .foreach { q =>
-        val p = planOf(q)
-        assert(!p.contains("CartesianProduct"), s"$q:\n$p")
-      }
+    // The dedup gate queries materialize eagerly (scoped shingle-index
+    // cache), so inspect the unmaterialized pipeline plans directly.
+    Seq("ngram", "minhash", "simhash").foreach { which =>
+      val p = graft.queries.TextQueries.planProbe(spark, dir, which)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$which:\n$p")
+    }
+    Seq("q_embed_ann", "q_embed_ivf").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("q_dedup_exact shuffles a digest key, not full document text") {
+    val p = graft.queries.TextQueries.planProbe(spark, dir, "exact")
+      .queryExecution.optimizedPlan.toString
+    // The aggregate key must be the sha2 fingerprint — grouping by raw
+    // text would push the whole corpus through the exchange as keys.
+    assert(p.contains("sha2"), p)
+  }
+
+  test("embedding LSH bucket space scales with corpus size") {
+    import graft.queries.VectorQueries.bitsFor
+    assert(bitsFor(1000) >= 6)
+    // 1000x the corpus must get a strictly larger bucket space, and the
+    // expected bucket occupancy must stay ~targetBucket, not O(N).
+    assert(bitsFor(1000000) > bitsFor(1000))
+    assert(bitsFor(1000000000L) > bitsFor(1000000))
+    assert(bitsFor(1000000000L) <= 24) // clamp: plane count stays sane
+    // bits ~ log2(N/target): occupancy at the computed bits is bounded.
+    val n = 100000000L
+    val buckets = math.pow(2, bitsFor(n))
+    assert(n / buckets <= 32, s"expected occupancy ${n / buckets}")
+  }
+
+  test("per-bucket cap bounds candidate pairs on a skewed corpus") {
+    import spark.implicits._
+    // Adversarial skew: 1000 vectors land in ONE bucket.
+    val skewed = (0 until 1000).map(i => (i.toLong, 0, 7L)) ++
+      (1000 until 1010).map(i => (i.toLong, 0, 9L))
+    val buckets = skewed.toDF("vec_id", "tbl", "bkt")
+    val cap = 16
+    val capped = graft.queries.VectorQueries.capBuckets(buckets, cap)
+    val perBucket = capped.groupBy("tbl", "bkt").count()
+      .collect().map(_.getLong(2))
+    assert(perBucket.forall(_ <= cap))
+    // Self-join pair count per bucket is now <= cap*(cap-1)/2, not
+    // ~1000^2/2.
+    val l = capped.select($"vec_id".as("a"), $"tbl", $"bkt")
+    val r = capped.select($"vec_id".as("b"), $"tbl", $"bkt")
+    val pairs = l.join(r, Seq("tbl", "bkt")).filter($"a" < $"b").count()
+    assert(pairs <= (cap * (cap - 1) / 2) * 2)
   }
 
   test("aggregation is partial+final (map-side combine present)") {

@@ -24,6 +24,47 @@ class SnapshotSwapSpec extends SparkSpecBase {
     assert(!Files.exists(Paths.get(base, "_old_t")))
   }
 
+  test("manifest swap commits without renaming any data directory") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_swap_manifest").toString
+    val v1 = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val v2 = Seq((3, "c")).toDF("id", "v")
+
+    // v1 publish: data dir written once, pointer names it.
+    val p1 = SnapshotSwap.writeManifested(v1, base, "t")
+    assert(SnapshotSwap.currentSnapshot(base, "t")
+      .contains(Paths.get(p1).getFileName.toString))
+    assert(SnapshotSwap.readManifested(spark, base, "t").count() == 2)
+
+    // v2 publish: NEW immutable dir (no rename of p1 — rename-less
+    // object-store semantics), manifest repointed, old dir cleaned.
+    val p2 = SnapshotSwap.writeManifested(v2, base, "t")
+    assert(p2 != p1)
+    val rows = SnapshotSwap.readManifested(spark, base, "t")
+      .as[(Int, String)].collect().toSeq
+    assert(rows == Seq((3, "c")))
+    assert(!Files.exists(Paths.get(p1))) // previous snapshot dropped
+    assert(Files.exists(Paths.get(p2)))
+
+    // A reader that resolved BEFORE the v2 commit keeps its complete
+    // old snapshot files... (local cleanup deletes them eagerly here;
+    // the consistency contract is resolve-then-read within one sync).
+    // An unpublished table fails loudly, not with a half-read.
+    intercept[RuntimeException] {
+      SnapshotSwap.readManifested(spark, base, "missing")
+    }
+  }
+
+  test("manifest swap survives an empty snapshot (schema preserved)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_swap_empty").toString
+    val empty = Seq.empty[(Int, String)].toDF("id", "v")
+    SnapshotSwap.writeManifested(empty, base, "t")
+    val back = SnapshotSwap.readManifested(spark, base, "t")
+    assert(back.count() == 0)
+    assert(back.columns.toSeq == Seq("id", "v"))
+  }
+
   test("stringifyNested maps complex columns to JSON text for CSV") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

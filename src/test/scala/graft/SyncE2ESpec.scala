@@ -85,4 +85,54 @@ class SyncE2ESpec extends SparkSpecBase {
     assert(carz.map(r => (r.getString(0), r.getString(1))).toSeq ==
       Seq(("cl", "r1")))
   }
+
+  test("declared-but-unobserved link table materializes with 0 rows") {
+    // A successor declared on a BASE kind (inheritance-accumulated, the
+    // reference's kind_properties successor walk) with no observed edge
+    // of that pair: the reference's create_schema step 2 still creates
+    // the link table (sql.py:203-214) — a consumer must get 0 rows, not
+    // "table not found".
+    val m2 = Model(
+      Kind("resource", properties = Seq(
+        Property("id", "string"), Property("name", "string"),
+        Property("kind", "string"))),
+      Kind("linky_base", bases = Seq("resource"), aggregateRoot = false,
+        successorKinds = Map("default" -> Seq("example_volume"))),
+      Kind("example_region", bases = Seq("linky_base")),
+      Kind("example_volume", bases = Seq("resource")),
+      // Successor to a non-table kind: reference skips the link table.
+      Kind("example_instance", bases = Seq("resource"),
+        successorKinds = Map("default" -> Seq("phantom_resource"))))
+
+    val env = spark.read.json(spark.createDataset(Seq(
+      node("example_region", "r1"),
+      node("example_volume", "v1", ""","capacity":1""")))(
+      org.apache.spark.sql.Encoders.STRING))
+
+    val synced = graft.Sync.tables(env, m2)
+    assert(synced.keySet == Set(
+      "example_region", "example_volume", "example_instance",
+      "link_example_region_example_volume"))
+    assert(synced("link_example_region_example_volume").count() == 0)
+    assert(synced("link_example_region_example_volume")
+      .columns.toSeq == Seq("from_id", "to_id"))
+
+    val base = Files.createTempDirectory("graft_sync_declared").toString
+    val paths = graft.Sync.toParquet(spark, env, m2, base)
+    assert(paths.contains("link_example_region_example_volume"))
+    assert(spark.table("link_example_region_example_volume").count() == 0)
+  }
+
+  test("node-only (edge-free) graph syncs without failing") {
+    val env = spark.read.json(spark.createDataset(Seq(
+      node("example_region", "solo")))(
+      org.apache.spark.sql.Encoders.STRING))
+    val base = Files.createTempDirectory("graft_sync_noedge").toString
+    val paths = graft.Sync.toParquet(spark, env, model, base)
+    assert(spark.table("example_region").count() == 1)
+    // Declared links still exist (0 rows); nothing threw on the empty
+    // edge stage.
+    assert(paths.contains("link_example_region_example_instance"))
+    assert(spark.table("link_example_region_example_instance").count() == 0)
+  }
 }
