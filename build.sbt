@@ -30,4 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 128 GiB bench box an 8g heap GC-thrashes the shuffle-heavy dedup
   // queries. 32g ≈ 1g/core, the usual executor sizing.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // ~50 queries of whole-stage-codegen classes overflow the default
+  // 240 MB code cache mid-run; when it fills, JIT compilation stops and
+  // whichever query is running goes interpreted (observed as random
+  // 10-30x per-query spikes late in a bench).
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -6,19 +6,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // Engine default: typed Aggregators (minhash/simhash signatures)
-      // carry small fixed-size buffers; the 128-keys-per-partition
-      // ObjectHashAggregate fallback would force sort-based aggregation
-      // on any real corpus.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "1000000")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = SparkEnv.session(cpus)
     // Untimed warmup: JIT/codegen/scheduler/shuffle/parquet-writer init
     // should not be billed to whichever query happens to sort first.
     // Exercises the codepaths the timed queries use — scan, hash

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared session bootstrap for the driver-facing mains (Bench, Verify,
+  * Probe): identical config, with Spark's scratch space (shuffle files,
+  * block manager, streaming temp checkpoints) on tmpfs — RAM-backed
+  * scratch keeps micro-benchmarks from billing unrelated disk stalls to
+  * whichever query is running. On a real cluster these map to fast
+  * local SSDs via spark.local.dir exactly the same way. */
+object SparkEnv {
+
+  def session(cpus: String): SparkSession = {
+    val tmp = new java.io.File("/dev/shm/graft_tmp")
+    tmp.mkdirs()
+    // Streaming temp checkpoints resolve through java.io.tmpdir at
+    // writeStream time, so setting it here (pre-session) is enough.
+    System.setProperty("java.io.tmpdir", tmp.getAbsolutePath)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", "/dev/shm/graft_spark")
+      // Engine default: typed Aggregators (minhash/simhash signatures)
+      // carry small fixed-size buffers; the 128-keys-per-partition
+      // ObjectHashAggregate fallback would force sort-based aggregation
+      // on any real corpus.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -61,8 +61,13 @@ object TextQueries {
   private def shingleIndexOf(docs: DataFrame, n: Int): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .select(col("doc_id"), explode(shingles(n)).as("s"))
-      .distinct()
+      // Set semantics per document via array_distinct BEFORE the
+      // explode: a hash-set pass over each row's shingle array (linear,
+      // map-side, no exchange) replaces a global distinct() that would
+      // shuffle the full exploded index — the largest relation in every
+      // dedup pipeline.
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(n))).as("s"))
       .persist()
 
   /** Scoped-cache harness for the dedup pipelines: builds the persisted
@@ -75,8 +80,11 @@ object TextQueries {
   private def withShingleIndex(s: SparkSession, docs: DataFrame, n: Int,
       resultPath: String)(body: DataFrame => DataFrame): DataFrame = {
     val idx = shingleIndexOf(docs, n)
+    // Blocking: the cache-drop is billed to THIS pipeline, instead of
+    // landing as an async block-removal storm on whatever query runs
+    // next in the session.
     try body(idx).write.mode("overwrite").parquet(resultPath)
-    finally idx.unpersist(blocking = false)
+    finally idx.unpersist(blocking = true)
     s.read.parquet(resultPath)
   }
 
@@ -206,8 +214,8 @@ object TextQueries {
       which: String): DataFrame = {
     val idx = t(s, d, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .select(col("doc_id"), explode(shingles(if (which == "ngram") 5 else 3)).as("s"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(if (which == "ngram") 5 else 3))).as("s"))
     which match {
       case "ngram" =>
         val a = idx.select(col("doc_id").as("doc_a"), col("s"))

@@ -153,18 +153,33 @@ object VectorQueries {
     ranked.filter(col("rk") <= cap).drop("rk")
   }
 
-  private def corpusBits(e: DataFrame): Int = bitsFor(e.count())
+  /** Corpus row count from the raw parquet (metadata-only fast path —
+    * counting the projected/normalized relation would evaluate every
+    * vec_dot just to size the bucket space). */
+  private def corpusBits(s: SparkSession, d: String): Int =
+    bitsFor(t(s, d, "embeddings").count())
 
-  private def annCandidates(s: SparkSession, d: String): DataFrame = {
-    val e = emb(s, d)
-    val buckets = withBuckets(e, corpusBits(e))
-    val q = buckets.filter(col("vec_id") < NQ)
-      .select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
-    val c = buckets.select(col("vec_id").as("nid"), col("tbl"), col("bkt"))
-    broadcast(q).join(c, Seq("tbl", "bkt"))
-      .filter(col("qid") =!= col("nid"))
-      .select("qid", "nid").distinct()
+  /** Compute buckets once (persisted), run `body` over them, drop the
+    * cache before returning — both LSH candidate generators scan the
+    * bucket relation from 2-3 sides. */
+  private def withBucketCache[A](buckets: DataFrame)(
+      body: DataFrame => A): A = {
+    val cached = buckets.persist()
+    try body(cached)
+    finally cached.unpersist(blocking = true)
   }
+
+  private def writeAnnCandidates(s: SparkSession, d: String,
+      path: String): Unit =
+    withBucketCache(withBuckets(emb(s, d), corpusBits(s, d))) { buckets =>
+      val q = buckets.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
+      val c = buckets.select(col("vec_id").as("nid"), col("tbl"), col("bkt"))
+      broadcast(q).join(c, Seq("tbl", "bkt"))
+        .filter(col("qid") =!= col("nid"))
+        .select("qid", "nid").distinct()
+        .write.mode("overwrite").parquet(path)
+    }
 
   // ---- IVF-style partitioning: nearest-centroid inverted lists -------
   private val numCentroids = 16
@@ -206,14 +221,28 @@ object VectorQueries {
   /** Corpus-wide same-bucket pairs (i < j) — the near-dup candidates.
     * Bucket-bit count scales with corpus size (bitsFor) and each bucket
     * is capped (capBuckets), so per-bucket pair work stays bounded no
-    * matter how large or how skewed the corpus gets. */
-  private def dupCandidates(s: SparkSession, d: String): DataFrame = {
-    val e = emb(s, d)
-    val buckets = capBuckets(withBuckets(e, corpusBits(e)))
-    val l = buckets.select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
-    val r = buckets.select(col("vec_id").as("nid"), col("tbl"), col("bkt"))
-    l.join(r, Seq("tbl", "bkt")).filter(col("qid") < col("nid"))
-      .select("qid", "nid").distinct()
+    * matter how large or how skewed the corpus gets. The ranked bucket
+    * relation is cached for the spill count + both join sides, then
+    * dropped. */
+  private def writeDupCandidates(s: SparkSession, d: String,
+      path: String): Unit = {
+    val w = Window.partitionBy("tbl", "bkt").orderBy("vec_id")
+    val ranked = withBuckets(emb(s, d), corpusBits(s, d))
+      .withColumn("rk", row_number().over(w))
+    withBucketCache(ranked) { cached =>
+      val spilled = cached.filter(col("rk") > MaxBucket).count()
+      if (spilled > 0)
+        System.err.println(
+          s"[graft] embed LSH: $spilled bucket members beyond " +
+            s"cap=$MaxBucket excluded from candidate generation " +
+            "(recall reduced)")
+      val buckets = cached.filter(col("rk") <= MaxBucket).drop("rk")
+      val l = buckets.select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
+      val r = buckets.select(col("vec_id").as("nid"), col("tbl"), col("bkt"))
+      l.join(r, Seq("tbl", "bkt")).filter(col("qid") < col("nid"))
+        .select("qid", "nid").distinct()
+        .write.mode("overwrite").parquet(path)
+    }
   }
 
   val entries: Map[String, (Q, String)] = Map(
@@ -238,7 +267,7 @@ object VectorQueries {
     "q_embed_ann" -> ((
       (s: SparkSession, d: String) => {
         val path = s"/tmp/graft_cand_ann_${graft.Tables.dirTag(d)}"
-        annCandidates(s, d).write.mode("overwrite").parquet(path)
+        writeAnnCandidates(s, d, path)
         rankTopK(cosineFor(s, d, s.read.parquet(path)))
       },
       rankSql(s"SELECT DISTINCT qid, nid FROM read_parquet('/tmp/graft_cand_ann_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/*.parquet')"))),
@@ -258,7 +287,7 @@ object VectorQueries {
     "q_embed_dup" -> ((
       (s: SparkSession, d: String) => {
         val path = s"/tmp/graft_cand_embdup_${graft.Tables.dirTag(d)}"
-        dupCandidates(s, d).write.mode("overwrite").parquet(path)
+        writeDupCandidates(s, d, path)
         cosineFor(s, d, s.read.parquet(path))
           .filter(col("cosraw") >= DupThreshold)
           .select(col("qid").as("vec_a"), col("nid").as("vec_b"),
