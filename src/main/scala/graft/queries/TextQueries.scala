@@ -139,19 +139,32 @@ object TextQueries {
   private val bandRows = 2
   private val numBands = numHashes / bandRows
 
-  private def minhashCandidates(idx: DataFrame): DataFrame = {
-    val spark = idx.sparkSession
-    import spark.implicits._
-    // One shuffle, one typed aggregate: the whole 32-long signature per
-    // document in a single Aggregator buffer. The shingle is hashed
-    // once in codegen; the aggregator derives the hash family.
-    val sigs = idx
-      .select(col("doc_id").cast("long"), xxhash64(col("s")).as("h"))
-      .as[(Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(graft.functions.MinHashAggregator.toColumn.name("sig"))
-      .toDF("doc_id", "sig")
+  /** Per-document (doc_id, shingle-set array) — the map-only input the
+    * sketch signatures are computed from. */
+  private def docShingles(docs: DataFrame, n: Int): DataFrame = {
+    graft.functions.SketchFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), array_distinct(shingles(n)).as("sh"))
+  }
+
+  /** Same-bucket candidate pairs from per-band bucket values: the LSH
+    * prune that avoids all-pairs. Only (doc_id, band, bucket) rows —
+    * ~24 B each — reach the exchange. */
+  private def bandedPairs(bands: DataFrame): DataFrame = {
+    val l = bands.select(col("doc_id").as("doc_a"), col("b"), col("v"))
+    val r = bands.select(col("doc_id").as("doc_b"), col("b"), col("v"))
+    l.join(r, Seq("b", "v")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** MinHash signatures via the codegen'd minhash_sig expression — a
+    * pure map over each document row (round 2 shuffled the exploded
+    * shingle index into a typed Aggregator to rebuild exactly this
+    * per-document state; the signature is a function of the row). */
+  private def minhashCandidates(docs: DataFrame): DataFrame = {
+    val sigs = docShingles(docs, 3)
+      .select(col("doc_id"), expr("minhash_sig(sh)").as("sig"))
     val bandStructs = (0 until numBands).map { j =>
       struct(lit(j).as("b"),
         hash(col("sig").getItem(bandRows * j),
@@ -160,42 +173,23 @@ object TextQueries {
     val bands = sigs.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.v").as("v"))
-    // Same-bucket pairs only — the LSH prune that avoids all-pairs.
-    val l = bands.select(col("doc_id").as("doc_a"), col("b"), col("v"))
-    val r = bands.select(col("doc_id").as("doc_b"), col("b"), col("v"))
-    l.join(r, Seq("b", "v")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    bandedPairs(bands)
   }
 
   // ---- SimHash: 64-bit signature over distinct 3-gram shingles,
   // 4x16-bit bands. Shingles, not raw tokens: with a small vocabulary
   // every document contains nearly every token, so token-feature
   // signatures collapse into one bucket; shingle sets stay distinctive.
-  private def simhashCandidates(idx: DataFrame): DataFrame = {
-    val spark = idx.sparkSession
-    import spark.implicits._
-    // One typed Aggregator column accumulates the whole 64-bit signed
-    // bit-count vector per document (vs 64 separate sum(CASE...) agg
-    // expressions, whose generated update code is enormous).
-    val sums = idx.withColumn("h", xxhash64(lit(9), col("s")))
-      .select(col("doc_id").cast("long"), col("h")).as[(Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(graft.functions.BitSumAggregator.toColumn.name("bits"))
-      .toDF("doc_id", "bits")
+  private def simhashCandidates(docs: DataFrame): DataFrame = {
+    val sigs = docShingles(docs, 3)
+      .select(col("doc_id"), expr("simhash_sig(sh)").as("sig"))
     val chunks = (0 until 4).map { c =>
-      val v = (0 until 16).map(k =>
-        when(col("bits").getItem(16 * c + k) > 0, lit(1L << k))
-          .otherwise(lit(0L)))
-        .reduce(_ + _)
-      struct(lit(c).as("b"), v.as("v"))
+      struct(lit(c).as("b"),
+        expr(s"(sig >> ${16 * c}) & 65535").as("v"))
     }
-    val bands = sums.select(col("doc_id"), explode(array(chunks: _*)).as("band"))
+    val bands = sigs.select(col("doc_id"), explode(array(chunks: _*)).as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.v").as("v"))
-    val l = bands.select(col("doc_id").as("doc_a"), col("b"), col("v"))
-    val r = bands.select(col("doc_id").as("doc_b"), col("b"), col("v"))
-    l.join(r, Seq("b", "v")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    bandedPairs(bands)
   }
 
   /** Persist candidates for the oracle's verify-only pass, then verify. */
@@ -224,9 +218,9 @@ object TextQueries {
           .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
         jaccardFilter(pairs, idx, 0.5)
       case "minhash" => jaccardFilter(
-        interFor(minhashCandidates(idx), idx), idx, 0.7)
+        interFor(minhashCandidates(t(s, d, "documents")), idx), idx, 0.7)
       case "simhash" => jaccardFilter(
-        interFor(simhashCandidates(idx), idx), idx, 0.7)
+        interFor(simhashCandidates(t(s, d, "documents")), idx), idx, 0.7)
       case "exact" => entriesExactPlan(s, d)
     }
   }
@@ -297,7 +291,7 @@ object TextQueries {
       (s: SparkSession, d: String) =>
         withShingleIndex(s, t(s, d, "documents"), 3,
           s"/tmp/graft_res_minhash_${graft.Tables.dirTag(d)}") { idx =>
-          candidateVerify(s, minhashCandidates(idx), idx,
+          candidateVerify(s, minhashCandidates(t(s, d, "documents")), idx,
             s"/tmp/graft_cand_minhash_${graft.Tables.dirTag(d)}", 0.7)
         }.orderBy("doc_a", "doc_b"),
       verifySql(s"/tmp/graft_cand_minhash_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}", 0.7))),
@@ -308,7 +302,7 @@ object TextQueries {
       (s: SparkSession, d: String) =>
         withShingleIndex(s, t(s, d, "documents"), 3,
           s"/tmp/graft_res_simhash_${graft.Tables.dirTag(d)}") { idx =>
-          candidateVerify(s, simhashCandidates(idx), idx,
+          candidateVerify(s, simhashCandidates(t(s, d, "documents")), idx,
             s"/tmp/graft_cand_simhash_${graft.Tables.dirTag(d)}", 0.7)
         }.orderBy("doc_a", "doc_b"),
       verifySql(s"/tmp/graft_cand_simhash_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}", 0.7))),
