@@ -16,12 +16,22 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // The dedup gate queries materialize eagerly (scoped shingle-index
+    // cache), so their returned plan is just the result-file scan;
+    // explain the unmaterialized pipeline instead.
+    val probes = Map(
+      "q_dedup_exact" -> "exact", "q_dedup_ngram" -> "ngram",
+      "q_dedup_minhash" -> "minhash", "q_dedup_simhash" -> "simhash")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (only.isEmpty || only.contains(name)) {
         println(s"\n========== $name ==========")
-        try println(fn(spark, sfDir).queryExecution
-          .explainString(ExplainMode.fromString("formatted")))
-        catch { case e: Throwable => println(s"explain failed: $e") }
+        try {
+          val df = probes.get(name)
+            .map(graft.queries.TextQueries.planProbe(spark, sfDir, _))
+            .getOrElse(fn(spark, sfDir))
+          println(df.queryExecution
+            .explainString(ExplainMode.fromString("formatted")))
+        } catch { case e: Throwable => println(s"explain failed: $e") }
       }
     }
     spark.stop()
