@@ -34,16 +34,21 @@ object Multimodal {
       checksum: Long)
 
   /** Deterministic fake decode of one payload — stands in for the real
-    * codec (??? in spirit; deterministic so tests can golden it). */
+    * codec (??? in spirit; deterministic so tests can golden it and the
+    * driver's DuckDB oracle can recompute it: the "features" derive
+    * from the big-endian first 8 bytes of sha256(payload)). */
   def decodeStub(a: Asset): AssetFeatures = {
-    var h = 1125899906842597L // FNV-ish rolling hash over the bytes
-    a.payload.foreach(b => h = h * 31 + (b & 0xff))
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(a.payload)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (digest(i) & 0xffL); i += 1 }
     AssetFeatures(
       asset_id = a.asset_id,
       mime = a.mime,
       n_bytes = a.payload.length,
-      width = 64 + math.floorMod(h, 1024).toInt,
-      height = 64 + math.floorMod(h >> 10, 1024).toInt,
+      width = 64 + (h & 1023L).toInt,
+      height = 64 + ((h >>> 10) & 1023L).toInt,
       checksum = h)
   }
 

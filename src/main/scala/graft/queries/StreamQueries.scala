@@ -56,6 +56,32 @@ object StreamQueries {
         |event_type, CAST(count(*) AS BIGINT) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
 
+    // Streaming exact dedup: the q_dedup_exact digest aggregation run
+    // through readStream (file source, AvailableNow) — the continuous
+    // flavor of corpus dedup. Same 32-byte digest shuffle key; at scale
+    // this runs in update mode with a watermark bounding state (see
+    // StreamDedupSpec for the bounded-state variant); the finite source
+    // + complete mode here makes the gate deterministic.
+    "q_stream_dedup" -> ((
+      (s: SparkSession, d: String) => {
+        val srcDir = s"/tmp/graft_stream_docs_${graft.Tables.dirTag(d)}"
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(srcDir, "_SUCCESS")))
+          t(s, d, "documents").write.mode("overwrite").parquet(srcDir)
+        val schema = s.read.parquet(srcDir).schema
+        val qn = "graft_docs_" + math.abs(d.hashCode).toString
+        val stream = s.readStream.schema(schema).parquet(srcDir)
+          .groupBy(sha2(col("text"), 256).as("fp"))
+          .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        val q = stream.writeStream.format("memory").queryName(qn)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(qn).select("doc_id", "n_copies").orderBy("doc_id")
+      },
+      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+        |CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin)),
+
     // Per-key session windows (30-minute inactivity gap) — the
     // session-window flavor of P6's per-key batching; the same
     // session_window() aggregation runs unchanged under readStream with

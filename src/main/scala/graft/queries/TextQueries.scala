@@ -461,6 +461,38 @@ object TextQueries {
     // The real decode would be a per-partition codec (see
     // graft.multimodal); here the Spark-side schema/typing contract is
     // exercised: utf8 payload bytes, byte length, content head as hex.
+    // Multimodal decode/feature-extract: the per-partition codec
+    // boundary (graft.multimodal.Multimodal.decode — the Scala analogue
+    // of a batch-wise Pandas UDF over mapInPandas) driven end-to-end
+    // through the driver gate. The decode itself is the documented
+    // deterministic stub (no media libs in env): features derive from
+    // sha256(payload), which the oracle recomputes exactly.
+    "q_multimodal_decode" -> ((
+      (s: SparkSession, d: String) => {
+        val assets = graft.multimodal.Multimodal.assetsFromBinary(
+          t(s, d, "documents")
+            .withColumn("bin", col("text").cast("binary")),
+          "doc_id", "bin", "text/plain")
+        graft.multimodal.Multimodal.decode(assets).toDF()
+          .select(col("asset_id"), col("n_bytes"), col("width"),
+            col("height"), col("checksum"))
+          .orderBy("asset_id")
+      },
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |    list_reduce(list_transform(range(1, 17),
+        |      i -> (strpos('0123456789abcdef', substr(sha256(text), i, 1)) - 1)::HUGEINT),
+        |      (a, x) -> a * 16 + x) AS uv
+        |  FROM documents)
+        |SELECT doc_id AS asset_id, n_bytes,
+        |  CAST(64 + (uv % 1024) AS INT) AS width,
+        |  CAST(64 + ((uv // 1024) % 1024) AS INT) AS height,
+        |  CAST(CASE WHEN uv >= 9223372036854775808::HUGEINT
+        |    THEN uv - 18446744073709551616::HUGEINT ELSE uv END AS BIGINT)
+        |    AS checksum
+        |FROM u ORDER BY asset_id""".stripMargin)),
+
     "q_multimodal_meta" -> ((
       (s: SparkSession, d: String) =>
         t(s, d, "documents")
