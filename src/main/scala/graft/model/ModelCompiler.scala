@@ -210,11 +210,17 @@ object ModelCompiler {
     "from_id VARCHAR(255), to_id VARCHAR(255)"
 
   /** Follow refined-simple-kind aliases (enum → string, …) to the
-    * underlying simple kind name. */
-  @annotation.tailrec
-  def resolveKind(kindName: String, model: Model): String =
-    model.get(kindName) match {
-      case Some(k) if k.runtimeKind.isDefined => resolveKind(k.runtimeKind.get, model)
-      case _ => kindName
-    }
+    * underlying simple kind name; cycle-safe (an alias loop resolves to
+    * the first re-entered name rather than spinning forever). */
+  def resolveKind(kindName: String, model: Model): String = {
+    @annotation.tailrec
+    def go(name: String, seen: Set[String]): String =
+      model.get(name) match {
+        case Some(k) if k.runtimeKind.isDefined &&
+            !seen.contains(k.runtimeKind.get) =>
+          go(k.runtimeKind.get, seen + name)
+        case _ => name
+      }
+    go(kindName, Set.empty)
+  }
 }

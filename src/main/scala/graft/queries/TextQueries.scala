@@ -392,6 +392,43 @@ object TextQueries {
         |sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Winnowing fingerprint (MOSS-style rolling scheme): hash every
+    // ORDERED 3-gram shingle, slide a 4-hash window, keep each window's
+    // minimum — the classic position-robust document fingerprint for
+    // near-dup blocking (complements q_text_fingerprint's order-
+    // insensitive whole-set digest). Map-only: per-row array ops, no
+    // exchange. Hashes are sha256-prefix hex strings so the oracle's
+    // lexicographic minima agree byte-for-byte.
+    "q_text_winnow" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+          .select(col("doc_id"), shingles(3).as("sh"))
+          .withColumn("hs",
+            expr("transform(sh, x -> substring(sha2(x, 256), 1, 16))"))
+          .withColumn("w", expr(
+            """CASE WHEN size(hs) >= 4 THEN
+              |  transform(sequence(1, size(hs) - 3),
+              |    i -> array_min(slice(hs, i, 4)))
+              |ELSE hs END""".stripMargin))
+          .select(col("doc_id"),
+            size(array_distinct(col("w"))).as("n_fp"),
+            array_join(array_sort(array_distinct(col("w"))), ",").as("fp"))
+          .orderBy("doc_id"),
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(t) >= 3 THEN
+        |    list_transform(range(1, len(t) - 1),
+        |      i -> substr(sha256(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 16))
+        |  ELSE CAST([] AS VARCHAR[]) END AS hs FROM tk),
+        |wins AS (SELECT doc_id,
+        |  CASE WHEN len(hs) >= 4 THEN
+        |    list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3]))
+        |  ELSE hs END AS w FROM sh)
+        |SELECT doc_id, CAST(len(list_distinct(w)) AS INT) AS n_fp,
+        |  coalesce(array_to_string(list_sort(list_distinct(w)), ','), '') AS fp
+        |FROM wins ORDER BY doc_id""".stripMargin)),
+
     // The composed training-data pipeline: quality gate -> exact dedup
     // by content fingerprint -> near-dup removal (5-gram jaccard >= 0.5
     // via the inverted index, dropping the higher doc_id of every
