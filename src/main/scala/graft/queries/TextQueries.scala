@@ -80,6 +80,12 @@ object TextQueries {
   private def withShingleIndex(s: SparkSession, docs: DataFrame, n: Int,
       resultPath: String)(body: DataFrame => DataFrame): DataFrame = {
     val idx = shingleIndexOf(docs, n)
+    // Populate the cache in one deliberate pass BEFORE the pipeline
+    // fans out: the verify join scans the index from three sides whose
+    // shuffle-map stages are independent — scheduled concurrently
+    // against a cold cache, each would recompute the tokenize/explode
+    // lineage instead of hitting it.
+    idx.count()
     // Blocking: the cache-drop is billed to THIS pipeline, instead of
     // landing as an async block-removal storm on whatever query runs
     // next in the session.
