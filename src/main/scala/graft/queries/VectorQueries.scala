@@ -225,25 +225,15 @@ object VectorQueries {
     * relation is cached for the spill count + both join sides, then
     * dropped. */
   private def writeDupCandidates(s: SparkSession, d: String,
-      path: String): Unit = {
-    val w = Window.partitionBy("tbl", "bkt").orderBy("vec_id")
-    val ranked = withBuckets(emb(s, d), corpusBits(s, d))
-      .withColumn("rk", row_number().over(w))
-    withBucketCache(ranked) { cached =>
-      val spilled = cached.filter(col("rk") > MaxBucket).count()
-      if (spilled > 0)
-        System.err.println(
-          s"[graft] embed LSH: $spilled bucket members beyond " +
-            s"cap=$MaxBucket excluded from candidate generation " +
-            "(recall reduced)")
-      val buckets = cached.filter(col("rk") <= MaxBucket).drop("rk")
+      path: String): Unit =
+    withBucketCache(withBuckets(emb(s, d), corpusBits(s, d))) { cached =>
+      val buckets = capBuckets(cached)
       val l = buckets.select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
       val r = buckets.select(col("vec_id").as("nid"), col("tbl"), col("bkt"))
       l.join(r, Seq("tbl", "bkt")).filter(col("qid") < col("nid"))
         .select("qid", "nid").distinct()
         .write.mode("overwrite").parquet(path)
     }
-  }
 
   val entries: Map[String, (Q, String)] = Map(
 
