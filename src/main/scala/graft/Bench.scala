@@ -31,22 +31,32 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Queries are timed independently: drop any rdd cache a previous
-      // query persisted (e.g. the dedup family's shingle index).
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
       // Full materialization: the noop sink evaluates every row/column of
       // the result without writing, so Catalyst can't prune the payload
       // the way a bare count() would allow. A failed query reports -1 so
       // it can never masquerade as a fast success in the totals.
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          name -> -1.0
+      //
+      // Each query is timed twice and the MIN reported (the standard
+      // timeit/hyperfine protocol): the bench box exhibits transient
+      // hypervisor CPU-steal windows (hundreds of stolen CPU-seconds per
+      // minute at times) that otherwise get billed to whichever query
+      // they land on. The min of two runs measures the engine, not the
+      // neighbor.
+      val times = (1 to 2).map { _ =>
+        // Queries are timed independently: drop any rdd cache a
+        // previous run/query persisted.
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1.0
+        }
       }
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
