@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Dev harness: time (and optionally explain) a subset of the gate
   * queries against an arbitrary sf dir, without running the whole bench.
   * Usage: runMain graft.Probe <sfDir> [--explain] q1 q2 ...
