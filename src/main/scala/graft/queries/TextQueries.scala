@@ -452,18 +452,26 @@ object TextQueries {
             array_distinct(toks)), " "), 256))
           .groupBy("fp").agg(min("doc_id").as("doc_id"))
           .select("doc_id")
-        val s1 = q.join(fp, "doc_id")
-        withShingleIndex(s, s1.select("doc_id", "text"), 5,
-          s"/tmp/graft_res_clean_${graft.Tables.dirTag(d)}") { idx =>
-          val a = idx.select(col("doc_id").as("doc_a"), col("s"))
-          val b = idx.select(col("doc_id").as("doc_b"), col("s"))
-          val pairs = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
-            .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-          val dups = jaccardFilter(pairs, idx, 0.5)
-            .select(col("doc_b")).distinct()
-          s1.join(dups, s1("doc_id") === dups("doc_b"), "left_anti")
-            .select("doc_id", "lang", "n_chars")
-        }.orderBy("doc_id")
+        // s1 (quality gate + exact-fingerprint dedup) feeds BOTH the
+        // shingle index and the final anti-join; persist it so the
+        // filter→agg→join lineage runs once, not per consumer. The
+        // result below it is eagerly materialized by withShingleIndex,
+        // so the unpersist after is safe.
+        val s1 = q.join(fp, "doc_id").persist()
+        try {
+          s1.count() // warm the cache before the pipeline fans out
+          withShingleIndex(s, s1.select("doc_id", "text"), 5,
+            s"/tmp/graft_res_clean_${graft.Tables.dirTag(d)}") { idx =>
+            val a = idx.select(col("doc_id").as("doc_a"), col("s"))
+            val b = idx.select(col("doc_id").as("doc_b"), col("s"))
+            val pairs = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+              .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+            val dups = jaccardFilter(pairs, idx, 0.5)
+              .select(col("doc_b")).distinct()
+            s1.join(dups, s1("doc_id") === dups("doc_b"), "left_anti")
+              .select("doc_id", "lang", "n_chars")
+          }.orderBy("doc_id")
+        } finally s1.unpersist(blocking = true)
       },
       s"""WITH q AS (
          |  SELECT doc_id, text, lang, n_chars FROM documents

@@ -137,27 +137,23 @@ object VectorQueries {
   /** Skew guard for bucket self-joins: deterministically keep the first
     * `cap` members (by vec_id) of each (tbl, bkt) bucket, so a
     * degenerate bucket (all-identical embeddings, adversarial inputs)
-    * contributes at most cap·(cap−1)/2 pairs instead of O(size²). The
-    * dropped-member count is logged — a silent cap would read as full
-    * coverage when it isn't. */
+    * contributes at most cap·(cap−1)/2 pairs instead of O(size²). Pure
+    * transform — spill accounting lives in the caller, which derives
+    * the dropped-member count from the capped cardinality instead of a
+    * second pass over the ranked relation. */
   private[graft] val MaxBucket = 256
   private[graft] def capBuckets(buckets: DataFrame,
       cap: Int = MaxBucket): DataFrame = {
     val w = Window.partitionBy("tbl", "bkt").orderBy("vec_id")
-    val ranked = buckets.withColumn("rk", row_number().over(w))
-    val spilled = ranked.filter(col("rk") > cap).count()
-    if (spilled > 0)
-      System.err.println(
-        s"[graft] embed LSH: $spilled bucket members beyond cap=$cap " +
-          "excluded from candidate generation (recall reduced)")
-    ranked.filter(col("rk") <= cap).drop("rk")
+    buckets.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap).drop("rk")
   }
 
   /** Corpus row count from the raw parquet (metadata-only fast path —
     * counting the projected/normalized relation would evaluate every
     * vec_dot just to size the bucket space). */
-  private def corpusBits(s: SparkSession, d: String): Int =
-    bitsFor(t(s, d, "embeddings").count())
+  private def corpusRows(s: SparkSession, d: String): Long =
+    t(s, d, "embeddings").count()
 
   /** Compute buckets once (persisted), run `body` over them, drop the
     * cache before returning — both LSH candidate generators scan the
@@ -171,7 +167,7 @@ object VectorQueries {
 
   private def writeAnnCandidates(s: SparkSession, d: String,
       path: String): Unit =
-    withBucketCache(withBuckets(emb(s, d), corpusBits(s, d))) { buckets =>
+    withBucketCache(withBuckets(emb(s, d), bitsFor(corpusRows(s, d)))) { buckets =>
       val q = buckets.filter(col("vec_id") < NQ)
         .select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
       val c = buckets.select(col("vec_id").as("nid"), col("tbl"), col("bkt"))
@@ -221,19 +217,34 @@ object VectorQueries {
   /** Corpus-wide same-bucket pairs (i < j) — the near-dup candidates.
     * Bucket-bit count scales with corpus size (bitsFor) and each bucket
     * is capped (capBuckets), so per-bucket pair work stays bounded no
-    * matter how large or how skewed the corpus gets. The ranked bucket
-    * relation is cached for the spill count + both join sides, then
-    * dropped. */
+    * matter how large or how skewed the corpus gets.
+    *
+    * Single-pass capping: the CAPPED relation is what gets persisted,
+    * so the row_number window exchange runs exactly once; the count()
+    * that materializes the cache doubles as the spill measurement
+    * (buckets in = numTables rows per vector, so spilled = in − kept),
+    * and both self-join sides read the warm cache. Round 3 cached the
+    * pre-window buckets instead, recomputing the window 3× (spill
+    * count job + each join side). */
   private def writeDupCandidates(s: SparkSession, d: String,
-      path: String): Unit =
-    withBucketCache(withBuckets(emb(s, d), corpusBits(s, d))) { cached =>
-      val buckets = capBuckets(cached)
-      val l = buckets.select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
-      val r = buckets.select(col("vec_id").as("nid"), col("tbl"), col("bkt"))
+      path: String): Unit = {
+    val n = corpusRows(s, d)
+    val capped =
+      capBuckets(withBuckets(emb(s, d), bitsFor(n))).persist()
+    try {
+      val kept = capped.count() // materializes the cache — one window pass
+      val spilled = numTables * n - kept
+      if (spilled > 0)
+        System.err.println(
+          s"[graft] embed LSH: $spilled bucket members beyond cap=$MaxBucket " +
+            "excluded from candidate generation (recall reduced)")
+      val l = capped.select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
+      val r = capped.select(col("vec_id").as("nid"), col("tbl"), col("bkt"))
       l.join(r, Seq("tbl", "bkt")).filter(col("qid") < col("nid"))
         .select("qid", "nid").distinct()
         .write.mode("overwrite").parquet(path)
-    }
+    } finally capped.unpersist(blocking = true)
+  }
 
   val entries: Map[String, (Q, String)] = Map(
 
