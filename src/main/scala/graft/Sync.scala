@@ -76,7 +76,7 @@ object Sync {
     * only its own partition directory (partition pruning), instead of
     * N full input scans for N kinds. */
   def toParquet(spark: SparkSession, envelopes: DataFrame, model: Model,
-      baseDir: String): Map[String, String] = {
+      baseDir: String, dropExisting: Boolean = false): Map[String, String] = {
     import org.apache.spark.sql.functions.col
     val nodeStage = s"$baseDir/_ingest_nodes"
     val edgeStage = s"$baseDir/_ingest_edges"
@@ -123,6 +123,10 @@ object Sync {
     }.toMap
 
     val paths = TableSink.writeAll(kindTables ++ linkTables, baseDir)
+    // The reference's drop_existing_tables analogue (sql.py:150-151):
+    // prod dirs for tables absent from this sync are swept, so a kind
+    // that left the model stops being queryable.
+    if (dropExisting) TableSink.dropStaleProd(spark, baseDir, paths.keySet)
     TableSink.registerProd(spark, paths)
     paths
   }

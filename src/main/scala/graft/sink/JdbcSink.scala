@@ -45,35 +45,70 @@ object JdbcSink {
 
   def staging(name: String): String = graft.model.ModelCompiler.tmpName(name)
 
-  /** Atomic-per-table staging→prod swap: drop prod if present, rename
-    * tmp into place (reference: sql.py:129-159). */
-  def swapTempTables(url: String, tables: Iterable[String]): Unit = {
+  /** Atomic-per-table staging→prod swap, reflection-driven like the
+    * reference (sql.py:129-159): every `tmp_*` table found in the
+    * target replaces its prod table. Before any DROP TABLE the table's
+    * own foreign-key constraints are dropped (sql.py:136-141 — a
+    * constrained table cannot be dropped on most dialects). With
+    * `dropExisting`, prod tables that did NOT receive a fresh staging
+    * copy in this sync are dropped too (sql.py:150-151), so a kind
+    * removed from the model does not leave a stale table serving a
+    * previous sync's schema forever. A dropped-set guards the
+    * rename-then-revisit case: a prod replaced by its tmp is never
+    * re-dropped when the reflection snapshot's old entry comes up. */
+  def swapTempTables(url: String, dropExisting: Boolean = false): Unit = {
     val conn = DriverManager.getConnection(url)
     try {
       val st = conn.createStatement()
+      val md = conn.getMetaData
       val existing = {
-        val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
-        val b = scala.collection.mutable.Set[String]()
+        val rs = md.getTables(null, null, "%", Array("TABLE"))
+        val b = scala.collection.mutable.LinkedHashSet[String]()
         while (rs.next()) b += rs.getString("TABLE_NAME").toLowerCase
-        b.toSet
+        b.toSeq
       }
-      tables.foreach { t =>
-        if (existing.contains(staging(t).toLowerCase)) {
-          if (existing.contains(t.toLowerCase))
-            st.executeUpdate(s"""DROP TABLE "${t.toUpperCase}"""")
-          st.executeUpdate(
-            s"""RENAME TABLE "${staging(t).toUpperCase}" TO "${t.toUpperCase}"""")
+      val existingSet = existing.toSet
+      val dropped = scala.collection.mutable.Set[String]()
+      def dropTable(name: String): Unit = if (dropped.add(name)) {
+        // The table's own FK constraints (reference drops exactly
+        // these), plus constraints in OTHER tables referencing this one
+        // — the reference leaves those and survives only by metadata
+        // iteration order; an inbound FK from a not-yet-dropped table
+        // would fail the DROP on every dialect.
+        val constraints = {
+          val b = scala.collection.mutable.LinkedHashSet[(String, String)]()
+          val own = md.getImportedKeys(null, null, name.toUpperCase)
+          while (own.next())
+            b += ((name.toUpperCase, own.getString("FK_NAME")))
+          val inbound = md.getExportedKeys(null, null, name.toUpperCase)
+          while (inbound.next())
+            b += ((inbound.getString("FKTABLE_NAME"), inbound.getString("FK_NAME")))
+          b.toSeq
         }
+        constraints.foreach { case (onTable, fk) => st.executeUpdate(
+          s"""ALTER TABLE "$onTable" DROP CONSTRAINT "$fk"""") }
+        st.executeUpdate(s"""DROP TABLE "${name.toUpperCase}"""")
+      }
+      val tmpPrefix = staging("")
+      existing.foreach { t =>
+        if (t.startsWith(tmpPrefix)) {
+          val prod = t.stripPrefix(tmpPrefix)
+          if (existingSet.contains(prod)) dropTable(prod)
+          st.executeUpdate(
+            s"""RENAME TABLE "${t.toUpperCase}" TO "${prod.toUpperCase}"""")
+        } else if (dropExisting) dropTable(t)
       }
     } finally conn.close()
   }
 
   /** Whole sync: staging writes + swap (one call per reference
-    * update_sql run, collect_plugins.py:155-217). */
+    * update_sql run, collect_plugins.py:155-217). `dropExisting`
+    * mirrors the reference's `drop_existing_tables` swap flag. */
   def sync(tables: Map[String, DataFrame], url: String,
-      columnTypes: Map[String, String] = Map.empty): Unit = {
+      columnTypes: Map[String, String] = Map.empty,
+      dropExisting: Boolean = false): Unit = {
     writeStaging(tables, url, columnTypes = columnTypes)
-    swapTempTables(url, tables.keys)
+    swapTempTables(url, dropExisting)
   }
 
   def read(spark: SparkSession, url: String, table: String,

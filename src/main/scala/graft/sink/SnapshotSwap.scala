@@ -20,7 +20,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SnapshotSwap {
 
-  private def rm(p: Path): Unit = {
+  private[sink] def rm(p: Path): Unit = {
     if (Files.exists(p)) {
       if (Files.isDirectory(p)) {
         val children = Files.list(p)
@@ -90,14 +90,35 @@ object SnapshotSwap {
   }
 
   /** Write df as a fresh immutable versioned dir and atomically repoint
-    * the manifest at it; the previous snapshot dir is deleted after the
-    * commit. Returns the new snapshot path. */
+    * the manifest at it. Returns the new snapshot path.
+    *
+    * Cleanup is DEFERRED, not done in the commit path: the
+    * currently-published snapshot is retained through this commit (an
+    * in-flight reader that resolved the old pointer just before the
+    * repoint can still finish its read — the Iceberg-style retention
+    * the protocol is modeled on); snapshots older than that are swept
+    * here, at the START of the next sync. */
   def writeManifested(df: DataFrame, base: String, table: String): String = {
     Files.createDirectories(Paths.get(base))
     val prev = currentSnapshot(base, table)
     val version = prev.flatMap(_.split('-').lastOption)
       .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(0L) + 1
     val dataDir = Paths.get(base, s"_snap_$table-$version")
+    // Sweep snapshots from before the published one (retained across
+    // the previous commit for its in-flight readers, now unreachable
+    // for any reader that resolves the pointer from here on).
+    val prefix = s"_snap_$table-"
+    val stale = {
+      val children = Files.list(Paths.get(base))
+      try {
+        import scala.jdk.CollectionConverters._
+        children.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith(prefix) && !prev.contains(n) &&
+            n != dataDir.getFileName.toString)
+          .toList
+      } finally children.close()
+    }
+    stale.foreach(n => rm(Paths.get(base, n)))
     rm(dataDir)
     stageParquet(df, dataDir)
     // Single-object atomic publish (the local analogue of an atomic
@@ -106,8 +127,6 @@ object SnapshotSwap {
     Files.writeString(tmp, dataDir.getFileName.toString)
     Files.move(tmp, manifestPath(base, table),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-    prev.filter(_ != dataDir.getFileName.toString)
-      .foreach(p => rm(Paths.get(base, p)))
     dataDir.toString
   }
 

@@ -56,4 +56,40 @@ object TableSink {
     paths.foreach { case (name, path) =>
       spark.read.parquet(path).createOrReplaceTempView(name)
     }
+
+  /** Stale-table sweep — the parquet analogue of the reference's
+    * `drop_existing_tables` swap option (sql.py:150-151): remove prod
+    * table dirs, and manifest pointers with their snapshot dirs, for
+    * tables absent from the current sync (`keep`), and deregister
+    * their temp views — a kind that left the model must not keep
+    * serving a previous sync's data forever. Internal dirs
+    * (`_staging_*`, `_old_*`, `_ingest_*`, `_snap_*`) are never prod
+    * tables and are skipped. */
+  def dropStaleProd(spark: SparkSession, base: String,
+      keep: Set[String]): Unit = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(base)
+    if (!Files.exists(dir)) return
+    val names = {
+      val children = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        children.iterator().asScala.map(_.getFileName.toString).toList
+      } finally children.close()
+    }
+    names.filterNot(_.startsWith("_")).foreach { n =>
+      if (n.endsWith(".manifest")) {
+        val table = n.stripSuffix(".manifest")
+        if (!keep.contains(table)) {
+          SnapshotSwap.currentSnapshot(base, table)
+            .foreach(snap => SnapshotSwap.rm(Paths.get(base, snap)))
+          SnapshotSwap.rm(dir.resolve(n))
+          spark.catalog.dropTempView(table)
+        }
+      } else if (Files.isDirectory(dir.resolve(n)) && !keep.contains(n)) {
+        SnapshotSwap.rm(dir.resolve(n))
+        spark.catalog.dropTempView(n)
+      }
+    }
+  }
 }

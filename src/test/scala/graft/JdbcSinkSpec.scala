@@ -41,6 +41,52 @@ class JdbcSinkSpec extends SparkSpecBase {
     } finally conn.close()
   }
 
+  test("swap drops stale prod tables only when dropExisting is set") {
+    import spark.implicits._
+    // Isolated db: dropExisting sweeps everything not in the sync.
+    val url2 = {
+      val dir = Files.createTempDirectory("graft_derby_stale").toString
+      s"jdbc:derby:$dir/db;create=true"
+    }
+    def tableNames(): Set[String] = {
+      val conn = java.sql.DriverManager.getConnection(url2)
+      try {
+        val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+        val names = scala.collection.mutable.Set[String]()
+        while (rs.next()) names += rs.getString("TABLE_NAME").toLowerCase
+        names.toSet
+      } finally conn.close()
+    }
+
+    // Sync 1 carries two kinds; "legacy" also gets an FK constraint so
+    // the sweep must drop the constraint before the table
+    // (reference sql.py:136-141).
+    val a1 = Seq((1L, "a")).toDF("id", "name")
+    JdbcSink.sync(Map("keeper" -> a1, "legacy" -> a1), url2)
+    val conn = java.sql.DriverManager.getConnection(url2)
+    try {
+      val st = conn.createStatement()
+      // Spark's JDBC writer quotes column identifiers (lowercase).
+      st.executeUpdate("""ALTER TABLE "LEGACY" ALTER COLUMN "id" NOT NULL""")
+      st.executeUpdate("""ALTER TABLE "LEGACY" ADD CONSTRAINT "LEG_PK" PRIMARY KEY ("id")""")
+      st.executeUpdate(
+        """ALTER TABLE "KEEPER" ADD CONSTRAINT "KEEP_FK" FOREIGN KEY ("id") REFERENCES "LEGACY" ("id")""")
+    } finally conn.close()
+    assert(tableNames() == Set("keeper", "legacy"))
+
+    // Sync 2 without the flag: "legacy" left the model but survives.
+    val a2 = Seq((2L, "b")).toDF("id", "name")
+    JdbcSink.sync(Map("keeper" -> a2), url2)
+    assert(tableNames() == Set("keeper", "legacy"))
+
+    // Sync 3 with dropExisting: the stale table (and keeper's FK into
+    // it, dropped with keeper's replacement) is swept.
+    JdbcSink.sync(Map("keeper" -> a2), url2, dropExisting = true)
+    assert(tableNames() == Set("keeper"))
+    assert(JdbcSink.read(spark, url2, "keeper")
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("len metadata drives VARCHAR widths in the created table") {
     import graft.model.{Kind, Model, ModelCompiler, Property}
     val model = Model(

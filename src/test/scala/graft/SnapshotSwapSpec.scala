@@ -37,18 +37,27 @@ class SnapshotSwapSpec extends SparkSpecBase {
     assert(SnapshotSwap.readManifested(spark, base, "t").count() == 2)
 
     // v2 publish: NEW immutable dir (no rename of p1 — rename-less
-    // object-store semantics), manifest repointed, old dir cleaned.
+    // object-store semantics), manifest repointed. The v1 dir is
+    // RETAINED through this commit: a reader that resolved the old
+    // pointer just before the repoint can finish its read
+    // (Iceberg-style snapshot retention; cleanup is deferred to the
+    // next sync).
     val p2 = SnapshotSwap.writeManifested(v2, base, "t")
     assert(p2 != p1)
     val rows = SnapshotSwap.readManifested(spark, base, "t")
       .as[(Int, String)].collect().toSeq
     assert(rows == Seq((3, "c")))
-    assert(!Files.exists(Paths.get(p1))) // previous snapshot dropped
+    assert(Files.exists(Paths.get(p1))) // retained for in-flight readers
     assert(Files.exists(Paths.get(p2)))
 
-    // A reader that resolved BEFORE the v2 commit keeps its complete
-    // old snapshot files... (local cleanup deletes them eagerly here;
-    // the consistency contract is resolve-then-read within one sync).
+    // v3 publish: v1 (now unreachable by any resolve-then-read) is
+    // swept at the start of this sync; v2 is the retained predecessor.
+    val v3 = Seq((4, "d")).toDF("id", "v")
+    val p3 = SnapshotSwap.writeManifested(v3, base, "t")
+    assert(!Files.exists(Paths.get(p1)))
+    assert(Files.exists(Paths.get(p2)))
+    assert(Files.exists(Paths.get(p3)))
+
     // An unpublished table fails loudly, not with a half-read.
     intercept[RuntimeException] {
       SnapshotSwap.readManifested(spark, base, "missing")

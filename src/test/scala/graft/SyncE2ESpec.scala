@@ -123,6 +123,38 @@ class SyncE2ESpec extends SparkSpecBase {
     assert(spark.table("link_example_region_example_volume").count() == 0)
   }
 
+  test("re-sync with a removed kind sweeps the orphan prod table when asked") {
+    val env1 = spark.read.json(spark.createDataset(Seq(
+      node("example_region", "r1"),
+      node("example_volume", "v1", ""","capacity":1""")))(
+      org.apache.spark.sql.Encoders.STRING))
+    val base = Files.createTempDirectory("graft_sync_stale").toString
+    graft.Sync.toParquet(spark, env1, model, base)
+    assert(Files.exists(java.nio.file.Paths.get(base, "example_volume")))
+
+    // The model loses example_volume (and the link into it).
+    val m2 = Model(
+      Kind("resource", properties = Seq(
+        Property("id", "string"), Property("name", "string"),
+        Property("kind", "string"))),
+      Kind("example_region", bases = Seq("resource")))
+    val env2 = spark.read.json(spark.createDataset(Seq(
+      node("example_region", "r1")))(
+      org.apache.spark.sql.Encoders.STRING))
+
+    // Default: stale prod survives (reference's drop_existing=False).
+    graft.Sync.toParquet(spark, env2, m2, base)
+    assert(Files.exists(java.nio.file.Paths.get(base, "example_volume")))
+
+    // dropExisting: orphan dir gone AND deregistered from the catalog.
+    graft.Sync.toParquet(spark, env2, m2, base, dropExisting = true)
+    assert(!Files.exists(java.nio.file.Paths.get(base, "example_volume")))
+    assert(!Files.exists(java.nio.file.Paths.get(base,
+      "link_example_instance_example_volume")))
+    assert(!spark.catalog.tableExists("example_volume"))
+    assert(spark.table("example_region").count() == 1)
+  }
+
   test("node-only (edge-free) graph syncs without failing") {
     val env = spark.read.json(spark.createDataset(Seq(
       node("example_region", "solo")))(
