@@ -1,9 +1,29 @@
 package graft
 
 object Bench {
+
+  /** Cumulative hypervisor CPU-steal jiffies from /proc/stat (field 8
+    * of the aggregate cpu line; 0 when absent, e.g. non-Linux). The
+    * bench box exhibits transient steal windows that inflate wall-clock
+    * recordings; emitting the counter makes a steal-inflated recording
+    * self-identifying instead of reading as a code regression. */
+  private def stealJiffies(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu "))
+        .map(_.trim.split("\\s+"))
+        .filter(_.length > 8).map(_(8).toLong).getOrElse(0L)
+      finally src.close()
+    } catch { case _: Throwable => 0L }
+
+  private val JiffiesPerSec = 100.0 // USER_HZ, fixed at 100 on Linux
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Local-iteration escape hatch: time only the named queries.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkEnv.session(cpus)
     // Untimed warmup: JIT/codegen/scheduler/shuffle/parquet-writer init
     // should not be billed to whichever query happens to sort first.
@@ -28,39 +48,50 @@ object Bench {
       spark.read.parquet(scratch).join(nation, "n_nationkey")
         .write.format("noop").mode("overwrite").save()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val stealStart = stealJiffies()
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = queries.map { case (name, fn) =>
       // Full materialization: the noop sink evaluates every row/column of
       // the result without writing, so Catalyst can't prune the payload
       // the way a bare count() would allow. A failed query reports -1 so
       // it can never masquerade as a fast success in the totals.
       //
       // Each query is timed twice and the MIN reported (the standard
-      // timeit/hyperfine protocol): the bench box exhibits transient
-      // hypervisor CPU-steal windows (hundreds of stolen CPU-seconds per
-      // minute at times) that otherwise get billed to whichever query
-      // they land on. The min of two runs measures the engine, not the
-      // neighbor.
+      // timeit/hyperfine protocol): transient CPU-steal windows
+      // otherwise get billed to whichever query they land on. The min
+      // of two runs measures the engine, not the neighbor; the
+      // per-query steal column below records the steal seen by the
+      // reported (min-time) run.
       val times = (1 to 2).map { _ =>
         // Queries are timed independently: drop any rdd cache a
         // previous run/query persisted.
         spark.catalog.clearCache()
+        val s0 = stealJiffies()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          val steal = (stealJiffies() - s0) / JiffiesPerSec
+          (dt, steal)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            -1.0
+            (-1.0, 0.0)
         }
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      val best =
+        if (times.exists(_._1 < 0)) (-1.0, 0.0) else times.minBy(_._1)
+      (name, best._1, best._2)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val stealTotal = (stealJiffies() - stealStart) / JiffiesPerSec
+    def jmap(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results.map(r => r._1 -> r._2))
+    val steals = jmap(results.map(r => r._1 -> r._3))
     val total =
       if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steal_sec":$stealTotal,"query_steal":$steals,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -40,28 +40,32 @@ object FnQueries {
          |  columns = {'n_nationkey':'INTEGER','n_name':'VARCHAR','n_regionkey':'INTEGER'})
          |ORDER BY n_nationkey""".stripMargin)),
 
-    // UTC datetime string <-> timestamp round-trip + date parts
-    // (reference DateTimeString/DateString codecs, sql.py:43-70).
+    // UTC datetime string <-> timestamp conversions + date parts
+    // (reference DateTimeString/DateString codecs, sql.py:43-70). The
+    // ISO date string is a plain cast (dates render yyyy-MM-dd) and the
+    // timestamp is constructed from parts with make_timestamp — both
+    // codegen'd arithmetic; a DateTimeFormatter round-trip
+    // (date_format + to_timestamp with a pattern) produced identical
+    // values at ~7x the cost (rounds 2-3).
     "q_dates" -> ((
       (s: SparkSession, d: String) =>
         t(s, d, "orders")
           .select(
             col("o_orderkey"),
-            date_format(col("o_orderdate"), "yyyy-MM-dd").as("d_str"),
+            col("o_orderdate").cast("string").as("d_str"),
             year(col("o_orderdate")).as("yr"),
             month(col("o_orderdate")).as("mo"),
-            date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+            trunc(col("o_orderdate"), "month").cast("string")
               .as("month_start"),
-            to_timestamp(
-              date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
-              "yyyy-MM-dd HH:mm:ss").as("ts_rt"))
+            expr("make_timestamp(year(o_orderdate), month(o_orderdate), " +
+              "day(o_orderdate), 0, 0, 0)").as("ts_rt"))
           .orderBy("o_orderkey"),
       """SELECT o_orderkey,
-        |strftime(o_orderdate, '%Y-%m-%d') AS d_str,
+        |CAST(o_orderdate AS VARCHAR) AS d_str,
         |CAST(year(o_orderdate) AS INT) AS yr,
         |CAST(month(o_orderdate) AS INT) AS mo,
-        |strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
-        |strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts_rt
+        |CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+        |make_timestamp(year(o_orderdate), month(o_orderdate), day(o_orderdate), 0, 0, 0.0) AS ts_rt
         |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
     // Table/link naming functions (schema_utils.py:28-36: replace,
