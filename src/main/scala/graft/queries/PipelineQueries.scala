@@ -168,6 +168,66 @@ object PipelineQueries {
         |  HAVING min(depth) >= 1 AND min(depth) <= 1)
         |SELECT w.node AS id, n_name AS name
         |FROM wanted w JOIN nation ON 'N' || n_nationkey = w.node
+        |ORDER BY id""".stripMargin)),
+
+    // Chained multi-step search with boolean combinators (the round-3
+    // grammar gap: or/not/parens + interleaved is() steps,
+    // remote_graph.py:62 forwards the full grammar server-side). Over
+    // the same 3-level region→nation→customer dump:
+    //   roots ASIA or EUROPE → their nations except CHINA → those
+    //   nations' customers.
+    // Each hop is shortest-distance [1,1] from the previous step's
+    // matches; the tree shape makes the oracle two plain joins with the
+    // identical predicates.
+    "q_source_search_chain" -> ((
+      (s: SparkSession, d: String) => {
+        // Same dump as q_source_search_depth (re-written: gate queries
+        // must not depend on each other's execution order).
+        val dump = s"/tmp/graft_envelopes_chain_${graft.Tables.dirTag(d)}"
+        val regionNodes = t(s, d, "region").select(to_json(struct(
+          lit("node").as("type"),
+          concat(lit("R"), col("r_regionkey")).as("id"),
+          struct(lit("graph_root").as("kind"),
+            concat(lit("R"), col("r_regionkey")).as("id"),
+            col("r_name").as("name")).as("reported"))).as("value"))
+        val nationNodes = t(s, d, "nation").select(to_json(struct(
+          lit("node").as("type"),
+          concat(lit("N"), col("n_nationkey")).as("id"),
+          struct(lit("infra_nation").as("kind"),
+            concat(lit("N"), col("n_nationkey")).as("id"),
+            col("n_name").as("name")).as("reported"))).as("value"))
+        val custNodes = t(s, d, "customer").select(to_json(struct(
+          lit("node").as("type"),
+          concat(lit("C"), col("c_custkey")).as("id"),
+          struct(lit("infra_customer").as("kind"),
+            concat(lit("C"), col("c_custkey")).as("id"),
+            col("c_name").as("name")).as("reported"))).as("value"))
+        val rnEdges = t(s, d, "nation").select(to_json(struct(
+          lit("edge").as("type"),
+          concat(lit("R"), col("n_regionkey")).as("from"),
+          concat(lit("N"), col("n_nationkey")).as("to"))).as("value"))
+        val ncEdges = t(s, d, "customer").select(to_json(struct(
+          lit("edge").as("type"),
+          concat(lit("N"), col("c_nationkey")).as("from"),
+          concat(lit("C"), col("c_custkey")).as("to"))).as("value"))
+        regionNodes.unionByName(nationNodes).unionByName(custNodes)
+          .unionByName(rnEdges).unionByName(ncEdges)
+          .write.mode("overwrite").text(dump)
+        val env = GraphSource.readEnvelopes(s, dump)
+        val chain = GraphSource.parseChain(
+          """is(graph_root) and (name == "ASIA" or name == "EUROPE")
+            | -[1:1]-> is(infra_nation) and not name == "CHINA"
+            | -[1:1]-> is(infra_customer)""".stripMargin
+            .replaceAll("\n", " ")).get
+        GraphSource.evaluateChain(env, chain)
+          .select(col("id"), col("reported.name").as("name"))
+          .orderBy("id")
+      },
+      """SELECT DISTINCT 'C' || c_custkey AS id, c_name AS name
+        |FROM customer c
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |WHERE r.r_name IN ('ASIA', 'EUROPE') AND n.n_name <> 'CHINA'
         |ORDER BY id""".stripMargin))
   )
 }

@@ -14,10 +14,26 @@ import org.apache.spark.sql.functions._
   *  - remote → resoto-core evaluates the search server-side and streams
   *    envelopes; the dump of that stream is the same JSONL. The search
   *    expression is the source's filter pushdown: the subset we support
-  *    locally (`is(kind)` with an optional `-[min:]->` traversal) is
-  *    applied as a Catalyst filter + bounded traversal so results match
-  *    the server-side evaluation (reference default: `is(graph_root)
-  *    -[2:]->`, remote_graph.py:62).
+  *    locally is applied as a Catalyst filter + bounded traversal so
+  *    results match the server-side evaluation (reference default:
+  *    `is(graph_root) -[2:]->`, remote_graph.py:62).
+  *
+  * Supported grammar (a growing subset of the resoto search grammar the
+  * reference forwards server-side):
+  *
+  * {{{
+  * chain    := bool (traversal bool?)*
+  * bool     := conj ("or" conj)*
+  * conj     := unary ("and" unary)*
+  * unary    := "not" unary | "(" bool ")" | is | prop
+  * is       := "is(" kind ")"
+  * prop     := path op value        (value bare word or "quoted")
+  * traversal:= -[m:n]-> | -[m:]-> | --> | <-[m:n]- | <-[m:]- | <--
+  * }}}
+  *
+  * `-->`/`<--` are depth exactly 1. A trailing traversal with no
+  * following step matches every node at that distance. Quoted values
+  * always compare as strings; bare numeric literals compare numerically.
   */
 object GraphSource {
 
@@ -32,16 +48,36 @@ object GraphSource {
   def edges(envelopes: DataFrame): DataFrame =
     envelopes.filter(col("type") === "edge")
 
-  /** One `<path> <op> <value>` predicate over `reported.*` properties
-    * (the filter part of the resoto search grammar the reference
-    * forwards server-side, remote_graph.py:62). */
-  final case class PropFilter(path: String, op: String, value: String)
+  /** One `<path> <op> <value>` predicate over `reported.*` properties.
+    * `quoted` records whether the literal was written `"..."` — a
+    * quoted value always compares as a string (an unquoted numeric
+    * would otherwise cast the column and make e.g. '042' match '42'). */
+  final case class PropFilter(path: String, op: String, value: String,
+      quoted: Boolean = false)
 
-  /** The supported graph-search subset: `is(<kind>)`, optionally
-    * `and <prop> <op> <value>` conjunctions, optionally followed by a
-    * traversal `-[<min>:]->` (unbounded) or `-[<min>:<max>]->`
-    * (bounded): nodes whose shortest distance from a matching root lies
-    * in [min, max]. */
+  // ---- Predicate AST --------------------------------------------------
+  sealed trait Pred
+  final case class IsKind(kind: String) extends Pred
+  final case class PropPred(f: PropFilter) extends Pred
+  final case class AndPred(ps: Seq[Pred]) extends Pred
+  final case class OrPred(ps: Seq[Pred]) extends Pred
+  final case class NotPred(p: Pred) extends Pred
+  /** Matches every node — the implicit step after a trailing traversal. */
+  case object TruePred extends Pred
+
+  /** One traversal hop: nodes whose shortest distance from the current
+    * step's matches lies in [min, max] (max open = capped by the
+    * evaluator); `reverse` walks edges target→source (`<--`). */
+  final case class Traversal(min: Int, max: Option[Int],
+      reverse: Boolean = false)
+
+  /** A parsed chain: n step predicates joined by n-1 traversals. */
+  final case class SearchChain(steps: Seq[Pred], hops: Seq[Traversal]) {
+    require(steps.length == hops.length + 1, "steps must bracket hops")
+  }
+
+  /** The classic single-step subset (kept as the stable API):
+    * `is(k) and p op v ...` + one optional trailing traversal. */
   final case class Search(kind: String,
       filters: Seq[PropFilter] = Seq.empty,
       minDepth: Option[Int] = None,
@@ -66,7 +102,8 @@ object GraphSource {
             case "" => Some(acc)
             case FilterRe(path, op, value, tail) =>
               filters(tail, acc :+ PropFilter(path, op,
-                value.stripPrefix("\"").stripSuffix("\"")))
+                value.stripPrefix("\"").stripSuffix("\""),
+                quoted = value.startsWith("\"")))
             case _ => None
           }
         filters(rest, Seq.empty).map(fs => Search(kind, fs, minD, maxD))
@@ -74,14 +111,157 @@ object GraphSource {
     }
   }
 
+  // ---- Tokenizer for the full chain grammar ---------------------------
+  private sealed trait Tok
+  private final case class TravTok(min: Int, max: Option[Int],
+      reverse: Boolean) extends Tok
+  private final case class IsTok(kind: String) extends Tok
+  private final case class WordTok(w: String) extends Tok
+  private final case class QuotedTok(v: String) extends Tok
+  private final case class OpTok(op: String) extends Tok
+  private case object LpTok extends Tok
+  private case object RpTok extends Tok
+  private case object AndTok extends Tok
+  private case object OrTok extends Tok
+  private case object NotTok extends Tok
+
+  // Ordered alternation: arrows before words so '-' never tokenizes as
+  // part of an identifier (hyphenated VALUES must be quoted).
+  private val TokRe = ("""(?:(-\[(\d+):(\d*)\]->)""" +
+    """|(<-\[(\d+):(\d*)\]-)""" +
+    """|(-->)|(<--)""" +
+    """|(is\(([\w.]+)\))""" +
+    """|(\()|(\))""" +
+    """|(==|!=|>=|<=|=~|>|<)""" +
+    """|("[^"]*")""" +
+    """|([\w./*+]+))""").r
+
+  private def tokenize(s: String): Option[List[Tok]] = {
+    val b = List.newBuilder[Tok]
+    var rest = s.trim
+    while (rest.nonEmpty) {
+      TokRe.findPrefixMatchOf(rest) match {
+        case None => return None
+        case Some(m) =>
+          val tok =
+            if (m.group(1) != null)
+              TravTok(m.group(2).toInt,
+                Option(m.group(3)).filter(_.nonEmpty).map(_.toInt),
+                reverse = false)
+            else if (m.group(4) != null)
+              TravTok(m.group(5).toInt,
+                Option(m.group(6)).filter(_.nonEmpty).map(_.toInt),
+                reverse = true)
+            else if (m.group(7) != null) TravTok(1, Some(1), reverse = false)
+            else if (m.group(8) != null) TravTok(1, Some(1), reverse = true)
+            else if (m.group(9) != null) IsTok(m.group(10))
+            else if (m.group(11) != null) LpTok
+            else if (m.group(12) != null) RpTok
+            else if (m.group(13) != null) OpTok(m.group(13))
+            else if (m.group(14) != null)
+              QuotedTok(m.group(14).stripPrefix("\"").stripSuffix("\""))
+            else m.group(15) match {
+              case "and" => AndTok
+              case "or" => OrTok
+              case "not" => NotTok
+              case w => WordTok(w)
+            }
+          b += tok
+          rest = rest.substring(m.end).trim
+      }
+    }
+    Some(b.result())
+  }
+
+  // ---- Recursive-descent parser ---------------------------------------
+  private final class Parser(ts: Vector[Tok]) {
+    private var i = 0
+    private def peek: Option[Tok] = if (i < ts.length) Some(ts(i)) else None
+    private def advance(): Tok = { val t = ts(i); i += 1; t }
+    private def atEnd: Boolean = i >= ts.length
+
+    def chain(): Option[SearchChain] = bool().flatMap { first =>
+      var steps = Vector(first)
+      var hops = Vector.empty[Traversal]
+      var failed = false
+      while (!failed && peek.exists(_.isInstanceOf[TravTok])) {
+        val tr = advance().asInstanceOf[TravTok]
+        hops :+= Traversal(tr.min, tr.max, tr.reverse)
+        if (atEnd) steps :+= TruePred
+        else bool() match {
+          case Some(p) => steps :+= p
+          case None => failed = true
+        }
+      }
+      if (!failed && atEnd) Some(SearchChain(steps, hops)) else None
+    }
+
+    private def bool(): Option[Pred] = many(conj _, OrTok, OrPred.apply)
+
+    private def conj(): Option[Pred] = many(unary _, AndTok, AndPred.apply)
+
+    private def many(sub: () => Option[Pred], sep: Tok,
+        wrap: Seq[Pred] => Pred): Option[Pred] =
+      sub().flatMap { first =>
+        var acc = Vector(first)
+        var failed = false
+        while (!failed && peek.contains(sep)) {
+          advance()
+          sub() match {
+            case Some(p) => acc :+= p
+            case None => failed = true
+          }
+        }
+        if (failed) None
+        else Some(if (acc.length == 1) acc.head else wrap(acc))
+      }
+
+    private def unary(): Option[Pred] = peek match {
+      case Some(NotTok) => advance(); unary().map(NotPred.apply)
+      case Some(LpTok) =>
+        advance()
+        bool().flatMap { p =>
+          if (peek.contains(RpTok)) { advance(); Some(p) } else None
+        }
+      case Some(IsTok(k)) => advance(); Some(IsKind(k))
+      case Some(WordTok(path)) =>
+        advance()
+        peek match {
+          case Some(OpTok(op)) =>
+            advance()
+            peek match {
+              case Some(WordTok(v)) =>
+                advance(); Some(PropPred(PropFilter(path, op, v)))
+              case Some(QuotedTok(v)) =>
+                advance()
+                Some(PropPred(PropFilter(path, op, v, quoted = true)))
+              case _ => None
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Parse a full chained search expression; None on any syntax error. */
+  def parseChain(expr: String): Option[SearchChain] =
+    tokenize(expr).flatMap(ts => new Parser(ts.toVector).chain())
+
+  // ---- Evaluation ------------------------------------------------------
+
   private def filterColumn(f: PropFilter): Column = {
     val c = col(s"reported.${f.path}")
-    // Numeric literals compare numerically, everything else as string;
-    // Catalyst inserts the cast on the column side.
-    val v: Column = scala.util.Try(f.value.toLong).toOption
-      .map(l => lit(l): Column)
-      .orElse(scala.util.Try(f.value.toDouble).toOption.map(d => lit(d): Column))
-      .getOrElse(lit(f.value))
+    // Quoted literals ALWAYS compare as strings; bare numeric literals
+    // compare numerically (Catalyst inserts the cast on the column
+    // side). Without the quoted flag, name == "42" would coerce the
+    // string column to a number and '042' would match '42'.
+    val v: Column =
+      if (f.quoted) lit(f.value)
+      else scala.util.Try(f.value.toLong).toOption
+        .map(l => lit(l): Column)
+        .orElse(scala.util.Try(f.value.toDouble).toOption
+          .map(d => lit(d): Column))
+        .getOrElse(lit(f.value))
     f.op match {
       case "==" => c === v
       case "!=" => c =!= v
@@ -93,43 +273,76 @@ object GraphSource {
     }
   }
 
-  /** Apply a parsed search against node envelopes:
-    *  - `is(k) and p op v ...` filters nodes of kind k satisfying every
-    *    predicate (pushed to the scan);
-    *  - a `-[min:max]->` suffix returns nodes whose shortest distance
-    *    from a matching root via default edges lies in [min, max] — a
-    *    bounded iterative frontier join (same shape as q_graph_reach;
-    *    `maxDepth` caps the iteration when the search leaves the upper
-    *    bound open).
-    */
-  def evaluate(envelopes: DataFrame, search: Search, maxDepth: Int = 8): DataFrame = {
+  private def predColumn(p: Pred): Column = p match {
+    case IsKind(k) => col("reported.kind") === k
+    case PropPred(f) => filterColumn(f)
+    case AndPred(ps) => ps.map(predColumn).reduce(_ && _)
+    case OrPred(ps) => ps.map(predColumn).reduce(_ || _)
+    case NotPred(inner) => !predColumn(inner)
+    case TruePred => lit(true)
+  }
+
+  /** Node ids whose shortest distance from `roots` (a single `node`
+    * column) along default edges lies in [hop.min, effective max] — a
+    * bounded iterative frontier join with per-level distinct so the
+    * frontier is bounded by the node count on converging/cyclic
+    * graphs. */
+  private def reach(envelopes: DataFrame, roots: DataFrame,
+      hop: Traversal, depthCap: Int): DataFrame = {
+    val effMax = hop.max.getOrElse(depthCap)
+    require(hop.min <= effMax,
+      s"traversal min ${hop.min} exceeds max depth $effMax")
+    var frontier = roots.select(col("node"), lit(0).as("depth"))
+    var reached = frontier
+    for (depth <- 1 to effMax) {
+      // Rebuilt per level: after the first join the frontier carries
+      // the edge relation's lineage, and reusing one DataFrame instance
+      // on both sides trips Spark's ambiguous-self-join detection.
+      val e0 = edges(envelopes)
+      val e =
+        if (hop.reverse) e0.select(col("to").as("src"), col("from").as("dst"))
+        else e0.select(col("from").as("src"), col("to").as("dst"))
+      frontier = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node"), lit(depth).as("depth"))
+        .distinct()
+      reached = reached.unionByName(frontier)
+    }
+    reached.groupBy("node").agg(min(col("depth")).as("d"))
+      .filter(col("d") >= hop.min && col("d") <= effMax)
+      .select("node")
+  }
+
+  /** Evaluate a parsed chain against node envelopes: filter nodes by
+    * the first step, then for each (traversal, step) pair take the
+    * nodes within the hop's shortest-distance window of the current
+    * matches and filter them by the next step's predicate. `depthCap`
+    * bounds open-ended (`-[n:]->`) traversals. */
+  def evaluateChain(envelopes: DataFrame, chain: SearchChain,
+      depthCap: Int = 8): DataFrame = {
     val n = nodes(envelopes)
-    val matching = search.filters.foldLeft(
-      n.filter(col("reported.kind") === search.kind))(
-      (acc, f) => acc.filter(filterColumn(f)))
+    var current = n.filter(predColumn(chain.steps.head))
+    chain.hops.zip(chain.steps.tail).foreach { case (hop, step) =>
+      val roots = current.select(col("id").as("node"))
+      val within = reach(envelopes, roots, hop, depthCap)
+      current = n.join(within, n("id") === within("node")).drop("node")
+        .filter(predColumn(step))
+    }
+    current
+  }
+
+  /** Apply a classic single-step search (stable API — delegates to the
+    * chain evaluator): `is(k) and p op v ...` filters nodes of kind k
+    * satisfying every predicate; a `-[min:max]->` suffix returns nodes
+    * whose shortest distance from a matching root lies in [min, max]
+    * (`maxDepth` caps the iteration when the upper bound is open). */
+  def evaluate(envelopes: DataFrame, search: Search,
+      maxDepth: Int = 8): DataFrame = {
+    val pred = AndPred(IsKind(search.kind) +: search.filters.map(PropPred.apply))
     search.minDepth match {
-      case None => matching
-      case Some(minDepth) =>
-        val effectiveMax = search.maxDepth.getOrElse(maxDepth)
-        require(minDepth <= effectiveMax,
-          s"minDepth $minDepth exceeds max depth $effectiveMax")
-        val roots = matching.select(col("id").as("node"), lit(0).as("depth"))
-        var frontier = roots
-        var reached = roots
-        for (depth <- 1 to effectiveMax) {
-          val e = edges(envelopes)
-            .select(col("from").as("src"), col("to").as("dst"))
-          // distinct per level bounds the frontier at the node count on
-          // graphs with converging paths or cycles.
-          frontier = frontier.join(e, frontier("node") === e("src"))
-            .select(e("dst").as("node"), lit(depth).as("depth"))
-            .distinct()
-          reached = reached.unionByName(frontier)
-        }
-        val wanted = reached.groupBy("node").agg(min(col("depth")).as("d"))
-          .filter(col("d") >= minDepth && col("d") <= effectiveMax)
-          .select("node")
-        n.join(wanted, n("id") === wanted("node")).drop("node")
+      case None => nodes(envelopes).filter(predColumn(pred))
+      case Some(m) => evaluateChain(envelopes,
+        SearchChain(Seq(pred, TruePred),
+          Seq(Traversal(m, search.maxDepth))), maxDepth)
     }
   }
 }

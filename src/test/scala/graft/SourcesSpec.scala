@@ -36,11 +36,73 @@ class SourcesSpec extends SparkSpecBase {
     assert(GraphSource.parseSearch(
       """is(cloud) and name == "aws" and cores > 2 -[1:3]->""") ==
       Some(GraphSource.Search("cloud",
-        Seq(GraphSource.PropFilter("name", "==", "aws"),
+        Seq(GraphSource.PropFilter("name", "==", "aws", quoted = true),
           GraphSource.PropFilter("cores", ">", "2")),
         Some(1), Some(3))))
     // A malformed filter tail must fail the whole parse, not be dropped.
     assert(GraphSource.parseSearch("is(cloud) garbage") == None)
+  }
+
+  test("chain parser handles or/not/parens and chained traversals") {
+    import GraphSource._
+    assert(parseChain("""is(a) and (name == "x" or name == "y")""") ==
+      Some(SearchChain(Seq(AndPred(Seq(IsKind("a"),
+        OrPred(Seq(
+          PropPred(PropFilter("name", "==", "x", quoted = true)),
+          PropPred(PropFilter("name", "==", "y", quoted = true))))))),
+        Seq.empty)))
+    assert(parseChain("is(a) and not cores > 2 --> is(b)") ==
+      Some(SearchChain(
+        Seq(AndPred(Seq(IsKind("a"),
+          NotPred(PropPred(PropFilter("cores", ">", "2"))))), IsKind("b")),
+        Seq(Traversal(1, Some(1))))))
+    // Reverse + trailing open traversal; trailing hop gets TruePred.
+    assert(parseChain("is(a) <-[1:2]-") ==
+      Some(SearchChain(Seq(IsKind("a"), TruePred),
+        Seq(Traversal(1, Some(2), reverse = true)))))
+    // The classic forms parse identically through the chain parser.
+    assert(parseChain("is(graph_root) -[2:]->") ==
+      Some(SearchChain(Seq(IsKind("graph_root"), TruePred),
+        Seq(Traversal(2, None)))))
+    // Syntax errors fail the parse, never partially match.
+    assert(parseChain("is(a) and or name == x") == None)
+    assert(parseChain("is(a) garbage ==") == None)
+    assert(parseChain("(is(a) or is(b)") == None)
+  }
+
+  test("evaluateChain: interleaved steps, or/not, reverse traversal") {
+    import GraphSource._
+    // Step-interleaved chain: root --> cloud.
+    val c = evaluateChain(envelopes,
+      parseChain("is(graph_root) --> is(cloud)").get)
+    assert(c.select("id").collect().map(_.getString(0)).toSeq == Seq("c1"))
+    // not filters at the final step.
+    val a = evaluateChain(envelopes,
+      parseChain("""is(cloud) --> is(account) and not id == "a1"""").get)
+    assert(a.select("id").collect().map(_.getString(0)).toSeq == Seq("a2"))
+    // or across kinds.
+    val o = evaluateChain(envelopes,
+      parseChain("is(cloud) or is(graph_root)").get)
+    assert(o.select("id").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("c1", "root"))
+    // Reverse hop: the cloud's parent.
+    val r = evaluateChain(envelopes, parseChain("is(cloud) <--").get)
+    assert(r.select("id").collect().map(_.getString(0)).toSeq == Seq("root"))
+  }
+
+  test("quoted literals compare as strings, never numerically") {
+    import spark.implicits._
+    val env = spark.read.json(spark.createDataset(Seq(
+      """{"type":"node","id":"n1","reported":{"kind":"k","id":"n1","serial":"042"}}""",
+      """{"type":"node","id":"n2","reported":{"kind":"k","id":"n2","serial":"42"}}""")))
+    import GraphSource._
+    // Quoted: string equality — '042' must NOT match '42'.
+    val q = evaluateChain(env, parseChain("""is(k) and serial == "42"""").get)
+    assert(q.select("id").collect().map(_.getString(0)).toSeq == Seq("n2"))
+    // Unquoted numeric: column coerced, both match.
+    val u = evaluateChain(env, parseChain("is(k) and serial == 42").get)
+    assert(u.select("id").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("n1", "n2"))
   }
 
   test("is(kind) filters nodes") {
