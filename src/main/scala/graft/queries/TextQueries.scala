@@ -544,6 +544,38 @@ object TextQueries {
         |    AS checksum
         |FROM u ORDER BY asset_id""".stripMargin)),
 
+    // Frame sampling (the explode side of video handling): every 3rd
+    // frame index up to the stub-decoded "frame count" (pmod(checksum,
+    // 10)). One row per (asset, sampled frame) — the oracle recomputes
+    // the stub checksum and the identical stepped index range.
+    "q_multimodal_frames" -> ((
+      (s: SparkSession, d: String) => {
+        val assets = graft.multimodal.Multimodal.assetsFromBinary(
+          t(s, d, "documents")
+            .withColumn("bin", col("text").cast("binary")),
+          "doc_id", "bin", "text/plain")
+        graft.multimodal.Multimodal.sampleFrames(
+          graft.multimodal.Multimodal.decode(assets), every = 3)
+          .orderBy("asset_id", "frame_idx")
+      },
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |    list_reduce(list_transform(range(1, 17),
+        |      i -> (strpos('0123456789abcdef', substr(sha256(text), i, 1)) - 1)::HUGEINT),
+        |      (a, x) -> a * 16 + x) AS uv
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id AS asset_id, n_bytes,
+        |    CAST(CASE WHEN uv >= 9223372036854775808::HUGEINT
+        |      THEN uv - 18446744073709551616::HUGEINT ELSE uv END AS BIGINT)
+        |      AS c
+        |  FROM u)
+        |SELECT asset_id,
+        |  unnest(generate_series(0, ((c % 10) + 10) % 10, 3)) AS frame_idx,
+        |  n_bytes
+        |FROM s ORDER BY asset_id, frame_idx""".stripMargin)),
+
     "q_multimodal_meta" -> ((
       (s: SparkSession, d: String) =>
         t(s, d, "documents")

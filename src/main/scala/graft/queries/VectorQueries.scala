@@ -180,38 +180,100 @@ object VectorQueries {
   // ---- IVF-style partitioning: nearest-centroid inverted lists -------
   private val numCentroids = 16
   private val numProbes = 2
+  private val KMeansIters = 2
 
-  /** (vec_id, cid, rank): each vector's nearest centroids by cosine.
-    * Centroids are the first `numCentroids` vectors (training-free
-    * deterministic seeding; a k-means refinement would slot in here
-    * without changing any downstream shape). */
-  private def centroidAssignment(e: DataFrame): DataFrame = {
-    val centroids = broadcast(e.filter(col("vec_id") < numCentroids)
-      .select(col("vec_id").as("cid"), col("v").as("cv"),
-        col("nrm").as("cnrm")))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("cid"))
-    e.select(col("vec_id"), col("v"), col("nrm"))
-      .crossJoin(centroids)
-      .withColumn("sim", expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
-      .withColumn("crank", row_number().over(w))
-      .select("vec_id", "cid", "crank")
+  /** Sample size for driver-side k-means training (FAISS-style IVF
+    * protocol: train centroids on a bounded sample, assign the full
+    * corpus in one distributed pass). The sample is the only
+    * driver-side state — k×dim Lloyd math on ≤KMeansSample vectors is
+    * trivial at any corpus size; scale the constant with k if k grows. */
+  private val KMeansSample = 2048
+
+  /** (cid, centroid-vector) after `iters` driver-side Lloyd passes over
+    * the first KMeansSample vectors (deterministic sample; sequential
+    * double math, so results are bit-stable across runs). Assignment
+    * metric is cosine with the same tie-break as the distributed probe
+    * (highest sim, then lowest cid); clusters that lose every sample
+    * member keep their previous centroid. */
+  private def centroids(e: DataFrame, iters: Int): Seq[(Int, Seq[Double])] = {
+    val sample: Array[(Long, Array[Double])] =
+      e.filter(col("vec_id") < KMeansSample)
+        .select(col("vec_id"), col("v")).collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def nrm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+    var cs: Array[Array[Double]] =
+      sample.take(numCentroids).map(_._2.clone())
+    for (_ <- 1 to iters) {
+      val cn = cs.map(nrm)
+      val sums = Array.fill(cs.length)(new Array[Double](dim))
+      val counts = new Array[Int](cs.length)
+      sample.foreach { case (_, v) =>
+        val vn = nrm(v)
+        var best = 0; var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < cs.length) {
+          val sim = dot(v, cs(c)) / (vn * cn(c))
+          if (sim > bestSim) { bestSim = sim; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cs = cs.indices.map { c =>
+        if (counts(c) == 0) cs(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    cs.indices.map(c => c -> cs(c).toSeq)
   }
 
-  /** IVF candidates: queries probe their top `numProbes` centroid lists;
-    * corpus vectors live in their single nearest list. The probe is an
-    * equality join on centroid id — partition-pruned search, never a
-    * full scan per query. */
-  private def ivfCandidates(s: SparkSession, d: String): DataFrame = {
-    val assign = centroidAssignment(emb(s, d))
-    val lists = assign.filter(col("crank") === 1)
-      .select(col("cid"), col("vec_id").as("nid"))
-    val probes = assign.filter(col("vec_id") < NQ &&
-      col("crank") <= numProbes)
-      .select(col("vec_id").as("qid"), col("cid"))
-    broadcast(probes).join(lists, "cid")
-      .filter(col("qid") =!= col("nid"))
-      .select("qid", "nid").distinct()
+  /** IVF candidates: corpus vectors live in their single nearest
+    * centroid list (top-1 via max(struct) — a hash aggregate whose
+    * map-side combine collapses the k candidate rows per vector BEFORE
+    * the exchange; a row_number window would sort-shuffle all k×N
+    * rows); queries probe their top `numProbes` lists (the window runs
+    * on NQ×k rows only, after the query filter prunes the corpus). The
+    * probe is an equality join on centroid id — partition-pruned
+    * search, never a full scan per query. */
+  private def writeIvfCandidates(s: SparkSession, d: String,
+      path: String): Unit = {
+    val spark = s
+    import spark.implicits._
+    val e = emb(s, d).persist()
+    try {
+      // No explicit materialization pass: the training-sample collect
+      // inside centroids() is the first action and warms the cache for
+      // the assignment scans.
+      val cDf = broadcast(centroids(e, KMeansIters).toDF("cid", "cv")
+        .withColumn("cnrm", sqrt(expr("vec_dot(cv, cv)"))))
+      def scored = e.select(col("vec_id"), col("v"), col("nrm"))
+        .crossJoin(cDf)
+        .withColumn("sim",
+          expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
+      val lists = scored
+        .groupBy("vec_id")
+        .agg(max(struct(col("sim"), (-col("cid")).as("tie"),
+          col("cid"))).as("best"))
+        .select(col("best.cid").as("cid"), col("vec_id").as("nid"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("sim").desc, col("cid"))
+      val probes = scored.filter(col("vec_id") < NQ)
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= numProbes)
+        .select(col("vec_id").as("qid"), col("cid"))
+      broadcast(probes).join(lists, "cid")
+        .filter(col("qid") =!= col("nid"))
+        .select("qid", "nid").distinct()
+        .write.mode("overwrite").parquet(path)
+    } finally e.unpersist(blocking = true)
   }
 
   /** Corpus-wide same-bucket pairs (i < j) — the near-dup candidates.
@@ -273,12 +335,12 @@ object VectorQueries {
       },
       rankSql(s"SELECT DISTINCT qid, nid FROM read_parquet('/tmp/graft_cand_ann_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/*.parquet')"))),
 
-    // IVF-style ANN: nearest-centroid inverted lists, multi-probe,
-    // exact re-rank on the probed lists only.
+    // IVF-style ANN: k-means-refined nearest-centroid inverted lists,
+    // multi-probe, exact re-rank on the probed lists only.
     "q_embed_ivf" -> ((
       (s: SparkSession, d: String) => {
         val path = s"/tmp/graft_cand_ivf_${graft.Tables.dirTag(d)}"
-        ivfCandidates(s, d).write.mode("overwrite").parquet(path)
+        writeIvfCandidates(s, d, path)
         rankTopK(cosineFor(s, d, s.read.parquet(path)))
       },
       rankSql(s"SELECT DISTINCT qid, nid FROM read_parquet('/tmp/graft_cand_ivf_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/*.parquet')"))),
