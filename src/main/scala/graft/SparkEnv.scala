@@ -10,8 +10,22 @@ import org.apache.spark.sql.SparkSession
   * local SSDs via spark.local.dir exactly the same way. */
 object SparkEnv {
 
+  /** Scratch root: SPARK_GRAFT_SCRATCH env override, else /dev/shm when
+    * it exists with headroom, else the system temp dir — the
+    * shuffle-heavy dedup queries die with ENOSPC mid-run on a host
+    * whose tmpfs is small, so tmpfs is opt-out-able and only picked
+    * when it can actually hold the shuffle spill. */
+  private def scratchBase(): String =
+    sys.env.getOrElse("SPARK_GRAFT_SCRATCH", {
+      val shm = new java.io.File("/dev/shm")
+      val minFree = 4L << 30 // 4 GiB headroom for shuffle + cache spill
+      if (shm.isDirectory && shm.getUsableSpace >= minFree) "/dev/shm"
+      else System.getProperty("java.io.tmpdir", "/tmp")
+    })
+
   def session(cpus: String): SparkSession = {
-    val tmp = new java.io.File("/dev/shm/graft_tmp")
+    val base = scratchBase()
+    val tmp = new java.io.File(base, "graft_tmp")
     tmp.mkdirs()
     // Streaming temp checkpoints resolve through java.io.tmpdir at
     // writeStream time, so setting it here (pre-session) is enough.
@@ -20,7 +34,7 @@ object SparkEnv {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.local.dir", "/dev/shm/graft_spark")
+      .config("spark.local.dir", s"$base/graft_spark")
       // Engine default: typed Aggregators (minhash/simhash signatures)
       // carry small fixed-size buffers; the 128-keys-per-partition
       // ObjectHashAggregate fallback would force sort-based aggregation

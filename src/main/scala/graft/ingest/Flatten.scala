@@ -19,16 +19,19 @@ import graft.model.{Kind, Model, ModelCompiler}
   */
 object Flatten {
 
-  private def hasField(schema: StructType, path: Seq[String]): Boolean =
+  private def fieldType(schema: StructType, path: Seq[String]): Option[DataType] =
     path match {
-      case Seq(last) => schema.fields.exists(_.name == last)
+      case Seq(last) => schema.fields.find(_.name == last).map(_.dataType)
       case head +: tail =>
         schema.fields.find(_.name == head).map(_.dataType) match {
-          case Some(st: StructType) => hasField(st, tail)
-          case _ => false
+          case Some(st: StructType) => fieldType(st, tail)
+          case _ => None
         }
-      case _ => false
+      case _ => None
     }
+
+  private def hasField(schema: StructType, path: Seq[String]): Boolean =
+    fieldType(schema, path).isDefined
 
   /** Project a node-envelope DataFrame to the compiled schema of `kind`.
     * Known properties are lifted from `reported`; properties absent from
@@ -45,9 +48,19 @@ object Flatten {
             col(path.mkString(".")).cast(StringType).as(c)
           else lit(null).cast(StringType).as(c)
         case p =>
-          if (hasField(inSchema, Seq("reported", p)))
-            col(s"reported.$p").cast(f.dataType).as(p)
-          else lit(null).cast(f.dataType).as(p)
+          fieldType(inSchema, Seq("reported", p)) match {
+            case Some(inType) => (f.dataType, inType) match {
+              // A property whose compiled type degraded to "StringType
+              // holding JSON text" (any / recursive complex kind /
+              // unknown kind — ModelCompiler.toDataType) must carry
+              // parseable JSON like the reference's JSON column, not
+              // Spark's cast(struct→string) '{a, b}' rendering.
+              case (StringType, _: StructType | _: ArrayType | _: MapType) =>
+                to_json(col(s"reported.$p")).as(p)
+              case _ => col(s"reported.$p").cast(f.dataType).as(p)
+            }
+            case None => lit(null).cast(f.dataType).as(p)
+          }
       }
     }
     nodes

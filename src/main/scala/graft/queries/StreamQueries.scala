@@ -23,14 +23,30 @@ object StreamQueries {
 
   import CoreQueries.Q
 
+  /** Re-encode a source table into a file-stream staging dir, skipping
+    * the copy only when the existing dump is complete (_SUCCESS) AND at
+    * least as new as the source fixture — a source regenerated in place
+    * must never be served from a stale dump (the gate would compare
+    * stale Spark output against a fresh oracle). */
+  private def ensureStreamDump(d: String, table: String, dumpDir: String)(
+      df: => DataFrame): Unit = {
+    import java.nio.file.{Files, Paths}
+    val success = Paths.get(dumpDir, "_SUCCESS")
+    val src = Paths.get(d, s"$table.parquet")
+    val srcMtime =
+      if (Files.exists(src)) Files.getLastModifiedTime(src).toMillis
+      else Long.MaxValue // unknown source shape: always rewrite
+    val fresh = Files.exists(success) &&
+      Files.getLastModifiedTime(success).toMillis >= srcMtime
+    if (!fresh) df.write.mode("overwrite").parquet(dumpDir)
+  }
+
   def streamCounts(s: SparkSession, d: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
-    // reader rejects; re-encode once to a micros staging dir (the shape a
+    // reader rejects; re-encode to a micros staging dir (the shape a
     // real file-stream source directory would have) and stream from it.
     val srcDir = s"/tmp/graft_stream_src_${graft.Tables.dirTag(d)}"
-    // The sf dirs are immutable fixtures; re-encode once per sf.
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(srcDir, "_SUCCESS")))
-      graft.Tables.events(s, d).write.mode("overwrite").parquet(srcDir)
+    ensureStreamDump(d, "events", srcDir)(graft.Tables.events(s, d))
     val schema = s.read.parquet(srcDir).schema
     val qn = "graft_ev_" + math.abs(d.hashCode).toString
     val stream = s.readStream.schema(schema)
@@ -65,9 +81,7 @@ object StreamQueries {
     "q_stream_dedup" -> ((
       (s: SparkSession, d: String) => {
         val srcDir = s"/tmp/graft_stream_docs_${graft.Tables.dirTag(d)}"
-        if (!java.nio.file.Files.exists(
-            java.nio.file.Paths.get(srcDir, "_SUCCESS")))
-          t(s, d, "documents").write.mode("overwrite").parquet(srcDir)
+        ensureStreamDump(d, "documents", srcDir)(t(s, d, "documents"))
         val schema = s.read.parquet(srcDir).schema
         val qn = "graft_docs_" + math.abs(d.hashCode).toString
         val stream = s.readStream.schema(schema).parquet(srcDir)

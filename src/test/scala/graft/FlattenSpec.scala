@@ -65,6 +65,31 @@ class FlattenSpec extends SparkSpecBase {
     assert(df.schema("missing_prop").dataType.typeName == "long")
   }
 
+  test("complex payload under a JSON-text column flattens as JSON") {
+    // A property compiled to "StringType holding JSON text" (kind
+    // 'any', recursive complex kinds, unknown kinds) must materialize
+    // PARSEABLE JSON like the reference's JSON column type
+    // (sql.py:79-80) — Spark's cast(struct→string) would render
+    // '{a, b}' display text instead.
+    val m = Model(
+      Kind("thing", properties = Seq(
+        Property("id", "string"),
+        Property("blob", "any"),
+        Property("tags", "any"))))
+    val df = Flatten.flattenNodes(readJson(Seq(
+      """{"type":"node","id":"t-1","reported":{"kind":"thing","id":"t-1",
+         "blob":{"x":1,"y":"z"},"tags":["a","b"]}}""".replaceAll("\n\\s*", " "))),
+      m("thing"), m)
+    val row = df.collect().head
+    assert(row.getAs[String]("blob") == """{"x":1,"y":"z"}""")
+    assert(row.getAs[String]("tags") == """["a","b"]""")
+    // A plain string under a JSON-text column passes through unchanged.
+    val df2 = Flatten.flattenNodes(readJson(Seq(
+      """{"type":"node","id":"t-2","reported":{"kind":"thing","id":"t-2","blob":"raw"}}""")),
+      m("thing"), m)
+    assert(df2.collect().head.getAs[String]("blob") == "raw")
+  }
+
   test("edge flatten: (from, to) -> (from_id, to_id)") {
     val df = Flatten.flattenEdges(readJson(edgeJson))
     assert(df.columns.toSeq == Seq("from_id", "to_id"))
