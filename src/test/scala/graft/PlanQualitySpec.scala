@@ -91,6 +91,21 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(pairs <= (cap * (cap - 1) / 2) * 2)
   }
 
+  test("bucket capping plans exactly one window pass") {
+    import spark.implicits._
+    val buckets = (0 until 100).map(i => (i.toLong, 0, (i % 4).toLong))
+      .toDF("vec_id", "tbl", "bkt")
+    val capped = graft.queries.VectorQueries.capBuckets(buckets, 16)
+    val p = capped.queryExecution.optimizedPlan.toString
+    // The round-4 contract: capBuckets is a pure transform with ONE
+    // window — the caller persists ITS output, so the row_number
+    // exchange can never run once per consumer again (round 3 computed
+    // it 3x: spill-count job + both self-join sides).
+    // (WindowGroupLimit — the per-group row_number pre-prune — is not a
+    // window computation; count actual Window operators.)
+    assert("Window \\[".r.findAllIn(p).length == 1, p)
+  }
+
   test("aggregation is partial+final (map-side combine present)") {
     val p = planOf("q_agg_group")
     // Two HashAggregate operators around one exchange.
