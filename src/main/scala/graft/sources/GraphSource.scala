@@ -22,6 +22,7 @@ import org.apache.spark.sql.functions._
   * reference forwards server-side):
   *
   * {{{
+  * search   := chain ("sort" path ("asc"|"desc")?)* ("limit" N)?
   * chain    := bool (traversal bool?)*
   * bool     := conj ("or" conj)*
   * conj     := unary ("and" unary)*
@@ -34,6 +35,8 @@ import org.apache.spark.sql.functions._
   * `-->`/`<--` are depth exactly 1. A trailing traversal with no
   * following step matches every node at that distance. Quoted values
   * always compare as strings; bare numeric literals compare numerically.
+  * `sort`/`limit` order and truncate the FINAL step's matches (the
+  * resoto result modifiers); ties broken by node id for determinism.
   */
 object GraphSource {
 
@@ -71,8 +74,13 @@ object GraphSource {
   final case class Traversal(min: Int, max: Option[Int],
       reverse: Boolean = false)
 
-  /** A parsed chain: n step predicates joined by n-1 traversals. */
-  final case class SearchChain(steps: Seq[Pred], hops: Seq[Traversal]) {
+  /** One `sort <path> [asc|desc]` result modifier. */
+  final case class SortKey(path: String, ascending: Boolean = true)
+
+  /** A parsed chain: n step predicates joined by n-1 traversals, plus
+    * optional result modifiers applied to the final step's matches. */
+  final case class SearchChain(steps: Seq[Pred], hops: Seq[Traversal],
+      sort: Seq[SortKey] = Seq.empty, limit: Option[Int] = None) {
     require(steps.length == hops.length + 1, "steps must bracket hops")
   }
 
@@ -187,13 +195,53 @@ object GraphSource {
       while (!failed && peek.exists(_.isInstanceOf[TravTok])) {
         val tr = advance().asInstanceOf[TravTok]
         hops :+= Traversal(tr.min, tr.max, tr.reverse)
-        if (atEnd) steps :+= TruePred
+        if (atEnd || peek.exists(isModifierStart)) steps :+= TruePred
         else bool() match {
           case Some(p) => steps :+= p
           case None => failed = true
         }
       }
-      if (!failed && atEnd) Some(SearchChain(steps, hops)) else None
+      if (failed) None
+      else modifiers().flatMap { case (sort, limit) =>
+        if (atEnd) Some(SearchChain(steps, hops, sort, limit)) else None
+      }
+    }
+
+    private def isModifierStart(t: Tok): Boolean = t match {
+      case WordTok("sort") | WordTok("limit") => true
+      case _ => false
+    }
+
+    /** Trailing result modifiers: zero or more `sort path [asc|desc]`,
+      * then an optional `limit N`. */
+    private def modifiers(): Option[(Seq[SortKey], Option[Int])] = {
+      var sorts = Vector.empty[SortKey]
+      var failed = false
+      while (!failed && peek.contains(WordTok("sort"))) {
+        advance()
+        peek match {
+          case Some(WordTok(path)) if path != "limit" && path != "sort" =>
+            advance()
+            val asc = peek match {
+              case Some(WordTok("asc")) => advance(); true
+              case Some(WordTok("desc")) => advance(); false
+              case _ => true
+            }
+            sorts :+= SortKey(path, asc)
+          case _ => failed = true
+        }
+      }
+      if (failed) return None
+      peek match {
+        case Some(WordTok("limit")) =>
+          advance()
+          peek match {
+            case Some(WordTok(n)) if n.forall(_.isDigit) && n.nonEmpty =>
+              advance(); Some((sorts, Some(n.toInt)))
+            case _ => None
+          }
+        case _ => Some((sorts, None))
+      }
     }
 
     private def bool(): Option[Pred] = many(conj _, OrTok, OrPred.apply)
@@ -327,7 +375,16 @@ object GraphSource {
       current = n.join(within, n("id") === within("node")).drop("node")
         .filter(predColumn(step))
     }
-    current
+    // Result modifiers: sort keys over reported.* with an id tie-break
+    // (deterministic truncation), then limit — which Catalyst compiles
+    // to TakeOrderedAndProject (per-partition top-N) when both present.
+    if (chain.sort.nonEmpty || chain.limit.isDefined) {
+      val keys = chain.sort.map(k =>
+        if (k.ascending) col(s"reported.${k.path}").asc
+        else col(s"reported.${k.path}").desc) :+ col("id").asc
+      current = current.orderBy(keys: _*)
+    }
+    chain.limit.fold(current)(current.limit)
   }
 
   /** Apply a classic single-step search (stable API — delegates to the

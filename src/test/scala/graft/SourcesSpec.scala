@@ -90,6 +90,27 @@ class SourcesSpec extends SparkSpecBase {
     assert(r.select("id").collect().map(_.getString(0)).toSeq == Seq("root"))
   }
 
+  test("sort/limit result modifiers parse and apply to the final step") {
+    import GraphSource._
+    assert(parseChain("is(account) sort id desc limit 1") ==
+      Some(SearchChain(Seq(IsKind("account")), Seq.empty,
+        Seq(SortKey("id", ascending = false)), Some(1))))
+    // Modifiers after a trailing traversal (TruePred final step).
+    assert(parseChain("is(graph_root) -[1:]-> sort id limit 2") ==
+      Some(SearchChain(Seq(IsKind("graph_root"), TruePred),
+        Seq(Traversal(1, None)), Seq(SortKey("id")), Some(2))))
+    assert(parseChain("is(a) limit x") == None) // non-numeric limit
+    assert(parseChain("is(a) sort") == None) // missing sort key
+
+    val top = evaluateChain(envelopes,
+      parseChain("is(account) sort id desc limit 1").get)
+    assert(top.select("id").collect().map(_.getString(0)).toSeq == Seq("a2"))
+    val deep = evaluateChain(envelopes,
+      parseChain("is(graph_root) -[1:]-> sort id limit 2").get, depthCap = 4)
+    assert(deep.select("id").collect().map(_.getString(0)).toSeq ==
+      Seq("a1", "a2"))
+  }
+
   test("quoted literals compare as strings, never numerically") {
     import spark.implicits._
     val env = spark.read.json(spark.createDataset(Seq(
