@@ -508,6 +508,93 @@ object TextQueries {
          |WHERE doc_id NOT IN (SELECT doc_b FROM dups)
          |ORDER BY doc_id""".stripMargin)),
 
+    // Benchmark decontamination — the canonical training-data step:
+    // drop corpus documents sharing any 5-gram with the evaluation set
+    // (here: doc_id < 5 stands in for the benchmark). Scale shape: the
+    // benchmark's distinct shingles are SMALL by definition (eval
+    // suites are KBs–MBs), so contamination detection is a broadcast
+    // semi-join against the corpus shingle stream — map-only over the
+    // corpus, no corpus-sized exchange.
+    "q_text_decontaminate" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        def shingled(df: DataFrame): DataFrame = df
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+          .select(col("doc_id"), explode(array_distinct(shingles(5))).as("s"))
+        val bench = shingled(docs.filter(col("doc_id") < 5))
+          .select("s").distinct()
+        val contaminated = shingled(docs.filter(col("doc_id") >= 5))
+          .join(broadcast(bench), "s")
+          .select("doc_id").distinct()
+        docs.filter(col("doc_id") >= 5)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang", "n_chars")
+          .orderBy("doc_id")
+      },
+      s"""WITH ${shinglesSqlCte(5)},
+         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+         |contaminated AS (
+         |  SELECT DISTINCT doc_id FROM sh
+         |  WHERE doc_id >= 5 AND s IN (SELECT s FROM bench))
+         |SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id >= 5
+         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |ORDER BY doc_id""".stripMargin)),
+
+    // Repetition signals (Gopher/RefinedWeb-style quality rules):
+    // duplicate word-2-gram fraction and top-word dominance — pure
+    // map-side per-row array math, no exchange.
+    "q_text_repetition" -> ((
+      (s: SparkSession, d: String) => {
+        val toks = split(col("text"), " ")
+        t(s, d, "documents")
+          .withColumn("tk", toks)
+          .withColumn("g2", expr(
+            """CASE WHEN size(tk) >= 2 THEN
+              |  transform(sequence(1, size(tk) - 1),
+              |    i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))
+              |ELSE array() END""".stripMargin))
+          .select(
+            col("doc_id"),
+            round(when(size(col("g2")) > 0,
+              lit(1.0) - size(array_distinct(col("g2"))) * 1.0 / size(col("g2")))
+              .otherwise(lit(0.0)), 6).as("dup_2gram_ratio"),
+            // Longest run over the sorted token array — O(N log N) per
+            // row; the naive transform(distinct, w -> count(filter))
+            // is O(distinct×N) and benched ~0.5s slower at sf0.1.
+            round(expr(
+              """aggregate(array_sort(tk),
+                |  named_struct('prev', CAST(NULL AS STRING),
+                |    'run', 0, 'best', 0),
+                |  (st, w) -> named_struct(
+                |    'prev', w,
+                |    'run', CASE WHEN st.prev IS NOT NULL AND w = st.prev
+                |      THEN st.run + 1 ELSE 1 END,
+                |    'best', greatest(st.best,
+                |      CASE WHEN st.prev IS NOT NULL AND w = st.prev
+                |        THEN st.run + 1 ELSE 1 END)),
+                |  st -> st.best)""".stripMargin) * 1.0 / size(col("tk")), 6)
+              .as("top_word_ratio"))
+          .orderBy("doc_id")
+      },
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id, tk,
+        |    CASE WHEN len(tk) >= 2 THEN
+        |      list_transform(range(1, len(tk)),
+        |        i -> tk[i] || ' ' || tk[i + 1])
+        |    ELSE CAST([] AS VARCHAR[]) END AS g2
+        |  FROM t)
+        |SELECT doc_id,
+        |  round(CASE WHEN len(g2) > 0
+        |    THEN 1.0 - len(list_distinct(g2)) * 1.0 / len(g2)
+        |    ELSE 0.0 END, 6) AS dup_2gram_ratio,
+        |  round(list_max(list_transform(list_distinct(tk),
+        |      w -> len(list_filter(tk, x -> x = w)))) * 1.0 / len(tk), 6)
+        |    AS top_word_ratio
+        |FROM g ORDER BY doc_id""".stripMargin)),
+
     // Multimodal plumbing: opaque binary payload column + typed metadata.
     // The real decode would be a per-partition codec (see
     // graft.multimodal); here the Spark-side schema/typing contract is
