@@ -161,6 +161,33 @@ class SourcesSpec extends SparkSpecBase {
     assert(GraphSource.edges(envelopes).count() == 3)
   }
 
+  test("dump transport: search narrows nodes, edges pass through") {
+    import graft.sources.JsonlDumpTransport
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_transport")
+    val lines = Seq(
+      """{"type":"node","id":"root","reported":{"kind":"graph_root","id":"root"}}""",
+      """{"type":"node","id":"c1","reported":{"kind":"cloud","id":"c1"}}""",
+      """{"type":"node","id":"a1","reported":{"kind":"account","id":"a1"}}""",
+      """{"type":"edge","from":"root","to":"c1"}""",
+      """{"type":"edge","from":"c1","to":"a1"}""")
+    spark.createDataset(lines).toDF("value").coalesce(1)
+      .write.mode("overwrite").text(dir.toString)
+    val transport = new JsonlDumpTransport(dir.toString)
+    // No search: the full stream.
+    assert(transport.envelopes(spark, None).count() == 5)
+    // Search: selected nodes + all edges (a downstream sync still keys
+    // and links them).
+    val filtered = transport.envelopes(spark,
+      Some("is(graph_root) -[1:]->"))
+    assert(GraphSource.nodes(filtered).select("id").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("a1", "c1"))
+    assert(GraphSource.edges(filtered).count() == 2)
+    intercept[RuntimeException] {
+      transport.envelopes(spark, Some("not a search ((("))
+    }
+  }
+
   test("model export JSON round-trips into the ADT") {
     val m = ModelJson.fromJson(
       """[
