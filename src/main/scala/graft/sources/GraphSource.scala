@@ -29,6 +29,7 @@ import org.apache.spark.sql.functions._
   * unary    := "not" unary | "(" bool ")" | is | prop
   * is       := "is(" kind ")"
   * prop     := path op value        (value bare word or "quoted")
+  *           | path "in" "[" value ("," value)* "]"
   * traversal:= -[m:n]-> | -[m:]-> | --> | <-[m:n]- | <-[m:]- | <--
   * }}}
   *
@@ -129,6 +130,9 @@ object GraphSource {
   private final case class OpTok(op: String) extends Tok
   private case object LpTok extends Tok
   private case object RpTok extends Tok
+  private case object LbTok extends Tok
+  private case object RbTok extends Tok
+  private case object CommaTok extends Tok
   private case object AndTok extends Tok
   private case object OrTok extends Tok
   private case object NotTok extends Tok
@@ -142,7 +146,8 @@ object GraphSource {
     """|(\()|(\))""" +
     """|(==|!=|>=|<=|=~|>|<)""" +
     """|("[^"]*")""" +
-    """|([\w./*+]+))""").r
+    """|([\w./*+]+)""" +
+    """|(\[)|(\])|(,))""").r
 
   private def tokenize(s: String): Option[List[Tok]] = {
     val b = List.newBuilder[Tok]
@@ -168,12 +173,15 @@ object GraphSource {
             else if (m.group(13) != null) OpTok(m.group(13))
             else if (m.group(14) != null)
               QuotedTok(m.group(14).stripPrefix("\"").stripSuffix("\""))
-            else m.group(15) match {
+            else if (m.group(15) != null) m.group(15) match {
               case "and" => AndTok
               case "or" => OrTok
               case "not" => NotTok
               case w => WordTok(w)
             }
+            else if (m.group(16) != null) LbTok
+            else if (m.group(17) != null) RbTok
+            else CommaTok
           b += tok
           rest = rest.substring(m.end).trim
       }
@@ -277,16 +285,46 @@ object GraphSource {
         peek match {
           case Some(OpTok(op)) =>
             advance()
-            peek match {
-              case Some(WordTok(v)) =>
-                advance(); Some(PropPred(PropFilter(path, op, v)))
-              case Some(QuotedTok(v)) =>
-                advance()
-                Some(PropPred(PropFilter(path, op, v, quoted = true)))
-              case _ => None
+            value().map { case (v, quoted) =>
+              PropPred(PropFilter(path, op, v, quoted))
+            }
+          // `path in [v1, v2, ...]` desugars to an equality or-chain —
+          // per-element quoted/numeric semantics for free, zero
+          // evaluator surface.
+          case Some(WordTok("in")) =>
+            advance()
+            if (!peek.contains(LbTok)) return None
+            advance()
+            var vs = Vector.empty[(String, Boolean)]
+            var failed = false
+            var done = false
+            while (!failed && !done) {
+              value() match {
+                case Some(v) =>
+                  vs :+= v
+                  peek match {
+                    case Some(CommaTok) => advance()
+                    case Some(RbTok) => advance(); done = true
+                    case _ => failed = true
+                  }
+                case None => failed = true
+              }
+            }
+            if (failed || vs.isEmpty) None
+            else {
+              val eqs = vs.map { case (v, q) =>
+                PropPred(PropFilter(path, "==", v, q)): Pred
+              }
+              Some(if (eqs.length == 1) eqs.head else OrPred(eqs))
             }
           case _ => None
         }
+      case _ => None
+    }
+
+    private def value(): Option[(String, Boolean)] = peek match {
+      case Some(WordTok(v)) => advance(); Some((v, false))
+      case Some(QuotedTok(v)) => advance(); Some((v, true))
       case _ => None
     }
   }

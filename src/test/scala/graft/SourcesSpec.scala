@@ -90,6 +90,27 @@ class SourcesSpec extends SparkSpecBase {
     assert(r.select("id").collect().map(_.getString(0)).toSeq == Seq("root"))
   }
 
+  test("in-list membership desugars to an equality or-chain") {
+    import GraphSource._
+    assert(parseChain("""name in [x, "y z", 42]""") ==
+      Some(SearchChain(Seq(OrPred(Seq(
+        PropPred(PropFilter("name", "==", "x")),
+        PropPred(PropFilter("name", "==", "y z", quoted = true)),
+        PropPred(PropFilter("name", "==", "42"))))), Seq.empty)))
+    // Single element: no Or wrapper.
+    assert(parseChain("name in [x]") ==
+      Some(SearchChain(Seq(PropPred(PropFilter("name", "==", "x"))),
+        Seq.empty)))
+    assert(parseChain("name in []") == None) // empty list is an error
+    assert(parseChain("name in [a, ]") == None)
+    assert(parseChain("name in [a b]") == None)
+    assert(parseChain("name in a, b") == None)
+
+    val out = evaluateChain(envelopes,
+      parseChain("""is(account) and id in ["a1", "zzz"]""").get)
+    assert(out.select("id").collect().map(_.getString(0)).toSeq == Seq("a1"))
+  }
+
   test("sort/limit result modifiers parse and apply to the final step") {
     import GraphSource._
     assert(parseChain("is(account) sort id desc limit 1") ==
