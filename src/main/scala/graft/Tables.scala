@@ -60,4 +60,15 @@ object Tables {
       val df = if (n == "events") events(spark, dir) else t(spark, dir, n)
       df.createOrReplaceTempView(n)
     }
+
+  /** SQL passthrough with bind variables (P16): the reference's
+    * execute_sql forwards bind params to the target DBAPI
+    * (collect_plugins.py:220-228, exercised with
+    * `{"parallel": parallel}` in its own tests); Spark's parameterized
+    * SQL (named markers `:name`) is the same contract — values bind as
+    * typed literals, never string-spliced, so injection through a bind
+    * is impossible. */
+  def executeSql(spark: SparkSession, sql: String,
+      binds: Map[String, Any] = Map.empty): DataFrame =
+    if (binds.isEmpty) spark.sql(sql) else spark.sql(sql, binds)
 }

@@ -24,6 +24,25 @@ class TablesSpec extends SparkSpecBase {
     assert(hours > 0)
   }
 
+  test("executeSql binds parameters as typed literals (P16 bind vars)") {
+    Tables.registerAll(spark, dir)
+    // The reference's own execute_sql test shape: a projection filtered
+    // by a bind variable (tests/collect_plugins_test.py:83-96 passes
+    // {"parallel": parallel}).
+    val rows = Tables.executeSql(spark,
+      "SELECT n_name FROM nation WHERE n_nationkey = :key",
+      Map("key" -> 3)).collect()
+    assert(rows.length == 1)
+    // A hostile bind value stays a literal — no injection through binds.
+    val none = Tables.executeSql(spark,
+      "SELECT n_name FROM nation WHERE n_name = :v",
+      Map("v" -> "x' OR '1'='1")).collect()
+    assert(none.isEmpty)
+    // No binds: plain passthrough.
+    assert(Tables.executeSql(spark, "SELECT 1 AS one")
+      .collect().head.getInt(0) == 1)
+  }
+
   test("dirTag distinguishes same-basename dirs and normalizes slashes") {
     assert(Tables.dirTag("/root/testdata/sf0.01") ==
       Tables.dirTag("/root/testdata/sf0.01/"))
