@@ -19,8 +19,11 @@ object SparkEnv {
     sys.env.getOrElse("SPARK_GRAFT_SCRATCH", {
       val shm = new java.io.File("/dev/shm")
       val minFree = 4L << 30 // 4 GiB headroom for shuffle + cache spill
+      // Literal /tmp, NOT java.io.tmpdir: session() overwrites the
+      // latter, so reading it back on a second session() in the same
+      // JVM would nest scratch dirs one level deeper per call.
       if (shm.isDirectory && shm.getUsableSpace >= minFree) "/dev/shm"
-      else System.getProperty("java.io.tmpdir", "/tmp")
+      else "/tmp"
     })
 
   def session(cpus: String): SparkSession = {

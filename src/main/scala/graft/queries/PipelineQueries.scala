@@ -51,6 +51,11 @@ object PipelineQueries {
       concat(lit("R"), col("n_regionkey")).as("from"),
       concat(lit("N"), col("n_nationkey")).as("to"))
 
+  /** Bump when any envelope-builder below changes: the freshness check
+    * compares only fixture mtimes, so without a version in the dump
+    * path a code change would keep serving old-shaped dumps. */
+  private val DumpVersion = 2
+
   /** Build a JSONL envelope dump unless a complete one (_SUCCESS) at
     * least as new as every source fixture already exists — dump
     * construction is gate fixture prep, not the source operator under
@@ -70,38 +75,45 @@ object PipelineQueries {
     if (!fresh) lines.write.mode("overwrite").text(dump)
   }
 
+  // -- Envelope-line builders shared by the source-search dumps --------
+  private def nodeLines(df: DataFrame, kind: String, idPrefix: String,
+      keyCol: String, nameCol: String): DataFrame =
+    df.select(to_json(struct(
+      lit("node").as("type"),
+      concat(lit(idPrefix), col(keyCol)).as("id"),
+      struct(lit(kind).as("kind"),
+        concat(lit(idPrefix), col(keyCol)).as("id"),
+        col(nameCol).as("name")).as("reported"))).as("value"))
+
+  private def edgeLines(df: DataFrame, fromPrefix: String, fromCol: String,
+      toPrefix: String, toCol: String): DataFrame =
+    df.select(to_json(struct(
+      lit("edge").as("type"),
+      concat(lit(fromPrefix), col(fromCol)).as("from"),
+      concat(lit(toPrefix), col(toCol)).as("to"))).as("value"))
+
+  private def regionNodes(s: SparkSession, d: String): DataFrame =
+    nodeLines(t(s, d, "region"), "graph_root", "R", "r_regionkey", "r_name")
+  private def nationNodes(s: SparkSession, d: String): DataFrame =
+    nodeLines(t(s, d, "nation"), "infra_nation", "N", "n_nationkey", "n_name")
+  private def custNodes(s: SparkSession, d: String): DataFrame =
+    nodeLines(t(s, d, "customer"), "infra_customer", "C", "c_custkey", "c_name")
+  private def rnEdges(s: SparkSession, d: String): DataFrame =
+    edgeLines(t(s, d, "nation"), "R", "n_regionkey", "N", "n_nationkey")
+  private def ncEdges(s: SparkSession, d: String): DataFrame =
+    edgeLines(t(s, d, "customer"), "N", "c_nationkey", "C", "c_custkey")
+
+  /** The 2-level region→nation envelope dump (q_source_search). */
+  private def twoLevelEnvelopes(s: SparkSession, d: String): DataFrame =
+    regionNodes(s, d).unionByName(nationNodes(s, d))
+      .unionByName(rnEdges(s, d))
+
   /** The 3-level region→nation→customer envelope dump shared by the
     * traversal-search gates. */
-  private def threeLevelEnvelopes(s: SparkSession, d: String): DataFrame = {
-    val regionNodes = t(s, d, "region").select(to_json(struct(
-      lit("node").as("type"),
-      concat(lit("R"), col("r_regionkey")).as("id"),
-      struct(lit("graph_root").as("kind"),
-        concat(lit("R"), col("r_regionkey")).as("id"),
-        col("r_name").as("name")).as("reported"))).as("value"))
-    val nationNodes = t(s, d, "nation").select(to_json(struct(
-      lit("node").as("type"),
-      concat(lit("N"), col("n_nationkey")).as("id"),
-      struct(lit("infra_nation").as("kind"),
-        concat(lit("N"), col("n_nationkey")).as("id"),
-        col("n_name").as("name")).as("reported"))).as("value"))
-    val custNodes = t(s, d, "customer").select(to_json(struct(
-      lit("node").as("type"),
-      concat(lit("C"), col("c_custkey")).as("id"),
-      struct(lit("infra_customer").as("kind"),
-        concat(lit("C"), col("c_custkey")).as("id"),
-        col("c_name").as("name")).as("reported"))).as("value"))
-    val rnEdges = t(s, d, "nation").select(to_json(struct(
-      lit("edge").as("type"),
-      concat(lit("R"), col("n_regionkey")).as("from"),
-      concat(lit("N"), col("n_nationkey")).as("to"))).as("value"))
-    val ncEdges = t(s, d, "customer").select(to_json(struct(
-      lit("edge").as("type"),
-      concat(lit("N"), col("c_nationkey")).as("from"),
-      concat(lit("C"), col("c_custkey")).as("to"))).as("value"))
-    regionNodes.unionByName(nationNodes).unionByName(custNodes)
-      .unionByName(rnEdges).unionByName(ncEdges)
-  }
+  private def threeLevelEnvelopes(s: SparkSession, d: String): DataFrame =
+    regionNodes(s, d).unionByName(nationNodes(s, d))
+      .unionByName(custNodes(s, d))
+      .unionByName(rnEdges(s, d)).unionByName(ncEdges(s, d))
 
   val entries: Map[String, (Q, String)] = Map(
     "q_pipeline_e2e" -> ((
@@ -132,26 +144,9 @@ object PipelineQueries {
     // the root kind). The oracle recomputes the reachable set directly.
     "q_source_search" -> ((
       (s: SparkSession, d: String) => {
-        val dump = s"/tmp/graft_envelopes_${graft.Tables.dirTag(d)}"
-        ensureDump(d, Seq("region", "nation"), dump) {
-          val regionNodes = t(s, d, "region").select(to_json(struct(
-            lit("node").as("type"),
-            concat(lit("R"), col("r_regionkey")).as("id"),
-            struct(lit("graph_root").as("kind"),
-              concat(lit("R"), col("r_regionkey")).as("id"),
-              col("r_name").as("name")).as("reported"))).as("value"))
-          val nationNodes = t(s, d, "nation").select(to_json(struct(
-            lit("node").as("type"),
-            concat(lit("N"), col("n_nationkey")).as("id"),
-            struct(lit("infra_nation").as("kind"),
-              concat(lit("N"), col("n_nationkey")).as("id"),
-              col("n_name").as("name")).as("reported"))).as("value"))
-          val edgeLines = t(s, d, "nation").select(to_json(struct(
-            lit("edge").as("type"),
-            concat(lit("R"), col("n_regionkey")).as("from"),
-            concat(lit("N"), col("n_nationkey")).as("to"))).as("value"))
-          regionNodes.unionByName(nationNodes).unionByName(edgeLines)
-        }
+        val dump =
+          s"/tmp/graft_envelopes_${graft.Tables.dirTag(d)}_v$DumpVersion"
+        ensureDump(d, Seq("region", "nation"), dump)(twoLevelEnvelopes(s, d))
         val env = GraphSource.readEnvelopes(s, dump)
         val search = GraphSource.parseSearch("is(graph_root) -[1:]->").get
         GraphSource.evaluate(env, search, maxDepth = 2)
@@ -170,7 +165,8 @@ object PipelineQueries {
     // a recursive CTE and applies the identical shortest-depth window.
     "q_source_search_depth" -> ((
       (s: SparkSession, d: String) => {
-        val dump = s"/tmp/graft_envelopes3_${graft.Tables.dirTag(d)}"
+        val dump =
+          s"/tmp/graft_envelopes3_${graft.Tables.dirTag(d)}_v$DumpVersion"
         ensureDump(d, Seq("region", "nation", "customer"), dump)(
           threeLevelEnvelopes(s, d))
         val env = GraphSource.readEnvelopes(s, dump)
@@ -210,7 +206,8 @@ object PipelineQueries {
         // Same graph as q_source_search_depth but an independent dump
         // dir: gate queries must not depend on each other's execution
         // order.
-        val dump = s"/tmp/graft_envelopes_chain_${graft.Tables.dirTag(d)}"
+        val dump =
+          s"/tmp/graft_envelopes_chain_${graft.Tables.dirTag(d)}_v$DumpVersion"
         ensureDump(d, Seq("region", "nation", "customer"), dump)(
           threeLevelEnvelopes(s, d))
         val env = GraphSource.readEnvelopes(s, dump)

@@ -23,6 +23,12 @@ object StreamQueries {
 
   import CoreQueries.Q
 
+  /** Bump when the dump-building logic changes: the freshness check
+    * below compares only fixture mtimes, so without a version in the
+    * dump path a code change to the re-encode would keep serving old
+    * dumps. */
+  private[queries] val DumpVersion = 2
+
   /** Re-encode a source table into a file-stream staging dir, skipping
     * the copy only when the existing dump is complete (_SUCCESS) AND at
     * least as new as the source fixture — a source regenerated in place
@@ -45,7 +51,7 @@ object StreamQueries {
     // events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
     // reader rejects; re-encode to a micros staging dir (the shape a
     // real file-stream source directory would have) and stream from it.
-    val srcDir = s"/tmp/graft_stream_src_${graft.Tables.dirTag(d)}"
+    val srcDir = s"/tmp/graft_stream_src_${graft.Tables.dirTag(d)}_v$DumpVersion"
     ensureStreamDump(d, "events", srcDir)(graft.Tables.events(s, d))
     val schema = s.read.parquet(srcDir).schema
     val qn = "graft_ev_" + math.abs(d.hashCode).toString
@@ -80,7 +86,7 @@ object StreamQueries {
     // + complete mode here makes the gate deterministic.
     "q_stream_dedup" -> ((
       (s: SparkSession, d: String) => {
-        val srcDir = s"/tmp/graft_stream_docs_${graft.Tables.dirTag(d)}"
+        val srcDir = s"/tmp/graft_stream_docs_${graft.Tables.dirTag(d)}_v$DumpVersion"
         ensureStreamDump(d, "documents", srcDir)(t(s, d, "documents"))
         val schema = s.read.parquet(srcDir).schema
         val qn = "graft_docs_" + math.abs(d.hashCode).toString

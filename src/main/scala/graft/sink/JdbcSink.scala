@@ -55,8 +55,16 @@ object JdbcSink {
     * removed from the model does not leave a stale table serving a
     * previous sync's schema forever. A dropped-set guards the
     * rename-then-revisit case: a prod replaced by its tmp is never
-    * re-dropped when the reflection snapshot's old entry comes up. */
-  def swapTempTables(url: String, dropExisting: Boolean = false): Unit = {
+    * re-dropped when the reflection snapshot's old entry comes up.
+    *
+    * `current`, when given, is THIS sync's table set: a `tmp_*` table
+    * for a name outside it is a leftover from a crashed earlier sync
+    * and is dropped instead of renamed — blindly promoting every tmp
+    * found (the reference's literal behavior) would resurrect a
+    * removed kind with the crashed sync's data even under
+    * dropExisting. */
+  def swapTempTables(url: String, dropExisting: Boolean = false,
+      current: Option[Iterable[String]] = None): Unit = {
     val conn = DriverManager.getConnection(url)
     try {
       val st = conn.createStatement()
@@ -90,12 +98,16 @@ object JdbcSink {
         st.executeUpdate(s"""DROP TABLE "${name.toUpperCase}"""")
       }
       val tmpPrefix = staging("")
+      val currentSet = current.map(_.map(_.toLowerCase).toSet)
       existing.foreach { t =>
         if (t.startsWith(tmpPrefix)) {
           val prod = t.stripPrefix(tmpPrefix)
-          if (existingSet.contains(prod)) dropTable(prod)
-          st.executeUpdate(
-            s"""RENAME TABLE "${t.toUpperCase}" TO "${prod.toUpperCase}"""")
+          if (currentSet.exists(!_.contains(prod))) dropTable(t)
+          else {
+            if (existingSet.contains(prod)) dropTable(prod)
+            st.executeUpdate(
+              s"""RENAME TABLE "${t.toUpperCase}" TO "${prod.toUpperCase}"""")
+          }
         } else if (dropExisting) dropTable(t)
       }
     } finally conn.close()
@@ -108,7 +120,7 @@ object JdbcSink {
       columnTypes: Map[String, String] = Map.empty,
       dropExisting: Boolean = false): Unit = {
     writeStaging(tables, url, columnTypes = columnTypes)
-    swapTempTables(url, dropExisting)
+    swapTempTables(url, dropExisting, Some(tables.keys))
   }
 
   def read(spark: SparkSession, url: String, table: String,

@@ -81,7 +81,11 @@ object TableSink {
       if (n.endsWith(".manifest")) {
         val table = n.stripSuffix(".manifest")
         if (!keep.contains(table)) {
-          SnapshotSwap.currentSnapshot(base, table)
+          // EVERY snapshot version, not just the published one: the
+          // deferred-retention protocol keeps the predecessor dir
+          // alive, and with the manifest gone nothing would ever sweep
+          // it.
+          names.filter(_.startsWith(s"_snap_$table-"))
             .foreach(snap => SnapshotSwap.rm(Paths.get(base, snap)))
           SnapshotSwap.rm(dir.resolve(n))
           spark.catalog.dropTempView(table)

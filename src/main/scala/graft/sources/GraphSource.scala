@@ -97,7 +97,7 @@ object GraphSource {
   private val FilterRe =
     """\s*and\s+([\w.]+)\s*(==|!=|>=|<=|=~|>|<)\s*("[^"]*"|\S+)(.*)""".r
 
-  def parseSearch(expr: String): Option[Search] = {
+  def parseSearch(expr: String): Option[Search] = scala.util.Try {
     val (head, minD, maxD) = expr match {
       case TravRe(h, min, "") => (h, Some(min.toInt), None)
       case TravRe(h, min, max) => (h, Some(min.toInt), Some(max.toInt))
@@ -118,7 +118,7 @@ object GraphSource {
         filters(rest, Seq.empty).map(fs => Search(kind, fs, minD, maxD))
       case _ => None
     }
-  }
+  }.toOption.flatten
 
   // ---- Tokenizer for the full chain grammar ---------------------------
   private sealed trait Tok
@@ -329,9 +329,13 @@ object GraphSource {
     }
   }
 
-  /** Parse a full chained search expression; None on any syntax error. */
+  /** Parse a full chained search expression; None on any syntax error
+    * — including numeric literals beyond Int range, which would
+    * otherwise escape the tokenizer/limit parse as a raw
+    * NumberFormatException. */
   def parseChain(expr: String): Option[SearchChain] =
-    tokenize(expr).flatMap(ts => new Parser(ts.toVector).chain())
+    scala.util.Try(tokenize(expr).flatMap(ts => new Parser(ts.toVector).chain()))
+      .toOption.flatten
 
   // ---- Evaluation ------------------------------------------------------
 

@@ -87,6 +87,28 @@ class JdbcSinkSpec extends SparkSpecBase {
       .select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("leftover tmp from a crashed sync is dropped, not promoted") {
+    import spark.implicits._
+    val url3 = {
+      val dir = Files.createTempDirectory("graft_derby_crash").toString
+      s"jdbc:derby:$dir/db;create=true"
+    }
+    val df = Seq((1L, "a")).toDF("id", "name")
+    // Crash simulation: staging written for a kind, swap never ran.
+    JdbcSink.writeStaging(Map("ghost" -> df), url3)
+    // Next sync no longer carries "ghost": its stale staging must be
+    // dropped — a blind rename would resurrect the removed kind with
+    // the crashed sync's data.
+    JdbcSink.sync(Map("keeper" -> df), url3)
+    val conn = java.sql.DriverManager.getConnection(url3)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      val names = scala.collection.mutable.Set[String]()
+      while (rs.next()) names += rs.getString("TABLE_NAME").toLowerCase
+      assert(names.toSet == Set("keeper"))
+    } finally conn.close()
+  }
+
   test("len metadata drives VARCHAR widths in the created table") {
     import graft.model.{Kind, Model, ModelCompiler, Property}
     val model = Model(

@@ -124,7 +124,10 @@ class SearchParserPropSpec extends AnyFunSuite {
       "", "and", "is()", "is(a) and", "is(a) or or is(b)",
       "is(a) -[:2]->", "is(a) -[1:2]-> and", "not", "( is(a)",
       "is(a) sort limit", "is(a) limit", "is(a) limit -3",
-      "name ==", "== foo", "is(a) name", "is(a) extra garbage ==")
+      "name ==", "== foo", "is(a) name", "is(a) extra garbage ==",
+      // Out-of-Int-range numerics must yield None, not throw.
+      "is(a) limit 3000000000", "is(a) -[4294967296:]->",
+      "is(a) -[1:99999999999]->")
       .foreach { s =>
         assert(parseChain(s).isEmpty, s"should not parse: '$s'")
       }

@@ -74,6 +74,22 @@ class SnapshotSwapSpec extends SparkSpecBase {
     assert(back.columns.toSeq == Seq("id", "v"))
   }
 
+  test("stale-table sweep removes every retained snapshot version") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_swap_sweep").toString
+    val df = Seq((1, "a")).toDF("id", "v")
+    // Two publishes: deferred retention keeps BOTH snapshot dirs.
+    val p1 = SnapshotSwap.writeManifested(df, base, "t")
+    val p2 = SnapshotSwap.writeManifested(df, base, "t")
+    assert(Files.exists(Paths.get(p1)) && Files.exists(Paths.get(p2)))
+    // Table leaves the sync: manifest AND all versions must go — with
+    // the manifest gone, nothing would ever sweep the predecessor.
+    TableSink.dropStaleProd(spark, base, keep = Set.empty)
+    assert(!Files.exists(Paths.get(p1)))
+    assert(!Files.exists(Paths.get(p2)))
+    assert(SnapshotSwap.currentSnapshot(base, "t").isEmpty)
+  }
+
   test("stringifyNested maps complex columns to JSON text for CSV") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
