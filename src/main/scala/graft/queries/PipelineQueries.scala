@@ -225,6 +225,28 @@ object PipelineQueries {
         |JOIN nation n ON n.n_nationkey = c.c_nationkey
         |JOIN region r ON r.r_regionkey = n.n_regionkey
         |WHERE r.r_name IN ('ASIA', 'EUROPE') AND n.n_name <> 'CHINA'
-        |ORDER BY id""".stripMargin))
+        |ORDER BY id""".stripMargin)),
+
+    // Aggregate search mode (the resoto `aggregate(...): <search>`
+    // head): group every node at depth>=1 from the roots by its kind
+    // and count — a plain partial+final hash aggregation over the
+    // traversal result. The oracle recounts both levels relationally.
+    "q_source_search_agg" -> ((
+      (s: SparkSession, d: String) => {
+        val dump =
+          s"/tmp/graft_envelopes3_${graft.Tables.dirTag(d)}_v$DumpVersion"
+        ensureDump(d, Seq("region", "nation", "customer"), dump)(
+          threeLevelEnvelopes(s, d))
+        val env = GraphSource.readEnvelopes(s, dump)
+        val q = GraphSource.parseQuery(
+          "aggregate(kind: sum(1) as n): is(graph_root) -[1:]->").get
+        GraphSource.evaluateQuery(env, q, depthCap = 2)
+          .orderBy("kind")
+      },
+      """SELECT 'infra_customer' AS kind, CAST(count(*) AS BIGINT) AS n
+        |FROM customer
+        |UNION ALL
+        |SELECT 'infra_nation', CAST(count(*) AS BIGINT) FROM nation
+        |ORDER BY kind""".stripMargin))
   )
 }

@@ -22,6 +22,10 @@ import org.apache.spark.sql.functions._
   * reference forwards server-side):
   *
   * {{{
+  * query    := ("aggregate" "(" groups ":" funcs ")" ":")? search
+  * groups   := path ("as" alias)? ("," path ("as" alias)?)*
+  * funcs    := fn "(" (number | path) ")" ("as" alias)?
+  *             ("," fn "(" ... )*        fn := sum|min|max|avg|count
   * search   := chain ("sort" path ("asc"|"desc")?)* ("limit" N)?
   * chain    := bool (traversal bool?)*
   * bool     := conj ("or" conj)*
@@ -78,6 +82,20 @@ object GraphSource {
   /** One `sort <path> [asc|desc]` result modifier. */
   final case class SortKey(path: String, ascending: Boolean = true)
 
+  /** One aggregate group term: `path [as alias]`. */
+  final case class AggTerm(path: String, alias: Option[String] = None)
+
+  /** One aggregate function: `fn(arg) [as alias]`; `literal` marks a
+    * numeric arg (`sum(1)`) vs a property path (`sum(cores)`). */
+  final case class AggFunc(fn: String, arg: String, literal: Boolean,
+      alias: Option[String] = None)
+
+  /** A full search query: optional aggregate head + the chain
+    * (the resoto `aggregate(...): <search>` form). */
+  final case class SearchQuery(
+      aggregate: Option[(Seq[AggTerm], Seq[AggFunc])],
+      chain: SearchChain)
+
   /** A parsed chain: n step predicates joined by n-1 traversals, plus
     * optional result modifiers applied to the final step's matches. */
   final case class SearchChain(steps: Seq[Pred], hops: Seq[Traversal],
@@ -133,6 +151,7 @@ object GraphSource {
   private case object LbTok extends Tok
   private case object RbTok extends Tok
   private case object CommaTok extends Tok
+  private case object ColonTok extends Tok
   private case object AndTok extends Tok
   private case object OrTok extends Tok
   private case object NotTok extends Tok
@@ -147,7 +166,7 @@ object GraphSource {
     """|(==|!=|>=|<=|=~|>|<)""" +
     """|("[^"]*")""" +
     """|([\w./*+]+)""" +
-    """|(\[)|(\])|(,))""").r
+    """|(\[)|(\])|(,)|(:))""").r
 
   private def tokenize(s: String): Option[List[Tok]] = {
     val b = List.newBuilder[Tok]
@@ -181,7 +200,8 @@ object GraphSource {
             }
             else if (m.group(16) != null) LbTok
             else if (m.group(17) != null) RbTok
-            else CommaTok
+            else if (m.group(18) != null) CommaTok
+            else ColonTok
           b += tok
           rest = rest.substring(m.end).trim
       }
@@ -195,6 +215,74 @@ object GraphSource {
     private def peek: Option[Tok] = if (i < ts.length) Some(ts(i)) else None
     private def advance(): Tok = { val t = ts(i); i += 1; t }
     private def atEnd: Boolean = i >= ts.length
+
+    def query(): Option[SearchQuery] = peek match {
+      case Some(WordTok("aggregate")) =>
+        advance()
+        if (!peek.contains(LpTok)) return None
+        advance()
+        for {
+          groups <- aggTerms()
+          _ <- if (peek.contains(ColonTok)) { advance(); Some(()) } else None
+          funcs <- aggFuncs()
+          _ <- if (peek.contains(RpTok)) { advance(); Some(()) } else None
+          _ <- if (peek.contains(ColonTok)) { advance(); Some(()) } else None
+          c <- chain()
+        } yield SearchQuery(Some((groups, funcs)), c)
+      case _ => chain().map(SearchQuery(None, _))
+    }
+
+    private def alias(): Option[String] = peek match {
+      case Some(WordTok("as")) =>
+        advance()
+        peek match {
+          case Some(WordTok(a)) => advance(); Some(a)
+          case _ => None // consumed 'as' without a name: caller fails on ':'
+        }
+      case _ => None
+    }
+
+    private def aggTerms(): Option[Seq[AggTerm]] = {
+      var acc = Vector.empty[AggTerm]
+      var done = false
+      while (!done) {
+        peek match {
+          case Some(WordTok(p)) if p != "as" =>
+            advance()
+            acc :+= AggTerm(p, alias())
+            if (peek.contains(CommaTok)) advance() else done = true
+          case _ => return None
+        }
+      }
+      Some(acc)
+    }
+
+    private val aggFns = Set("sum", "min", "max", "avg", "count")
+
+    private def aggFuncs(): Option[Seq[AggFunc]] = {
+      var acc = Vector.empty[AggFunc]
+      var done = false
+      while (!done) {
+        peek match {
+          case Some(WordTok(fn)) if aggFns.contains(fn) =>
+            advance()
+            if (!peek.contains(LpTok)) return None
+            advance()
+            val arg = peek match {
+              case Some(WordTok(a)) => advance(); Some(a)
+              case _ => None
+            }
+            if (arg.isEmpty || !peek.contains(RpTok)) return None
+            advance()
+            val a = arg.get
+            val literal = a.nonEmpty && a.forall(c => c.isDigit || c == '.')
+            acc :+= AggFunc(fn, a, literal, alias())
+            if (peek.contains(CommaTok)) advance() else done = true
+          case _ => return None
+        }
+      }
+      Some(acc)
+    }
 
     def chain(): Option[SearchChain] = bool().flatMap { first =>
       var steps = Vector(first)
@@ -337,6 +425,12 @@ object GraphSource {
     scala.util.Try(tokenize(expr).flatMap(ts => new Parser(ts.toVector).chain()))
       .toOption.flatten
 
+  /** Parse a full query — optional `aggregate(groups: funcs):` head +
+    * chain; None on any syntax error. */
+  def parseQuery(expr: String): Option[SearchQuery] =
+    scala.util.Try(tokenize(expr).flatMap(ts => new Parser(ts.toVector).query()))
+      .toOption.flatten
+
   // ---- Evaluation ------------------------------------------------------
 
   private def filterColumn(f: PropFilter): Column = {
@@ -427,6 +521,40 @@ object GraphSource {
       current = current.orderBy(keys: _*)
     }
     chain.limit.fold(current)(current.limit)
+  }
+
+  /** Evaluate a full query: the chain selects nodes; an aggregate head
+    * groups them by its terms (over `reported.*`, with `kind`
+    * resolving to the discriminator) and applies its functions — the
+    * resoto `aggregate(...)` search mode as a plain partial+final
+    * hash aggregation. Default aliases: the group path's last segment;
+    * `<fn>_<arg>` for functions. */
+  def evaluateQuery(envelopes: DataFrame, q: SearchQuery,
+      depthCap: Int = 8): DataFrame = {
+    val base = evaluateChain(envelopes, q.chain, depthCap)
+    q.aggregate match {
+      case None => base
+      case Some((groups, funcs)) =>
+        val groupCols = groups.map { g =>
+          col(s"reported.${g.path}")
+            .as(g.alias.getOrElse(g.path.split('.').last))
+        }
+        val aggCols = funcs.map { f =>
+          val arg: Column =
+            if (f.literal)
+              if (f.arg.contains('.')) lit(f.arg.toDouble) else lit(f.arg.toLong)
+            else col(s"reported.${f.arg}")
+          val c = f.fn match {
+            case "sum" => sum(arg)
+            case "min" => min(arg)
+            case "max" => max(arg)
+            case "avg" => avg(arg)
+            case "count" => count(arg)
+          }
+          c.as(f.alias.getOrElse(s"${f.fn}_${f.arg.replace('.', '_')}"))
+        }
+        base.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    }
   }
 
   /** Apply a classic single-step search (stable API — delegates to the

@@ -111,6 +111,28 @@ class SourcesSpec extends SparkSpecBase {
     assert(out.select("id").collect().map(_.getString(0)).toSeq == Seq("a1"))
   }
 
+  test("aggregate head groups the chain's matches") {
+    import GraphSource._
+    assert(parseQuery("aggregate(kind: sum(1) as n): is(a)") ==
+      Some(SearchQuery(Some((Seq(AggTerm("kind")),
+        Seq(AggFunc("sum", "1", literal = true, Some("n"))))),
+        SearchChain(Seq(IsKind("a")), Seq.empty))))
+    // No head: plain chain query.
+    assert(parseQuery("is(a)") ==
+      Some(SearchQuery(None, SearchChain(Seq(IsKind("a")), Seq.empty))))
+    // Malformed heads fail outright.
+    assert(parseQuery("aggregate(kind): is(a)") == None)
+    assert(parseQuery("aggregate(kind: frob(1)): is(a)") == None)
+    assert(parseQuery("aggregate(kind: sum(1)) is(a)") == None)
+
+    val out = evaluateQuery(envelopes, parseQuery(
+      "aggregate(kind: sum(1) as n, count(id) as ids): is(graph_root) -[1:]->")
+      .get, depthCap = 4)
+    val rows = out.orderBy("kind").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("account", 2L, 2L), ("cloud", 1L, 1L)))
+  }
+
   test("sort/limit result modifiers parse and apply to the final step") {
     import GraphSource._
     assert(parseChain("is(account) sort id desc limit 1") ==
