@@ -246,6 +246,12 @@ object TextQueries {
   private def inList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** Bind lang_hits/rep_stats (graft.functions.TextStats) for this
+    * session — the codegen'd one-pass replacements for the interpreted
+    * higher-order stopword/repetition lambdas. */
+  private def registerTextStats(s: SparkSession): Unit =
+    graft.functions.TextStatFunctions.register(s, Seq(stopEn, stopDe, stopEs))
+
   val entries: Map[String, (Q, String)] = Map(
 
     // Exact dedup: hash groupBy on a sha256 digest of the content, keep
@@ -313,16 +319,19 @@ object TextQueries {
         }.orderBy("doc_a", "doc_b"),
       verifySql(s"/tmp/graft_cand_simhash_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}", 0.7))),
 
-    // Language-ID heuristic: stopword hits per language, argmax.
+    // Language-ID heuristic: stopword hits per language, argmax. Hit
+    // counting is the codegen'd lang_hits expression — one hash-probe
+    // pass over the tokens for all languages at once, not one
+    // interpreted filter-lambda walk per language.
     "q_text_lang" -> ((
       (s: SparkSession, d: String) => {
-        def hits(ws: Seq[String]) = expr(
-          s"size(filter(split(text, ' '), t -> t IN ${inList(ws)}))")
+        registerTextStats(s)
         t(s, d, "documents")
+          .select(col("doc_id"), expr("lang_hits(split(text, ' '))").as("h"))
           .select(col("doc_id"),
-            hits(stopEn).as("en_hits"),
-            hits(stopDe).as("de_hits"),
-            hits(stopEs).as("es_hits"))
+            col("h").getItem(0).as("en_hits"),
+            col("h").getItem(1).as("de_hits"),
+            col("h").getItem(2).as("es_hits"))
           .withColumn("pred",
             when(col("en_hits") >= col("de_hits") &&
               col("en_hits") >= col("es_hits") && col("en_hits") > 0, "en")
@@ -349,10 +358,10 @@ object TextQueries {
     // ratio, type-token ratio. Pure per-row expressions (map-only).
     "q_text_quality" -> ((
       (s: SparkSession, d: String) => {
+        registerTextStats(s)
         val words = split(col("text"), " ")
         val nWords = size(words)
-        val stopHits = expr(
-          s"size(filter(split(text, ' '), t -> t IN ${inList(stopEn)}))")
+        val stopHits = expr("lang_hits(split(text, ' '))[0]")
         t(s, d, "documents")
           .select(col("doc_id"),
             length(col("text")).as("n_chars_m"),
@@ -406,21 +415,15 @@ object TextQueries {
     // exchange. Hashes are sha256-prefix hex strings so the oracle's
     // lexicographic minima agree byte-for-byte.
     "q_text_winnow" -> ((
-      (s: SparkSession, d: String) =>
+      (s: SparkSession, d: String) => {
+        registerTextStats(s)
         t(s, d, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("tk"))
-          .select(col("doc_id"), shingles(3).as("sh"))
-          .withColumn("hs",
-            expr("transform(sh, x -> substring(sha2(x, 256), 1, 16))"))
-          .withColumn("w", expr(
-            """CASE WHEN size(hs) >= 4 THEN
-              |  transform(sequence(1, size(hs) - 3),
-              |    i -> array_min(slice(hs, i, 4)))
-              |ELSE hs END""".stripMargin))
           .select(col("doc_id"),
-            size(array_distinct(col("w"))).as("n_fp"),
-            array_join(array_sort(array_distinct(col("w"))), ",").as("fp"))
-          .orderBy("doc_id"),
+            expr("winnow_fp(split(text, ' '))").as("r"))
+          .select(col("doc_id"),
+            col("r.n_fp").as("n_fp"), col("r.fp").as("fp"))
+          .orderBy("doc_id")
+      },
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id,
         |  CASE WHEN len(t) >= 3 THEN
@@ -543,37 +546,24 @@ object TextQueries {
 
     // Repetition signals (Gopher/RefinedWeb-style quality rules):
     // duplicate word-2-gram fraction and top-word dominance — pure
-    // map-side per-row array math, no exchange.
+    // map-side per-row array math, no exchange. The per-row pass is the
+    // codegen'd rep_stats expression (graft.functions.TextStats): one
+    // O(tokens) frequency-map walk yielding 2-gram counts and max token
+    // frequency — replacing an interpreted transform+array_distinct
+    // 2-gram build plus an O(N log N) aggregate-over-array_sort.
     "q_text_repetition" -> ((
       (s: SparkSession, d: String) => {
-        val toks = split(col("text"), " ")
+        registerTextStats(s)
         t(s, d, "documents")
-          .withColumn("tk", toks)
-          .withColumn("g2", expr(
-            """CASE WHEN size(tk) >= 2 THEN
-              |  transform(sequence(1, size(tk) - 1),
-              |    i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))
-              |ELSE array() END""".stripMargin))
+          .select(col("doc_id"),
+            expr("rep_stats(split(text, ' '))").as("r"),
+            size(split(col("text"), " ")).as("n"))
           .select(
             col("doc_id"),
-            round(when(size(col("g2")) > 0,
-              lit(1.0) - size(array_distinct(col("g2"))) * 1.0 / size(col("g2")))
+            round(when(col("r.n_g2") > 0,
+              lit(1.0) - col("r.n_g2_distinct") * 1.0 / col("r.n_g2"))
               .otherwise(lit(0.0)), 6).as("dup_2gram_ratio"),
-            // Longest run over the sorted token array — O(N log N) per
-            // row; the naive transform(distinct, w -> count(filter))
-            // is O(distinct×N) and benched ~0.5s slower at sf0.1.
-            round(expr(
-              """aggregate(array_sort(tk),
-                |  named_struct('prev', CAST(NULL AS STRING),
-                |    'run', 0, 'best', 0),
-                |  (st, w) -> named_struct(
-                |    'prev', w,
-                |    'run', CASE WHEN st.prev IS NOT NULL AND w = st.prev
-                |      THEN st.run + 1 ELSE 1 END,
-                |    'best', greatest(st.best,
-                |      CASE WHEN st.prev IS NOT NULL AND w = st.prev
-                |        THEN st.run + 1 ELSE 1 END)),
-                |  st -> st.best)""".stripMargin) * 1.0 / size(col("tk")), 6)
+            round(col("r.top_count") * 1.0 / col("n"), 6)
               .as("top_word_ratio"))
           .orderBy("doc_id")
       },
