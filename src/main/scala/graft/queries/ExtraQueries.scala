@@ -187,6 +187,96 @@ object ExtraQueries {
         |SELECT e.event_id, e.user_id, p.ts AS purchase_ts,
         |  p.value AS purchase_value
         |FROM e ASOF JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
-        |ORDER BY e.event_id""".stripMargin))
+        |ORDER BY e.event_id""".stripMargin)),
+
+    // GROUPING SETS — the general form of rollup/cube: exactly the
+    // requested aggregation levels, one shuffle, no superfluous sets.
+    "q_agg_grouping_sets" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .groupingSets(
+            Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+              Seq(col("l_linestatus")), Seq.empty),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"),
+            round(sum("l_extendedprice") * 100).cast("long").as("sum_price_e2"))
+          .select(
+            coalesce(col("l_returnflag"), lit("_all_")).as("rf"),
+            coalesce(col("l_linestatus"), lit("_all_")).as("ls"),
+            col("cnt"), col("sum_price_e2"))
+          .orderBy("rf", "ls"),
+      """SELECT COALESCE(l_returnflag, '_all_') AS rf,
+        |COALESCE(l_linestatus, '_all_') AS ls,
+        |CAST(count(*) AS BIGINT) AS cnt,
+        |CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_price_e2
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin)),
+
+    // PII masking / pseudonymization — the privacy pass of a training
+    // pipeline: digit runs redacted in place, plus a stable sha256
+    // pseudonym for joinability after masking. Pure map-only codegen'd
+    // expressions (regexp_replace + sha2); no exchange at any scale.
+    "q_pii_mask" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "customer")
+          .select(col("c_custkey"),
+            regexp_replace(col("c_name"), "[0-9]", "X").as("masked_name"),
+            substring(sha2(col("c_name"), 256), 1, 16).as("pseudonym"))
+          .orderBy("c_custkey"),
+      """SELECT c_custkey,
+        |regexp_replace(c_name, '[0-9]', 'X', 'g') AS masked_name,
+        |substr(sha256(c_name), 1, 16) AS pseudonym
+        |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // Deterministic content-hash sampling, stratified by language —
+    // reproducible train/eval splits at any scale: membership is a pure
+    // function of the row key (sha256 prefix vs a per-stratum rate
+    // threshold), so re-runs, backfills, and different cluster sizes
+    // all select the identical sample with zero coordination or state.
+    "q_sample_hash" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .withColumn("h",
+            substring(sha2(concat(lit("smpl:"),
+              col("doc_id").cast("string")), 256), 1, 2))
+          .filter(col("h") < when(col("lang") === "en", lit("40"))
+            .otherwise(lit("80")))
+          .select("doc_id", "lang", "n_chars")
+          .orderBy("doc_id"),
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substr(sha256('smpl:' || CAST(doc_id AS VARCHAR)), 1, 2)
+        |  < CASE WHEN lang = 'en' THEN '40' ELSE '80' END
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Range (band) join: for each view event, how many clicks by the
+    // same user within ±1 hour. Scale shape: never an inequality join —
+    // each probe row expands to its 3 candidate hour-buckets, the join
+    // is an equality on (user_id, bucket) followed by the exact band
+    // filter. Equality joins shuffle-partition cleanly at 100 TB;
+    // a naive theta-join degenerates to broadcast-nested-loop.
+    "q_join_range" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = graft.Tables.events(s, d)
+        val us = expr("unix_micros(ts)")
+        val bucket = expr("floor(unix_micros(ts) / 3600000000)")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), us.as("v_us"),
+            explode(array(bucket - 1, bucket, bucket + 1)).as("bk"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), us.as("c_us"), bucket.as("bk"))
+        views.join(clicks, Seq("user_id", "bk"))
+          .filter(abs(col("v_us") - col("c_us")) <= 3600000000L)
+          .groupBy("event_id").agg(count(lit(1)).as("n_clicks"))
+          .orderBy("event_id")
+      },
+      """SELECT a.event_id, CAST(count(*) AS BIGINT) AS n_clicks
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'view' AND b.event_type = 'click'
+        | AND abs(epoch_us(CAST(a.ts AS TIMESTAMP))
+        |        - epoch_us(CAST(b.ts AS TIMESTAMP))) <= 3600000000
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin))
   )
 }

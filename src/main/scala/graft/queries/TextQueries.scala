@@ -267,6 +267,120 @@ object TextQueries {
         |CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin)),
 
+    // Boilerplate detection — per-document fraction of corpus-common
+    // shingles (RefinedWeb/C4-style header/footer signal). The common
+    // set is the Zipf HEAD of the shingle docfreq distribution — small
+    // by definition at any corpus size — so scoring is a broadcast
+    // semi-join over the index; the only full-size exchanges are the
+    // two groupBys on the 32-byte-keyed inverted index.
+    "q_text_boilerplate" -> ((
+      (s: SparkSession, d: String) =>
+        withShingleIndex(s, t(s, d, "documents"), 5,
+          s"/tmp/graft_res_boiler_${graft.Tables.dirTag(d)}") { idx =>
+          val common = idx.groupBy("s").agg(count(lit(1)).as("df"))
+            .filter(col("df") >= 3).select("s")
+          val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+          val nc = idx.join(broadcast(common), "s")
+            .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+          sizes.join(nc, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("n_sh"),
+              coalesce(col("n_common"), lit(0L)).as("n_common"),
+              round(coalesce(col("n_common"), lit(0L)) * 1.0 / col("n_sh"), 6)
+                .as("boiler_ratio"))
+        }.orderBy("doc_id"),
+      s"""WITH ${shinglesSqlCte(5)},
+         |docfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+         |common AS (SELECT s FROM docfreq WHERE df >= 3),
+         |nc AS (SELECT doc_id, count(*) AS n_common FROM sh
+         |       WHERE s IN (SELECT s FROM common) GROUP BY doc_id)
+         |SELECT z.doc_id, CAST(z.n AS BIGINT) AS n_sh,
+         |  CAST(coalesce(nc.n_common, 0) AS BIGINT) AS n_common,
+         |  round(coalesce(nc.n_common, 0) * 1.0 / z.n, 6) AS boiler_ratio
+         |FROM sizes z LEFT JOIN nc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin)),
+
+    // Near-dup clustering — the step AFTER pair generation: connected
+    // components over the confirmed near-dup pair graph, so each
+    // cluster keeps one canonical document (the min doc_id). Iterative
+    // min-label propagation to fixpoint: each round is one equality
+    // join + min-aggregation on the edge list — the standard
+    // distributed CC shape (cf. large-star/small-star), converging in
+    // diameter rounds, and near-dup components are shallow by
+    // construction. Only the (tiny) pair graph iterates; the corpus is
+    // never rescanned.
+    "q_dedup_cluster" -> ((
+      (s: SparkSession, d: String) =>
+        withShingleIndex(s, t(s, d, "documents"), 5,
+          s"/tmp/graft_res_cluster_${graft.Tables.dirTag(d)}") { idx =>
+          val a = idx.select(col("doc_id").as("doc_a"), col("s"))
+          val b = idx.select(col("doc_id").as("doc_b"), col("s"))
+          val pairs = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+            .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+          val dups = jaccardFilter(pairs, idx, 0.5)
+            .select("doc_a", "doc_b")
+          val e = dups.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+            .union(dups.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+            .persist()
+          // `cached` is always the DataFrame persist() was called on —
+          // unpersisting a plan *derived* from it would be a no-op and
+          // leak one cache entry per round.
+          var cached = e.select(col("src").as("id")).distinct()
+            .withColumn("lbl", col("id")).persist()
+          var labels = cached
+          try {
+            cached.count()
+            var changed = 1L
+            var iters = 0
+            while (changed > 0 && iters < 50) {
+              val nbrMin = e.join(labels, e("dst") === labels("id"))
+                .groupBy(col("src")).agg(min("lbl").as("nlbl"))
+              val step = labels.join(nbrMin,
+                  labels("id") === nbrMin("src"), "left")
+                .select(col("id"),
+                  least(col("lbl"), coalesce(col("nlbl"), col("lbl")))
+                    .as("lbl"),
+                  (coalesce(col("nlbl"), col("lbl")) < col("lbl"))
+                    .as("moved"))
+                .persist()
+              // One job materializes the cache AND counts movement —
+              // no separate old-vs-new join per round.
+              changed = step.agg(sum(when(col("moved"), 1L).otherwise(0L)))
+                .head().getLong(0)
+              cached.unpersist(blocking = true)
+              cached = step
+              labels = step.select("id", "lbl")
+              iters += 1
+            }
+            // Materialize before the caches drop — handing the lazy
+            // plan up would replay the whole iterative lineage
+            // uncached when withShingleIndex writes it out.
+            val outPath = s"/tmp/graft_cluster_lbl_${graft.Tables.dirTag(d)}"
+            labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+              .write.mode("overwrite").parquet(outPath)
+            s.read.parquet(outPath)
+          } finally {
+            cached.unpersist(blocking = true)
+            e.unpersist(blocking = true)
+          }
+        }.orderBy("doc_id"),
+      s"""WITH RECURSIVE ${shinglesSqlCte(5)},
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |dup AS (
+         |  SELECT i.doc_a, i.doc_b FROM inter i
+         |  JOIN sizes sa ON sa.doc_id = i.doc_a
+         |  JOIN sizes sb ON sb.doc_id = i.doc_b
+         |  WHERE i.inter * 1.0 / (sa.n + sb.n - i.inter) >= 0.5),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM dup
+         |      UNION SELECT doc_b, doc_a FROM dup),
+         |r AS (SELECT a AS id, a AS m FROM e
+         |      UNION
+         |      SELECT r.id, e.b FROM r JOIN e ON e.a = r.m)
+         |SELECT id AS doc_id, CAST(min(m) AS BIGINT) AS cluster
+         |FROM r GROUP BY id ORDER BY doc_id""".stripMargin)),
+
     // Exact n-gram Jaccard near-dup via inverted-index join (shingle
     // equality), never all-pairs. 5-grams, not 3-grams: the corpus
     // vocabulary is small, so short shingles are hub keys shared by

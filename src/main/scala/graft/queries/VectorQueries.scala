@@ -310,6 +310,43 @@ object VectorQueries {
 
   val entries: Map[String, (Q, String)] = Map(
 
+    // Per-label centroid (the training side of IVF / k-means): one
+    // posexplode + partial-aggregating groupBy on (label, dim) — the
+    // map-side combine means the exchange carries one partial sum per
+    // (partition, label, dim), not the exploded corpus. Arithmetic is
+    // exact fixed-point: each float is scaled by one IEEE double
+    // multiply (identical in every engine) and rounded half-away to
+    // integer micro-units, the longs sum exactly, and the average is a
+    // floor-division in double (sums < 2^53 are exact, quotients never
+    // within an ulp of an integer) — bit-identical across engines and
+    // partition orders, where a naive avg(float) would hash-mismatch on
+    // summation order. (Decimal casts are NOT portable at the ulp:
+    // DuckDB rounds float→DECIMAL through a scaled double, Spark
+    // through the exact binary expansion.)
+    "q_embed_centroid" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "embeddings")
+          .select(col("label"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("label", "dim")
+          .agg(sum(round(col("v").cast("double") * 1000000).cast("long"))
+            .as("sv"), count(lit(1)).as("n"))
+          .select(col("label"), col("dim"),
+            floor(col("sv").cast("double") / col("n"))
+              .cast("long").as("centroid_e6"),
+            col("n"))
+          .orderBy("label", "dim"),
+      """WITH x AS (
+        |  SELECT label,
+        |    CAST(unnest(range(0, len(embedding))) AS INT) AS dim,
+        |    unnest(embedding) AS v
+        |  FROM embeddings)
+        |SELECT label, dim,
+        |  CAST(floor(CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+        |    AS DOUBLE) / count(*)) AS BIGINT) AS centroid_e6,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin)),
+
     // Brute-force exact cosine top-k (baseline).
     "q_embed_cosine" -> ((
       (s: SparkSession, d: String) => {
