@@ -108,6 +108,46 @@ object StreamQueries {
     // a watermark. Oracle: gaps-and-islands (lag + running sum). A new
     // session starts when the gap is >= 30min, matching Spark's
     // half-open [ts, ts+gap) session extension.
+    // Stream-stream band join — the continuous flavor of q_join_range:
+    // views joined to same-user clicks within ±1 hour, both sides file
+    // streams with event-time watermarks. Inner joins emit on match;
+    // the watermarks bound join STATE (rows older than the band +
+    // watermark are evicted), which is what makes the operator runnable
+    // forever at scale. The finite AvailableNow source makes the gate
+    // deterministic; counts aggregate over the append-mode sink. Oracle:
+    // the identical relational band join in batch.
+    "q_stream_join" -> ((
+      (s: SparkSession, d: String) => {
+        val srcDir = s"/tmp/graft_stream_src_${graft.Tables.dirTag(d)}_v$DumpVersion"
+        ensureStreamDump(d, "events", srcDir)(graft.Tables.events(s, d))
+        val schema = s.read.parquet(srcDir).schema
+        def src() = s.readStream.schema(schema).parquet(srcDir)
+        val views = src().filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts").as("v_ts"))
+          .withWatermark("v_ts", "2 hours")
+        val clicks = src().filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "2 hours")
+        val joined = views.join(clicks, expr(
+          """user_id = c_user AND
+            |c_ts >= v_ts - INTERVAL 1 HOUR AND
+            |c_ts <= v_ts + INTERVAL 1 HOUR""".stripMargin))
+        val qn = "graft_sj_" + math.abs(d.hashCode).toString
+        val q = joined.writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(qn)
+          .groupBy("event_id").agg(count(lit(1)).as("n_clicks"))
+          .orderBy("event_id")
+      },
+      """SELECT a.event_id, CAST(count(*) AS BIGINT) AS n_clicks
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'view' AND b.event_type = 'click'
+        | AND abs(epoch_us(CAST(a.ts AS TIMESTAMP))
+        |        - epoch_us(CAST(b.ts AS TIMESTAMP))) <= 3600000000
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin)),
+
     "q_session_window" -> ((
       (s: SparkSession, d: String) =>
         graft.Tables.events(s, d)

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables.t
 
 /** LLM-training-data pipeline operators over the `documents` table:
@@ -266,6 +267,97 @@ object TextQueries {
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text,
         |CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin)),
+
+    // TF-IDF top terms — per-document distinctive vocabulary. Term
+    // frequencies partial-aggregate map-side; document frequency is a
+    // second aggregation over the already-collapsed (doc, term)
+    // relation; the vocabulary (Zipf again) broadcasts back onto it.
+    // Ranking is tf/df as one IEEE division of exact integers —
+    // identical in every engine, no log() whose libm rounding could
+    // diverge — tie-broken by term for a total order.
+    "q_text_tfidf" -> ((
+      (s: SparkSession, d: String) => {
+        val tf = t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(split(col("text"), " ")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy((col("tf") * 1.0 / col("df")).desc, col("term"))
+        tf.join(broadcast(dfreq), "term")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"))
+          .orderBy("doc_id", "rn")
+      },
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |r AS (
+        |  SELECT doc_id, term, tf, df,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf * 1.0 / df DESC, term) AS rn
+        |  FROM tf JOIN dfq USING (term))
+        |SELECT doc_id, CAST(rn AS INT) AS rn, term,
+        |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin)),
+
+    // PMI collocations — corpus-level bigram association. Two
+    // wordcount-shaped aggregations (bigrams, unigrams) + a broadcast
+    // join of the unigram vocabulary; top-20 by lift compiles to
+    // TakeOrderedAndProject (per-partition top-N, no global sort).
+    // Lift n_ab·N / (n_a·n_b) ranks identically to PMI (log is
+    // monotone) while staying in exact-integer-fed IEEE division —
+    // products stay < 2^53, so every engine computes the same double.
+    "q_text_pmi" -> ((
+      (s: SparkSession, d: String) => {
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        val uni = toks.select(explode(col("tk")).as("a"))
+          .groupBy("a").agg(count(lit(1)).as("n_a"))
+        val nTok = uni.agg(sum("n_a")).head().getLong(0)
+        val bi = toks.select(explode(expr(
+            """CASE WHEN size(tk) >= 2 THEN
+              |  transform(sequence(1, size(tk) - 1),
+              |    i -> struct(element_at(tk, i) AS a,
+              |                element_at(tk, i + 1) AS b))
+              |ELSE array() END""".stripMargin)).as("g"))
+          .select(col("g.a").as("a"), col("g.b").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 5)
+        val ub = uni.select(col("a").as("b"), col("n_a").as("n_b"))
+        bi.join(broadcast(uni), "a").join(broadcast(ub), "b")
+          .withColumn("lift",
+            col("n_ab") * lit(nTok) * 1.0 / (col("n_a") * col("n_b")))
+          .orderBy(col("lift").desc, col("a"), col("b"))
+          .limit(20)
+          .select("a", "b", "n_ab", "n_a", "n_b")
+          .orderBy("a", "b")
+      },
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |toks AS (SELECT unnest(t) AS a FROM tk),
+        |uni AS (SELECT a, count(*) AS n_a FROM toks GROUP BY a),
+        |n AS (SELECT sum(n_a) AS n_tok FROM uni),
+        |bi AS (
+        |  SELECT g[1] AS a, g[2] AS b, count(*) AS n_ab FROM (
+        |    SELECT unnest(CASE WHEN len(t) >= 2 THEN
+        |        list_transform(range(1, len(t)), i -> [t[i], t[i + 1]])
+        |      ELSE CAST([] AS VARCHAR[][]) END) AS g
+        |    FROM tk) GROUP BY 1, 2 HAVING count(*) >= 5),
+        |ranked AS (
+        |  SELECT bi.a, bi.b, bi.n_ab, ua.n_a, ub.n_a AS n_b
+        |  FROM bi JOIN uni ua ON ua.a = bi.a
+        |          JOIN uni ub ON ub.a = bi.b, n
+        |  ORDER BY bi.n_ab * n.n_tok * 1.0 / (ua.n_a * ub.n_a) DESC,
+        |    bi.a, bi.b
+        |  LIMIT 20)
+        |SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab,
+        |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+        |FROM ranked ORDER BY a, b""".stripMargin)),
 
     // Boilerplate detection — per-document fraction of corpus-common
     // shingles (RefinedWeb/C4-style header/footer signal). The common
