@@ -111,4 +111,31 @@ class PlanQualitySpec extends SparkSpecBase {
     // Two HashAggregate operators around one exchange.
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
+
+  test("q_join_range is an equality join, never a nested-loop theta-join") {
+    val p = planOf("q_join_range")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_text_tfidf broadcasts the vocabulary back onto the tf relation") {
+    val p = planOf("q_text_tfidf")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_text_pmi takes top-20 per partition, not a global sort") {
+    val p = planOf("q_text_pmi")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_pii_mask and q_sample_hash stay map-only up to the output sort") {
+    Seq("q_pii_mask", "q_sample_hash").foreach { q =>
+      val p = planOf(q)
+      // The gate's deterministic ORDER BY is the only exchange allowed;
+      // masking/sampling itself must never shuffle on a key.
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q grew a hash shuffle — masking/sampling must be map-only:\n$p")
+    }
+  }
 }
