@@ -199,11 +199,19 @@ object TextQueries {
     bandedPairs(bands)
   }
 
-  /** Persist candidates for the oracle's verify-only pass, then verify. */
+  /** Persist candidates for the oracle's verify-only pass, then verify.
+    * The side-file exists solely so the DuckDB oracle can re-verify the
+    * EXACT candidate set Spark generated — the driver only reads it at
+    * the verify SF, so at any other scale the (pure, lazy, cache-free)
+    * candidate plan feeds the verify join directly with no parquet
+    * round-trip. */
   private def candidateVerify(s: SparkSession, cand: DataFrame, idx: DataFrame,
       path: String, threshold: Double): DataFrame = {
-    cand.write.mode("overwrite").parquet(path)
-    val persisted = s.read.parquet(path)
+    val persisted =
+      if (path.endsWith(graft.Tables.dirTag(graft.Tables.VerifySfDir))) {
+        cand.write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+      } else cand
     jaccardFilter(interFor(persisted, idx), idx, threshold)
   }
 
