@@ -276,6 +276,74 @@ object TextQueries {
         |CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin)),
 
+    // Exact-substring duplication signal (the n-gram-granular form of
+    // Lee et al.'s ExactSubstr dedup): per document, how many tokens
+    // are covered by the union of 8-token spans whose text occurs more
+    // than once corpus-wide. The repeated-gram set is found by one
+    // count aggregation on the gram stream (32-byte sha-free keys never
+    // leave the exchange as raw text at scale — grams here, digests if
+    // grams grow); span-union coverage is per-row interval math over
+    // each doc's sorted match positions. High dup_ratio = the document
+    // is mostly duplicated text and should be dropped or trimmed.
+    "q_dedup_substr" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val grams = docs
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+          .select(col("doc_id"), posexplode(expr(
+            """CASE WHEN size(tk) >= 8 THEN
+              |  transform(sequence(1, size(tk) - 7),
+              |    i -> concat_ws(' ', element_at(tk, i), element_at(tk, i+1),
+              |      element_at(tk, i+2), element_at(tk, i+3),
+              |      element_at(tk, i+4), element_at(tk, i+5),
+              |      element_at(tk, i+6), element_at(tk, i+7)))
+              |ELSE array() END""".stripMargin)).as(Seq("pos", "g")))
+        val rep = grams.groupBy("g").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("g")
+        val cov = grams.join(rep, "g")
+          .groupBy("doc_id").agg(sort_array(collect_list("pos")).as("ps"))
+          .select(col("doc_id"), expr(
+            """aggregate(transform(sequence(1, size(ps)),
+              |    k -> CASE WHEN k = size(ps) THEN 8
+              |         ELSE least(8, element_at(ps, k+1) - element_at(ps, k))
+              |         END),
+              |  0, (a, x) -> a + x)""".stripMargin).as("covered"))
+        docs.join(cov, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).as("n_tok"),
+            coalesce(col("covered"), lit(0)).cast("long").as("covered"),
+            round(coalesce(col("covered"), lit(0)) * 1.0 /
+              size(split(col("text"), " ")), 6).as("dup_ratio"))
+          .orderBy("doc_id")
+      },
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+        |        list_transform(range(1, len(t) - 6),
+        |          i -> {'pos': i, 'g': t[i] || ' ' || t[i+1] || ' ' ||
+        |            t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' ||
+        |            t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]})
+        |      ELSE CAST([] AS STRUCT(pos BIGINT, g VARCHAR)[]) END) AS u
+        |    FROM tk)),
+        |rep AS (SELECT g FROM g2 GROUP BY g HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT doc_id, list_sort(list(pos)) AS ps FROM g2
+        |  WHERE g IN (SELECT g FROM rep) GROUP BY doc_id),
+        |cov2 AS (
+        |  SELECT doc_id, list_sum(list_transform(range(1, len(ps) + 1),
+        |    k -> CASE WHEN k = len(ps) THEN 8
+        |         ELSE least(8, ps[k+1] - ps[k]) END)) AS covered
+        |  FROM cov)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, ' ')) AS INT) AS n_tok,
+        |  CAST(coalesce(c.covered, 0) AS BIGINT) AS covered,
+        |  round(coalesce(c.covered, 0) * 1.0
+        |    / len(string_split(d.text, ' ')), 6) AS dup_ratio
+        |FROM documents d LEFT JOIN cov2 c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)),
+
     // TF-IDF top terms — per-document distinctive vocabulary. Term
     // frequencies partial-aggregate map-side; document frequency is a
     // second aggregation over the already-collapsed (doc, term)
