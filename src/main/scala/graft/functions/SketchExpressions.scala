@@ -139,13 +139,87 @@ case class SimHashSig(child: Expression)
     copy(child = newChild)
 }
 
+/** One-pass word n-gram construction (the feeder of every shingle
+  * pipeline). The SQL formulation — `transform(sequence(1, size-n+1),
+  * i -> concat_ws(' ', element_at…))` — is an interpreted higher-order
+  * lambda allocating a frame per shingle; this builds the same strings
+  * (identical null-skipping concat_ws semantics) in one JIT-compiled
+  * loop, and the `distinct` variant fuses the usual trailing
+  * `array_distinct` hash-set pass into the same loop (first-occurrence
+  * order preserved, exactly like array_distinct). */
+object WordShingleImpl {
+
+  private val Space = UTF8String.fromString(" ")
+
+  def shingles(arr: ArrayData, n: Int, distinct: Boolean): ArrayData = {
+    val nTok = arr.numElements()
+    if (nTok < n) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[UTF8String](nTok - n + 1)
+    val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i <= nTok - n) {
+      var k = 0
+      var m = 0
+      while (k < n) {
+        // concat_ws semantics: null elements are skipped entirely
+        // (element AND separator)
+        if (!arr.isNullAt(i + k)) {
+          parts(m) = arr.getUTF8String(i + k)
+          m += 1
+        }
+        k += 1
+      }
+      val s = UTF8String.concatWs(Space,
+        (if (m == n) parts else java.util.Arrays.copyOf(parts, m)): _*)
+      if (seen == null || seen.add(s)) out.add(s)
+      i += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+}
+
+/** word_shingles(array<string>, n) → array<string> of space-joined
+  * n-grams in order, duplicates kept; word_shingles_distinct fuses the
+  * array_distinct. */
+case class WordShingles(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression with ShingleArrayInput {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String =
+    if (distinct) "word_shingles_distinct" else "word_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingleImpl.shingles(input.asInstanceOf[ArrayData], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.WordShingleImpl.shingles($a, $n, $distinct)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
 object SketchFunctions {
-  /** Register minhash_sig / simhash_sig in the session registry
-    * (idempotent — same route as vec_dot). */
+  /** Register minhash_sig / simhash_sig / word_shingles[_distinct] in
+    * the session registry (idempotent — same route as vec_dot). The
+    * shingle size is passed as a literal int argument. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSig(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_sig", exprs => SimHashSig(exprs.head), "built-in")
+    def lit(e: Expression): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => sys.error(s"shingle size must be an int literal, got $other")
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles",
+      exprs => WordShingles(exprs.head, lit(exprs(1)), distinct = false),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles_distinct",
+      exprs => WordShingles(exprs.head, lit(exprs(1)), distinct = true),
+      "built-in")
   }
 }

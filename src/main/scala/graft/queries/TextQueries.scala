@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables.t
@@ -23,20 +23,8 @@ object TextQueries {
 
   import CoreQueries.Q
 
-  /** Distinct word n-gram shingles over a pre-tokenized `tk` column.
-    * Tokenization is materialized as its own column first — a split()
-    * inlined in the lambda would be re-evaluated per element (O(words²)
-    * per document); over an attribute each element_at is O(1). */
-  private def shingles(n: Int): Column = {
-    val parts = (0 until n).map(o => s"element_at(tk, i + $o)").mkString(", ")
-    expr(
-      s"""CASE WHEN size(tk) >= $n THEN
-         |  transform(sequence(1, size(tk) - ${n - 1}),
-         |    i -> concat_ws(' ', $parts))
-         |ELSE array() END""".stripMargin)
-  }
-
-  /** DuckDB twin of `shingles` (same tokenization, same n-grams). */
+  /** DuckDB twin of the codegen'd `word_shingles_distinct` expression
+    * (same tokenization, same n-grams, same per-doc set semantics). */
   private def shinglesSqlCte(n: Int): String = {
     val parts = (0 until n)
       .map(o => s"string_split(text, ' ')[i + $o]").mkString(" || ' ' || ")
@@ -59,17 +47,21 @@ object TextQueries {
     * [[withShingleIndex]] so the cache is dropped when the pipeline is
     * done — a long-lived session must not accumulate executor memory
     * per dedup run. */
-  private def shingleIndexOf(docs: DataFrame, n: Int): DataFrame =
+  private def shingleIndexOf(docs: DataFrame, n: Int): DataFrame = {
+    graft.functions.SketchFunctions.register(docs.sparkSession)
     docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      // Set semantics per document via array_distinct BEFORE the
-      // explode: a hash-set pass over each row's shingle array (linear,
-      // map-side, no exchange) replaces a global distinct() that would
+      // Set semantics per document BEFORE the explode: the codegen'd
+      // word_shingles_distinct builds + dedups each row's shingles in
+      // one JIT-compiled pass (linear, map-side, no exchange) — both
+      // cheaper than the interpreted transform-lambda + array_distinct
+      // pair and infinitely cheaper than a global distinct() that would
       // shuffle the full exploded index — the largest relation in every
       // dedup pipeline.
       .select(col("doc_id"),
-        explode(array_distinct(shingles(n))).as("s"))
+        explode(expr(s"word_shingles_distinct(tk, $n)")).as("s"))
       .persist()
+  }
 
   /** Scoped-cache harness for the dedup pipelines: builds the persisted
     * shingle index, runs `body`, materializes its (small) result to
@@ -152,7 +144,7 @@ object TextQueries {
     graft.functions.SketchFunctions.register(docs.sparkSession)
     docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .select(col("doc_id"), array_distinct(shingles(n)).as("sh"))
+      .select(col("doc_id"), expr(s"word_shingles_distinct(tk, $n)").as("sh"))
   }
 
   /** Same-bucket candidate pairs from per-band bucket values: the LSH
@@ -221,10 +213,12 @@ object TextQueries {
     * driver contract. */
   private[graft] def planProbe(s: SparkSession, d: String,
       which: String): DataFrame = {
+    graft.functions.SketchFunctions.register(s)
     val idx = t(s, d, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"),
-        explode(array_distinct(shingles(if (which == "ngram") 5 else 3))).as("s"))
+        explode(expr(
+          s"word_shingles_distinct(tk, ${if (which == "ngram") 5 else 3})")).as("s"))
     which match {
       case "ngram" =>
         val a = idx.select(col("doc_id").as("doc_a"), col("s"))
@@ -288,16 +282,11 @@ object TextQueries {
     "q_dedup_substr" -> ((
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")
+        graft.functions.SketchFunctions.register(s)
         val grams = docs
           .select(col("doc_id"), split(col("text"), " ").as("tk"))
-          .select(col("doc_id"), posexplode(expr(
-            """CASE WHEN size(tk) >= 8 THEN
-              |  transform(sequence(1, size(tk) - 7),
-              |    i -> concat_ws(' ', element_at(tk, i), element_at(tk, i+1),
-              |      element_at(tk, i+2), element_at(tk, i+3),
-              |      element_at(tk, i+4), element_at(tk, i+5),
-              |      element_at(tk, i+6), element_at(tk, i+7)))
-              |ELSE array() END""".stripMargin)).as(Seq("pos", "g")))
+          .select(col("doc_id"),
+            posexplode(expr("word_shingles(tk, 8)")).as(Seq("pos", "g")))
         val rep = grams.groupBy("g").agg(count(lit(1)).as("c"))
           .filter(col("c") >= 2).select("g")
         val cov = grams.join(rep, "g")
@@ -803,9 +792,11 @@ object TextQueries {
     "q_text_decontaminate" -> ((
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")
+        graft.functions.SketchFunctions.register(s)
         def shingled(df: DataFrame): DataFrame = df
           .select(col("doc_id"), split(col("text"), " ").as("tk"))
-          .select(col("doc_id"), explode(array_distinct(shingles(5))).as("s"))
+          .select(col("doc_id"),
+            explode(expr("word_shingles_distinct(tk, 5)")).as("s"))
         val bench = shingled(docs.filter(col("doc_id") < 5))
           .select("s").distinct()
         val contaminated = shingled(docs.filter(col("doc_id") >= 5))
