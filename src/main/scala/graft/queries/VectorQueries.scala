@@ -165,16 +165,43 @@ object VectorQueries {
     finally cached.unpersist(blocking = true)
   }
 
-  private def writeAnnCandidates(s: SparkSession, d: String,
-      path: String): Unit =
-    withBucketCache(withBuckets(emb(s, d), bitsFor(corpusRows(s, d)))) { buckets =>
-      val q = buckets.filter(col("vec_id") < NQ)
-        .select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
-      val c = buckets.select(col("vec_id").as("nid"), col("tbl"), col("bkt"))
-      broadcast(q).join(c, Seq("tbl", "bkt"))
-        .filter(col("qid") =!= col("nid"))
-        .select("qid", "nid").distinct()
-        .write.mode("overwrite").parquet(path)
+  /** Candidate side-files exist solely so the DuckDB oracle can
+    * re-rank the EXACT candidate set Spark generated — the driver only
+    * reads them at the verify SF; at any other scale the lazy candidate
+    * plan feeds the exact re-rank directly (the scoped caches under it
+    * stay warm until the result materializes). */
+  private def maybeSideFile(s: SparkSession, d: String, cand: DataFrame,
+      path: String): DataFrame =
+    if (graft.Tables.dirTag(d) ==
+        graft.Tables.dirTag(graft.Tables.VerifySfDir)) {
+      cand.write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+    } else cand
+
+  /** Eager result materialization INSIDE the cache scope — handing a
+    * lazy plan past the unpersist would replay the bucket lineage
+    * uncached. Callers re-apply their ORDER BY after read-back. */
+  private def materialized(s: SparkSession, df: DataFrame,
+      path: String): DataFrame = {
+    df.write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
+  private def annCandPlan(buckets: DataFrame): DataFrame = {
+    val q = buckets.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
+    val c = buckets.select(col("vec_id").as("nid"), col("tbl"), col("bkt"))
+    broadcast(q).join(c, Seq("tbl", "bkt"))
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+  }
+
+  private def annResult(s: SparkSession, d: String,
+      candPath: String): DataFrame =
+    withBucketCache(withBuckets(emb(s, d), bitsFor(corpusRows(s, d)))) { b =>
+      materialized(s,
+        rankTopK(cosineFor(s, d, maybeSideFile(s, d, annCandPlan(b), candPath))),
+        candPath + "_res")
     }
 
   // ---- IVF-style partitioning: nearest-centroid inverted lists -------
@@ -243,37 +270,42 @@ object VectorQueries {
     * on NQ×k rows only, after the query filter prunes the corpus). The
     * probe is an equality join on centroid id — partition-pruned
     * search, never a full scan per query. */
-  private def writeIvfCandidates(s: SparkSession, d: String,
-      path: String): Unit = {
+  private def ivfCandPlan(s: SparkSession, e: DataFrame): DataFrame = {
     val spark = s
     import spark.implicits._
+    // The training-sample collect inside centroids() is the first
+    // action and warms the caller's cache for the assignment scans.
+    val cDf = broadcast(centroids(e, KMeansIters).toDF("cid", "cv")
+      .withColumn("cnrm", sqrt(expr("vec_dot(cv, cv)"))))
+    def scored = e.select(col("vec_id"), col("v"), col("nrm"))
+      .crossJoin(cDf)
+      .withColumn("sim",
+        expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
+    val lists = scored
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim"), (-col("cid")).as("tie"),
+        col("cid"))).as("best"))
+      .select(col("best.cid").as("cid"), col("vec_id").as("nid"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cid"))
+    val probes = scored.filter(col("vec_id") < NQ)
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= numProbes)
+      .select(col("vec_id").as("qid"), col("cid"))
+    broadcast(probes).join(lists, "cid")
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+  }
+
+  private def ivfResult(s: SparkSession, d: String,
+      candPath: String): DataFrame = {
     val e = emb(s, d).persist()
-    try {
-      // No explicit materialization pass: the training-sample collect
-      // inside centroids() is the first action and warms the cache for
-      // the assignment scans.
-      val cDf = broadcast(centroids(e, KMeansIters).toDF("cid", "cv")
-        .withColumn("cnrm", sqrt(expr("vec_dot(cv, cv)"))))
-      def scored = e.select(col("vec_id"), col("v"), col("nrm"))
-        .crossJoin(cDf)
-        .withColumn("sim",
-          expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
-      val lists = scored
-        .groupBy("vec_id")
-        .agg(max(struct(col("sim"), (-col("cid")).as("tie"),
-          col("cid"))).as("best"))
-        .select(col("best.cid").as("cid"), col("vec_id").as("nid"))
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("sim").desc, col("cid"))
-      val probes = scored.filter(col("vec_id") < NQ)
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= numProbes)
-        .select(col("vec_id").as("qid"), col("cid"))
-      broadcast(probes).join(lists, "cid")
-        .filter(col("qid") =!= col("nid"))
-        .select("qid", "nid").distinct()
-        .write.mode("overwrite").parquet(path)
-    } finally e.unpersist(blocking = true)
+    try
+      materialized(s,
+        rankTopK(cosineFor(s, d,
+          maybeSideFile(s, d, ivfCandPlan(s, e), candPath))),
+        candPath + "_res")
+    finally e.unpersist(blocking = true)
   }
 
   /** Corpus-wide same-bucket pairs (i < j) — the near-dup candidates.
@@ -288,8 +320,15 @@ object VectorQueries {
     * and both self-join sides read the warm cache. Round 3 cached the
     * pre-window buckets instead, recomputing the window 3× (spill
     * count job + each join side). */
-  private def writeDupCandidates(s: SparkSession, d: String,
-      path: String): Unit = {
+  private def dupCandPlan(capped: DataFrame): DataFrame = {
+    val l = capped.select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
+    val r = capped.select(col("vec_id").as("nid"), col("tbl"), col("bkt"))
+    l.join(r, Seq("tbl", "bkt")).filter(col("qid") < col("nid"))
+      .select("qid", "nid").distinct()
+  }
+
+  private def dupResult(s: SparkSession, d: String,
+      candPath: String): DataFrame = {
     val n = corpusRows(s, d)
     val capped =
       capBuckets(withBuckets(emb(s, d), bitsFor(n))).persist()
@@ -300,12 +339,30 @@ object VectorQueries {
         System.err.println(
           s"[graft] embed LSH: $spilled bucket members beyond cap=$MaxBucket " +
             "excluded from candidate generation (recall reduced)")
-      val l = capped.select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
-      val r = capped.select(col("vec_id").as("nid"), col("tbl"), col("bkt"))
-      l.join(r, Seq("tbl", "bkt")).filter(col("qid") < col("nid"))
-        .select("qid", "nid").distinct()
-        .write.mode("overwrite").parquet(path)
+      materialized(s,
+        cosineFor(s, d, maybeSideFile(s, d, dupCandPlan(capped), candPath))
+          .filter(col("cosraw") >= DupThreshold)
+          .select(col("qid").as("vec_a"), col("nid").as("vec_b"),
+            round(col("cosraw"), 6).as("cosine")),
+        candPath + "_res")
     } finally capped.unpersist(blocking = true)
+  }
+
+  /** Unmaterialized pipeline plans for plan-quality inspection (the
+    * gate queries materialize eagerly inside their cache scopes, so
+    * their returned plan is just the result-file scan). Not part of
+    * the driver contract. */
+  private[graft] def planProbe(s: SparkSession, d: String,
+      which: String): DataFrame = which match {
+    case "ann" =>
+      rankTopK(cosineFor(s, d,
+        annCandPlan(withBuckets(emb(s, d), bitsFor(corpusRows(s, d))))))
+    case "ivf" =>
+      rankTopK(cosineFor(s, d, ivfCandPlan(s, emb(s, d))))
+    case "dup" =>
+      cosineFor(s, d, dupCandPlan(
+        capBuckets(withBuckets(emb(s, d), bitsFor(corpusRows(s, d))))))
+        .filter(col("cosraw") >= DupThreshold)
   }
 
   val entries: Map[String, (Q, String)] = Map(
@@ -365,35 +422,25 @@ object VectorQueries {
     // LSH-bucketed ANN: candidates from bucket equality joins, exact
     // re-rank on candidates only. Oracle re-ranks the same candidates.
     "q_embed_ann" -> ((
-      (s: SparkSession, d: String) => {
-        val path = s"/tmp/graft_cand_ann_${graft.Tables.dirTag(d)}"
-        writeAnnCandidates(s, d, path)
-        rankTopK(cosineFor(s, d, s.read.parquet(path)))
-      },
+      (s: SparkSession, d: String) =>
+        annResult(s, d, s"/tmp/graft_cand_ann_${graft.Tables.dirTag(d)}")
+          .orderBy("qid", "rn"),
       rankSql(s"SELECT DISTINCT qid, nid FROM read_parquet('/tmp/graft_cand_ann_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/*.parquet')"))),
 
     // IVF-style ANN: k-means-refined nearest-centroid inverted lists,
     // multi-probe, exact re-rank on the probed lists only.
     "q_embed_ivf" -> ((
-      (s: SparkSession, d: String) => {
-        val path = s"/tmp/graft_cand_ivf_${graft.Tables.dirTag(d)}"
-        writeIvfCandidates(s, d, path)
-        rankTopK(cosineFor(s, d, s.read.parquet(path)))
-      },
+      (s: SparkSession, d: String) =>
+        ivfResult(s, d, s"/tmp/graft_cand_ivf_${graft.Tables.dirTag(d)}")
+          .orderBy("qid", "rn"),
       rankSql(s"SELECT DISTINCT qid, nid FROM read_parquet('/tmp/graft_cand_ivf_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/*.parquet')"))),
 
     // Embedding near-duplicate pairs: LSH buckets corpus-wide, exact
     // cosine threshold on candidates. Oracle re-verifies the candidates.
     "q_embed_dup" -> ((
-      (s: SparkSession, d: String) => {
-        val path = s"/tmp/graft_cand_embdup_${graft.Tables.dirTag(d)}"
-        writeDupCandidates(s, d, path)
-        cosineFor(s, d, s.read.parquet(path))
-          .filter(col("cosraw") >= DupThreshold)
-          .select(col("qid").as("vec_a"), col("nid").as("vec_b"),
-            round(col("cosraw"), 6).as("cosine"))
-          .orderBy("vec_a", "vec_b")
-      },
+      (s: SparkSession, d: String) =>
+        dupResult(s, d, s"/tmp/graft_cand_embdup_${graft.Tables.dirTag(d)}")
+          .orderBy("vec_a", "vec_b"),
       s"""WITH pairs AS (SELECT DISTINCT qid, nid
          |  FROM read_parquet('/tmp/graft_cand_embdup_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/*.parquet')),
          |e AS (SELECT vec_id, unnest(embedding) AS x,

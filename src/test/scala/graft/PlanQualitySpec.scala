@@ -44,9 +44,10 @@ class PlanQualitySpec extends SparkSpecBase {
         .queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$which:\n$p")
     }
-    Seq("q_embed_ann", "q_embed_ivf").foreach { q =>
-      val p = planOf(q)
-      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    Seq("ann", "ivf", "dup").foreach { which =>
+      val p = graft.queries.VectorQueries.planProbe(spark, dir, which)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$which:\n$p")
     }
   }
 
