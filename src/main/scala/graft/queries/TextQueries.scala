@@ -940,6 +940,28 @@ object TextQueries {
         |CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |'text/plain' AS mime,
         |substr(upper(hex(encode(text))), 1, 16) AS head_hex
-        |FROM documents ORDER BY doc_id""".stripMargin))
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Multimodal payload dedup — exact dedup keyed on the BINARY
+    // content digest (images/audio dedup by bytes, before any decode):
+    // the q_dedup_exact shape applied to the opaque payload column.
+    // The 32-byte sha2 digest is the shuffle key; duplicate payloads
+    // collapse map-side. At 100 TB the digest would be computed at
+    // ingest and stored, making this a pure metadata aggregation.
+    "q_multimodal_dedup" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .groupBy(sha2(col("payload"), 256).as("digest"))
+          .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"),
+            min(length(col("payload"))).as("n_bytes"))
+          .select("doc_id", "digest", "n_copies", "n_bytes")
+          .orderBy("doc_id"),
+      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+        |sha256(text) AS digest,
+        |CAST(count(*) AS BIGINT) AS n_copies,
+        |CAST(min(octet_length(encode(text))) AS INT) AS n_bytes
+        |FROM documents GROUP BY sha256(text)
+        |ORDER BY doc_id""".stripMargin))
   )
 }
