@@ -18,6 +18,29 @@ object Bench {
 
   private val JiffiesPerSec = 100.0 // USER_HZ, fixed at 100 on Linux
 
+  /** Fixed CPU+memory-bandwidth probe: a deterministic byte-sweep over
+    * a 4 MiB buffer (~25 ms unloaded). Hypervisor steal shows up in
+    * /proc/stat, but co-tenant MEMORY-BANDWIDTH contention does not —
+    * it slows map-only queries with zero recorded steal. Timing this
+    * probe next to each query makes that contention self-identifying:
+    * a slow recording with normal calib is a real regression; a slow
+    * recording with inflated calib is the neighbor. */
+  private val CalibBuf =
+    Array.tabulate(1 << 22)(i => (i * 2654435761L).toByte)
+  private var calibSink = 0L
+  private def calibSec(): Double = {
+    val t0 = System.nanoTime()
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      var i = 0
+      while (i < CalibBuf.length) { h = h * 31 + CalibBuf(i); i += 8 }
+      r += 1
+    }
+    calibSink ^= h // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -49,6 +72,7 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
     val stealStart = stealJiffies()
+    val calibBase = (1 to 5).map(_ => calibSec()).min
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = queries.map { case (name, fn) =>
@@ -67,31 +91,39 @@ object Bench {
         // Queries are timed independently: drop any rdd cache a
         // previous run/query persisted.
         spark.catalog.clearCache()
+        val c0 = calibSec()
         val s0 = stealJiffies()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val dt = (System.nanoTime() - t0) / 1e9
           val steal = (stealJiffies() - s0) / JiffiesPerSec
-          (dt, steal)
+          // Bracket the run: contention DURING the query shows up in
+          // whichever probe is worse.
+          (dt, steal, math.max(c0, calibSec()))
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            (-1.0, 0.0)
+            (-1.0, 0.0, c0)
         }
       }
       val best =
-        if (times.exists(_._1 < 0)) (-1.0, 0.0) else times.minBy(_._1)
-      (name, best._1, best._2)
+        if (times.exists(_._1 < 0)) (-1.0, 0.0, times.head._3)
+        else times.minBy(_._1)
+      (name, best._1, best._2, best._3)
     }
     val stealTotal = (stealJiffies() - stealStart) / JiffiesPerSec
     def jmap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jmap(results.map(r => r._1 -> r._2))
     val steals = jmap(results.map(r => r._1 -> r._3))
+    // Contention ratio next to the reported run: calib/calib_base ~1 =
+    // quiet box; >>1 = co-tenant contention (even with zero steal).
+    val calibs = jmap(results.map(r => r._1 ->
+      (math.round(r._4 / calibBase * 100.0) / 100.0)))
     val total =
       if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steal_sec":$stealTotal,"query_steal":$steals,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steal_sec":$stealTotal,"query_steal":$steals,"calib_base":$calibBase,"query_calib":$calibs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
