@@ -250,6 +250,59 @@ object ExtraQueries {
         |  < CASE WHEN lang = 'en' THEN '40' ELSE '80' END
         |ORDER BY doc_id""".stripMargin)),
 
+    // Data profiling — the ANALYZE pass of a pipeline: per-column
+    // non-null / distinct / min / max in ONE scan (wide aggregate +
+    // stack unpivot, partial aggregation map-side). Exact distincts
+    // here to match the oracle; at 100 TB swap in approx_count_distinct
+    // (see q_approx_distinct) and the Expand disappears.
+    "q_profile" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count("l_returnflag").as("nn_rf"),
+            countDistinct("l_returnflag").as("nd_rf"),
+            min("l_returnflag").as("min_rf"),
+            max("l_returnflag").as("max_rf"),
+            count("l_quantity").as("nn_qty"),
+            countDistinct("l_quantity").as("nd_qty"),
+            min(col("l_quantity").cast("long")).cast("string").as("min_qty"),
+            max(col("l_quantity").cast("long")).cast("string").as("max_qty"),
+            count("l_shipdate").as("nn_sd"),
+            countDistinct("l_shipdate").as("nd_sd"),
+            date_format(min("l_shipdate"), "yyyy-MM-dd").as("min_sd"),
+            date_format(max("l_shipdate"), "yyyy-MM-dd").as("max_sd"))
+          .selectExpr("n_rows", """stack(3,
+            |'l_returnflag', nn_rf, nd_rf, min_rf, max_rf,
+            |'l_quantity', nn_qty, nd_qty, min_qty, max_qty,
+            |'l_shipdate', nn_sd, nd_sd, min_sd, max_sd)
+            |AS (col_name, n_nonnull, n_distinct, min_v, max_v)""".stripMargin)
+          .select("col_name", "n_rows", "n_nonnull", "n_distinct",
+            "min_v", "max_v")
+          .orderBy("col_name"),
+      """WITH w AS (SELECT
+        |  count(*) AS n_rows,
+        |  count(l_returnflag) AS nn_rf, count(DISTINCT l_returnflag) AS nd_rf,
+        |  min(l_returnflag) AS min_rf, max(l_returnflag) AS max_rf,
+        |  count(l_quantity) AS nn_qty, count(DISTINCT l_quantity) AS nd_qty,
+        |  CAST(CAST(min(l_quantity) AS BIGINT) AS VARCHAR) AS min_qty,
+        |  CAST(CAST(max(l_quantity) AS BIGINT) AS VARCHAR) AS max_qty,
+        |  count(l_shipdate) AS nn_sd, count(DISTINCT l_shipdate) AS nd_sd,
+        |  strftime(min(l_shipdate), '%Y-%m-%d') AS min_sd,
+        |  strftime(max(l_shipdate), '%Y-%m-%d') AS max_sd
+        |  FROM lineitem)
+        |SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_nonnull AS BIGINT) AS n_nonnull,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct, min_v, max_v
+        |FROM (
+        |  SELECT 'l_returnflag' AS col_name, n_rows, nn_rf AS n_nonnull,
+        |    nd_rf AS n_distinct, min_rf AS min_v, max_rf AS max_v FROM w
+        |  UNION ALL
+        |  SELECT 'l_quantity', n_rows, nn_qty, nd_qty, min_qty, max_qty FROM w
+        |  UNION ALL
+        |  SELECT 'l_shipdate', n_rows, nn_sd, nd_sd, min_sd, max_sd FROM w)
+        |ORDER BY col_name""".stripMargin)),
+
     // Range (band) join: for each view event, how many clicks by the
     // same user within ±1 hour. Scale shape: never an inequality join —
     // each probe row expands to its 3 candidate hour-buckets, the join

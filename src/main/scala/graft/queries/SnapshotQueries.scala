@@ -35,6 +35,51 @@ object SnapshotQueries {
       },
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
         |CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS sum_price_e2
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // Snapshot diff — the domain's natural follow-up to P12: what
+    // changed between two collects (added / removed / changed rows).
+    // One full-outer join on the key classifies everything; unchanged
+    // rows drop out. The two "snapshots" are deterministic derivations
+    // of the base table so both sides exist at every SF. At 100 TB both
+    // snapshots share the sink's bucketed-by-key layout, so the diff
+    // join co-locates without a shuffle.
+    "q_snapshot_diff" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val old = docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("n_chars").as("old_chars"))
+        val neu = docs.filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0, col("n_chars") + 1)
+              .otherwise(col("n_chars")).as("new_chars"))
+        old.join(neu, Seq("doc_id"), "full_outer")
+          .withColumn("change",
+            when(col("old_chars").isNull, "added")
+              .when(col("new_chars").isNull, "removed")
+              .when(col("old_chars") =!= col("new_chars"), "changed")
+              .otherwise("unchanged"))
+          .filter(col("change") =!= "unchanged")
+          .select("doc_id", "change", "old_chars", "new_chars")
+          .orderBy("doc_id")
+      },
+      """WITH old AS (
+        |  SELECT doc_id, n_chars AS old_chars FROM documents
+        |  WHERE doc_id % 7 <> 0),
+        |neu AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN n_chars + 1 ELSE n_chars END
+        |      AS new_chars
+        |  FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT COALESCE(old.doc_id, neu.doc_id) AS doc_id,
+        |  CASE WHEN old_chars IS NULL THEN 'added'
+        |       WHEN new_chars IS NULL THEN 'removed'
+        |       WHEN old_chars <> new_chars THEN 'changed'
+        |       ELSE 'unchanged' END AS change,
+        |  old_chars, new_chars
+        |FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
+        |WHERE old_chars IS NULL OR new_chars IS NULL
+        |   OR old_chars <> new_chars
+        |ORDER BY doc_id""".stripMargin))
   )
 }
