@@ -81,13 +81,15 @@ object Bench {
       // the way a bare count() would allow. A failed query reports -1 so
       // it can never masquerade as a fast success in the totals.
       //
-      // Each query is timed twice and the MIN reported (the standard
-      // timeit/hyperfine protocol): transient CPU-steal windows
-      // otherwise get billed to whichever query they land on. The min
-      // of two runs measures the engine, not the neighbor; the
-      // per-query steal column below records the steal seen by the
-      // reported (min-time) run.
-      val times = (1 to 2).map { _ =>
+      // Each query is timed SPARK_GRAFT_BENCH_RUNS times (default 3)
+      // and the MIN reported (the standard timeit/hyperfine protocol):
+      // transient CPU-steal/contention windows otherwise get billed to
+      // whichever query they land on. The min measures the engine, not
+      // the neighbor; the per-query steal and calib columns below
+      // record what the reported (min-time) run saw.
+      val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+        .flatMap(_.toIntOption).filter(_ > 0).getOrElse(3)
+      val times = (1 to runs).map { _ =>
         // Queries are timed independently: drop any rdd cache a
         // previous run/query persisted.
         spark.catalog.clearCache()
