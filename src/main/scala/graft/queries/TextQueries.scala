@@ -333,6 +333,38 @@ object TextQueries {
         |FROM documents d LEFT JOIN cov2 c USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin)),
 
+    // Sequence packing — the last step before training: concatenate
+    // documents in a deterministic order and split into fixed-capacity
+    // token chunks; each document's placement is a pure function of the
+    // running token prefix-sum. Expressed as a running-sum window here;
+    // at scale this is the classic two-pass distributed prefix sum
+    // (per-partition subtotals broadcast as offsets), not a global
+    // sort — the placement math is identical.
+    "q_pack_sequences" -> ((
+      (s: SparkSession, d: String) => {
+        val cap = 512
+        val w = Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .withColumn("cum", sum("n_tok").over(w))
+          .select(col("doc_id"), col("n_tok"),
+            expr(s"(cum - n_tok) div $cap").as("chunk_id"),
+            expr(s"(cum - n_tok) % $cap").as("chunk_offset"))
+          .orderBy("doc_id")
+      },
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+        |      OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents)
+        |SELECT doc_id, n_tok,
+        |  (cum - n_tok) // 512 AS chunk_id,
+        |  (cum - n_tok) % 512 AS chunk_offset
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
     // TF-IDF top terms — per-document distinctive vocabulary. Term
     // frequencies partial-aggregate map-side; document frequency is a
     // second aggregation over the already-collapsed (doc, term)
