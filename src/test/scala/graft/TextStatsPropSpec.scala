@@ -51,6 +51,22 @@ class TextStatsPropSpec extends AnyFunSuite {
     })
   }
 
+  test("wordShingles == sliding space-join; distinct keeps first occurrence") {
+    run(Prop.forAll(genTokens) { toks =>
+      val plain = graft.functions.WordShingleImpl
+        .shingles(arr(toks), 3, distinct = false)
+        .toArray[UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString).toList
+      val dist = graft.functions.WordShingleImpl
+        .shingles(arr(toks), 3, distinct = true)
+        .toArray[UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString).toList
+      val want = if (toks.length >= 3)
+        toks.sliding(3).map(_.mkString(" ")).toList else Nil
+      plain == want && dist == want.distinct
+    })
+  }
+
   test("winnowFp == sha256-prefix window minima (sorted distinct)") {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     def hex16(s: String): String = {
