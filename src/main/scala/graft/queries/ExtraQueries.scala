@@ -298,6 +298,30 @@ object ExtraQueries {
         |  SELECT 'l_shipdate', n_rows, nn_sd, nd_sd, min_sd, max_sd FROM w)
         |ORDER BY col_name""".stripMargin)),
 
+    // Salted equi-join under the gate: the planned-ahead skew
+    // mitigation (graft.functions.SkewJoin — hot keys spread over
+    // `salts` reducers, small side replicated across salts) must be
+    // RESULT-identical to the plain join; the oracle is the plain join.
+    // AQE's runtime skew handling covers the unplanned case; salting is
+    // for known-hot keys and deterministic layouts.
+    "q_join_salted" -> ((
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_suppkey"), col("l_quantity"))
+        val sup = t(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        graft.functions.SkewJoin
+          .saltedEquiJoin(li, sup, "l_suppkey", "s_suppkey", salts = 8)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("cnt"),
+            round(sum("l_quantity") * 100).cast("long").as("sum_qty_e2"))
+          .orderBy("s_nationkey")
+      },
+      """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS cnt,
+        |CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_e2
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
     // Range (band) join: for each view event, how many clicks by the
     // same user within ±1 hour. Scale shape: never an inequality join —
     // each probe row expands to its 3 candidate hour-buckets, the join
