@@ -21,7 +21,7 @@ object SkewJoin {
       smallKey: String, salts: Int): DataFrame = {
     require(salts > 0)
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)))
+      pmod(xxhash64(struct(big.columns.toIndexedSeq.map(col): _*)), lit(salts)))
     val saltedSmall = small
       .withColumn("__salt", explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     saltedBig.join(saltedSmall,

@@ -512,9 +512,13 @@ object TextQueries {
             .persist()
           // `cached` is always the DataFrame persist() was called on —
           // unpersisting a plan *derived* from it would be a no-op and
-          // leak one cache entry per round.
-          var cached = e.select(col("src").as("id")).distinct()
-            .withColumn("lbl", col("id")).persist()
+          // leak one cache entry per round. Initial label = min(self,
+          // min neighbor): the first propagation round fused into the
+          // initialization aggregate (every node appears as src, since
+          // e carries both directions).
+          var cached = e.groupBy("src")
+            .agg(least(col("src"), min("dst")).as("lbl"))
+            .select(col("src").as("id"), col("lbl")).persist()
           var labels = cached
           try {
             cached.count()
