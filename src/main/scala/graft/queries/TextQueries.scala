@@ -87,11 +87,23 @@ object TextQueries {
     s.read.parquet(resultPath)
   }
 
+  /** Per-doc distinct-shingle-set size as a pure row function —
+    * size(word_shingles_distinct(tk, n)) over the docs scan. Aggregating
+    * the exploded inverted index for the same number costs a full
+    * partial+final exchange of the LARGEST relation in the pipeline;
+    * this is a map-only pass over the (much smaller) document rows. */
+  private def sizesOf(docs: DataFrame, n: Int): DataFrame = {
+    graft.functions.SketchFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        size(expr(s"word_shingles_distinct(tk, $n)")).cast("long").as("n"))
+  }
+
   /** Exact Jaccard over (doc_a, doc_b) pairs given their shingle-set
-    * intersection size; keeps pairs with jaccard >= threshold. */
-  private def jaccardFilter(pairsWithInter: DataFrame, idx: DataFrame,
+    * intersection size; keeps pairs with jaccard >= threshold. `sizes`
+    * = (doc_id, n distinct shingles), from [[sizesOf]]. */
+  private def jaccardFilter(pairsWithInter: DataFrame, sizes: DataFrame,
       threshold: Double): DataFrame = {
-    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val na = sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))
     val nb = sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))
     pairsWithInter.join(na, "doc_a").join(nb, "doc_b")
@@ -198,13 +210,13 @@ object TextQueries {
     * candidate plan feeds the verify join directly with no parquet
     * round-trip. */
   private def candidateVerify(s: SparkSession, cand: DataFrame, idx: DataFrame,
-      path: String, threshold: Double): DataFrame = {
+      sizes: DataFrame, path: String, threshold: Double): DataFrame = {
     val persisted =
       if (path.endsWith(graft.Tables.dirTag(graft.Tables.VerifySfDir))) {
         cand.write.mode("overwrite").parquet(path)
         s.read.parquet(path)
       } else cand
-    jaccardFilter(interFor(persisted, idx), idx, threshold)
+    jaccardFilter(interFor(persisted, idx), sizes, threshold)
   }
 
   /** Unmaterialized pipeline plans for plan-quality inspection (the
@@ -225,11 +237,13 @@ object TextQueries {
         val b = idx.select(col("doc_id").as("doc_b"), col("s"))
         val pairs = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
           .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-        jaccardFilter(pairs, idx, 0.5)
+        jaccardFilter(pairs, sizesOf(t(s, d, "documents"), 5), 0.5)
       case "minhash" => jaccardFilter(
-        interFor(minhashCandidates(t(s, d, "documents")), idx), idx, 0.7)
+        interFor(minhashCandidates(t(s, d, "documents")), idx),
+        sizesOf(t(s, d, "documents"), 3), 0.7)
       case "simhash" => jaccardFilter(
-        interFor(simhashCandidates(t(s, d, "documents")), idx), idx, 0.7)
+        interFor(simhashCandidates(t(s, d, "documents")), idx),
+        sizesOf(t(s, d, "documents"), 3), 0.7)
       case "exact" => entriesExactPlan(s, d)
     }
   }
@@ -505,7 +519,8 @@ object TextQueries {
           val b = idx.select(col("doc_id").as("doc_b"), col("s"))
           val pairs = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
             .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-          val dups = jaccardFilter(pairs, idx, 0.5)
+          val dups = jaccardFilter(pairs,
+              sizesOf(t(s, d, "documents"), 5), 0.5)
             .select("doc_a", "doc_b")
           val e = dups.select(col("doc_a").as("src"), col("doc_b").as("dst"))
             .union(dups.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -589,7 +604,7 @@ object TextQueries {
           val b = idx.select(col("doc_id").as("doc_b"), col("s"))
           val pairs = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
             .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-          jaccardFilter(pairs, idx, 0.5)
+          jaccardFilter(pairs, sizesOf(t(s, d, "documents"), 5), 0.5)
         }.orderBy("doc_a", "doc_b"),
       s"""WITH ${shinglesSqlCte(5)},
          |inter AS (
@@ -611,6 +626,7 @@ object TextQueries {
         withShingleIndex(s, t(s, d, "documents"), 3,
           s"/tmp/graft_res_minhash_${graft.Tables.dirTag(d)}") { idx =>
           candidateVerify(s, minhashCandidates(t(s, d, "documents")), idx,
+            sizesOf(t(s, d, "documents"), 3),
             s"/tmp/graft_cand_minhash_${graft.Tables.dirTag(d)}", 0.7)
         }.orderBy("doc_a", "doc_b"),
       verifySql(s"/tmp/graft_cand_minhash_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}", 0.7))),
@@ -622,6 +638,7 @@ object TextQueries {
         withShingleIndex(s, t(s, d, "documents"), 3,
           s"/tmp/graft_res_simhash_${graft.Tables.dirTag(d)}") { idx =>
           candidateVerify(s, simhashCandidates(t(s, d, "documents")), idx,
+            sizesOf(t(s, d, "documents"), 3),
             s"/tmp/graft_cand_simhash_${graft.Tables.dirTag(d)}", 0.7)
         }.orderBy("doc_a", "doc_b"),
       verifySql(s"/tmp/graft_cand_simhash_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}", 0.7))),
@@ -776,7 +793,7 @@ object TextQueries {
             val b = idx.select(col("doc_id").as("doc_b"), col("s"))
             val pairs = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
               .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-            val dups = jaccardFilter(pairs, idx, 0.5)
+            val dups = jaccardFilter(pairs, sizesOf(s1, 5), 0.5)
               .select(col("doc_b")).distinct()
             s1.join(dups, s1("doc_id") === dups("doc_b"), "left_anti")
               .select("doc_id", "lang", "n_chars")
