@@ -209,10 +209,12 @@ object TextQueries {
     * the verify SF, so at any other scale the (pure, lazy, cache-free)
     * candidate plan feeds the verify join directly with no parquet
     * round-trip. */
-  private def candidateVerify(s: SparkSession, cand: DataFrame, idx: DataFrame,
-      sizes: DataFrame, path: String, threshold: Double): DataFrame = {
+  private def candidateVerify(s: SparkSession, d: String, cand: DataFrame,
+      idx: DataFrame, sizes: DataFrame, path: String,
+      threshold: Double): DataFrame = {
     val persisted =
-      if (path.endsWith(graft.Tables.dirTag(graft.Tables.VerifySfDir))) {
+      if (graft.Tables.dirTag(d) ==
+          graft.Tables.dirTag(graft.Tables.VerifySfDir)) {
         cand.write.mode("overwrite").parquet(path)
         s.read.parquet(path)
       } else cand
@@ -350,23 +352,50 @@ object TextQueries {
     // Sequence packing — the last step before training: concatenate
     // documents in a deterministic order and split into fixed-capacity
     // token chunks; each document's placement is a pure function of the
-    // running token prefix-sum. Expressed as a running-sum window here;
-    // at scale this is the classic two-pass distributed prefix sum
-    // (per-partition subtotals broadcast as offsets), not a global
-    // sort — the placement math is identical.
+    // running token prefix-sum. Implemented as the classic two-pass
+    // distributed prefix sum: a deterministic monotone bucketing of the
+    // id range (min/max bounds, NOT repartitionByRange — range boundary
+    // sampling could disagree between passes), a bounded per-bucket
+    // subtotal pass whose exclusive prefix is broadcast back as a
+    // literal offset map (<= nb rows through the driver, the same
+    // protocol RDD.zipWithIndex uses), then placement via a window
+    // PARTITIONED by bucket — parallel across buckets, never the
+    // degenerate single-task global window (PlanQualitySpec gates it).
+    // At 100 TB the (doc_id, n_tok) projection would be checkpointed
+    // once instead of tokenizing text for both passes.
     "q_pack_sequences" -> ((
       (s: SparkSession, d: String) => {
         val cap = 512
-        val w = Window.orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        t(s, d, "documents")
+        val docs = t(s, d, "documents")
           .select(col("doc_id"),
             size(split(col("text"), " ")).cast("long").as("n_tok"))
-          .withColumn("cum", sum("n_tok").over(w))
-          .select(col("doc_id"), col("n_tok"),
-            expr(s"(cum - n_tok) div $cap").as("chunk_id"),
-            expr(s"(cum - n_tok) % $cap").as("chunk_offset"))
-          .orderBy("doc_id")
+        val nb = math.max(1, s.sparkContext.defaultParallelism).toLong
+        val b = docs.agg(min("doc_id"), max("doc_id")).head()
+        if (b.isNullAt(0))
+          docs.select(col("doc_id"), col("n_tok"),
+            lit(0L).as("chunk_id"), lit(0L).as("chunk_offset"))
+        else {
+          val (lo, hi) = (b.getLong(0), b.getLong(1))
+          val width = math.max(1L, (hi - lo + nb) / nb)
+          val bucketed = docs.withColumn("bucket",
+            expr(s"(doc_id - ${lo}L) div ${width}L"))
+          var acc = 0L
+          val offs: Map[Long, Long] = bucketed.groupBy("bucket")
+            .agg(sum("n_tok").as("st")).orderBy("bucket").collect()
+            .map { r =>
+              val k = r.getLong(0); val o = acc; acc += r.getLong(1)
+              k -> o
+            }.toMap
+          val w = Window.partitionBy("bucket").orderBy("doc_id")
+          bucketed
+            .withColumn("cum",
+              coalesce(element_at(typedLit(offs), col("bucket")),
+                lit(0L)) + sum("n_tok").over(w))
+            .select(col("doc_id"), col("n_tok"),
+              expr(s"(cum - n_tok) div $cap").as("chunk_id"),
+              expr(s"(cum - n_tok) % $cap").as("chunk_offset"))
+            .orderBy("doc_id")
+        }
       },
       """WITH c AS (
         |  SELECT doc_id,
@@ -375,8 +404,8 @@ object TextQueries {
         |      OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM documents)
         |SELECT doc_id, n_tok,
-        |  (cum - n_tok) // 512 AS chunk_id,
-        |  (cum - n_tok) % 512 AS chunk_offset
+        |  CAST((cum - n_tok) // 512 AS BIGINT) AS chunk_id,
+        |  CAST((cum - n_tok) % 512 AS BIGINT) AS chunk_offset
         |FROM c ORDER BY doc_id""".stripMargin)),
 
     // TF-IDF top terms — per-document distinctive vocabulary. Term
@@ -625,7 +654,7 @@ object TextQueries {
       (s: SparkSession, d: String) =>
         withShingleIndex(s, t(s, d, "documents"), 3,
           s"/tmp/graft_res_minhash_${graft.Tables.dirTag(d)}") { idx =>
-          candidateVerify(s, minhashCandidates(t(s, d, "documents")), idx,
+          candidateVerify(s, d, minhashCandidates(t(s, d, "documents")), idx,
             sizesOf(t(s, d, "documents"), 3),
             s"/tmp/graft_cand_minhash_${graft.Tables.dirTag(d)}", 0.7)
         }.orderBy("doc_a", "doc_b"),
@@ -637,7 +666,7 @@ object TextQueries {
       (s: SparkSession, d: String) =>
         withShingleIndex(s, t(s, d, "documents"), 3,
           s"/tmp/graft_res_simhash_${graft.Tables.dirTag(d)}") { idx =>
-          candidateVerify(s, simhashCandidates(t(s, d, "documents")), idx,
+          candidateVerify(s, d, simhashCandidates(t(s, d, "documents")), idx,
             sizesOf(t(s, d, "documents"), 3),
             s"/tmp/graft_cand_simhash_${graft.Tables.dirTag(d)}", 0.7)
         }.orderBy("doc_a", "doc_b"),

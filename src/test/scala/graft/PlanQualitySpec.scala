@@ -130,6 +130,17 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_pack_sequences places via a bucket-partitioned window, never a global one") {
+    val df = SparkEntry.queries("q_pack_sequences")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // Exactly one running-sum window, and it must be PARTITIONED (by
+    // the deterministic id-range bucket) — the degenerate
+    // Window.orderBy-with-no-partitionBy funnels the corpus through a
+    // single task and is the one shape this query must never regress to.
+    assert("Window \\[".r.findAllIn(p).length == 1, p)
+    assert("""Window \[[^\]]*\], \[bucket#\d+""".r.findFirstIn(p).isDefined, p)
+  }
+
   test("q_pii_mask and q_sample_hash stay map-only up to the output sort") {
     Seq("q_pii_mask", "q_sample_hash").foreach { q =>
       val p = planOf(q)
