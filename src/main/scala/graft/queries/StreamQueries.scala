@@ -109,33 +109,60 @@ object StreamQueries {
     // session starts when the gap is >= 30min, matching Spark's
     // half-open [ts, ts+gap) session extension.
     // Stream-stream band join — the continuous flavor of q_join_range:
-    // views joined to same-user clicks within ±1 hour, both sides file
-    // streams with event-time watermarks. Inner joins emit on match;
-    // the watermarks bound join STATE (rows older than the band +
-    // watermark are evicted), which is what makes the operator runnable
-    // forever at scale. The finite AvailableNow source makes the gate
-    // deterministic; counts aggregate over the append-mode sink. Oracle:
-    // the identical relational band join in batch.
+    // views joined to same-user clicks within ±1 hour, both sides of
+    // ONE file-stream scan (a second independent source would re-list
+    // and re-read the same dump every micro-batch) with event-time
+    // watermarks. Inner joins emit on match; the watermarks bound join
+    // STATE (rows older than the band + watermark are evicted), which
+    // is what makes the operator runnable forever at scale. Here the
+    // watermark is sized to the dump's full 30-day event-time span:
+    // dump files are not time-ordered, so if AvailableNow ever splits
+    // the source into several micro-batches, a tight watermark would
+    // silently evict state and drop matches — at true scale it would be
+    // the pipeline's actual disorder bound instead. The finite
+    // AvailableNow source makes the gate deterministic; counts
+    // aggregate over the append-mode sink. Oracle: the identical
+    // relational band join in batch.
+    //
+    // Two constant-factor levers, both scoped to this query and both
+    // found from per-batch progress probes (addBatch dominated):
+    // fewer state partitions (the join keeps 4 state stores per
+    // partition, and per-store load/commit dwarfs the per-row work at
+    // gate scale), and no-data micro-batches OFF — the trailing empty
+    // batch existed only to advance the watermark and evict state, but
+    // an inner join emits everything on match, so that batch reloaded
+    // and recommitted every state store for zero output rows.
     "q_stream_join" -> ((
       (s: SparkSession, d: String) => {
         val srcDir = s"/tmp/graft_stream_src_${graft.Tables.dirTag(d)}_v$DumpVersion"
         ensureStreamDump(d, "events", srcDir)(graft.Tables.events(s, d))
         val schema = s.read.parquet(srcDir).schema
-        def src() = s.readStream.schema(schema).parquet(srcDir)
-        val views = src().filter(col("event_type") === "view")
+        val ev = s.readStream.schema(schema).parquet(srcDir)
+        val views = ev.filter(col("event_type") === "view")
           .select(col("event_id"), col("user_id"), col("ts").as("v_ts"))
-          .withWatermark("v_ts", "2 hours")
-        val clicks = src().filter(col("event_type") === "click")
+          .withWatermark("v_ts", "31 days")
+        val clicks = ev.filter(col("event_type") === "click")
           .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-          .withWatermark("c_ts", "2 hours")
+          .withWatermark("c_ts", "31 days")
         val joined = views.join(clicks, expr(
           """user_id = c_user AND
             |c_ts >= v_ts - INTERVAL 1 HOUR AND
             |c_ts <= v_ts + INTERVAL 1 HOUR""".stripMargin))
         val qn = "graft_sj_" + math.abs(d.hashCode).toString
-        val q = joined.writeStream.format("memory").queryName(qn)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        val prevNoData =
+          s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        try {
+          val q = joined.writeStream.format("memory").queryName(qn)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+            prevNoData)
+        }
         s.table(qn)
           .groupBy("event_id").agg(count(lit(1)).as("n_clicks"))
           .orderBy("event_id")
