@@ -1,0 +1,108 @@
+package graft
+
+import java.net.{InetAddress, InetSocketAddress}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.AtomicReference
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+import graft.sources.{GraphSource, HttpGraphTransport, JsonlDumpTransport}
+
+/** P2 closed end-to-end without egress: an in-process loopback HTTP
+  * server plays the reference's graph server (remote_graph.py:59-66 —
+  * `ResotoClient(url, psk).search_graph(search, graph)` yielding one
+  * envelope per line), and [[HttpGraphTransport]] drives the full
+  * client path: search pushed over the wire, psk on the Authorization
+  * header, ndjson response spooled and parsed into the same envelope
+  * DataFrame the dump-backed transport produces. */
+class HttpTransportSpec extends SparkSpecBase {
+
+  private val lines = Seq(
+    """{"type":"node","id":"root","reported":{"kind":"graph_root","id":"root"}}""",
+    """{"type":"node","id":"c1","reported":{"kind":"cloud","id":"c1"}}""",
+    """{"type":"node","id":"a1","reported":{"kind":"account","id":"a1"}}""",
+    """{"type":"edge","from":"root","to":"c1"}""",
+    """{"type":"edge","from":"c1","to":"a1"}""")
+
+  private def withServer(status: Int)(
+      run: (String, AtomicReference[(String, String, String)]) => Unit): Unit = {
+    val received = new AtomicReference[(String, String, String)]
+    val server = HttpServer.create(
+      new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        val body = new String(x.getRequestBody.readAllBytes(), UTF_8)
+        received.set((
+          s"${x.getRequestMethod} ${x.getRequestURI}",
+          x.getRequestHeaders.getFirst("Authorization"),
+          body))
+        val payload = lines.mkString("\n").getBytes(UTF_8)
+        x.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+        x.sendResponseHeaders(status, payload.length)
+        x.getResponseBody.write(payload)
+        x.close()
+      }
+    })
+    server.start()
+    try run(s"http://127.0.0.1:${server.getAddress.getPort}", received)
+    finally server.stop(0)
+  }
+
+  test("search is pushed over the wire and the spooled stream parses") {
+    withServer(200) { (url, received) =>
+      val spool = java.nio.file.Files.createTempDirectory("graft_http")
+      val tr = new HttpGraphTransport(url, "resoto", Some("sekrit"),
+        spool.toString)
+      val env = tr.envelopes(spark, Some("is(graph_root) -[1:]->"))
+      assert(env.count() == 5)
+      assert(GraphSource.nodes(env).count() == 3)
+      assert(GraphSource.edges(env).count() == 2)
+      val (reqLine, auth, body) = received.get()
+      // Server-side evaluation is the protocol: the search expression
+      // itself must cross the wire, on the reference's search resource.
+      assert(reqLine == "POST /graph/resoto/search/graph")
+      assert(auth == "Bearer sekrit")
+      assert(body == "is(graph_root) -[1:]->")
+    }
+  }
+
+  test("no search sends the reference's default root traversal") {
+    withServer(200) { (url, received) =>
+      val spool = java.nio.file.Files.createTempDirectory("graft_http")
+      new HttpGraphTransport(url, "g2", None, spool.toString)
+        .envelopes(spark, None).count()
+      val (reqLine, auth, body) = received.get()
+      assert(reqLine == "POST /graph/g2/search/graph")
+      assert(auth == null)
+      assert(body == "is(graph_root) -[2:]->")
+    }
+  }
+
+  test("spooled HTTP stream equals the dump-backed transport") {
+    withServer(200) { (url, _) =>
+      val spool = java.nio.file.Files.createTempDirectory("graft_http")
+      val dump = java.nio.file.Files.createTempDirectory("graft_dump")
+      import spark.implicits._
+      spark.createDataset(lines).toDF("value").coalesce(1)
+        .write.mode("overwrite").text(dump.toString)
+      val viaHttp = new HttpGraphTransport(url, "resoto", None,
+        spool.toString).envelopes(spark, None)
+      val viaDump = new JsonlDumpTransport(dump.toString)
+        .envelopes(spark, None)
+      assert(viaHttp.schema == viaDump.schema)
+      assert(viaHttp.exceptAll(viaDump).isEmpty &&
+        viaDump.exceptAll(viaHttp).isEmpty)
+    }
+  }
+
+  test("a non-200 response fails loudly, not with a truncated graph") {
+    withServer(500) { (url, _) =>
+      val spool = java.nio.file.Files.createTempDirectory("graft_http")
+      val ex = intercept[RuntimeException] {
+        new HttpGraphTransport(url, "resoto", None, spool.toString)
+          .envelopes(spark, None)
+      }
+      assert(ex.getMessage.contains("HTTP 500"))
+    }
+  }
+}
