@@ -83,6 +83,18 @@ object SnapshotSwap {
   private def manifestPath(base: String, table: String): Path =
     Paths.get(base, s"$table.manifest")
 
+  /** Race-injection seam for tests: invoked after a writer has staged
+    * its snapshot dir but before it attempts the pointer commit. */
+  private[graft] var beforeCommit: () => Unit = () => ()
+
+  /** Parse the version component out of a snapshot dir name
+    * (`_snap_<table>-<version>[-<uniq>]`). */
+  private def versionOf(table: String, name: String): Option[Long] = {
+    val re = ("^" + java.util.regex.Pattern.quote(s"_snap_$table-") +
+      "(\\d+)").r
+    re.findFirstMatchIn(name).map(_.group(1).toLong)
+  }
+
   /** The currently published snapshot dir name, if any. */
   def currentSnapshot(base: String, table: String): Option[String] = {
     val m = manifestPath(base, table)
@@ -97,16 +109,34 @@ object SnapshotSwap {
     * in-flight reader that resolved the old pointer just before the
     * repoint can still finish its read — the Iceberg-style retention
     * the protocol is modeled on); snapshots older than that are swept
-    * here, at the START of the next sync. */
+    * here, at the START of the next sync.
+    *
+    * Concurrency (optimistic, Iceberg-style — the reference sidesteps
+    * this by pinning the whole sync in one DB transaction,
+    * collect_plugins.py:193-194): every writer stages into a dir whose
+    * name carries a writer-unique suffix, so racing syncs can never
+    * write into each other's snapshot; the sweep only removes versions
+    * strictly OLDER than the published one, so it can never delete a
+    * competing in-flight dir from the same generation; and the pointer
+    * commit is a compare-and-swap — if the manifest no longer names the
+    * snapshot this sync started from, the writer removes its own dir
+    * and throws ConcurrentModificationException for the caller to retry
+    * from the new snapshot. The commit critical section is serialized
+    * by an O_EXCL lock file (the object-store analogue is a
+    * conditional/If-Match PUT of the pointer object). */
   def writeManifested(df: DataFrame, base: String, table: String): String = {
     Files.createDirectories(Paths.get(base))
     val prev = currentSnapshot(base, table)
-    val version = prev.flatMap(_.split('-').lastOption)
-      .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(0L) + 1
-    val dataDir = Paths.get(base, s"_snap_$table-$version")
-    // Sweep snapshots from before the published one (retained across
-    // the previous commit for its in-flight readers, now unreachable
-    // for any reader that resolves the pointer from here on).
+    val pubVersion = prev.flatMap(versionOf(table, _)).getOrElse(0L)
+    val version = pubVersion + 1
+    val uniq = java.lang.Long.toHexString(
+      System.nanoTime() ^ Thread.currentThread().getId << 48)
+    val dataDir = Paths.get(base, s"_snap_$table-$version-$uniq")
+    // Sweep snapshots strictly older than the published one (retained
+    // across the previous commit for its in-flight readers, now
+    // unreachable for any reader that resolves the pointer from here
+    // on). Same-generation dirs — lost-race leftovers or a competitor
+    // staging right now — are left alone until the version advances.
     val prefix = s"_snap_$table-"
     val stale = {
       val children = Files.list(Paths.get(base))
@@ -114,19 +144,41 @@ object SnapshotSwap {
         import scala.jdk.CollectionConverters._
         children.iterator().asScala.map(_.getFileName.toString)
           .filter(n => n.startsWith(prefix) && !prev.contains(n) &&
-            n != dataDir.getFileName.toString)
+            (prev.isEmpty || versionOf(table, n).exists(_ < pubVersion)))
           .toList
       } finally children.close()
     }
     stale.foreach(n => rm(Paths.get(base, n)))
-    rm(dataDir)
     stageParquet(df, dataDir)
+    beforeCommit()
     // Single-object atomic publish (the local analogue of an atomic
-    // object PUT): stage the pointer, move it over the manifest.
-    val tmp = Paths.get(base, s"_manifest_tmp_$table")
-    Files.writeString(tmp, dataDir.getFileName.toString)
-    Files.move(tmp, manifestPath(base, table),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    // object PUT): re-check the pointer under the lock, stage the new
+    // pointer, move it over the manifest.
+    val lock = Paths.get(base, s"_commit_lock_$table")
+    var acquired = false
+    var tries = 0
+    while (!acquired) {
+      try { Files.createFile(lock); acquired = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          tries += 1
+          if (tries > 2500) sys.error(s"commit lock stuck: $lock")
+          Thread.sleep(2)
+      }
+    }
+    try {
+      if (currentSnapshot(base, table) != prev) {
+        rm(dataDir)
+        throw new java.util.ConcurrentModificationException(
+          s"snapshot of '$table' advanced past " +
+            s"${prev.getOrElse("<none>")} during this sync; retry from " +
+            "the new snapshot")
+      }
+      val tmp = Paths.get(base, s"_manifest_tmp_${table}_$uniq")
+      Files.writeString(tmp, dataDir.getFileName.toString)
+      Files.move(tmp, manifestPath(base, table),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    } finally Files.deleteIfExists(lock)
     dataDir.toString
   }
 

@@ -34,6 +34,31 @@ class EdgeCasesSpec extends SparkSpecBase {
     assert(out.count() == 0)
   }
 
+  test("q_approx_distinct sketch stays within 3x its configured rsd") {
+    // The driver gate for this query is rows-only by design (sketch
+    // results are implementation-specific), which would let a broken
+    // sketch hide behind "rows match" — so bound the error here: every
+    // group's HLL++ estimate must sit within 3x the 0.02 relative
+    // standard deviation of the exact distinct count.
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val approx = SparkEntry.queries("q_approx_distinct")(spark, dir)
+    val exact = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"))
+    val rows = approx.join(exact, "l_returnflag").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ap, as) = (r.getAs[Long]("approx_parts"), r.getAs[Long]("approx_supps"))
+      val (ep, es) = (r.getAs[Long]("exact_parts"), r.getAs[Long]("exact_supps"))
+      assert(math.abs(ap - ep) <= math.max(1L, (0.06 * ep).toLong),
+        s"parts: approx $ap vs exact $ep")
+      assert(math.abs(as - es) <= math.max(1L, (0.06 * es).toLong),
+        s"supps: approx $as vs exact $es")
+    }
+  }
+
   test("batch stream of an empty iterator emits nothing") {
     assert(BatchStream.batches(Iterator.empty[(String, Int)], 5, 10).isEmpty)
   }

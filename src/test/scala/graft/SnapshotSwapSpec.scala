@@ -74,6 +74,66 @@ class SnapshotSwapSpec extends SparkSpecBase {
     assert(back.columns.toSeq == Seq("id", "v"))
   }
 
+  test("a writer that lost the pointer race CAS-rejects without tearing the winner") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_swap_race").toString
+    SnapshotSwap.writeManifested(Seq((1, "v1")).toDF("id", "v"), base, "t")
+    // W2 starts its sync against v1; after W2 stages its dir but before
+    // it commits, a competing W3 sync publishes. W2's commit must
+    // CAS-reject (the pointer no longer names what it started from),
+    // remove its own staged dir, and leave W3's snapshot untouched.
+    var injected = false
+    SnapshotSwap.beforeCommit = () =>
+      if (!injected) {
+        injected = true
+        SnapshotSwap.writeManifested(
+          Seq((3, "w3")).toDF("id", "v"), base, "t")
+      }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        SnapshotSwap.writeManifested(
+          Seq((2, "w2")).toDF("id", "v"), base, "t")
+      }
+    } finally SnapshotSwap.beforeCommit = () => ()
+    val rows = SnapshotSwap.readManifested(spark, base, "t")
+      .as[(Int, String)].collect().toSeq
+    assert(rows == Seq((3, "w3")))
+    // The loser's staged dir is gone; no leftover ever becomes readable.
+    val snaps = new java.io.File(base).list().filter(_.startsWith("_snap_t-"))
+    assert(snaps.length == 2, snaps.toSeq) // v1 retained + winner
+  }
+
+  test("racing writers serialize: last successful commit wins, never a mix") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_swap_threads").toString
+    val byWriter = Map(
+      "A" -> Seq((1, "A"), (2, "A")).toDF("id", "v"),
+      "B" -> Seq((10, "B"), (20, "B"), (30, "B")).toDF("id", "v"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = byWriter.map { case (w, df) =>
+      new Thread(() => {
+        var i = 0
+        while (i < 4) {
+          try { SnapshotSwap.writeManifested(df, base, "t"); i += 1 }
+          catch {
+            case _: java.util.ConcurrentModificationException => // retry
+            case t: Throwable => errs.add(t); i = 4
+          }
+        }
+      })
+    }.toSeq
+    threads.foreach(_.start())
+    threads.foreach(_.join(60000))
+    assert(errs.isEmpty, errs)
+    // Whoever committed last, the published snapshot is COMPLETE — all
+    // rows from exactly one writer, never an interleaving of both.
+    val rows = SnapshotSwap.readManifested(spark, base, "t")
+      .as[(Int, String)].collect().toSeq.sortBy(_._1)
+    val markers = rows.map(_._2).distinct
+    assert(markers.length == 1, s"torn snapshot: $rows")
+    assert(rows.length == (if (markers.head == "A") 2 else 3), rows)
+  }
+
   test("stale-table sweep removes every retained snapshot version") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_swap_sweep").toString

@@ -18,11 +18,14 @@ class StreamSnapshotSpec extends SparkSpecBase {
     val src = java.nio.file.Files.createTempDirectory("graft_ss_src").toString
     val base = java.nio.file.Files.createTempDirectory("graft_ss_base").toString
 
-    // Two source files → AvailableNow replays them as micro-batches
-    // (maxFilesPerTrigger=1 forces one batch per file).
+    // Three source files → AvailableNow replays them as micro-batches
+    // (maxFilesPerTrigger=1 forces one batch per file); three batches
+    // so the sweep branch of the retention contract actually executes.
     Seq((1L, "a"), (2L, "b")).toDF("id", "v")
       .coalesce(1).write.mode("append").parquet(src)
     Seq((3L, "c")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    Seq((4L, "d")).toDF("id", "v")
       .coalesce(1).write.mode("append").parquet(src)
 
     val schema = s.read.parquet(src).schema
@@ -41,7 +44,7 @@ class StreamSnapshotSpec extends SparkSpecBase {
     q.awaitTermination()
 
     def dirName(p: String) = new java.io.File(p).getName
-    assert(versions.length >= 2, versions)
+    assert(versions.length >= 3, versions)
     assert(versions.distinct.length == versions.length,
       s"snapshot dirs must be immutable+unique: $versions")
     // The pointer resolves to the LAST published snapshot...
@@ -50,7 +53,7 @@ class StreamSnapshotSpec extends SparkSpecBase {
     // ...whose contents are the complete final table.
     val rows = SnapshotSwap.readManifested(s, base, "t")
       .orderBy("id").collect().map(_.getLong(0)).toSeq
-    assert(rows == Seq(1L, 2L, 3L))
+    assert(rows == Seq(1L, 2L, 3L, 4L))
     // Retention contract: the directly-previous snapshot survives the
     // last commit for its in-flight readers; older ones are swept.
     val live = new java.io.File(base).list().toSet
@@ -58,8 +61,7 @@ class StreamSnapshotSpec extends SparkSpecBase {
     assert(live.contains(dirName(versions.last)))
     assert(live.contains(dirName(versions(versions.length - 2))),
       s"previous snapshot must be retained through the commit: $live")
-    if (versions.length >= 3)
-      assert(!live.contains(dirName(versions(versions.length - 3))),
-        s"older snapshots must be swept by the next commit: $live")
+    assert(!live.contains(dirName(versions(versions.length - 3))),
+      s"older snapshots must be swept by the next commit: $live")
   }
 }
