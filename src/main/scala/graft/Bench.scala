@@ -125,7 +125,14 @@ object Bench {
       (math.round(r._4 / calibBase * 100.0) / 100.0)))
     val total =
       if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steal_sec":$stealTotal,"query_steal":$steals,"calib_base":$calibBase,"query_calib":$calibs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steal_sec":$stealTotal,"query_steal":$steals,"calib_base":$calibBase,"query_calib":$calibs,"sf":"$sfDir"}"""
+    println(line)
+    // Also land the line in a file: the driver's stdout tail-grab
+    // truncated round 5's per-query map, losing the whole artifact.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_last.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 10x scale soak of the dedup/ANN family (no sf1 fixtures exist, so
+  * synthesize one from sf0.1): documents are replicated 10x with every
+  * token renamed per copy ("tok" -> "tok_i") — intra-copy structure,
+  * dup groups, and Zipf shape are preserved exactly while cross-copy
+  * similarity is zero, so pair counts and per-row work scale linearly
+  * the way a genuinely 10x corpus's would; embeddings are replicated
+  * with a per-copy circular shift of the vector (norms and intra-copy
+  * geometry preserved, copies decorrelated). Prints per-query
+  * base-vs-soak wall times and the per-row ratio (soak/base/10) —
+  * anything >3x per-row is a scaling regression, not a constant.
+  * Diagnostic main, not part of the driver contract. */
+object SoakX10 {
+
+  private val Family = Seq(
+    "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash",
+    "q_dedup_cluster", "q_dedup_substr", "q_embed_cosine", "q_embed_ann",
+    "q_embed_ivf", "q_embed_dup", "q_embed_centroid")
+
+  def ensureSoakDir(spark: SparkSession, baseSf: String, dir: String): Unit = {
+    val done = java.nio.file.Paths.get(dir, "_DONE")
+    if (java.nio.file.Files.exists(done)) return
+    val docs = spark.read.parquet(s"$baseSf/documents.parquet")
+    val nDocs = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val copies = spark.range(10).select(col("id").as("copy"))
+    docs.crossJoin(copies)
+      .select(
+        (col("doc_id") + col("copy") * nDocs).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit("_"), col("copy"))), " ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$baseSf/embeddings.parquet")
+    val nVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+    emb.crossJoin(copies)
+      .select(
+        (col("vec_id") + col("copy") * nVec).as("vec_id"),
+        expr("concat(slice(embedding, cast(copy as int) + 1, " +
+          "size(embedding) - cast(copy as int)), " +
+          "slice(embedding, 1, cast(copy as int)))").as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    java.nio.file.Files.createFile(done)
+  }
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.SparkEnv.session(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val baseSf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dir = "/tmp/graft_soak_x10"
+    ensureSoakDir(spark, baseSf, dir)
+    val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val rt = Runtime.getRuntime
+    println("query,base_sec,soak_sec,ratio,per_row_ratio,driver_mb")
+    Family.filter(q => only.forall(_.contains(q))).foreach { q =>
+      val fn = graft.SparkEntry.queries(q)
+      // warm + measure base, then soak, min of 2 each
+      def run(d: String): Double =
+        (1 to 2).map(_ => time(fn(spark, d).write.mode("overwrite")
+          .format("noop").save())).min
+      val base = run(baseSf)
+      val soak = run(dir)
+      val usedMb = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
+      val ratio = soak / base
+      println(f"$q,$base%.2f,$soak%.2f,$ratio%.2f,${ratio / 10}%.3f,$usedMb")
+    }
+    spark.stop()
+  }
+}
