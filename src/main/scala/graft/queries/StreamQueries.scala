@@ -175,6 +175,58 @@ object StreamQueries {
         |        - epoch_us(CAST(b.ts AS TIMESTAMP))) <= 3600000000
         |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin)),
 
+    // Session windows under readStream — the stateful flavor of
+    // q_session_window: Spark's session-window state store MERGES
+    // overlapping/adjacent windows per key as events arrive, the
+    // operator the batch gaps-and-islands formulation cannot express
+    // incrementally. Finite AvailableNow source + complete mode makes
+    // the gate deterministic (same contract as q_stream_batch); at
+    // scale this runs append-mode with a watermark sized to the
+    // pipeline's disorder bound, which both evicts closed-session
+    // state and gates emission. Same scoped state-partition sizing as
+    // q_stream_join (per-store constants dominate at gate scale).
+    // Oracle: identical to the batch q_session_window.
+    "q_stream_session" -> ((
+      (s: SparkSession, d: String) => {
+        val srcDir = s"/tmp/graft_stream_src_${graft.Tables.dirTag(d)}_v$DumpVersion"
+        ensureStreamDump(d, "events", srcDir)(graft.Tables.events(s, d))
+        val schema = s.read.parquet(srcDir).schema
+        val qn = "graft_ses_" + math.abs(d.hashCode).toString
+        val stream = s.readStream.schema(schema).parquet(srcDir)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = stream.writeStream.format("memory").queryName(qn)
+            .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.table(qn)
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("session_start_us"),
+            unix_micros(col("session_window.end")).as("session_end_us"),
+            col("n_events"))
+          .orderBy("user_id", "session_start_us")
+      },
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+        |  epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM numbered GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin)),
+
     "q_session_window" -> ((
       (s: SparkSession, d: String) =>
         graft.Tables.events(s, d)

@@ -554,6 +554,19 @@ object TextQueries {
           val e = dups.select(col("doc_a").as("src"), col("doc_b").as("dst"))
             .union(dups.select(col("doc_b").as("src"), col("doc_a").as("dst")))
             .persist()
+          // Materialize the pair graph at FULL parallelism (its lineage
+          // is the corpus-wide shingle join), then size the iteration's
+          // shuffle partitions to the graph, not the session default:
+          // the pair graph is orders of magnitude smaller than the
+          // corpus, and per-round exchange overhead on near-empty
+          // partitions dominated the fixpoint loop (3.9 s -> the
+          // per-round constant at gate scale). Scales back up for a
+          // genuinely large pair graph.
+          val nEdges = e.count()
+          val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+          val iterParts = math.max(4L,
+            math.min(prevParts.toLong, nEdges / 500000L + 4L))
+          s.conf.set("spark.sql.shuffle.partitions", iterParts.toString)
           // `cached` is always the DataFrame persist() was called on —
           // unpersisting a plan *derived* from it would be a no-op and
           // leak one cache entry per round. Initial label = min(self,
@@ -596,6 +609,7 @@ object TextQueries {
               .write.mode("overwrite").parquet(outPath)
             s.read.parquet(outPath)
           } finally {
+            s.conf.set("spark.sql.shuffle.partitions", prevParts)
             cached.unpersist(blocking = true)
             e.unpersist(blocking = true)
           }
