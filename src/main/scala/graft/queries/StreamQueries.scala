@@ -47,6 +47,29 @@ object StreamQueries {
     if (!fresh) df.write.mode("overwrite").parquet(dumpDir)
   }
 
+  /** Gate-scale streaming constants, scoped to one query and restored:
+    * 8 state partitions (per-store load/commit dwarfs per-row work on
+    * the 32-partition default at this scale — a real deployment sizes
+    * this to its key cardinality) and no-data micro-batches OFF (the
+    * trailing empty batch only advances the watermark to evict state /
+    * emit append-mode finals; the complete-mode and inner-join gates
+    * get nothing from it and pay a full state-store reload+recommit).
+    * Found via per-batch progress probes — see PLANS.md, stream-stream
+    * join constants. */
+  private def withStreamGateConfs[T](s: SparkSession)(run: => T): T = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData =
+      s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try run
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        prevNoData)
+    }
+  }
+
   def streamCounts(s: SparkSession, d: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
     // reader rejects; re-encode to a micros staging dir (the shape a
@@ -60,9 +83,11 @@ object StreamQueries {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .count()
-    val q = stream.writeStream.format("memory").queryName(qn)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamGateConfs(s) {
+      val q = stream.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.table(qn)
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
@@ -93,9 +118,11 @@ object StreamQueries {
         val stream = s.readStream.schema(schema).parquet(srcDir)
           .groupBy(sha2(col("text"), 256).as("fp"))
           .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
-        val q = stream.writeStream.format("memory").queryName(qn)
-          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        withStreamGateConfs(s) {
+          val q = stream.writeStream.format("memory").queryName(qn)
+            .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
         s.table(qn).select("doc_id", "n_copies").orderBy("doc_id")
       },
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
@@ -149,19 +176,10 @@ object StreamQueries {
             |c_ts >= v_ts - INTERVAL 1 HOUR AND
             |c_ts <= v_ts + INTERVAL 1 HOUR""".stripMargin))
         val qn = "graft_sj_" + math.abs(d.hashCode).toString
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        val prevNoData =
-          s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-        try {
+        withStreamGateConfs(s) {
           val q = joined.writeStream.format("memory").queryName(qn)
             .outputMode("append").trigger(Trigger.AvailableNow()).start()
           q.awaitTermination()
-        } finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
-          s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
-            prevNoData)
         }
         s.table(qn)
           .groupBy("event_id").agg(count(lit(1)).as("n_clicks"))
@@ -195,13 +213,11 @@ object StreamQueries {
         val stream = s.readStream.schema(schema).parquet(srcDir)
           .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
           .agg(count(lit(1)).as("n_events"))
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        try {
+        withStreamGateConfs(s) {
           val q = stream.writeStream.format("memory").queryName(qn)
             .outputMode("complete").trigger(Trigger.AvailableNow()).start()
           q.awaitTermination()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
         s.table(qn)
           .select(col("user_id"),
             unix_micros(col("session_window.start")).as("session_start_us"),
