@@ -250,6 +250,37 @@ object ExtraQueries {
         |  < CASE WHEN lang = 'en' THEN '40' ELSE '80' END
         |ORDER BY doc_id""".stripMargin)),
 
+    // Quota-stratified sampling — the fixed-SIZE counterpart to
+    // q_sample_hash's fixed-rate split: exactly N documents per
+    // stratum, chosen by content-hash rank so the selection is
+    // deterministic and coordination-free at any scale. The rank
+    // filter compiles to WindowGroupLimit — each partition pre-prunes
+    // to its group top-N before the exchange, so the shuffle carries
+    // candidates, not strata.
+    "q_sample_stratified" -> ((
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("lang")
+          .orderBy(col("h"), col("doc_id"))
+        t(s, d, "documents")
+          .withColumn("h", sha2(concat(lit("quota:"),
+            col("doc_id").cast("string")), 256))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 50)
+          .select("doc_id", "lang", "rank")
+          .orderBy("doc_id")
+      },
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    sha256('quota:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+        |      AS BIGINT) AS rank
+        |  FROM h)
+        |SELECT doc_id, lang, rank FROM r WHERE rank <= 50
+        |ORDER BY doc_id""".stripMargin)),
+
     // Data profiling — the ANALYZE pass of a pipeline: per-column
     // non-null / exact-distinct / min / max. One pruned single-column
     // pass per column, unioned: on a columnar format each pass scans

@@ -141,6 +141,14 @@ class PlanQualitySpec extends SparkSpecBase {
     assert("""Window \[[^\]]*\], \[bucket#\d+""".r.findFirstIn(p).isDefined, p)
   }
 
+  test("q_sample_stratified pre-prunes each group's top-N before the exchange") {
+    val p = planOf("q_sample_stratified")
+    // The rank<=50 filter must compile to WindowGroupLimit so each map
+    // partition ships at most N candidate rows per stratum, not the
+    // whole stratum, through the shuffle.
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q_pii_mask and q_sample_hash stay map-only up to the output sort") {
     Seq("q_pii_mask", "q_sample_hash").foreach { q =>
       val p = planOf(q)
