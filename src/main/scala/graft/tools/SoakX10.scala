@@ -19,10 +19,13 @@ object SoakX10 {
   private val Family = Seq(
     "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_cluster", "q_dedup_substr", "q_embed_cosine", "q_embed_ann",
-    "q_embed_ivf", "q_embed_dup", "q_embed_centroid")
+    "q_embed_ivf", "q_embed_dup", "q_embed_centroid",
+    // Streaming family: 10x event rows AND 10x key cardinality (user
+    // ids offset per copy), so join/agg state scales with the data.
+    "q_stream_batch", "q_stream_dedup", "q_stream_join", "q_stream_session")
 
   def ensureSoakDir(spark: SparkSession, baseSf: String, dir: String): Unit = {
-    val done = java.nio.file.Paths.get(dir, "_DONE")
+    val done = java.nio.file.Paths.get(dir, "_DONE_v2")
     if (java.nio.file.Files.exists(done)) return
     val docs = spark.read.parquet(s"$baseSf/documents.parquet")
     val nDocs = docs.agg(max("doc_id")).head().getLong(0) + 1
@@ -44,6 +47,23 @@ object SoakX10 {
           "slice(embedding, 1, cast(copy as int)))").as("embedding"),
         col("label"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // events: keep ts as the raw long-nanos column the fixture carries
+    // (Tables.events converts), offset user/event ids per copy so the
+    // streaming operators' STATE cardinality scales with the rows.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.set(key, "true")
+    val ev =
+      try spark.read.parquet(s"$baseSf/events.parquet")
+      finally spark.conf.unset(key)
+    val nUser = ev.agg(max("user_id")).head().getLong(0) + 1
+    val nEv = ev.agg(max("event_id")).head().getLong(0) + 1
+    val evCols = ev.columns.toSeq.map {
+      case "event_id" => (col("event_id") + col("copy") * nEv).as("event_id")
+      case "user_id" => (col("user_id") + col("copy") * nUser).as("user_id")
+      case c => col(c)
+    }
+    ev.crossJoin(copies).select(evCols: _*)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
     java.nio.file.Files.createFile(done)
   }
 
