@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The single-batch AvailableNow gates prove streaming == batch on one
+  * micro-batch; these cases force MULTIPLE micro-batches
+  * (maxFilesPerTrigger=1) with event times deliberately out of order
+  * ACROSS batches, proving the stateful operators actually merge and
+  * retain state between batches — a session that only exists once a
+  * later batch bridges two earlier fragments, and a band join whose
+  * matching sides arrive in different batches (the failure mode a
+  * too-tight watermark would silently create). */
+class StreamMultiBatchSpec extends SparkSpecBase {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("session fragments bridged by a LATER batch merge into one session") {
+    val s = spark
+    import s.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_mb_ses").toString
+    // Batch 1: two fragments 40 min apart — separate sessions on their
+    // own (gap 30 min). Batch 2: an event between them bridges all
+    // three into ONE merged session; the state store must revise the
+    // two sessions it already holds.
+    Seq((1L, ts(0)), (1L, ts(40))).toDF("user_id", "ts")
+      .coalesce(1).write.mode("append").parquet(src)
+    Seq((1L, ts(20))).toDF("user_id", "ts")
+      .coalesce(1).write.mode("append").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.format("memory").queryName("mb_sessions")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = s.table("mb_sessions")
+      .select(col("session_window.start").as("st"),
+        col("session_window.end").as("en"), col("n_events"))
+      .collect()
+    assert(out.length == 1, out.toSeq)
+    assert(out(0).getAs[Timestamp]("st") == ts(0))
+    assert(out(0).getAs[Timestamp]("en") == Timestamp.valueOf(
+      "2024-01-01 11:10:00")) // last event 10:40 + 30 min gap
+    assert(out(0).getAs[Long]("n_events") == 3L)
+  }
+
+  test("band join matches arriving in different batches are not dropped") {
+    val s = spark
+    import s.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_mb_join").toString
+    // Batch 1: clicks with LATER event times. Batch 2: views with
+    // EARLIER event times (a time-unordered file split, exactly the
+    // shape the q_stream_join gate's full-span watermark defends
+    // against). Every view has one click within the ±20 min band.
+    Seq((100L, 1L, "click", ts(25)), (101L, 2L, "click", ts(45)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .coalesce(1).write.mode("append").parquet(src)
+    Seq((1L, 1L, "view", ts(10)), (2L, 2L, "view", ts(30)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .coalesce(1).write.mode("append").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val ev = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours") // covers the full span: no eviction
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val q = views.join(clicks, expr(
+        """user_id = c_user AND
+          |c_ts >= v_ts - INTERVAL 20 MINUTES AND
+          |c_ts <= v_ts + INTERVAL 20 MINUTES""".stripMargin))
+      .writeStream.format("memory").queryName("mb_join")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = s.table("mb_join").select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L),
+      s"cross-batch matches must survive the split: $got")
+  }
+}
