@@ -281,6 +281,65 @@ object ExtraQueries {
         |SELECT doc_id, lang, rank FROM r WHERE rank <= 50
         |ORDER BY doc_id""".stripMargin)),
 
+    // Corpus mixture rebalancing — domain mixing for a training run:
+    // each source gets a target share (weights derived here from the
+    // source name; a real run feeds its mixture config), the quota is
+    // least(supply, target*weight/weight_total), and membership is
+    // hash-rank per source — deterministic, coordination-free, exactly
+    // reproducible. All-integer quota math (counts, weights, one
+    // floor-division chain) so every engine lands on identical quotas;
+    // the two corpus scalars (N, weight sum) are a bounded one-row
+    // driver read, the per-source quota relation broadcasts back onto
+    // the ranked corpus.
+    "q_mix_rebalance" -> ((
+      (s: SparkSession, d: String) => {
+        val weighted = t(s, d, "documents")
+          .withColumn("wt",
+            expr("cast(substring(source, 4) as int) % 3 + 1"))
+        val stats = weighted.groupBy("source")
+          .agg(count(lit(1)).as("n_s"), max("wt").as("wt"))
+        val tot = stats.agg(sum("n_s"), sum("wt")).head()
+        val (n, wsum) = (tot.getLong(0), tot.getLong(1))
+        val target = n * 4L / 5L
+        val quotas = stats.select(col("source"),
+          least(col("n_s"),
+            expr(s"(${target}L * wt) div ${wsum}L")).as("quota"))
+        val wnd = Window.partitionBy("source")
+          .orderBy(col("h"), col("doc_id"))
+        weighted
+          .withColumn("h", sha2(concat(lit("mix:"),
+            col("doc_id").cast("string")), 256))
+          .withColumn("rank", row_number().over(wnd).cast("long"))
+          .join(broadcast(quotas), "source")
+          .filter(col("rank") <= col("quota"))
+          .select("doc_id", "source", "rank", "quota")
+          .orderBy("doc_id")
+      },
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CAST(substr(source, 4) AS INT) % 3 + 1 AS wt
+        |  FROM documents),
+        |st AS (
+        |  SELECT source, count(*) AS n_s, max(wt) AS wt
+        |  FROM w GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(n_s) AS BIGINT) AS n,
+        |    CAST(sum(wt) AS BIGINT) AS wsum FROM st),
+        |q AS (
+        |  SELECT source,
+        |    least(n_s, (((SELECT n FROM tot) * 4 // 5) * wt)
+        |      // (SELECT wsum FROM tot)) AS quota
+        |  FROM st),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY sha256('mix:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS BIGINT) AS rank
+        |  FROM documents)
+        |SELECT r.doc_id, r.source, r.rank, CAST(q.quota AS BIGINT) AS quota
+        |FROM r JOIN q USING (source) WHERE r.rank <= q.quota
+        |ORDER BY doc_id""".stripMargin)),
+
     // Data profiling — the ANALYZE pass of a pipeline: per-column
     // non-null / exact-distinct / min / max. One pruned single-column
     // pass per column, unioned: on a columnar format each pass scans
