@@ -149,6 +149,13 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q_mix_rebalance broadcasts the quota relation onto the ranked corpus") {
+    val p = planOf("q_mix_rebalance")
+    // The per-source quota relation is dimension-sized; joining it any
+    // other way would shuffle the whole corpus by source.
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_pii_mask and q_sample_hash stay map-only up to the output sort") {
     Seq("q_pii_mask", "q_sample_hash").foreach { q =>
       val p = planOf(q)
