@@ -161,6 +161,15 @@ object SnapshotSwap {
       try { Files.createFile(lock); acquired = true }
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
+          // A crashed writer must not wedge every future commit: the
+          // critical section is microseconds, so a lock older than 30 s
+          // is abandoned — break it and retry (the object-store
+          // analogue is a lease-expiring lock entry).
+          try {
+            if (Files.getLastModifiedTime(lock).toMillis <
+                System.currentTimeMillis() - 30000)
+              Files.deleteIfExists(lock)
+          } catch { case _: java.io.IOException => () }
           tries += 1
           if (tries > 2500) sys.error(s"commit lock stuck: $lock")
           Thread.sleep(2)

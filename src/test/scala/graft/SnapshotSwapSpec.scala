@@ -134,6 +134,21 @@ class SnapshotSwapSpec extends SparkSpecBase {
     assert(rows.length == (if (markers.head == "A") 2 else 3), rows)
   }
 
+  test("an abandoned commit lock is broken, not a permanent wedge") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_swap_lock").toString
+    // A crashed writer left its lock behind, long ago.
+    val lock = Paths.get(base, "_commit_lock_t")
+    Files.createDirectories(Paths.get(base))
+    Files.createFile(lock)
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120000))
+    SnapshotSwap.writeManifested(Seq((1, "a")).toDF("id", "v"), base, "t")
+    assert(SnapshotSwap.readManifested(spark, base, "t").count() == 1)
+    assert(!Files.exists(lock)) // released after the commit
+  }
+
   test("stale-table sweep removes every retained snapshot version") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_swap_sweep").toString
