@@ -169,6 +169,26 @@ object TextQueries {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Band-bucket pairs under a per-bucket occupancy cap. SimHash's
+    * band space is FIXED — 4 x 16-bit chunks of a 64-bit signature —
+    * so unlike the corpus-scaled LSH spaces (`bitsFor`) or MinHash's
+    * effectively unbounded band values, bucket occupancy grows
+    * linearly with N once N approaches 2^16 and pair counts grow
+    * QUADRATICALLY: the 100x soak measured simhash at 1.46x per-row
+    * while every bounded operator stayed flat. The cap bounds each
+    * bucket's contribution to cap^2 pairs; a document pushed past the
+    * cap in one band keeps its other three bands (graceful recall
+    * degradation — the recall-preserving alternative at extreme N is
+    * Manku-style permutation tables over wider prefixes). Selection is
+    * deterministic (row_number by doc_id), and the cap cannot bind at
+    * the oracle SFs (occupancy there is single digits), so the gate's
+    * verified candidate side-file is unchanged. */
+  private def bandedPairsCapped(bands: DataFrame, cap: Int): DataFrame = {
+    val w = Window.partitionBy("b", "v").orderBy("doc_id")
+    bandedPairs(bands.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap).drop("rk"))
+  }
+
   /** MinHash signatures via the codegen'd minhash_sig expression — a
     * pure map over each document row (round 2 shuffled the exploded
     * shingle index into a typed Aggregator to rebuild exactly this
@@ -191,6 +211,17 @@ object TextQueries {
   // 4x16-bit bands. Shingles, not raw tokens: with a small vocabulary
   // every document contains nearly every token, so token-feature
   // signatures collapse into one bucket; shingle sets stay distinctive.
+  //
+  // The fixed 16-bit band width has an intrinsic RANDOM-collision
+  // floor: unrelated signatures agree on one band with p = 4/2^16, so
+  // candidate pairs grow as ~N^2/2^14 regardless of bucket skew — the
+  // 100x soak measured 8.3M candidates of which ~2k were real, each
+  // false pair paying the expensive shingle-index verify join. The
+  // standard remedy (Manku et al.) is applied here: a HAMMING
+  // pre-verify on the full 64-bit signature — an 8-byte join and one
+  // xor/popcount per candidate — kills random collisions (P[hamming
+  // <= 16 | random] ~ 1e-5) before the shingle verify; true near-dups
+  // at the 0.7 jaccard bar sit well inside 16 differing bits.
   private def simhashCandidates(docs: DataFrame): DataFrame = {
     val sigs = docShingles(docs, 3)
       .select(col("doc_id"), expr("simhash_sig(sh)").as("sig"))
@@ -200,7 +231,13 @@ object TextQueries {
     }
     val bands = sigs.select(col("doc_id"), explode(array(chunks: _*)).as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.v").as("v"))
-    bandedPairs(bands)
+    bandedPairsCapped(bands, 128)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        "doc_b")
+      .filter(expr("bit_count(sig_a ^ sig_b) <= 16"))
+      .select("doc_a", "doc_b")
   }
 
   /** Persist candidates for the oracle's verify-only pass, then verify.

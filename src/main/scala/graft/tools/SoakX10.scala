@@ -19,17 +19,18 @@ object SoakX10 {
   private val Family = Seq(
     "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_cluster", "q_dedup_substr", "q_embed_cosine", "q_embed_ann",
-    "q_embed_ivf", "q_embed_dup", "q_embed_centroid",
+    "q_embed_ivf", "q_embed_dup", "q_embed_centroid", "q_pack_sequences",
     // Streaming family: 10x event rows AND 10x key cardinality (user
     // ids offset per copy), so join/agg state scales with the data.
     "q_stream_batch", "q_stream_dedup", "q_stream_join", "q_stream_session")
 
-  def ensureSoakDir(spark: SparkSession, baseSf: String, dir: String): Unit = {
+  def ensureSoakDir(spark: SparkSession, baseSf: String, dir: String,
+      x: Long): Unit = {
     val done = java.nio.file.Paths.get(dir, "_DONE_v2")
     if (java.nio.file.Files.exists(done)) return
     val docs = spark.read.parquet(s"$baseSf/documents.parquet")
     val nDocs = docs.agg(max("doc_id")).head().getLong(0) + 1
-    val copies = spark.range(10).select(col("id").as("copy"))
+    val copies = spark.range(x).select(col("id").as("copy"))
     docs.crossJoin(copies)
       .select(
         (col("doc_id") + col("copy") * nDocs).as("doc_id"),
@@ -42,9 +43,10 @@ object SoakX10 {
     emb.crossJoin(copies)
       .select(
         (col("vec_id") + col("copy") * nVec).as("vec_id"),
-        expr("concat(slice(embedding, cast(copy as int) + 1, " +
-          "size(embedding) - cast(copy as int)), " +
-          "slice(embedding, 1, cast(copy as int)))").as("embedding"),
+        expr("concat(slice(embedding, cast(copy % size(embedding) as int) + 1, " +
+          "size(embedding) - cast(copy % size(embedding) as int)), " +
+          "slice(embedding, 1, cast(copy % size(embedding) as int)))")
+          .as("embedding"),
         col("label"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     // events: keep ts as the raw long-nanos column the fixture carries
@@ -75,12 +77,13 @@ object SoakX10 {
     val spark = graft.SparkEnv.session(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val baseSf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val dir = "/tmp/graft_soak_x10"
-    ensureSoakDir(spark, baseSf, dir)
+    val x = sys.env.getOrElse("SPARK_GRAFT_SOAK_X", "10").toLong
+    val dir = s"/tmp/graft_soak_x$x"
+    ensureSoakDir(spark, baseSf, dir, x)
     val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val rt = Runtime.getRuntime
-    println("query,base_sec,soak_sec,ratio,per_row_ratio,driver_mb")
+    println(s"query,base_sec,soak${x}x_sec,ratio,per_row_ratio,driver_mb")
     Family.filter(q => only.forall(_.contains(q))).foreach { q =>
       val fn = graft.SparkEntry.queries(q)
       // warm + measure base, then soak, min of 2 each
@@ -91,7 +94,7 @@ object SoakX10 {
       val soak = run(dir)
       val usedMb = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
       val ratio = soak / base
-      println(f"$q,$base%.2f,$soak%.2f,$ratio%.2f,${ratio / 10}%.3f,$usedMb")
+      println(f"$q,$base%.2f,$soak%.2f,$ratio%.2f,${ratio / x}%.3f,$usedMb")
     }
     spark.stop()
   }
