@@ -439,6 +439,87 @@ object ExtraQueries {
         | AND a.event_type = 'view' AND b.event_type = 'click'
         | AND abs(epoch_us(CAST(a.ts AS TIMESTAMP))
         |        - epoch_us(CAST(b.ts AS TIMESTAMP))) <= 3600000000
-        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin))
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin)),
+
+    // Exact discrete quantiles per group, PERCENTILE_DISC semantics,
+    // computed over a count histogram (graft.functions.Quantiles) —
+    // the shuffle carries one row per distinct (group, value), not the
+    // raw values, so the plan is 100 TB-safe where a value-collecting
+    // percentile aggregate is not.
+    "q_agg_quantile" -> ((
+      (s: SparkSession, d: String) =>
+        graft.functions.Quantiles.discrete(
+            t(s, d, "lineitem"), "l_returnflag", "l_quantity",
+            Seq("q25" -> 0.25, "q50" -> 0.5, "q90" -> 0.9))
+          .orderBy("l_returnflag"),
+      """SELECT l_returnflag,
+        |quantile_disc(l_quantity, 0.25) AS q25,
+        |quantile_disc(l_quantity, 0.5) AS q50,
+        |quantile_disc(l_quantity, 0.9) AS q90
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)),
+
+    // Time-RANGE window: trailing 1-hour per-user event count and
+    // spend. Unlike q_window_frames' row frames, the frame is bounded
+    // by event-time values, so it is tie-safe and deterministic. The
+    // measure is pre-cast to integer cents so the windowed sum is
+    // order-independent and hash-exact. One shuffle on user_id; frame
+    // evaluation is a linear two-pointer scan within each partition.
+    "q_window_range" -> ((
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us"))
+          .rangeBetween(-3600000000L, 0)
+        graft.Tables.events(s, d)
+          .withColumn("us", expr("unix_micros(ts)"))
+          .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+          .select(col("event_id"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum("cents").over(w).as("cents_1h"))
+          .orderBy("event_id")
+      },
+      """SELECT event_id,
+        |CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+        |  AS cents_1h
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)),
+
+    // Per-key standardization + outlier flagging (the data-quality
+    // filter a training pipeline runs before ingesting a source):
+    // purchases whose value is >= 2 sample standard deviations from
+    // that user's mean. Single shuffle on user_id; the unbounded-frame
+    // window aggregates are one pass per partition. Users with fewer
+    // than 5 purchases or zero variance are excluded (a z-score there
+    // is noise).
+    "q_anomaly_zscore" -> ((
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id")
+        graft.Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("value"),
+            avg("value").over(w).as("mu"),
+            stddev_samp(col("value")).over(w).as("sd"),
+            count(lit(1)).over(w).as("n"))
+          .filter(col("n") >= 5 && col("sd") > 0)
+          .withColumn("z", (col("value") - col("mu")) / col("sd"))
+          .filter(abs(col("z")) >= 2.0)
+          .select(col("event_id"), col("user_id"),
+            round(col("z"), 4).as("z"))
+          .orderBy("event_id")
+      },
+      """WITH p AS (SELECT event_id, user_id, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |st AS (SELECT event_id, user_id, value,
+        |  avg(value) OVER (PARTITION BY user_id) AS mu,
+        |  stddev_samp(value) OVER (PARTITION BY user_id) AS sd,
+        |  count(*) OVER (PARTITION BY user_id) AS n FROM p)
+        |SELECT event_id, user_id, round((value - mu) / sd, 4) AS z
+        |FROM st
+        |WHERE n >= 5 AND sd > 0 AND abs((value - mu) / sd) >= 2
+        |ORDER BY event_id""".stripMargin))
   )
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.functions.Quantiles
+
+/** graft.functions.Quantiles must match the brute-force
+  * PERCENTILE_DISC definition (smallest value whose cumulative
+  * distribution reaches p) on arbitrary grouped data — including ties,
+  * single-row groups, and boundary fractions. */
+class QuantilesSpec extends SparkSpecBase {
+
+  private def bruteDisc(values: Seq[Long], p: Double): Long = {
+    // smallest v with (#rows <= v) / n >= p == element at rank ceil(p*n)
+    val sorted = values.sorted
+    sorted(math.max(0, math.ceil(p * sorted.length).toInt - 1))
+  }
+
+  private val ps =
+    Seq("q10" -> 0.1, "q50" -> 0.5, "q99" -> 0.99, "q100" -> 1.0)
+
+  private val dataGen: Gen[Map[Int, List[Long]]] = Gen.nonEmptyListOf(
+    Gen.zip(Gen.choose(0, 3), Gen.nonEmptyListOf(Gen.choose(0L, 20L))))
+    .map(_.toMap)
+
+  test("histogram quantile matches brute-force percentile_disc") {
+    import spark.implicits._
+    val prop = Prop.forAll(dataGen) { groups =>
+      val rows = groups.toSeq.flatMap { case (k, vs) => vs.map(v => (k, v)) }
+      val got = Quantiles.discrete(rows.toDF("k", "v"), "k", "v", ps)
+        .collect()
+        .map(r => r.getAs[Int]("k") ->
+          ps.map { case (name, _) => r.getAs[Long](name) }).toMap
+      got.keySet == groups.keySet && groups.forall { case (k, vs) =>
+        got(k) == ps.map { case (_, p) => bruteDisc(vs, p) }
+      }
+    }
+    val r = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(20), prop)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("fractions outside (0, 1] are rejected") {
+    import spark.implicits._
+    val df = Seq((1, 1L)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Quantiles.discrete(df, "k", "v", Seq("q0" -> 0.0))
+    }
+    intercept[IllegalArgumentException] {
+      Quantiles.discrete(df, "k", "v", Seq("q" -> 1.5))
+    }
+  }
+}
