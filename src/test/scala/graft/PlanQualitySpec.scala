@@ -156,6 +156,29 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_agg_quantile aggregates the histogram, not a value buffer") {
+    val p = planOf("q_agg_quantile")
+    // The histogram groupBy must combine map-side (partial_count) so
+    // the shuffle carries one row per distinct (group, value) — and no
+    // value-collecting percentile aggregate may appear anywhere.
+    assert(p.contains("partial_count"), p)
+    assert(!p.toLowerCase.contains("percentile"), p)
+  }
+
+  test("q_window_range frames on user_id partitions, one hash shuffle") {
+    val p = planOf("q_window_range")
+    assert("""Window \[[^\]]*\], \[user_id#\d+""".r.findFirstIn(p).isDefined, p)
+    // One exchange for the window partitioning; the output ORDER BY is
+    // a range exchange, not a second hash shuffle of the data.
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q_anomaly_zscore standardizes in a single user_id shuffle") {
+    val p = planOf("q_anomaly_zscore")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert("""Window \[[^\]]*\], \[user_id#\d+""".r.findFirstIn(p).isDefined, p)
+  }
+
   test("q_pii_mask and q_sample_hash stay map-only up to the output sort") {
     Seq("q_pii_mask", "q_sample_hash").foreach { q =>
       val p = planOf(q)
