@@ -308,6 +308,102 @@ object VectorQueries {
     finally e.unpersist(blocking = true)
   }
 
+  // ---- Product quantization: ADC search over compressed codes --------
+  private val pqSub = 4                 // subspaces
+  private val pqSubDim = dim / pqSub    // dims per subspace
+  private val pqCodes = 16              // centroids per subspace codebook
+  private val pqShortlist = 32          // ADC shortlist before exact re-rank
+
+  /** Per-subspace codebooks trained with Lloyd passes on the same
+    * bounded driver sample as IVF (FAISS PQ protocol: train on a
+    * sample, encode the corpus distributively). Sequential double math
+    * on ≤KMeansSample subvectors — bit-stable across runs, trivial at
+    * any corpus size. Returns (subspace, code, centroid) rows;
+    * pqSub×pqCodes total. */
+  private def pqCodebooks(e: DataFrame): Seq[(Int, Int, Seq[Double])] = {
+    val sample: Array[Array[Double]] =
+      e.filter(col("vec_id") < KMeansSample)
+        .select(col("vec_id"), col("v")).collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1).toArray)
+    (0 until pqSub).flatMap { m =>
+      val subs = sample.map(_.slice(m * pqSubDim, (m + 1) * pqSubDim))
+      var cs = subs.take(pqCodes).map(_.clone())
+      for (_ <- 1 to KMeansIters) {
+        val sums = Array.fill(pqCodes)(new Array[Double](pqSubDim))
+        val counts = new Array[Int](pqCodes)
+        subs.foreach { sv =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            var ds = 0.0; var i = 0
+            while (i < pqSubDim) {
+              val t = sv(i) - cs(c)(i); ds += t * t; i += 1
+            }
+            if (ds < bestD) { bestD = ds; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < pqSubDim) { sums(best)(i) += sv(i); i += 1 }
+          counts(best) += 1
+        }
+        cs = cs.indices.map(c =>
+          if (counts(c) == 0) cs(c) else sums(c).map(_ / counts(c))).toArray
+      }
+      cs.indices.map(c => (m, c, cs(c).toSeq))
+    }
+  }
+
+  /** PQ candidates: every corpus vector is encoded to pqSub codes in
+    * one map-side pass (argmin over the broadcast codebook via a
+    * min(struct) partial aggregate — the 16 candidate rows per
+    * (vector, subspace) collapse BEFORE the exchange), queries score
+    * codes through a broadcast ADC lookup table, and a per-query top-N
+    * keeps the shortlist. Distances are rounded to integer micro-units
+    * so every aggregate is exact and partition-order independent. At
+    * 100 TB this is the memory story: the search structure is pqSub
+    * bytes per vector (a 64-float embedding compresses 64×), and the
+    * only corpus-sized shuffle carries (qid, nid, partial-sum) longs. */
+  private def pqCandPlan(s: SparkSession, e: DataFrame): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val cb = broadcast(pqCodebooks(e).toDF("m", "code", "cv"))
+    val subs = e.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${pqSub - 1}), m -> " +
+          s"struct(m AS m, slice(v, m * $pqSubDim + 1, $pqSubDim) AS sv))"))
+        .as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+    // ||sv - cv||² expanded through the codegen'd dot products.
+    val scored = subs.join(cb, "m")
+      .withColumn("dist_e6", expr(
+        "CAST(round((vec_dot(sv, sv) - 2 * vec_dot(sv, cv)" +
+          " + vec_dot(cv, cv)) * 1e6) AS BIGINT)"))
+    val codes = scored.groupBy(col("vec_id").as("nid"), col("m"))
+      .agg(min(struct(col("dist_e6"), col("code"))).as("best"))
+      .select(col("nid"), col("m"), col("best.code").as("code"))
+    val lut = scored.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("m"), col("code"),
+        col("dist_e6"))
+    val adc = codes.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("qid") =!= col("nid"))
+      .groupBy("qid", "nid").agg(sum("dist_e6").as("adc"))
+    val w = Window.partitionBy("qid").orderBy(col("adc"), col("nid"))
+    adc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= pqShortlist)
+      .select("qid", "nid")
+  }
+
+  private def pqResult(s: SparkSession, d: String,
+      candPath: String): DataFrame = {
+    val e = emb(s, d).persist()
+    try
+      materialized(s,
+        rankTopK(cosineFor(s, d,
+          maybeSideFile(s, d, pqCandPlan(s, e), candPath))),
+        candPath + "_res")
+    finally e.unpersist(blocking = true)
+  }
+
   /** Corpus-wide same-bucket pairs (i < j) — the near-dup candidates.
     * Bucket-bit count scales with corpus size (bitsFor) and each bucket
     * is capped (capBuckets), so per-bucket pair work stays bounded no
@@ -359,6 +455,8 @@ object VectorQueries {
         annCandPlan(withBuckets(emb(s, d), bitsFor(corpusRows(s, d))))))
     case "ivf" =>
       rankTopK(cosineFor(s, d, ivfCandPlan(s, emb(s, d))))
+    case "pq" =>
+      rankTopK(cosineFor(s, d, pqCandPlan(s, emb(s, d))))
     case "dup" =>
       cosineFor(s, d, dupCandPlan(
         capBuckets(withBuckets(emb(s, d), bitsFor(corpusRows(s, d))))))
@@ -434,6 +532,15 @@ object VectorQueries {
         ivfResult(s, d, s"/tmp/graft_cand_ivf_${graft.Tables.dirTag(d)}")
           .orderBy("qid", "rn"),
       rankSql(s"SELECT DISTINCT qid, nid FROM read_parquet('/tmp/graft_cand_ivf_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/*.parquet')"))),
+
+    // Product-quantization ANN: per-subspace codebooks, map-side
+    // encoding, broadcast ADC table scoring, exact re-rank on the
+    // shortlist. Oracle re-ranks the same shortlist.
+    "q_embed_pq" -> ((
+      (s: SparkSession, d: String) =>
+        pqResult(s, d, s"/tmp/graft_cand_pq_${graft.Tables.dirTag(d)}")
+          .orderBy("qid", "rn"),
+      rankSql(s"SELECT DISTINCT qid, nid FROM read_parquet('/tmp/graft_cand_pq_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/*.parquet')"))),
 
     // Embedding near-duplicate pairs: LSH buckets corpus-wide, exact
     // cosine threshold on candidates. Oracle re-verifies the candidates.

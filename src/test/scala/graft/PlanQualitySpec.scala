@@ -44,7 +44,7 @@ class PlanQualitySpec extends SparkSpecBase {
         .queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$which:\n$p")
     }
-    Seq("ann", "ivf", "dup").foreach { which =>
+    Seq("ann", "ivf", "dup", "pq").foreach { which =>
       val p = graft.queries.VectorQueries.planProbe(spark, dir, which)
         .queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$which:\n$p")
