@@ -80,6 +80,47 @@ object SnapshotQueries {
         |FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
         |WHERE old_chars IS NULL OR new_chars IS NULL
         |   OR old_chars <> new_chars
+        |ORDER BY doc_id""".stripMargin)),
+
+    // CDC apply — the other half of q_snapshot_diff: MERGE the delta
+    // (added/changed/removed) into the previous snapshot and land the
+    // next one, without Delta-lake machinery. Scale shape: the delta
+    // is broadcast (a day's changes are dimension-sized next to a
+    // 100 TB base), so the base table is never shuffled — a left
+    // broadcast join applies updates/deletes in place and the inserts
+    // union on top. Correctness gate: applying diff(old, new) to old
+    // must reproduce new EXACTLY — the oracle is the new snapshot
+    // computed directly.
+    "q_snapshot_merge" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val old = docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("n_chars").as("old_chars"))
+        val neu = docs.filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0, col("n_chars") + 1)
+              .otherwise(col("n_chars")).as("new_chars"))
+        val delta = old.join(neu, Seq("doc_id"), "full_outer")
+          .withColumn("change",
+            when(col("old_chars").isNull, "added")
+              .when(col("new_chars").isNull, "removed")
+              .when(col("old_chars") =!= col("new_chars"), "changed")
+              .otherwise("unchanged"))
+          .filter(col("change") =!= "unchanged")
+          .select("doc_id", "change", "new_chars")
+        old
+          .join(broadcast(delta), Seq("doc_id"), "left")
+          .filter(col("change").isNull || col("change") =!= "removed")
+          .select(col("doc_id"),
+            coalesce(col("new_chars"), col("old_chars")).as("n_chars"))
+          .unionByName(delta.filter(col("change") === "added")
+            .select(col("doc_id"), col("new_chars").as("n_chars")))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN n_chars + 1 ELSE n_chars END
+        |    AS n_chars
+        |FROM documents WHERE doc_id % 3 <> 0
         |ORDER BY doc_id""".stripMargin))
   )
 }

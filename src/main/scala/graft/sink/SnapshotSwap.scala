@@ -137,14 +137,20 @@ object SnapshotSwap {
     // unreachable for any reader that resolves the pointer from here
     // on). Same-generation dirs — lost-race leftovers or a competitor
     // staging right now — are left alone until the version advances.
+    // Before the FIRST commit there is no published version at all, so
+    // nothing is provably stale: every dir is either a crashed first
+    // sync's leftover (swept one generation later) or a competitor
+    // staging right now — sweeping here would delete an in-flight
+    // writer's dir out from under it.
     val prefix = s"_snap_$table-"
     val stale = {
       val children = Files.list(Paths.get(base))
       try {
         import scala.jdk.CollectionConverters._
         children.iterator().asScala.map(_.getFileName.toString)
-          .filter(n => n.startsWith(prefix) && !prev.contains(n) &&
-            (prev.isEmpty || versionOf(table, n).exists(_ < pubVersion)))
+          .filter(n => n.startsWith(prefix) && prev.nonEmpty &&
+            !prev.contains(n) &&
+            versionOf(table, n).exists(_ < pubVersion))
           .toList
       } finally children.close()
     }

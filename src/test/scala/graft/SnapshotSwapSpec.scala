@@ -103,6 +103,40 @@ class SnapshotSwapSpec extends SparkSpecBase {
     assert(snaps.length == 2, snaps.toSeq) // v1 retained + winner
   }
 
+  test("first-generation sweep leaves a competitor's in-flight staging dir alone") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_swap_firstgen").toString
+    // No manifest exists yet (first generation). Writer A stages its
+    // dir; before A commits, writer B runs a complete sync. B's sweep
+    // sees A's staged-but-uncommitted dir with no published version to
+    // compare against — it must NOT delete it (this raced in the wild:
+    // A's parquet job died mid-write with its dir swept out from under
+    // it). A then CAS-rejects and could retry from B's snapshot.
+    var intercepted = false
+    var aDirsSurvived = true
+    def snapDirs() = new java.io.File(base).list()
+      .filter(_.startsWith("_snap_t-")).toSet
+    SnapshotSwap.beforeCommit = () =>
+      if (!intercepted) {
+        intercepted = true
+        val aStaged = snapDirs() // exactly A's in-flight dir
+        SnapshotSwap.writeManifested(
+          Seq((9, "B")).toDF("id", "v"), base, "t")
+        aDirsSurvived = aStaged.subsetOf(snapDirs())
+      }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        SnapshotSwap.writeManifested(
+          Seq((1, "A")).toDF("id", "v"), base, "t")
+      }
+    } finally SnapshotSwap.beforeCommit = () => ()
+    assert(aDirsSurvived,
+      "B's first-generation sweep deleted A's in-flight staging dir")
+    val rows = SnapshotSwap.readManifested(spark, base, "t")
+      .as[(Int, String)].collect().toSeq
+    assert(rows == Seq((9, "B")))
+  }
+
   test("racing writers serialize: last successful commit wins, never a mix") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_swap_threads").toString
