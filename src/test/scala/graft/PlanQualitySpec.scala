@@ -179,6 +179,13 @@ class PlanQualitySpec extends SparkSpecBase {
     assert("""Window \[[^\]]*\], \[user_id#\d+""".r.findFirstIn(p).isDefined, p)
   }
 
+  test("q_snapshot_merge broadcasts the delta onto the unshuffled base") {
+    val p = planOf("q_snapshot_merge")
+    // The CDC delta is dimension-sized next to the base snapshot; the
+    // apply must be a broadcast join so the base is never shuffled.
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_pii_mask and q_sample_hash stay map-only up to the output sort") {
     Seq("q_pii_mask", "q_sample_hash").foreach { q =>
       val p = planOf(q)
