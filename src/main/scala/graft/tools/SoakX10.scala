@@ -23,7 +23,10 @@ object SoakX10 {
     "q_pack_sequences",
     // Streaming family: 10x event rows AND 10x key cardinality (user
     // ids offset per copy), so join/agg state scales with the data.
-    "q_stream_batch", "q_stream_dedup", "q_stream_join", "q_stream_session")
+    "q_stream_batch", "q_stream_dedup", "q_stream_join", "q_stream_session",
+    // Events/documents SQL surface added in round 6: window state and
+    // the CDC merge grow with rows AND key cardinality.
+    "q_window_range", "q_anomaly_zscore", "q_snapshot_merge")
 
   def ensureSoakDir(spark: SparkSession, baseSf: String, dir: String,
       x: Long): Unit = {
