@@ -24,7 +24,10 @@ object Quantiles {
                ps: Seq[(String, Double)]): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p > 0 && p <= 1 },
       s"quantile fractions must be in (0, 1]: $ps")
-    val hist = df.groupBy(col(key), col(value).as("_qv"))
+    // NULL measures are excluded (SQL PERCENTILE_DISC semantics): they
+    // must count neither as values nor in the denominator.
+    val hist = df.filter(col(value).isNotNull)
+      .groupBy(col(key), col(value).as("_qv"))
       .agg(count(lit(1)).as("_qc"))
     // One distinct value per row, so a rows-frame running sum IS the
     // cumulative count; both windows share one exchange on `key`.

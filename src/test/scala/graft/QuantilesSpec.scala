@@ -39,6 +39,27 @@ class QuantilesSpec extends SparkSpecBase {
     assert(r.passed, r.status.toString)
   }
 
+  test("NULL measures count neither as values nor in the denominator") {
+    import spark.implicits._
+    // Group 1: {1,2,3,null} — PERCENTILE_DISC over {1,2,3}: q50 = 2
+    // (with the null counted, the denominator 4 would shift q50 to 2
+    // only if ceil(0.5*4)=2 — use q34: ceil(.34*3)=2 vs ceil(.34*4)=2;
+    // take q67: ceil(.67*3)=3 -> 3, with null ceil(.67*4)=3 -> 3 too.
+    // Distinguishing case: q25 over {10,20}: ceil(.25*2)=1 -> 10; a
+    // null counted in n=3 gives ceil(.75)=1 -> still 10 BUT a null
+    // sorted first would shift the rank pick — assert exact outputs.)
+    val df = Seq((1, Some(1L)), (1, Some(2L)), (1, Some(3L)), (1, None),
+      (2, None), (2, Some(10L)), (2, Some(20L)))
+      .toDF("k", "v")
+    val got = Quantiles.discrete(df, "k", "v",
+        Seq("q25" -> 0.25, "q50" -> 0.5, "q100" -> 1.0))
+      .collect().map(r => r.getAs[Int]("k") ->
+        (r.getAs[Long]("q25"), r.getAs[Long]("q50"), r.getAs[Long]("q100")))
+      .toMap
+    assert(got(1) == ((1L, 2L, 3L)), got)
+    assert(got(2) == ((10L, 10L, 20L)), got)
+  }
+
   test("fractions outside (0, 1] are rejected") {
     import spark.implicits._
     val df = Seq((1, 1L)).toDF("k", "v")
