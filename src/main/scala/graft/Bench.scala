@@ -89,7 +89,7 @@ object Bench {
       // record what the reported (min-time) run saw.
       val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
         .flatMap(_.toIntOption).filter(_ > 0).getOrElse(3)
-      val times = (1 to runs).map { _ =>
+      def oneRun(): (Double, Double, Double) = {
         // Queries are timed independently: drop any rdd cache a
         // previous run/query persisted.
         spark.catalog.clearCache()
@@ -108,6 +108,20 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             (-1.0, 0.0, c0)
         }
+      }
+      // If even the BEST run was contention-bracketed (steal on the
+      // counter or a calib ratio >> 1), the recording measures the
+      // neighbor, not the engine — take up to 3 extra runs hunting for
+      // one quiet window rather than publishing a known-noisy minimum.
+      val times = scala.collection.mutable.ArrayBuffer.empty[
+        (Double, Double, Double)]
+      (1 to runs).foreach(_ => times += oneRun())
+      def bestOf = times.filter(_._1 >= 0).minByOption(_._1)
+      var extra = 0
+      while (extra < 3 && !times.exists(_._1 < 0) &&
+          bestOf.exists(b => b._2 > 0.5 || b._3 / calibBase > 1.5)) {
+        times += oneRun()
+        extra += 1
       }
       val best =
         if (times.exists(_._1 < 0)) (-1.0, 0.0, times.head._3)
