@@ -27,6 +27,22 @@ object ExtraQueries {
         .agg(
           approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
           approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+        .orderBy("l_returnflag")),
+    // The sketch twin of q_agg_quantile (as q_approx_distinct is to
+    // q_agg_distinct): KLL/GK-style mergeable quantile summaries are
+    // what a 100 TB deployment actually runs when the value domain is
+    // unbounded and the exact histogram no longer fits — fixed-size
+    // per-group state through the shuffle, rank error <= n/accuracy.
+    // EdgeCasesSpec bounds the sketch against the exact histogram
+    // quantiles so a broken summary can't hide behind rows-only.
+    "q_agg_approx_quantile" -> ((s: SparkSession, d: String) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_quantity"),
+          array(lit(0.25), lit(0.5), lit(0.9)), lit(1000)).as("qs"))
+        .select(col("l_returnflag"),
+          col("qs")(0).as("q25"), col("qs")(1).as("q50"),
+          col("qs")(2).as("q90"))
         .orderBy("l_returnflag"))
   )
 

@@ -59,6 +59,29 @@ class EdgeCasesSpec extends SparkSpecBase {
     }
   }
 
+  test("q_agg_approx_quantile sketch tracks the exact histogram quantiles") {
+    // Rows-only driver gate (sketch values are implementation-
+    // specific) — bound it here instead: with accuracy 1000 the rank
+    // error is <= n/1000, so on l_quantity's dense integer domain the
+    // sketch value must land within 2 units of the exact
+    // PERCENTILE_DISC answer at every probed fraction.
+    val dir = "/root/testdata/sf0.001"
+    val approx = SparkEntry.queries("q_agg_approx_quantile")(spark, dir)
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        Seq(r.getAs[Double]("q25"), r.getAs[Double]("q50"),
+          r.getAs[Double]("q90"))).toMap
+    val exact = graft.functions.Quantiles.discrete(
+        spark.read.parquet(s"$dir/lineitem.parquet"),
+        "l_returnflag", "l_quantity",
+        Seq("q25" -> 0.25, "q50" -> 0.5, "q90" -> 0.9))
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        Seq(r.getAs[Double]("q25"), r.getAs[Double]("q50"),
+          r.getAs[Double]("q90"))).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    for ((k, av) <- approx; (a, e) <- av.zip(exact(k)))
+      assert(math.abs(a - e) <= 2.0, s"group $k: approx $a vs exact $e")
+  }
+
   test("batch stream of an empty iterator emits nothing") {
     assert(BatchStream.batches(Iterator.empty[(String, Int)], 5, 10).isEmpty)
   }
