@@ -811,6 +811,28 @@ object TextQueries {
         |sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Feature hashing (the hashing trick): tokens bucketed by a digest
+    // prefix into a fixed 256-dim hashed bag-of-words — the
+    // vocabulary-free featurization a training pipeline uses when the
+    // vocab no longer fits a dictionary: no global vocab build, no
+    // second pass, and the (doc, bucket) counts partial-aggregate
+    // map-side. Bucket key = first two hex chars of sha256(token), so
+    // both engines bucket identically byte-for-byte.
+    "q_text_feature_hash" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(split(col("text"), " ")).as("tok"))
+          .select(col("doc_id"),
+            substring(sha2(col("tok"), 256), 1, 2).as("bucket"))
+          .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+          .orderBy("doc_id", "bucket"),
+      """SELECT doc_id, substr(sha256(tok), 1, 2) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |      FROM documents)
+        |GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin)),
+
     // Winnowing fingerprint (MOSS-style rolling scheme): hash every
     // ORDERED 3-gram shingle, slide a 4-hash window, keep each window's
     // minimum — the classic position-robust document fingerprint for
