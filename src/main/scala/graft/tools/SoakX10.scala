@@ -26,7 +26,8 @@ object SoakX10 {
     "q_stream_batch", "q_stream_dedup", "q_stream_join", "q_stream_session",
     // Events/documents SQL surface added in round 6: window state and
     // the CDC merge grow with rows AND key cardinality.
-    "q_window_range", "q_anomaly_zscore", "q_snapshot_merge")
+    "q_window_range", "q_anomaly_zscore", "q_snapshot_merge",
+    "q_text_feature_hash")
 
   def ensureSoakDir(spark: SparkSession, baseSf: String, dir: String,
       x: Long): Unit = {
