@@ -25,12 +25,18 @@ object Quantiles {
     require(ps.nonEmpty && ps.forall { case (_, p) => p > 0 && p <= 1 },
       s"quantile fractions must be in (0, 1]: $ps")
     // NULL measures are excluded (SQL PERCENTILE_DISC semantics): they
-    // must count neither as values nor in the denominator.
-    val hist = df.filter(col(value).isNotNull)
-      .groupBy(col(key), col(value).as("_qv"))
-      .agg(count(lit(1)).as("_qc"))
+    // must count neither as values nor in the denominator — but a key
+    // whose measures are ALL null must still emit a row (with null
+    // quantiles), exactly as the SQL aggregate would. So nulls keep
+    // their histogram row with a zero count: they contribute nothing
+    // to cum or n, and min(when(...)) over an empty candidate set is
+    // null for the all-null group.
+    val hist = df.groupBy(col(key), col(value).as("_qv"))
+      .agg(sum(when(col(value).isNotNull, 1L).otherwise(0L)).as("_qc"))
     // One distinct value per row, so a rows-frame running sum IS the
     // cumulative count; both windows share one exchange on `key`.
+    // Nulls sort first (Spark asc default), so their zero count can
+    // never inflate a later value's cumulative rank.
     val wCum = Window.partitionBy(key).orderBy("_qv")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(key)

@@ -22,6 +22,46 @@ object SnapshotQueries {
       .agg(count(lit(1)).as("cnt"),
         round(sum("o_totalprice") * 100).cast("long").as("sum_price_e2"))
 
+  /** The two deterministic snapshot derivations shared by
+    * q_snapshot_diff and q_snapshot_merge. */
+  private def mergeSnapshots(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val docs = t(s, d, "documents")
+    val old = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("n_chars").as("old_chars"))
+    val neu = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, col("n_chars") + 1)
+          .otherwise(col("n_chars")).as("new_chars"))
+    (old, neu)
+  }
+
+  private def deltaOf(old: DataFrame, neu: DataFrame): DataFrame =
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .withColumn("change",
+        when(col("old_chars").isNull, "added")
+          .when(col("new_chars").isNull, "removed")
+          .when(col("old_chars") =!= col("new_chars"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("change") =!= "unchanged")
+      .select("doc_id", "change", "new_chars")
+
+  private def mergedOf(old: DataFrame, delta: DataFrame): DataFrame =
+    old.join(broadcast(delta), Seq("doc_id"), "left")
+      .filter(col("change").isNull || col("change") =!= "removed")
+      .select(col("doc_id"),
+        coalesce(col("new_chars"), col("old_chars")).as("n_chars"))
+      .unionByName(delta.filter(col("change") === "added")
+        .select(col("doc_id"), col("new_chars").as("n_chars")))
+
+  /** Unmaterialized merge pipeline for plan inspection (the gate query
+    * materializes inside its delta cache scope, so its returned plan is
+    * just the result-file scan). Not part of the driver contract. */
+  private[graft] def mergeProbe(s: SparkSession, d: String): DataFrame = {
+    val (old, neu) = mergeSnapshots(s, d)
+    mergedOf(old, deltaOf(old, neu))
+  }
+
   val entries: Map[String, (Q, String)] = Map(
     "q_swap_snapshot" -> ((
       (s: SparkSession, d: String) => {
@@ -93,29 +133,18 @@ object SnapshotQueries {
     // computed directly.
     "q_snapshot_merge" -> ((
       (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents")
-        val old = docs.filter(col("doc_id") % 7 =!= 0)
-          .select(col("doc_id"), col("n_chars").as("old_chars"))
-        val neu = docs.filter(col("doc_id") % 3 =!= 0)
-          .select(col("doc_id"),
-            when(col("doc_id") % 5 === 0, col("n_chars") + 1)
-              .otherwise(col("n_chars")).as("new_chars"))
-        val delta = old.join(neu, Seq("doc_id"), "full_outer")
-          .withColumn("change",
-            when(col("old_chars").isNull, "added")
-              .when(col("new_chars").isNull, "removed")
-              .when(col("old_chars") =!= col("new_chars"), "changed")
-              .otherwise("unchanged"))
-          .filter(col("change") =!= "unchanged")
-          .select("doc_id", "change", "new_chars")
-        old
-          .join(broadcast(delta), Seq("doc_id"), "left")
-          .filter(col("change").isNull || col("change") =!= "removed")
-          .select(col("doc_id"),
-            coalesce(col("new_chars"), col("old_chars")).as("n_chars"))
-          .unionByName(delta.filter(col("change") === "added")
-            .select(col("doc_id"), col("new_chars").as("n_chars")))
-          .orderBy("doc_id")
+        val (old, neu) = mergeSnapshots(s, d)
+        // The delta feeds BOTH merge branches (update/delete via the
+        // broadcast join, inserts via the union) — persist it so the
+        // full-outer diff computes once, not once per branch, and
+        // materialize the merged result inside the cache scope (the
+        // repo's standard scoped-cache pattern).
+        val delta = deltaOf(old, neu).persist()
+        try {
+          val out = s"/tmp/graft_merge_${graft.Tables.dirTag(d)}"
+          mergedOf(old, delta).write.mode("overwrite").parquet(out)
+          s.read.parquet(out).orderBy("doc_id")
+        } finally delta.unpersist(blocking = true)
       },
       """SELECT doc_id,
         |  CASE WHEN doc_id % 5 = 0 THEN n_chars + 1 ELSE n_chars END

@@ -158,10 +158,11 @@ class PlanQualitySpec extends SparkSpecBase {
 
   test("q_agg_quantile aggregates the histogram, not a value buffer") {
     val p = planOf("q_agg_quantile")
-    // The histogram groupBy must combine map-side (partial_count) so
-    // the shuffle carries one row per distinct (group, value) — and no
-    // value-collecting percentile aggregate may appear anywhere.
-    assert(p.contains("partial_count"), p)
+    // The histogram groupBy must combine map-side (a partial aggregate
+    // of the null-aware count) so the shuffle carries one row per
+    // distinct (group, value) — and no value-collecting percentile
+    // aggregate may appear anywhere.
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
     assert(!p.toLowerCase.contains("percentile"), p)
   }
 
@@ -180,7 +181,10 @@ class PlanQualitySpec extends SparkSpecBase {
   }
 
   test("q_snapshot_merge broadcasts the delta onto the unshuffled base") {
-    val p = planOf("q_snapshot_merge")
+    // The gate query materializes inside its delta cache scope, so
+    // inspect the unmaterialized pipeline plan.
+    val p = graft.queries.SnapshotQueries.mergeProbe(spark, dir)
+      .queryExecution.executedPlan.toString
     // The CDC delta is dimension-sized next to the base snapshot; the
     // apply must be a broadcast join so the base is never shuffled.
     assert(p.contains("BroadcastHashJoin"), p)

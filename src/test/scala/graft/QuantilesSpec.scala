@@ -60,6 +60,21 @@ class QuantilesSpec extends SparkSpecBase {
     assert(got(2) == ((10L, 10L, 20L)), got)
   }
 
+  test("an all-NULL group still emits its row, with NULL quantiles") {
+    // SQL PERCENTILE_DISC keeps the group and returns NULL; dropping
+    // the row would diverge from any oracle that aggregates the same
+    // data.
+    import spark.implicits._
+    val df = Seq((1, Some(5L)), (2, Option.empty[Long]),
+      (2, Option.empty[Long])).toDF("k", "v")
+    val rows = Quantiles.discrete(df, "k", "v", Seq("q50" -> 0.5))
+      .collect().map(r => r.getAs[Int]("k") ->
+        Option(r.get(r.fieldIndex("q50")))).toMap
+    assert(rows.keySet == Set(1, 2), rows)
+    assert(rows(1).contains(5L), rows)
+    assert(rows(2).isEmpty, rows)
+  }
+
   test("fractions outside (0, 1] are rejected") {
     import spark.implicits._
     val df = Seq((1, 1L)).toDF("k", "v")
