@@ -75,6 +75,14 @@ object Bench {
     val calibBase = (1 to 5).map(_ => calibSec()).min
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // Global short-circuit for the contention-retry loop: on a
+    // persistently contended box the per-query quiet-window hunt never
+    // succeeds, so after this many CONSECUTIVE queries exhaust their
+    // extra runs without finding a quiet window, stop hunting for the
+    // rest of the bench (sustained contention is the baseline, and the
+    // extra runs only lengthen the bench without improving the minimum).
+    val maxConsecutiveNoisy = 5
+    var consecutiveNoisy = 0
     val results = queries.map { case (name, fn) =>
       // Full materialization: the noop sink evaluates every row/column of
       // the result without writing, so Catalyst can't prune the payload
@@ -117,10 +125,11 @@ object Bench {
         (Double, Double, Double)]
       (1 to runs).foreach(_ => times += oneRun())
       def bestOf = times.filter(_._1 >= 0).minByOption(_._1)
+      def noisy = bestOf.exists(b => b._2 > 0.5 || b._3 / calibBase > 1.5)
       var extra = 0
       var extraFailed = false
       while (!extraFailed && extra < 3 && !times.exists(_._1 < 0) &&
-          bestOf.exists(b => b._2 > 0.5 || b._3 / calibBase > 1.5)) {
+          consecutiveNoisy < maxConsecutiveNoisy && noisy) {
         // An extra run exists only to improve the minimum: if it
         // fails, stop hunting but do NOT flip a query that succeeded
         // every mandatory run into a published failure.
@@ -128,6 +137,9 @@ object Bench {
         if (r._1 < 0) extraFailed = true else times += r
         extra += 1
       }
+      // A query whose published minimum is still contention-bracketed
+      // extends the noisy run; any query that ends quiet resets it.
+      if (noisy) consecutiveNoisy += 1 else consecutiveNoisy = 0
       val best =
         if (times.exists(_._1 < 0)) (-1.0, 0.0, times.head._3)
         else times.minBy(_._1)
@@ -152,6 +164,18 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
+    // The full line above is ~6 KB (84-query maps ×4) and the driver's
+    // stdout tail-grab has twice truncated its HEAD, leaving the round
+    // with no parseable perf artifact. Print a compact (<200 byte)
+    // summary LAST so any tail grab still contains one complete JSON
+    // record; the per-query detail lives in the file named by "full".
+    val calibVals = results.map(r => r._4 / calibBase).sorted
+    val calibMed =
+      if (calibVals.isEmpty) 1.0
+      else math.round(calibVals(calibVals.length / 2) * 100.0) / 100.0
+    def r2(v: Double) = math.round(v * 100.0) / 100.0
+    val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","steal_sec":${r2(stealTotal)},"calib_med":$calibMed,"n":${results.length},"failed":${results.count(_._2 < 0)},"sf":"$sfTag","full":"$out"}""")
     spark.stop()
   }
 }

@@ -511,31 +511,55 @@ object ExtraQueries {
     // window aggregates are one pass per partition. Users with fewer
     // than 5 purchases or zero variance are excluded (a z-score there
     // is noise).
+    //
+    // Determinism (integer-cents convention, same as q_window_range):
+    // double avg/stddev window aggregates sum in partition order, which
+    // differs between Spark and DuckDB and across Spark runs, so
+    // borderline rows could flip inclusion or rounding. Instead the
+    // windows carry exact integer sums of cents (s1 = Σc, s2 = Σc²) —
+    // order-independent — and both the sd>0 gate and the |z| >= 2 gate
+    // are pure integer comparisons:
+    //   sd > 0      ⇔  n·s2 − s1² > 0
+    //   |z| >= 2    ⇔  (c·n − s1)²·(n−1) >= 4·n·(n·s2 − s1²)
+    // z itself is then one fixed double expression over those exact
+    // integers, identical in both engines. BIGINT bounds: c ≤ 1e5 cents
+    // and n ≤ ~1e4 per user keeps every product < 2^63 at gate scale; a
+    // 100 TB run with hot users would cast s1/s2 to DECIMAL(38,0) first.
     "q_anomaly_zscore" -> ((
       (s: SparkSession, d: String) => {
         val w = Window.partitionBy("user_id")
         graft.Tables.events(s, d)
           .filter(col("event_type") === "purchase")
-          .select(col("event_id"), col("user_id"), col("value"),
-            avg("value").over(w).as("mu"),
-            stddev_samp(col("value")).over(w).as("sd"),
+          .withColumn("c", expr("CAST(round(value * 100) AS BIGINT)"))
+          .select(col("event_id"), col("user_id"), col("c"),
+            sum("c").over(w).as("s1"),
+            sum(expr("c * c")).over(w).as("s2"),
             count(lit(1)).over(w).as("n"))
-          .filter(col("n") >= 5 && col("sd") > 0)
-          .withColumn("z", (col("value") - col("mu")) / col("sd"))
-          .filter(abs(col("z")) >= 2.0)
-          .select(col("event_id"), col("user_id"),
-            round(col("z"), 4).as("z"))
+          .filter(col("n") >= 5 &&
+            col("n") * col("s2") - col("s1") * col("s1") > 0)
+          .filter(expr(
+            "(c*n - s1)*(c*n - s1)*(n-1) >= 4*n*(n*s2 - s1*s1)"))
+          .withColumn("z", expr(
+            """round((CAST(c*n - s1 AS DOUBLE) / CAST(n AS DOUBLE)) /
+              |sqrt(CAST(n*s2 - s1*s1 AS DOUBLE) /
+              |     CAST(n*(n-1) AS DOUBLE)), 4)""".stripMargin))
+          .select(col("event_id"), col("user_id"), col("z"))
           .orderBy("event_id")
       },
-      """WITH p AS (SELECT event_id, user_id, value FROM events
-        |           WHERE event_type = 'purchase'),
-        |st AS (SELECT event_id, user_id, value,
-        |  avg(value) OVER (PARTITION BY user_id) AS mu,
-        |  stddev_samp(value) OVER (PARTITION BY user_id) AS sd,
+      """WITH p AS (SELECT event_id, user_id,
+        |             CAST(round(value * 100) AS BIGINT) AS c
+        |           FROM events WHERE event_type = 'purchase'),
+        |st AS (SELECT event_id, user_id, c,
+        |  CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS s1,
+        |  CAST(sum(c*c) OVER (PARTITION BY user_id) AS BIGINT) AS s2,
         |  count(*) OVER (PARTITION BY user_id) AS n FROM p)
-        |SELECT event_id, user_id, round((value - mu) / sd, 4) AS z
+        |SELECT event_id, user_id,
+        |  round((CAST(c*n - s1 AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |    sqrt(CAST(n*s2 - s1*s1 AS DOUBLE) /
+        |         CAST(n*(n-1) AS DOUBLE)), 4) AS z
         |FROM st
-        |WHERE n >= 5 AND sd > 0 AND abs((value - mu) / sd) >= 2
+        |WHERE n >= 5 AND n*s2 - s1*s1 > 0
+        |  AND (c*n - s1)*(c*n - s1)*(n-1) >= 4*n*(n*s2 - s1*s1)
         |ORDER BY event_id""".stripMargin))
   )
 }
