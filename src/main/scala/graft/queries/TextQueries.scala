@@ -445,6 +445,62 @@ object TextQueries {
         |  CAST((cum - n_tok) % 512 AS BIGINT) AS chunk_offset
         |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // Sliding-window chunking — RAG / pretraining chunking with overlap,
+    // the complement of q_pack_sequences' contiguous packing: each
+    // document is split into WINDOW-token chunks whose starts advance by
+    // STRIDE tokens (overlap = WINDOW - STRIDE), the last chunk clipped
+    // at the document end. Entirely map-only and deterministic: chunk
+    // starts are `sequence(0, n_tok-1, STRIDE)` posexploded per row —
+    // boundaries are a pure function of the token positions, no state
+    // crosses documents, so the operator scales embarrassingly (the
+    // ~WINDOW/STRIDE× output amplification is the operator's spec, not
+    // a plan defect). DuckDB twin uses generate_series + 1-based
+    // inclusive list slicing.
+    "q_chunk_sliding" -> ((
+      (s: SparkSession, d: String) => {
+        val window = 128L
+        val stride = 96L
+        t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .withColumn("n_tok", size(col("toks")).cast("long"))
+          .select(col("doc_id"), col("toks"), col("n_tok"),
+            posexplode(expr(s"sequence(0L, n_tok - 1, ${stride}L)"))
+              .as(Seq("chunk_id", "start_tok")))
+          .withColumn("end_tok",
+            least(col("start_tok") + window, col("n_tok")))
+          .select(
+            col("doc_id"),
+            col("chunk_id").cast("long").as("chunk_id"),
+            col("start_tok"),
+            col("end_tok"),
+            (col("end_tok") - col("start_tok")).as("chunk_tokens"),
+            concat_ws(" ", slice(col("toks"),
+              (col("start_tok") + 1).cast("int"),
+              (col("end_tok") - col("start_tok")).cast("int")))
+              .as("chunk_text"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks, n_tok,
+        |         CAST(unnest(generate_series(0, n_tok - 1, 96)) AS BIGINT)
+        |           AS start_tok
+        |  FROM d),
+        |s2 AS (SELECT *, CAST(start_tok // 96 AS BIGINT) AS chunk_id
+        |       FROM s)
+        |SELECT doc_id, chunk_id, start_tok,
+        |  CAST(least(start_tok + 128, n_tok) AS BIGINT) AS end_tok,
+        |  CAST(least(start_tok + 128, n_tok) - start_tok AS BIGINT)
+        |    AS chunk_tokens,
+        |  array_to_string(
+        |    toks[CAST(start_tok + 1 AS BIGINT):
+        |         CAST(least(start_tok + 128, n_tok) AS BIGINT)], ' ')
+        |    AS chunk_text
+        |FROM s2 ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // TF-IDF top terms — per-document distinctive vocabulary. Term
     // frequencies partial-aggregate map-side; document frequency is a
     // second aggregation over the already-collapsed (doc, term)

@@ -82,6 +82,44 @@ class EdgeCasesSpec extends SparkSpecBase {
       assert(math.abs(a - e) <= 2.0, s"group $k: approx $a vs exact $e")
   }
 
+  test("q_chunk_sliding covers every token with the spec'd overlap") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val chunks = SparkEntry.queries("q_chunk_sliding")(spark, dir)
+      .select("doc_id", "chunk_id", "start_tok", "end_tok", "chunk_tokens")
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val nTok = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks.nonEmpty && chunks.keySet == nTok.keySet)
+    for ((doc, rows) <- chunks) {
+      val sorted = rows.sortBy(_.getAs[Long]("chunk_id"))
+      // Starts advance by exactly the stride; first chunk starts at 0.
+      assert(sorted.head.getAs[Long]("start_tok") == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_tok") -
+            a.getAs[Long]("start_tok") == 96L)
+        case _ =>
+      }
+      // Every chunk spans min(window, n_tok - start) tokens — clipped at
+      // the document end — and the last chunk reaches it. Together with
+      // stride < window this covers every token at least once, with
+      // 32-token overlap between full-window neighbors.
+      assert(sorted.last.getAs[Long]("end_tok") == nTok(doc))
+      sorted.foreach { r =>
+        val start = r.getAs[Long]("start_tok")
+        assert(r.getAs[Long]("end_tok") ==
+          math.min(start + 128L, nTok(doc)))
+        assert(r.getAs[Long]("chunk_tokens") ==
+          r.getAs[Long]("end_tok") - start)
+        assert(r.getAs[Long]("chunk_tokens") > 0L)
+      }
+    }
+  }
+
   test("batch stream of an empty iterator emits nothing") {
     assert(BatchStream.batches(Iterator.empty[(String, Int)], 5, 10).isEmpty)
   }

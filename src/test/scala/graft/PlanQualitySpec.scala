@@ -190,6 +190,16 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_chunk_sliding is map-only: no hash shuffle, no join") {
+    val p = planOf("q_chunk_sliding")
+    // Chunk boundaries are a pure per-row function (posexplode of a
+    // sequence); the only exchange allowed is the gate's output ORDER BY
+    // range exchange. Any hash shuffle or join is a plan regression.
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Generate"), p) // the posexplode
+  }
+
   test("q_pii_mask and q_sample_hash stay map-only up to the output sort") {
     Seq("q_pii_mask", "q_sample_hash").foreach { q =>
       val p = planOf(q)
