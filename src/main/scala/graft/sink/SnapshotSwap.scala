@@ -80,9 +80,6 @@ object SnapshotSwap {
   // and readers resolve through the manifest — they either see the old
   // complete snapshot or the new complete snapshot, never a mix.
 
-  private def manifestPath(base: String, table: String): Path =
-    Paths.get(base, s"$table.manifest")
-
   /** Race-injection seam for tests: invoked after a writer has staged
     * its snapshot dir but before it attempts the pointer commit. */
   private[graft] var beforeCommit: () => Unit = () => ()
@@ -95,11 +92,162 @@ object SnapshotSwap {
     re.findFirstMatchIn(name).map(_.group(1).toLong)
   }
 
-  /** The currently published snapshot dir name, if any. */
-  def currentSnapshot(base: String, table: String): Option[String] = {
-    val m = manifestPath(base, table)
-    if (Files.exists(m)) Some(Files.readString(m).trim) else None
+  // The manifest protocol is written against this minimal seam so the
+  // SAME sweep/CAS/lock/retention logic runs on two storage models:
+  //  - NioSwapFs: local/HDFS-style semantics — the pointer commit is
+  //    tmp-write + atomic rename (rename IS atomic here, so use it).
+  //  - HadoopSwapFs: object-store semantics — NO rename anywhere. The
+  //    pointer commit is a direct single-object overwrite (the atomic
+  //    PUT every object store provides), serialized by the O_EXCL-style
+  //    lock; data staging writes parquet to local scratch and STREAMS
+  //    each part file up (the reference's own upload shape,
+  //    arrow/writer.py:187-219 boto3 upload_file — no server-side move).
+  private[sink] trait SwapFs {
+    def mkdirs(dir: String): Unit
+    def listNames(dir: String): Seq[String]
+    def deleteRecursive(p: String): Unit
+    def readPointer(p: String): Option[String]
+    def commitPointer(manifest: String, tmp: String, content: String): Unit
+    def tryLock(p: String): Boolean
+    def breakIfAbandoned(p: String, ttlMs: Long): Unit
+    def unlock(p: String): Unit
+    def stage(df: DataFrame, dir: String): Unit
   }
+
+  private[sink] object NioSwapFs extends SwapFs {
+    def mkdirs(dir: String): Unit = Files.createDirectories(Paths.get(dir))
+    def listNames(dir: String): Seq[String] = {
+      val children = Files.list(Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        children.iterator().asScala.map(_.getFileName.toString).toList
+      } finally children.close()
+    }
+    def deleteRecursive(p: String): Unit = rm(Paths.get(p))
+    def readPointer(p: String): Option[String] = {
+      val m = Paths.get(p)
+      if (Files.exists(m)) Some(Files.readString(m).trim) else None
+    }
+    def commitPointer(manifest: String, tmp: String, content: String): Unit = {
+      val t = Paths.get(tmp)
+      Files.writeString(t, content)
+      Files.move(t, Paths.get(manifest),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    }
+    def tryLock(p: String): Boolean =
+      try { Files.createFile(Paths.get(p)); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    def breakIfAbandoned(p: String, ttlMs: Long): Unit =
+      try {
+        val lock = Paths.get(p)
+        if (Files.getLastModifiedTime(lock).toMillis <
+            System.currentTimeMillis() - ttlMs)
+          Files.deleteIfExists(lock)
+      } catch { case _: java.io.IOException => () }
+    def unlock(p: String): Unit = Files.deleteIfExists(Paths.get(p))
+    def stage(df: DataFrame, dir: String): Unit =
+      stageParquet(df, Paths.get(dir))
+  }
+
+  private[sink] final class HadoopSwapFs(
+      conf: org.apache.hadoop.conf.Configuration) extends SwapFs {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    private def fsOf(p: String): (FileSystem, HPath) = {
+      val hp = new HPath(p)
+      (hp.getFileSystem(conf), hp)
+    }
+    def mkdirs(dir: String): Unit = {
+      val (fs, p) = fsOf(dir); fs.mkdirs(p); ()
+    }
+    def listNames(dir: String): Seq[String] = {
+      val (fs, p) = fsOf(dir)
+      try fs.listStatus(p).toSeq.map(_.getPath.getName)
+      catch { case _: java.io.FileNotFoundException => Nil }
+    }
+    def deleteRecursive(p: String): Unit = {
+      val (fs, hp) = fsOf(p); fs.delete(hp, true); ()
+    }
+    def readPointer(p: String): Option[String] = {
+      val (fs, hp) = fsOf(p)
+      try {
+        val in = fs.open(hp)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+        finally in.close()
+      } catch { case _: java.io.FileNotFoundException => None }
+    }
+    def commitPointer(manifest: String, tmp: String, content: String): Unit = {
+      // Single-object atomic PUT: overwrite the pointer in place. The
+      // commit lock serializes writers; readers see either the old or
+      // the new pointer object, never a partial one (object-store PUT
+      // semantics). Deliberately NO tmp file and NO rename.
+      val (fs, hp) = fsOf(manifest)
+      val out = fs.create(hp, true)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    def tryLock(p: String): Boolean = {
+      val (fs, hp) = fsOf(p)
+      try fs.createNewFile(hp)
+      catch { case _: java.io.IOException => false }
+    }
+    def breakIfAbandoned(p: String, ttlMs: Long): Unit = {
+      val (fs, hp) = fsOf(p)
+      try {
+        if (fs.getFileStatus(hp).getModificationTime <
+            System.currentTimeMillis() - ttlMs)
+          fs.delete(hp, false)
+      } catch { case _: java.io.IOException => () }
+    }
+    def unlock(p: String): Unit = {
+      val (fs, hp) = fsOf(p)
+      try fs.delete(hp, false)
+      catch { case _: java.io.FileNotFoundException => () }
+      ()
+    }
+    def stage(df: DataFrame, dir: String): Unit = {
+      // Upload protocol: parquet to local scratch (reusing the
+      // empty-snapshot schema guard), then stream every data file up
+      // via create() — one PUT per part, no rename-based commit. At
+      // 100 TB the local hop disappears: executors PUT their own part
+      // via an object-store output committer; the protocol here is the
+      // driver-side shape of the same contract.
+      val scratch = Files.createTempDirectory("graft_upload_")
+      val local = scratch.resolve("d")
+      try {
+        stageParquet(df, local)
+        val (fs, target) = fsOf(dir)
+        fs.mkdirs(target)
+        val children = Files.list(local)
+        try {
+          import scala.jdk.CollectionConverters._
+          children.iterator().asScala
+            .filter(f => Files.isRegularFile(f) &&
+              !f.getFileName.toString.startsWith("."))
+            .foreach { f =>
+              val out = fs.create(
+                new HPath(target, f.getFileName.toString), true)
+              try Files.copy(f, out) finally out.close()
+            }
+        } finally children.close()
+      } finally rm(scratch)
+    }
+  }
+
+  /** Paths with a URI scheme (s3a://, gs://, mocks3://…) go through the
+    * Hadoop FileSystem impl — rename-free by construction; bare local
+    * paths keep the java.nio fast path with its atomic pointer rename. */
+  private def swapFsFor(base: String): SwapFs =
+    if (base.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*"))
+      new HadoopSwapFs(
+        org.apache.spark.sql.SparkSession.getActiveSession
+          .map(_.sparkContext.hadoopConfiguration)
+          .getOrElse(new org.apache.hadoop.conf.Configuration()))
+    else NioSwapFs
+
+  /** The currently published snapshot dir name, if any. */
+  def currentSnapshot(base: String, table: String): Option[String] =
+    swapFsFor(base).readPointer(s"$base/$table.manifest")
 
   /** Write df as a fresh immutable versioned dir and atomically repoint
     * the manifest at it. Returns the new snapshot path.
@@ -125,13 +273,16 @@ object SnapshotSwap {
     * by an O_EXCL lock file (the object-store analogue is a
     * conditional/If-Match PUT of the pointer object). */
   def writeManifested(df: DataFrame, base: String, table: String): String = {
-    Files.createDirectories(Paths.get(base))
-    val prev = currentSnapshot(base, table)
+    val fs = swapFsFor(base)
+    fs.mkdirs(base)
+    val manifest = s"$base/$table.manifest"
+    val prev = fs.readPointer(manifest)
     val pubVersion = prev.flatMap(versionOf(table, _)).getOrElse(0L)
     val version = pubVersion + 1
     val uniq = java.lang.Long.toHexString(
       System.nanoTime() ^ Thread.currentThread().getId << 48)
-    val dataDir = Paths.get(base, s"_snap_$table-$version-$uniq")
+    val dataName = s"_snap_$table-$version-$uniq"
+    val dataDir = s"$base/$dataName"
     // Sweep snapshots strictly older than the published one (retained
     // across the previous commit for its in-flight readers, now
     // unreachable for any reader that resolves the pointer from here
@@ -143,58 +294,44 @@ object SnapshotSwap {
     // staging right now — sweeping here would delete an in-flight
     // writer's dir out from under it.
     val prefix = s"_snap_$table-"
-    val stale = {
-      val children = Files.list(Paths.get(base))
-      try {
-        import scala.jdk.CollectionConverters._
-        children.iterator().asScala.map(_.getFileName.toString)
-          .filter(n => n.startsWith(prefix) && prev.nonEmpty &&
-            !prev.contains(n) &&
-            versionOf(table, n).exists(_ < pubVersion))
-          .toList
-      } finally children.close()
-    }
-    stale.foreach(n => rm(Paths.get(base, n)))
-    stageParquet(df, dataDir)
+    fs.listNames(base)
+      .filter(n => n.startsWith(prefix) && prev.nonEmpty &&
+        !prev.contains(n) &&
+        versionOf(table, n).exists(_ < pubVersion))
+      .foreach(n => fs.deleteRecursive(s"$base/$n"))
+    fs.stage(df, dataDir)
     beforeCommit()
-    // Single-object atomic publish (the local analogue of an atomic
-    // object PUT): re-check the pointer under the lock, stage the new
-    // pointer, move it over the manifest.
-    val lock = Paths.get(base, s"_commit_lock_$table")
+    // Atomic publish: re-check the pointer under the lock, then commit
+    // the new pointer (tmp+rename on nio; a direct atomic object PUT on
+    // the Hadoop/object-store path).
+    val lock = s"$base/_commit_lock_$table"
     var acquired = false
     var tries = 0
     while (!acquired) {
-      try { Files.createFile(lock); acquired = true }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          // A crashed writer must not wedge every future commit: the
-          // critical section is microseconds, so a lock older than 30 s
-          // is abandoned — break it and retry (the object-store
-          // analogue is a lease-expiring lock entry).
-          try {
-            if (Files.getLastModifiedTime(lock).toMillis <
-                System.currentTimeMillis() - 30000)
-              Files.deleteIfExists(lock)
-          } catch { case _: java.io.IOException => () }
-          tries += 1
-          if (tries > 2500) sys.error(s"commit lock stuck: $lock")
-          Thread.sleep(2)
+      acquired = fs.tryLock(lock)
+      if (!acquired) {
+        // A crashed writer must not wedge every future commit: the
+        // critical section is microseconds, so a lock older than 30 s
+        // is abandoned — break it and retry (the object-store
+        // analogue is a lease-expiring lock entry).
+        fs.breakIfAbandoned(lock, 30000)
+        tries += 1
+        if (tries > 2500) sys.error(s"commit lock stuck: $lock")
+        Thread.sleep(2)
       }
     }
     try {
-      if (currentSnapshot(base, table) != prev) {
-        rm(dataDir)
+      if (fs.readPointer(manifest) != prev) {
+        fs.deleteRecursive(dataDir)
         throw new java.util.ConcurrentModificationException(
           s"snapshot of '$table' advanced past " +
             s"${prev.getOrElse("<none>")} during this sync; retry from " +
             "the new snapshot")
       }
-      val tmp = Paths.get(base, s"_manifest_tmp_${table}_$uniq")
-      Files.writeString(tmp, dataDir.getFileName.toString)
-      Files.move(tmp, manifestPath(base, table),
-        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-    } finally Files.deleteIfExists(lock)
-    dataDir.toString
+      fs.commitPointer(manifest, s"$base/_manifest_tmp_${table}_$uniq",
+        dataName)
+    } finally fs.unlock(lock)
+    dataDir
   }
 
   /** Reader half of the manifest protocol: resolve the pointer, read
@@ -203,7 +340,7 @@ object SnapshotSwap {
       table: String): DataFrame = {
     val snap = currentSnapshot(base, table).getOrElse(
       sys.error(s"no published snapshot for $table under $base"))
-    spark.read.parquet(Paths.get(base, snap).toString)
+    spark.read.parquet(s"$base/$snap")
   }
 
   /** Swap + read back: the consumer-visible contract (a query against

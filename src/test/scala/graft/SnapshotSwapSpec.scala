@@ -64,6 +64,58 @@ class SnapshotSwapSpec extends SparkSpecBase {
     }
   }
 
+  test("manifest swap runs a full publish/read/sweep cycle on a rename-less FileSystem") {
+    import spark.implicits._
+    // Close the testable half of the P15 object-store residual
+    // (reference arrow/writer.py:187-219 uploads; no server-side move):
+    // the whole protocol must work where rename THROWS. mocks3:// is
+    // backed by a local dir but fails loudly on any rename attempt.
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.mocks3.impl", classOf[MockS3FileSystem].getName)
+    MockS3FileSystem.renameCalls.set(0)
+    val localBase = Files.createTempDirectory("graft_swap_mocks3")
+    val base = s"mocks3://$localBase"
+    def localSnap(p: String) = Paths.get(new java.net.URI(p).getPath)
+
+    // v1, v2, v3 publishes: pointer repoint is a direct PUT; staging is
+    // an upload (no FileOutputCommitter rename); sweep uses delete only.
+    val p1 = SnapshotSwap.writeManifested(
+      Seq((1, "a"), (2, "b")).toDF("id", "v"), base, "t")
+    assert(SnapshotSwap.readManifested(spark, base, "t").count() == 2)
+    val p2 = SnapshotSwap.writeManifested(
+      Seq((3, "c")).toDF("id", "v"), base, "t")
+    assert(p2 != p1)
+    assert(SnapshotSwap.readManifested(spark, base, "t")
+      .as[(Int, String)].collect().toSeq == Seq((3, "c")))
+    assert(Files.exists(localSnap(p1))) // retained for in-flight readers
+    val p3 = SnapshotSwap.writeManifested(
+      Seq((4, "d")).toDF("id", "v"), base, "t")
+    assert(!Files.exists(localSnap(p1))) // swept one generation later
+    assert(Files.exists(localSnap(p2)) && Files.exists(localSnap(p3)))
+
+    // CAS race on the rename-less path: a competitor publishes between
+    // W2's staging and its commit; W2 must reject and tear nothing.
+    var injected = false
+    SnapshotSwap.beforeCommit = () =>
+      if (!injected) {
+        injected = true
+        SnapshotSwap.writeManifested(
+          Seq((9, "w3")).toDF("id", "v"), base, "t")
+      }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        SnapshotSwap.writeManifested(
+          Seq((8, "w2")).toDF("id", "v"), base, "t")
+      }
+    } finally SnapshotSwap.beforeCommit = () => ()
+    assert(SnapshotSwap.readManifested(spark, base, "t")
+      .as[(Int, String)].collect().toSeq == Seq((9, "w3")))
+
+    // The defining assertion: the entire cycle never called rename.
+    assert(MockS3FileSystem.renameCalls.get() == 0,
+      s"${MockS3FileSystem.renameCalls.get()} rename calls on mocks3")
+  }
+
   test("manifest swap survives an empty snapshot (schema preserved)") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_swap_empty").toString
