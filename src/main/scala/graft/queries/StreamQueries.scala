@@ -48,25 +48,43 @@ object StreamQueries {
   }
 
   /** Gate-scale streaming constants, scoped to one query and restored:
-    * 8 state partitions (per-store load/commit dwarfs per-row work on
-    * the 32-partition default at this scale — a real deployment sizes
-    * this to its key cardinality) and no-data micro-batches OFF (the
-    * trailing empty batch only advances the watermark to evict state /
-    * emit append-mode finals; the complete-mode and inner-join gates
-    * get nothing from it and pay a full state-store reload+recommit).
-    * Found via per-batch progress probes — see PLANS.md, stream-stream
-    * join constants. */
+    * 4 state partitions (per-store load/commit dwarfs per-row work at
+    * this scale — a real deployment sizes this to its key cardinality;
+    * the r7 A/B at sf0.1 measured 4 parts 6.2s vs 8 parts 9.4s vs 1
+    * part 6.3s for the family, so 4 is the knee) and no-data
+    * micro-batches OFF (the trailing empty batch only advances the
+    * watermark to evict state / emit append-mode finals; the
+    * complete-mode and inner-join gates get nothing from it and pay a
+    * full state-store reload+recommit). The RocksDB provider was
+    * evaluated and rejected for the gate config: >=8.6s in its quietest
+    * window — its native per-store constants (open, changelog,
+    * checkpoint sync) only pay off with restart tolerance or
+    * larger-than-memory state, neither of which a finite AvailableNow
+    * gate has. Found via per-batch progress probes — see PLANS.md. */
   private def withStreamGateConfs[T](s: SparkSession)(run: => T): T = {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val prevNoData =
       s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    // Experiment overrides (bench A/B only; the committed defaults are
+    // the measured-fastest gate config). A tmpfs checkpoint dir was
+    // also A/B'd here and removed: interleaved on/off pairs measured no
+    // win (the per-batch WAL on local ext4 is not the bottleneck).
+    val parts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4")
+    s.conf.set("spark.sql.shuffle.partitions", parts)
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    sys.env.get("SPARK_GRAFT_STREAM_STATE_PROVIDER").filter(_.nonEmpty)
+      .foreach(s.conf.set(providerKey, _))
     try run
     finally {
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
         prevNoData)
+      prevProvider match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None => s.conf.unset(providerKey)
+      }
     }
   }
 
