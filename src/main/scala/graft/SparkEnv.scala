@@ -36,6 +36,16 @@ object SparkEnv {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Production AQE posture: start every exchange at 8x the
+      // parallelism and let AQE coalesce small stages back down to the
+      // 64 MB advisory target. Gate-scale plans end up at the same few
+      // partitions as before (coalesced), but a fact-fact shuffle join
+      // at soak scale keeps enough partitions that per-task sorts fit
+      // in memory instead of spilling — the r7 100x soak measured
+      // q_join_link 3.0x per-row with 32 fixed partitions (multi-
+      // hundred-MB per-task sorts) vs sublinear once sized by data.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (math.max(1, cpus.toInt) * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", s"$base/graft_spark")
       // Engine default: typed Aggregators (minhash/simhash signatures)

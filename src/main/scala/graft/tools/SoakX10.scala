@@ -27,10 +27,18 @@ object SoakX10 {
     // Events/documents SQL surface added in round 6: window state and
     // the CDC merge grow with rows AND key cardinality.
     "q_window_range", "q_anomaly_zscore", "q_snapshot_merge",
-    "q_text_feature_hash")
+    "q_text_feature_hash",
+    // Core relational family (round 7): lineitem/orders/customer/part/
+    // supplier replicated with per-copy key offsets (join selectivity
+    // and group cardinality scale with the data; nation/region stay
+    // dimension-sized — the 100 TB reality).
+    "q_filter", "q_agg_group", "q_agg_distinct", "q_agg_quantile",
+    "q_join_link", "q_join_semi", "q_join_anti", "q_topk_group",
+    "q_sort_limit", "q_union", "q_window_frames", "q_chunk_sliding")
 
   def ensureSoakDir(spark: SparkSession, baseSf: String, dir: String,
       x: Long): Unit = {
+    ensureRelationalSoak(spark, baseSf, dir, x)
     val done = java.nio.file.Paths.get(dir, "_DONE_v2")
     if (java.nio.file.Files.exists(done)) return
     val docs = spark.read.parquet(s"$baseSf/documents.parquet")
@@ -74,6 +82,66 @@ object SoakX10 {
     java.nio.file.Files.createFile(done)
   }
 
+  /** Separate marker from the docs/embeddings/events corpus so adding
+    * the relational family doesn't force a regeneration of the (much
+    * larger) text/vector soak fixtures already on disk. */
+  private def ensureRelationalSoak(spark: SparkSession, baseSf: String,
+      dir: String, x: Long): Unit = {
+    val done = java.nio.file.Paths.get(dir, "_DONE_REL_v2")
+    if (java.nio.file.Files.exists(done)) return
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val copies = spark.range(x).select(col("id").as("copy"))
+    val par = spark.sparkContext.defaultParallelism
+    // TPC-H-ish relational tables: replicate with per-copy KEY OFFSETS
+    // so each copy's lineitem still joins exactly its copy's orders and
+    // customer — join selectivity, group-key cardinality, and window
+    // partition counts all scale with the rows the way a genuinely
+    // bigger fact table's would. nation/region are NOT scaled: they are
+    // dimension-sized at every real scale factor, which is exactly what
+    // makes the broadcast-vs-SMJ demonstration honest.
+    def keyMax(df: org.apache.spark.sql.DataFrame, c: String): Long =
+      df.agg(max(c)).head().getLong(0) + 1
+    val ord = spark.read.parquet(s"$baseSf/orders.parquet")
+    val cust = spark.read.parquet(s"$baseSf/customer.parquet")
+    val part = spark.read.parquet(s"$baseSf/part.parquet")
+    val supp = spark.read.parquet(s"$baseSf/supplier.parquet")
+    val nOrd = keyMax(ord, "o_orderkey")
+    val nCust = keyMax(cust, "c_custkey")
+    val nPart = keyMax(part, "p_partkey")
+    val nSupp = keyMax(supp, "s_suppkey")
+    def scaleTable(name: String, offsets: Map[String, Long]): Unit = {
+      val df = spark.read.parquet(s"$baseSf/$name.parquet")
+      val cols = df.columns.toSeq.map { c =>
+        offsets.get(c) match {
+          case Some(n) => (col(c) + col("copy") * n).as(c)
+          case None => col(c)
+        }
+      }
+      // crossJoin against the broadcast copies frame is NARROW — the
+      // output inherits the base table's 1-2 input splits, and a
+      // 100x fact table written as ONE ~900 MB file starves every
+      // downstream scan of parallelism (7 size-based splits on 32
+      // cores; the first soak measured q_join_link 3x per-row on
+      // exactly this). Repartition the SMALL base before the
+      // multiplying crossJoin (shuffling the 100x result instead would
+      // funnel it through the base's 1-2 upstream tasks) so the soak
+      // fixture has the file layout any real ingest would.
+      df.repartition(par).crossJoin(copies).select(cols: _*)
+        .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
+    scaleTable("lineitem", Map("l_orderkey" -> nOrd,
+      "l_partkey" -> nPart, "l_suppkey" -> nSupp))
+    scaleTable("orders", Map("o_orderkey" -> nOrd, "o_custkey" -> nCust))
+    scaleTable("customer", Map("c_custkey" -> nCust))
+    scaleTable("part", Map("p_partkey" -> nPart))
+    scaleTable("supplier", Map("s_suppkey" -> nSupp))
+    Seq("nation", "region").foreach { name =>
+      spark.read.parquet(s"$baseSf/$name.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
+    java.nio.file.Files.createFile(done)
+  }
+
   private def time(f: => Unit): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
@@ -100,6 +168,24 @@ object SoakX10 {
       val usedMb = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
       val ratio = soak / base
       println(f"$q,$base%.2f,$soak%.2f,$ratio%.2f,${ratio / x}%.3f,$usedMb")
+    }
+    // Plan-flip evidence for the 100 TB story: at base scale the
+    // customer/orders joins in q_join_link broadcast (dimension side
+    // under autoBroadcastJoinThreshold); at soak scale the same
+    // declarative plan must flip to shuffled SortMergeJoin on its own —
+    // no code change — while the explicitly-broadcast nation stays
+    // broadcast. Print the operator census of both plans so PLANS.md
+    // can record the flip.
+    if (only.forall(_.contains("q_join_link"))) {
+      def joinCensus(d: String): String = {
+        val p = graft.SparkEntry.queries("q_join_link")(spark, d)
+          .queryExecution.executedPlan.toString
+        val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+        val smj = "SortMergeJoin".r.findAllIn(p).length
+        s"BroadcastHashJoin=$bhj SortMergeJoin=$smj"
+      }
+      println(s"q_join_link plan at base: ${joinCensus(baseSf)}")
+      println(s"q_join_link plan at ${x}x: ${joinCensus(dir)}")
     }
     spark.stop()
   }
