@@ -1,0 +1,56 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+/** Constrained-memory resilience probe: run the heaviest gate queries
+  * against the 10x soak corpus under a deliberately small heap (launch
+  * with e.g. -Xmx4g) and report wall time, shuffle-spill bytes, and
+  * driver heap — evidence that the operators complete by SPILLING and
+  * PARTITIONING rather than by assuming executor memory scales with
+  * the data. On a 1000-executor cluster the per-task memory budget is
+  * fixed no matter how big the input grows; an operator that only
+  * works because the test JVM had 48g headroom would be a 100 TB lie.
+  * Diagnostic main, not part of the driver contract. */
+object ConstrainedSoak {
+
+  private val Heavy = Seq(
+    "q_dedup_minhash", "q_corpus_clean", "q_dedup_cluster",
+    "q_window_range", "q_embed_pq")
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.SparkEnv.session(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SOAK_DIR", "/tmp/graft_soak_x10")
+    val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val memSpill = new AtomicLong(0L)
+    val diskSpill = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          memSpill.addAndGet(m.memoryBytesSpilled)
+          diskSpill.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
+    val rt = Runtime.getRuntime
+    println(s"heap_max_mb=${rt.maxMemory() / (1 << 20)}")
+    println("query,wall_sec,spill_mem_mb,spill_disk_mb,driver_used_mb")
+    Heavy.filter(q => only.forall(_.contains(q))).foreach { q =>
+      memSpill.set(0L); diskSpill.set(0L)
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(q)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      // Listener events drain asynchronously; settle before reading.
+      Thread.sleep(500)
+      val usedMb = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
+      println(f"$q,$wall%.2f,${memSpill.get / (1 << 20)}," +
+        f"${diskSpill.get / (1 << 20)},$usedMb")
+    }
+    spark.stop()
+  }
+}
