@@ -538,6 +538,96 @@ object TextQueries {
         |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
         |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin)),
 
+    // BM25 retrieval scoring — rank the corpus against a fixed query
+    // term set with the standard Okapi/Lucene formula
+    //   idf(t)      = ln(1 + (N - df + 0.5)/(df + 0.5))
+    //   tfnorm(t,d) = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+    // (k1 = 1.2, b = 0.75). Scale shape: the token explode is filtered
+    // to the query vocabulary BEFORE any exchange, so the shuffled
+    // relation is |matching (doc, term)| rows, never the token stream —
+    // the inverted-index head for exactly the posting lists the query
+    // touches. df (≤ |query|) broadcasts; N and avgdl are two bounded
+    // driver scalars (same protocol as q_text_pmi's nTok). Top-20 by
+    // score compiles to TakeOrderedAndProject. Determinism: the only
+    // libm call is ln() on O(1) values (≤ 1 ulp cross-engine, absorbed
+    // by round 4); the per-document sum over query terms is three
+    // conditional single-element sums added in fixed textual order, so
+    // no engine is free to reassociate a float reduction.
+    "q_text_bm25" -> ((
+      (s: SparkSession, d: String) => {
+        val terms = Seq("vector", "stream", "merge")
+        val base = t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        val dl = base.select(col("doc_id"),
+          size(col("tk")).cast("long").as("dl"))
+        val tot = dl.agg(count(lit(1)), sum(col("dl"))).head()
+        val nDocs = tot.getLong(0)
+        val avgdl = tot.getLong(1).toDouble / nDocs.toDouble
+        val tf = base
+          .select(col("doc_id"), explode(col("tk")).as("term"))
+          .filter(col("term").isin(terms: _*))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val sc = tf.join(broadcast(dfq), "term").join(dl, "doc_id")
+          .withColumn("s", expr(
+            s"""ln(1.0 + (CAST($nDocs - df AS DOUBLE) + 0.5)
+               |         / (CAST(df AS DOUBLE) + 0.5))
+               |* (CAST(tf AS DOUBLE) * 2.2)
+               |/ (CAST(tf AS DOUBLE)
+               |   + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / $avgdl)))
+               |""".stripMargin))
+        val termScore = (q: String) =>
+          coalesce(sum(when(col("term") === q, col("s"))), lit(0.0))
+        val agg = sc.groupBy("doc_id")
+          .agg((termScore("vector") + termScore("stream")
+            + termScore("merge")).as("bm25raw"))
+        // top-20 via orderBy+limit (TakeOrderedAndProject: per-partition
+        // heads, no global sort/single-partition exchange); the rank
+        // window then runs over the 20 surviving rows only.
+        val w = Window.orderBy(col("bm25raw").desc, col("doc_id"))
+        agg.join(dl, "doc_id")
+          .orderBy(col("bm25raw").desc, col("doc_id")).limit(20)
+          .withColumn("rn", row_number().over(w))
+          .select(col("doc_id"), col("rn"), col("dl"),
+            round(col("bm25raw"), 4).as("bm25"))
+          .orderBy("rn")
+      },
+      """WITH dl AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents)
+        |  WHERE term IN ('vector', 'stream', 'merge') GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT t.doc_id, t.term,
+        |    ln(1.0 + (CAST(n.n_docs - q.df AS DOUBLE) + 0.5)
+        |             / (CAST(q.df AS DOUBLE) + 0.5))
+        |    * (CAST(t.tf AS DOUBLE) * 2.2)
+        |    / (CAST(t.tf AS DOUBLE)
+        |       + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+        |         / (CAST(n.sum_dl AS DOUBLE) / CAST(n.n_docs AS DOUBLE)))))
+        |      AS s
+        |  FROM tf t JOIN dfq q USING (term) JOIN dl l USING (doc_id), n),
+        |agg AS (
+        |  SELECT doc_id,
+        |    COALESCE(sum(CASE WHEN term = 'vector' THEN s END), 0.0)
+        |    + COALESCE(sum(CASE WHEN term = 'stream' THEN s END), 0.0)
+        |    + COALESCE(sum(CASE WHEN term = 'merge' THEN s END), 0.0)
+        |      AS bm25raw
+        |  FROM sc GROUP BY doc_id),
+        |r AS (
+        |  SELECT a.doc_id, l.dl, a.bm25raw,
+        |    row_number() OVER (ORDER BY a.bm25raw DESC, a.doc_id) AS rn
+        |  FROM agg a JOIN dl l USING (doc_id))
+        |SELECT doc_id, CAST(rn AS INT) AS rn, dl,
+        |  round(bm25raw, 4) AS bm25
+        |FROM r WHERE rn <= 20 ORDER BY rn""".stripMargin)),
+
     // PMI collocations — corpus-level bigram association. Two
     // wordcount-shaped aggregations (bigrams, unigrams) + a broadcast
     // join of the unigram vocabulary; top-20 by lift compiles to

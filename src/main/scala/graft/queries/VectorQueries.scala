@@ -566,6 +566,103 @@ object VectorQueries {
          |JOIN norms na ON na.vec_id = d.qid
          |JOIN norms nb ON nb.vec_id = d.nid
          |WHERE d.dot / (na.nrm * nb.nrm) >= $DupThreshold
-         |ORDER BY vec_a, vec_b""".stripMargin))
+         |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // Reciprocal-rank fusion — the standard hybrid-search combiner
+    // (lexical ∪ vector retrieval): each leg produces a top-50 ranking,
+    // fused as Σ 1/(60 + rank) over the legs that returned the item
+    // (Cormack et al.'s RRF with the conventional k = 60). Lexical leg:
+    // query-term hit count (integer, tie-broken by doc_id — no float
+    // ranking); vector leg: exact cosine to probe vec 0 (the
+    // q_embed_cosine precedent). Both legs end in orderBy+limit —
+    // TakeOrderedAndProject, per-partition heads — so the fusion joins
+    // two ≤50-row lists: a full-outer broadcast-able join no matter the
+    // corpus size. At 100 TB the legs would be this module's ANN
+    // shortlist (q_embed_ann/ivf/pq) and q_text_bm25's inverted-index
+    // head — the fusion stage is unchanged. Determinism: ranks are
+    // integers; 1.0/(60.0 + rank) is one exact-input IEEE division and
+    // the two-term sum has fixed textual order in both engines.
+    "q_rank_fusion" -> ((
+      (s: SparkSession, d: String) => {
+        val terms = Seq("vector", "stream", "merge")
+        val topN = 50
+        val hits = t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(split(col("text"), " ")).as("term"))
+          .filter(col("term").isin(terms: _*))
+          .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+        val lex = hits
+          .orderBy(col("hits").desc, col("doc_id")).limit(topN)
+          .withColumn("lex_rank", row_number().over(
+            Window.orderBy(col("hits").desc, col("doc_id"))))
+          .select(col("doc_id"), col("lex_rank"))
+        val e = emb(s, d)
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("v").as("qv"), col("nrm").as("qn"))
+        val vec = broadcast(q).crossJoin(e.filter(col("vec_id") =!= 0))
+          .withColumn("cosraw",
+            expr("vec_dot(qv, v)") / (col("qn") * col("nrm")))
+          .orderBy(col("cosraw").desc, col("vec_id")).limit(topN)
+          .withColumn("vec_rank", row_number().over(
+            Window.orderBy(col("cosraw").desc, col("vec_id"))))
+          .select(col("vec_id").as("doc_id"), col("vec_rank"))
+        val rrf =
+          coalesce(lit(1.0) / (lit(60.0) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("vec_rank")), lit(0.0))
+        lex.join(vec, Seq("doc_id"), "full_outer")
+          .withColumn("rrfraw", rrf)
+          .orderBy(col("rrfraw").desc, col("doc_id")).limit(20)
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("rrfraw").desc, col("doc_id"))))
+          .select(col("doc_id"), col("rn"), col("lex_rank"),
+            col("vec_rank"), round(col("rrfraw"), 6).as("rrf"))
+          .orderBy("rn")
+      },
+      """WITH hits AS (
+        |  SELECT doc_id, count(*) AS hits FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents)
+        |  WHERE term IN ('vector', 'stream', 'merge') GROUP BY 1),
+        |lex AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY hits DESC, doc_id) AS INT)
+        |      AS lex_rank
+        |  FROM hits
+        |  ORDER BY hits DESC, doc_id LIMIT 50),
+        |e AS (SELECT vec_id, unnest(embedding) AS x,
+        |        generate_subscripts(embedding, 1) AS pos FROM embeddings),
+        |norms AS (SELECT vec_id,
+        |    sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        |  FROM e GROUP BY vec_id),
+        |dots AS (
+        |  SELECT b.vec_id AS nid,
+        |    sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+        |  FROM e a JOIN e b ON b.pos = a.pos
+        |  WHERE a.vec_id = 0 AND b.vec_id <> 0 GROUP BY 1),
+        |cosv AS (
+        |  SELECT d.nid, d.dot / (nq.nrm * nb.nrm) AS cosraw
+        |  FROM dots d
+        |  JOIN norms nq ON nq.vec_id = 0
+        |  JOIN norms nb ON nb.vec_id = d.nid),
+        |vec AS (
+        |  SELECT nid AS doc_id,
+        |    CAST(row_number() OVER (ORDER BY cosraw DESC, nid) AS INT)
+        |      AS vec_rank
+        |  FROM cosv
+        |  ORDER BY cosraw DESC, nid LIMIT 50),
+        |f AS (
+        |  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+        |    l.lex_rank, v.vec_rank,
+        |    COALESCE(1.0 / (60.0 + l.lex_rank), 0.0)
+        |    + COALESCE(1.0 / (60.0 + v.vec_rank), 0.0) AS rrfraw
+        |  FROM lex l FULL OUTER JOIN vec v ON v.doc_id = l.doc_id),
+        |r AS (
+        |  SELECT doc_id, lex_rank, vec_rank, rrfraw,
+        |    CAST(row_number() OVER (ORDER BY rrfraw DESC, doc_id) AS INT)
+        |      AS rn
+        |  FROM f ORDER BY rrfraw DESC, doc_id LIMIT 20)
+        |SELECT doc_id, rn, lex_rank, vec_rank,
+        |  round(rrfraw, 6) AS rrf
+        |FROM r ORDER BY rn""".stripMargin))
   )
 }

@@ -209,4 +209,24 @@ class PlanQualitySpec extends SparkSpecBase {
         s"$q grew a hash shuffle — masking/sampling must be map-only:\n$p")
     }
   }
+
+  test("q_text_bm25 takes top-20 per partition and broadcasts df") {
+    val p = planOf("q_text_bm25")
+    // The score ranking must be per-partition heads (TakeOrdered), not
+    // a single-partition global sort over every matching document, and
+    // the |query|-row df relation must broadcast, never shuffle-join.
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_rank_fusion legs end in per-partition top-N; fusion join is tiny") {
+    val p = planOf("q_rank_fusion")
+    // Both retrieval legs must prune to their top-50 via TakeOrdered
+    // before fusion — the full-outer join then sees two <=50-row lists
+    // regardless of corpus size. The one nested-loop shape allowed is
+    // the deliberate 1-row probe-vector broadcast (cosine leg).
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
