@@ -663,6 +663,78 @@ object VectorQueries {
         |  FROM f ORDER BY rrfraw DESC, doc_id LIMIT 20)
         |SELECT doc_id, rn, lex_rank, vec_rank,
         |  round(rrfraw, 6) AS rrf
-        |FROM r ORDER BY rn""".stripMargin))
+        |FROM r ORDER BY rn""".stripMargin)),
+
+    // Int8 scalar quantization (the FAISS SQ8 protocol): per-dimension
+    // affine codes q = clamp(floor((x - min_d)/scale_d + 0.5), 0, 255)
+    // with scale_d = (max_d - min_d)/255. Scale shape: the stats pass is
+    // one partial-aggregating groupBy over dim (64 groups — a
+    // dimension-sized exchange at any corpus size); the 64 (min, scale)
+    // pairs are a bounded driver collect (the k-means/PQ training-sample
+    // protocol) re-broadcast as literals into a MAP-ONLY encode — at
+    // 100 TB the codes (64 B/vector, 4x compression here, fp32->int8)
+    // write straight back as a binary column with no further exchange.
+    // The gate emits three exact-integer checksums per vector (Σq, Σq²,
+    // Σq·pos — position-weighted so permuted codes can't alias) instead
+    // of a float reconstruction error: integer sums are associative, so
+    // no engine's partial-agg order can wobble an ulp. floor(r + 0.5) is
+    // used instead of round() because Spark rounds HALF_UP while DuckDB
+    // rounds half-away-from-zero through a different path — floor is
+    // defined identically everywhere.
+    "q_embed_quantize" -> ((
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings").select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x AS double))").as("v"))
+        val stats = e
+          .select(posexplode(col("v")).as(Seq("pos0", "x")))
+          .groupBy("pos0").agg(min("x").as("mn"), max("x").as("mx"))
+          .orderBy("pos0").collect()
+        val mins = stats.map(_.getDouble(1))
+        val scales = stats.map(r =>
+          if (r.getDouble(2) == r.getDouble(1)) 0.0
+          else (r.getDouble(2) - r.getDouble(1)) / 255.0)
+        val minsArr = s"array(${mins.mkString("d,")}d)"
+        val scalesArr = s"array(${scales.mkString("d,")}d)"
+        e.withColumn("q", expr(
+          s"""transform(sequence(1, size(v)), i ->
+             |  greatest(least(CAST(floor(
+             |    CASE WHEN element_at($scalesArr, i) = 0.0d THEN 0.0d
+             |         ELSE (element_at(v, i) - element_at($minsArr, i))
+             |              / element_at($scalesArr, i) + 0.5d END)
+             |    AS BIGINT), CAST(255 AS BIGINT)), CAST(0 AS BIGINT)))
+             |""".stripMargin))
+          .select(col("vec_id"),
+            expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x)")
+              .as("qsum"),
+            expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)")
+              .as("qsumsq"),
+            expr("""aggregate(zip_with(q, sequence(1, size(q)),
+                |  (x, i) -> x * CAST(i AS BIGINT)),
+                |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin)
+              .as("qposhash"))
+          .orderBy("vec_id")
+      },
+      """WITH e AS (
+        |  SELECT vec_id, CAST(x AS DOUBLE) AS x, pos FROM (
+        |    SELECT vec_id, unnest(embedding) AS x,
+        |      generate_subscripts(embedding, 1) AS pos FROM embeddings)),
+        |stats AS (
+        |  SELECT pos, min(x) AS mn, max(x) AS mx FROM e GROUP BY pos),
+        |s2 AS (
+        |  SELECT pos, mn,
+        |    CASE WHEN mx = mn THEN 0.0 ELSE (mx - mn) / 255.0 END AS sc
+        |  FROM stats),
+        |q AS (
+        |  SELECT e.vec_id, e.pos,
+        |    greatest(least(CAST(floor(
+        |      CASE WHEN s2.sc = 0.0 THEN 0.0
+        |           ELSE (e.x - s2.mn) / s2.sc + 0.5 END)
+        |      AS BIGINT), 255), 0) AS q
+        |  FROM e JOIN s2 USING (pos))
+        |SELECT vec_id,
+        |  CAST(sum(q) AS BIGINT) AS qsum,
+        |  CAST(sum(q * q) AS BIGINT) AS qsumsq,
+        |  CAST(sum(q * pos) AS BIGINT) AS qposhash
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin))
   )
 }

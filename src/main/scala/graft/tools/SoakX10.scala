@@ -34,7 +34,17 @@ object SoakX10 {
     // dimension-sized — the 100 TB reality).
     "q_filter", "q_agg_group", "q_agg_distinct", "q_agg_quantile",
     "q_join_link", "q_join_semi", "q_join_anti", "q_topk_group",
-    "q_sort_limit", "q_union", "q_window_frames", "q_chunk_sliding")
+    "q_sort_limit", "q_union", "q_window_frames", "q_chunk_sliding",
+    // Retrieval family (round 7): the soak corpus renames tokens per
+    // copy, so the fixed query terms match only copy 0 — constant
+    // absolute selectivity, which is the realistic shape (a query does
+    // not match more documents because the corpus grew). What must
+    // scale sublinearly is the vocabulary-pruned token scan (bm25) and
+    // the probe-vs-corpus cosine leg (rank_fusion).
+    "q_text_bm25", "q_rank_fusion",
+    // Scalar quantization: per-dim stats + map-only encode must both
+    // scale linearly in rows with a constant (dim-sized) exchange.
+    "q_embed_quantize")
 
   def ensureSoakDir(spark: SparkSession, baseSf: String, dir: String,
       x: Long): Unit = {

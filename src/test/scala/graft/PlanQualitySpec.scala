@@ -229,4 +229,15 @@ class PlanQualitySpec extends SparkSpecBase {
     assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_embed_quantize encodes map-only: no join, no hash shuffle") {
+    val p = planOf("q_embed_quantize")
+    // The per-dim (min, scale) pairs are a bounded driver collect
+    // re-broadcast as literals, so the encode itself must be a pure
+    // per-row transform — the only exchange allowed is the output
+    // ORDER BY. A join or hash shuffle means the stats got joined back
+    // instead of folded into the expression.
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
 }
