@@ -747,9 +747,19 @@ object TextQueries {
           // genuinely large pair graph.
           val nEdges = e.count()
           val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+          // AQE's initialPartitionNum OVERRIDES shuffle.partitions for
+          // every shuffle while coalescing is on — scoping only the
+          // latter (the round-6 fix) silently reverted when the session
+          // adopted 8x-parallelism initial partitions: each fixpoint
+          // round re-paid ~256 near-empty pre-coalesce partitions
+          // (measured 2.6 s -> 3.7 s on the gate). Scope BOTH to the
+          // graph size, restore both after.
+          val initKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+          val prevInit = s.conf.getOption(initKey)
           val iterParts = math.max(4L,
             math.min(prevParts.toLong, nEdges / 500000L + 4L))
           s.conf.set("spark.sql.shuffle.partitions", iterParts.toString)
+          s.conf.set(initKey, iterParts.toString)
           // `cached` is always the DataFrame persist() was called on —
           // unpersisting a plan *derived* from it would be a no-op and
           // leak one cache entry per round. Initial label = min(self,
@@ -793,6 +803,10 @@ object TextQueries {
             s.read.parquet(outPath)
           } finally {
             s.conf.set("spark.sql.shuffle.partitions", prevParts)
+            prevInit match {
+              case Some(v) => s.conf.set(initKey, v)
+              case None => s.conf.unset(initKey)
+            }
             cached.unpersist(blocking = true)
             e.unpersist(blocking = true)
           }
