@@ -46,6 +46,62 @@ object ExtraQueries {
         .orderBy("l_returnflag"))
   )
 
+  /** Write both q_join_bucketed sides bucketed+sorted on the join key
+    * (same bucket count) and return the lazy aggregated join over the
+    * bucketed tables. With broadcast disabled the sort-merge join reads
+    * the on-disk bucketing directly: zero shuffle exchanges, gated by
+    * PlanQualitySpec. Registered as external tables under /tmp so a
+    * fresh session (the driver's Verify) re-creates them idempotently. */
+  private[graft] def bucketedJoinPlan(s: SparkSession, d: String): DataFrame = {
+    // Dots in the sf tag would parse as a schema qualifier in the
+    // table identifier — sanitize for the catalog name (the /tmp paths
+    // keep the raw tag).
+    val tag = graft.Tables.dirTag(d).replace('.', '_')
+    val nBuckets = 8
+    val custTbl = s"graft_bkt_customer_$tag"
+    val ordTbl = s"graft_bkt_orders_$tag"
+    s.sql(s"DROP TABLE IF EXISTS $custTbl")
+    s.sql(s"DROP TABLE IF EXISTS $ordTbl")
+    // Repartition on the bucket key before writing: one file per
+    // bucket, so readers get both the partitioning AND the within-
+    // bucket sort (multi-file buckets would force Sort nodes back into
+    // the join). This shuffle is the once-at-write-time cost the layout
+    // amortizes over every later join.
+    t(s, d, "customer")
+      .select("c_custkey", "c_name", "c_nationkey")
+      .repartition(nBuckets, col("c_custkey"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "c_custkey").sortBy("c_custkey")
+      .option("path", s"/tmp/graft_bkt_customer_$tag")
+      .saveAsTable(custTbl)
+    t(s, d, "orders")
+      .select("o_custkey", "o_totalprice")
+      .repartition(nBuckets, col("o_custkey"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "o_custkey").sortBy("o_custkey")
+      .option("path", s"/tmp/graft_bkt_orders_$tag")
+      .saveAsTable(ordTbl)
+    s.table(custTbl)
+      .join(s.table(ordTbl), col("c_custkey") === col("o_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(count(lit(1)).as("n_orders"),
+        expr("CAST(round(sum(o_totalprice) * 100) AS BIGINT)")
+          .as("total_e2"))
+  }
+
+  /** Run `body` with auto-broadcast disabled, restoring the previous
+    * threshold on exit (the StreamQueries scoped-conf protocol). */
+  private[graft] def withoutBroadcast[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "-1")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   val entries: Map[String, (Q, String)] = Map(
 
     // ROLLUP hierarchy totals. Grouping nulls are coalesced to a
@@ -560,6 +616,79 @@ object ExtraQueries {
         |FROM st
         |WHERE n >= 5 AND n*s2 - s1*s1 > 0
         |  AND (c*n - s1)*(c*n - s1)*(n-1) >= 4*n*(n*s2 - s1*s1)
-        |ORDER BY event_id""".stripMargin))
+        |ORDER BY event_id""".stripMargin)),
+
+    // Wide-to-long melt (the inverse of q_pivot): lineitem's four money
+    // measures unpivoted to (key, measure, value) rows. Spark compiles
+    // unpivot to an Expand node — a pure map-side row amplification, no
+    // shuffle anywhere before the output ORDER BY — so the operator
+    // scales embarrassingly at any width×rows product. Measures are
+    // pre-cast to integer cents (the q_join_link convention) so the
+    // value column is BIGINT-exact in both engines; the quantity filter
+    // is pushed into the parquet scan. Oracle is the portable UNION ALL
+    // stack (DuckDB's UNPIVOT sugar compiles to the same shape).
+    "q_unpivot" -> ((
+      (s: SparkSession, d: String) => {
+        val base = t(s, d, "lineitem")
+          .filter(col("l_quantity") > 45)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qty_e2"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_e2"),
+            expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc_e2"),
+            expr("CAST(round(l_tax * 100) AS BIGINT)").as("tax_e2"))
+        base.unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("qty_e2"), col("price_e2"), col("disc_e2"),
+              col("tax_e2")),
+            "measure", "value_e2")
+          .orderBy("l_orderkey", "l_linenumber", "measure")
+      },
+      """WITH b AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_e2,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_e2,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS disc_e2,
+        |    CAST(round(l_tax * 100) AS BIGINT) AS tax_e2
+        |  FROM lineitem WHERE l_quantity > 45)
+        |SELECT l_orderkey, l_linenumber, measure, value_e2 FROM (
+        |  SELECT l_orderkey, l_linenumber, 'qty_e2' AS measure,
+        |         qty_e2 AS value_e2 FROM b
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'price_e2', price_e2 FROM b
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'disc_e2', disc_e2 FROM b
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'tax_e2', tax_e2 FROM b)
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin)),
+
+    // Bucketed co-located join — the 100 TB repeated-join posture: both
+    // sides are written bucketed (and sorted) on the join key with the
+    // same bucket count, so the sort-merge join consumes the on-disk
+    // bucketing directly and the plan has ZERO shuffle exchanges (gated
+    // by PlanQualitySpec). At warehouse scale this is the difference
+    // between re-shuffling a fact table on every join and paying the
+    // partitioning once at write time — exactly how a nightly-sync
+    // pipeline (SURVEY §2.1 P14's parquet sink feeding §2.2 queries)
+    // would lay out its largest tables. Broadcast is disabled in a
+    // restored-on-exit scope purely so the gate exercises the SMJ path
+    // the posture is about; the bucket spec itself is what a real
+    // deployment relies on when BOTH sides are too big to broadcast.
+    "q_join_bucketed" -> ((
+      (s: SparkSession, d: String) => {
+        val out = s"/tmp/graft_bkt_result_${graft.Tables.dirTag(d)}"
+        // Materialize inside the no-broadcast conf scope — handing the
+        // lazy plan past the restore would re-plan with broadcast
+        // re-enabled — then hand the driver a plain result-file scan.
+        withoutBroadcast(s) {
+          bucketedJoinPlan(s, d)
+            .write.mode("overwrite").parquet(out)
+        }
+        s.read.parquet(out).orderBy("c_custkey")
+      },
+      """SELECT c_custkey, c_name,
+        |CAST(count(*) AS BIGINT) AS n_orders,
+        |CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS total_e2
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin))
   )
 }

@@ -240,4 +240,29 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("Exchange hashpartitioning"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("q_unpivot melts via Expand, map-only up to the output sort") {
+    val p = planOf("q_unpivot")
+    // unpivot must compile to an Expand (pure map-side row
+    // amplification); a hash shuffle or join means the melt got
+    // re-expressed as a union-of-scans or worse.
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_join_bucketed sort-merge-joins with zero shuffle exchanges") {
+    import graft.queries.ExtraQueries
+    ExtraQueries.withoutBroadcast(spark) {
+      val p = ExtraQueries.bucketedJoinPlan(spark, dir)
+        .queryExecution.executedPlan.toString
+      // Both sides are bucketed+sorted on the join key with the same
+      // bucket count: the SMJ and the downstream c_custkey aggregate
+      // must consume the on-disk layout directly — any Exchange means
+      // the bucketing was not recognized and the 100 TB posture (pay
+      // the partitioning once at write time) silently regressed.
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), p)
+    }
+  }
 }
