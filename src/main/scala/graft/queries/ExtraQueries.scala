@@ -689,6 +689,146 @@ object ExtraQueries {
         |CAST(count(*) AS BIGINT) AS n_orders,
         |CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS total_e2
         |FROM customer JOIN orders ON o_custkey = c_custkey
-        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin))
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin)),
+
+    // Batch sessionization — gaps-and-islands over the event log (the
+    // batch twin of q_stream_session's stateful watermark variant): a
+    // new session starts when a user's inter-event gap exceeds 30 min;
+    // session ids are the running count of session starts. One hash
+    // exchange on user_id, then two linear window passes (lag to flag
+    // starts, running sum to number them) and a partial+final agg —
+    // per-user state never leaves its partition, so the shape is flat
+    // at any event volume. Ordering key is (ts, event_id): event_id
+    // breaks timestamp ties so the lag/sum passes are deterministic in
+    // both engines. Timestamps surface as epoch micros (BIGINT) to keep
+    // the hash compare type-stable.
+    "q_sessionize" -> ((
+      (s: SparkSession, d: String) => {
+        val byTime = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+        graft.Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            expr("unix_micros(ts)").as("us"))
+          .withColumn("new_sess",
+            when(col("us") - lag("us", 1).over(byTime) <= 1800000000L,
+              0L).otherwise(1L))
+          .withColumn("session_id", sum("new_sess").over(byTime))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            min("us").as("start_us"), max("us").as("end_us"))
+          .orderBy("user_id", "session_id")
+      },
+      """WITH e AS (SELECT event_id, user_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |f AS (SELECT *,
+        |  CASE WHEN us - lag(us) OVER w <= 1800000000 THEN 0 ELSE 1
+        |  END AS new_sess FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (SELECT *, CAST(sum(new_sess) OVER
+        |  (PARTITION BY user_id ORDER BY us, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM f)
+        |SELECT user_id, session_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us
+        |FROM g GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin)),
+
+    // SCD type-2 history build — collapse the per-user event stream
+    // into versioned attribute intervals: one row per run of equal
+    // event_type values with [valid_from, valid_to) bounds, valid_to
+    // NULL on the open current version. The standard warehouse
+    // dimension-history derivation, done in two window passes over one
+    // hash exchange on user_id: lag flags value changes, a running sum
+    // groups runs, then min/lead stitch the interval bounds. Every pass
+    // is a linear partition scan — no self-join, no shuffle beyond the
+    // first exchange — so the build scales with the event log, not with
+    // version-pair products.
+    "q_scd2" -> ((
+      (s: SparkSession, d: String) => {
+        val byTime = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+        val byVer = Window.partitionBy("user_id")
+          .orderBy(col("version"))
+        graft.Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("unix_micros(ts)").as("us"))
+          .withColumn("chg",
+            when(col("event_type") === lag("event_type", 1).over(byTime),
+              0L).otherwise(1L))
+          .withColumn("version", sum("chg").over(byTime))
+          .groupBy("user_id", "version")
+          .agg(first("event_type").as("event_type"),
+            min("us").as("valid_from"), count(lit(1)).as("n_events"))
+          .withColumn("valid_to", lead("valid_from", 1).over(byVer))
+          .orderBy("user_id", "version")
+      },
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |f AS (SELECT *, CASE WHEN event_type =
+        |    lag(event_type) OVER w THEN 0 ELSE 1 END AS chg FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (SELECT *, CAST(sum(chg) OVER
+        |  (PARTITION BY user_id ORDER BY us, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version FROM f),
+        |v AS (SELECT user_id, version,
+        |        min(event_type) AS event_type,
+        |        min(us) AS valid_from,
+        |        CAST(count(*) AS BIGINT) AS n_events
+        |      FROM g GROUP BY user_id, version)
+        |SELECT user_id, version, event_type, valid_from, n_events,
+        |  lead(valid_from) OVER
+        |    (PARTITION BY user_id ORDER BY version) AS valid_to
+        |FROM v ORDER BY user_id, version""".stripMargin)),
+
+    // Deterministic list aggregation — collect_list is order-unstable
+    // by contract (partial aggs merge in arrival order), so the
+    // portable deterministic form is collect → array_sort → join; the
+    // oracle twin is ANSI string_agg with an explicit ORDER BY. Partial
+    // aggregation still applies (lists merge associatively), and at
+    // scale the per-group list is bounded by the group's cardinality —
+    // here suppliers per nation; a 100 TB run would cap or hash large
+    // groups rather than carry unbounded arrays through the exchange.
+    "q_agg_list" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "supplier")
+          .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_supps"),
+            array_join(array_sort(collect_list(col("s_name"))), ",")
+              .as("supp_names"))
+          .orderBy("n_name"),
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_supps,
+        |string_agg(s_name, ',' ORDER BY s_name) AS supp_names
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // Rank-family windows beyond q_window_frames' frame aggregates:
+    // ntile quartiles and percent_rank per event_type over the exact
+    // integer-cents measure. The ORDER BY key (cents, event_id) is
+    // unique, so both functions are tie-free deterministic; ntile's
+    // uneven-bucket rule and percent_rank's (rank-1)/(n-1) are ANSI
+    // semantics shared by both engines, and the single division is one
+    // IEEE double op — bit-identical cross-engine. One hash exchange on
+    // event_type; both functions are rank-based (need the partition row
+    // count, not a value buffer), a linear scan per partition.
+    "q_window_ntile" -> ((
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("cents"), col("event_id"))
+        graft.Tables.events(s, d)
+          .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+          .select(col("event_id"), col("event_type"), col("cents"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("pr"))
+          .orderBy("event_id")
+      },
+      """WITH e AS (SELECT event_id, event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, event_type, cents,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr
+        |FROM e
+        |WINDOW w AS (PARTITION BY event_type ORDER BY cents, event_id)
+        |ORDER BY event_id""".stripMargin))
   )
 }

@@ -501,6 +501,63 @@ object TextQueries {
         |    AS chunk_text
         |FROM s2 ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // Balanced shard assignment — the step after packing: deal
+    // documents onto K output shards so every shard sees an even mix
+    // of lengths (round-robin over the length-sorted order — the
+    // streaming cousin of LPT scheduling; shard token totals differ by
+    // at most K·max_len). shard = global_rank(n_tok, doc_id) mod K,
+    // and the global rank reuses q_pack_sequences' two-pass distributed
+    // prefix-sum protocol — deterministic monotone bucketing of the
+    // SORT KEY's value range (n_tok here, so bucket order IS rank
+    // order), a bounded per-bucket COUNT pass whose exclusive prefix
+    // broadcasts back as offsets, then row_number within each bucket —
+    // never a single-task global window. Length distributions skew
+    // (most docs cluster near the median), so a 100 TB run would pick
+    // bucket boundaries from a quantile sketch of n_tok instead of the
+    // uniform width used at gate scale; the two-pass protocol is
+    // unchanged either way.
+    "q_shard_assign" -> ((
+      (s: SparkSession, d: String) => {
+        val k = 8L
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+        val nb = math.max(1, s.sparkContext.defaultParallelism).toLong
+        val b = docs.agg(min("n_tok"), max("n_tok")).head()
+        if (b.isNullAt(0))
+          docs.select(col("doc_id"), col("n_tok"), lit(0L).as("shard"))
+        else {
+          val (lo, hi) = (b.getLong(0), b.getLong(1))
+          val width = math.max(1L, (hi - lo + nb) / nb)
+          val bucketed = docs.withColumn("bucket",
+            expr(s"(n_tok - ${lo}L) div ${width}L"))
+          var acc = 0L
+          val offs: Map[Long, Long] = bucketed.groupBy("bucket")
+            .agg(count(lit(1)).as("cnt")).orderBy("bucket").collect()
+            .map { r =>
+              val kk = r.getLong(0); val o = acc; acc += r.getLong(1)
+              kk -> o
+            }.toMap
+          val w = Window.partitionBy("bucket")
+            .orderBy(col("n_tok"), col("doc_id"))
+          bucketed
+            .withColumn("rank",
+              coalesce(element_at(typedLit(offs), col("bucket")),
+                lit(0L)) + row_number().over(w))
+            .select(col("doc_id"), col("n_tok"),
+              expr(s"(rank - 1) % ${k}L").as("shard"))
+            .orderBy("doc_id")
+        }
+      },
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    row_number() OVER (ORDER BY
+        |      len(string_split(text, ' ')), doc_id) AS rank
+        |  FROM documents)
+        |SELECT doc_id, n_tok, CAST((rank - 1) % 8 AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
     // TF-IDF top terms — per-document distinctive vocabulary. Term
     // frequencies partial-aggregate map-side; document frequency is a
     // second aggregation over the already-collapsed (doc, term)

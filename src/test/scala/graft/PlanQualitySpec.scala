@@ -141,6 +141,33 @@ class PlanQualitySpec extends SparkSpecBase {
     assert("""Window \[[^\]]*\], \[bucket#\d+""".r.findFirstIn(p).isDefined, p)
   }
 
+  test("q_shard_assign ranks via a bucket-partitioned window, never a global one") {
+    val df = SparkEntry.queries("q_shard_assign")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // Same protocol as q_pack_sequences: the global rank must come from
+    // bucket-local row_numbers plus broadcast offsets — a
+    // Window.orderBy with no partitionBy would funnel the corpus
+    // through one task.
+    assert("Window \\[".r.findAllIn(p).length == 1, p)
+    assert("""Window \[[^\]]*\], \[bucket#\d+""".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q_sessionize and q_scd2 shuffle once on user_id, windows stay partitioned") {
+    for (q <- Seq("q_sessionize", "q_scd2")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val p = df.queryExecution.executedPlan.toString
+      // Every window pass must be PARTITIONED (per-user linear scans);
+      // an unpartitioned running window would serialize the event log.
+      val wins = "Window \\[".r.findAllIn(p).length
+      assert(wins >= 1, p)
+      assert(!"""Window \[[^\]]*\], \[\]""".r.findFirstIn(p).isDefined, p)
+      // One exchange on user_id feeds the window chain; the only other
+      // exchanges allowed are the final ORDER BY's range partitioning
+      // and the agg's partial->final hash exchange.
+      assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length <= 2, p)
+    }
+  }
+
   test("q_sample_stratified pre-prunes each group's top-N before the exchange") {
     val p = planOf("q_sample_stratified")
     // The rank<=50 filter must compile to WindowGroupLimit so each map
