@@ -829,6 +829,126 @@ object ExtraQueries {
         |  round(percent_rank() OVER w, 6) AS pr
         |FROM e
         |WINDOW w AS (PARTITION BY event_type ORDER BY cents, event_id)
-        |ORDER BY event_id""".stripMargin))
+        |ORDER BY event_id""".stripMargin)),
+
+    // Ordered funnel analysis — how many users progressed view → click
+    // → purchase in strict time order. Each stage is one aggregation of
+    // the event log hash-partitioned on user_id, joined back onto the
+    // (one-row-per-user, dimension-sized relative to the log) previous
+    // stage — stage relations only ever shrink, so at 100 TB each
+    // successive join is a broadcast of the surviving cohort, never a
+    // second full shuffle of events. min() makes every stage timestamp
+    // order-insensitive; the final count is a 3-scalar global agg.
+    "q_funnel" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = graft.Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            expr("unix_micros(ts)").as("us"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("us").as("t_view"))
+        val c = ev.join(v, "user_id")
+          .filter(col("event_type") === "click" && col("us") > col("t_view"))
+          .groupBy("user_id").agg(min("us").as("t_click"))
+        val p = ev.join(c, "user_id")
+          .filter(col("event_type") === "purchase" &&
+            col("us") > col("t_click"))
+          .groupBy("user_id").agg(min("us").as("t_purchase"))
+        v.agg(count(lit(1)).as("n_view")).crossJoin(
+            c.agg(count(lit(1)).as("n_click")))
+          .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+      },
+      """WITH e AS (SELECT user_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(us) AS t_click FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND us > t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(us) AS t_purchase
+        |      FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND us > t_click
+        |      GROUP BY e.user_id)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase""".stripMargin)),
+
+    // Cohort retention — users bucketed by their first-activity day,
+    // counted distinct per (cohort_day, day_offset) cell: the standard
+    // retention matrix. Day arithmetic is pure integer division of
+    // epoch micros (no timezone/calendar library in the hot path, no
+    // cross-engine date-rule drift). Two aggregations, both
+    // hash-partitioned on user_id — the cohort relation joins back
+    // user-to-user so AQE reuses/aligns the exchange; the final
+    // distinct-count shuffles the already-collapsed (cohort, offset,
+    // user) triples, not the raw log.
+    "q_retention" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = graft.Tables.events(s, d)
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+        val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+        ev.join(cohort, "user_id")
+          .groupBy(col("cohort_day"),
+            (col("day") - col("cohort_day")).as("day_offset"))
+          .agg(countDistinct("user_id").as("n_users"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      """WITH e AS (SELECT user_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e
+        |      GROUP BY user_id)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin)),
+
+    // OHLC time-downsampling — per (user, hour) candlesticks over the
+    // integer-cents measure: open/close are the first/last values in
+    // (us, event_id) order, high/low the extremes. One window pass
+    // partitioned by the (user, hour) grain assigns forward and reverse
+    // row numbers (the tie-free ordering key makes first/last exact in
+    // both engines — no arg_min/LAST_VALUE frame ambiguity), then a
+    // partial+final agg collapses each grain. One hash exchange total;
+    // the downsampled output is |grains| rows, the point of the
+    // operator at 100 TB telemetry volumes.
+    "q_time_ohlc" -> ((
+      (s: SparkSession, d: String) => {
+        val grain = Window.partitionBy("user_id", "hour")
+        val fwd = grain.orderBy(col("us"), col("event_id"))
+        val rev = grain.orderBy(col("us").desc, col("event_id").desc)
+        graft.Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            expr("unix_micros(ts)").as("us"),
+            expr("unix_micros(ts) div 3600000000").as("hour"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .withColumn("rn_f", row_number().over(fwd))
+          .withColumn("rn_r", row_number().over(rev))
+          .groupBy("user_id", "hour")
+          .agg(
+            max(when(col("rn_f") === 1, col("cents"))).as("open_cents"),
+            max("cents").as("high_cents"),
+            min("cents").as("low_cents"),
+            max(when(col("rn_r") === 1, col("cents"))).as("close_cents"),
+            count(lit(1)).as("n"))
+          .orderBy("user_id", "hour")
+      },
+      """WITH e AS (SELECT user_id, event_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT *,
+        |  row_number() OVER (PARTITION BY user_id, hour
+        |    ORDER BY us, event_id) AS rn_f,
+        |  row_number() OVER (PARTITION BY user_id, hour
+        |    ORDER BY us DESC, event_id DESC) AS rn_r FROM e)
+        |SELECT user_id, hour,
+        |  max(CASE WHEN rn_f = 1 THEN cents END) AS open_cents,
+        |  max(cents) AS high_cents,
+        |  min(cents) AS low_cents,
+        |  max(CASE WHEN rn_r = 1 THEN cents END) AS close_cents,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM r GROUP BY user_id, hour
+        |ORDER BY user_id, hour""".stripMargin))
   )
 }

@@ -127,6 +127,34 @@ object FnQueries {
         |'{"n_nationkey":' || n_nationkey || ',"n_name":"' || n_name || '"}' AS js
         |FROM nation ORDER BY n_nationkey""".stripMargin)),
 
+    // Typed JSON extraction — the read half of q_json_str: events.props
+    // carries a JSON payload, parsed with from_json against an explicit
+    // schema (the Spark-first shape: a typed struct the optimizer can
+    // prune, not ad-hoc string probing; Catalyst collapses the
+    // parse+field-access into a single JsonToStructs → GetStructField).
+    // Aggregated per event_type so the gate also proves the extracted
+    // values flow through partial+final aggregation as native BIGINTs.
+    "q_json_extract" -> ((
+      (s: SparkSession, d: String) => {
+        val schema = StructType(Seq(StructField("k", LongType)))
+        graft.Tables.events(s, d)
+          .withColumn("k", from_json(col("props"), schema).getField("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum("k").as("sum_k"),
+            min("k").as("min_k"),
+            max("k").as("max_k"))
+          .orderBy("event_type")
+      },
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |  AS sum_k,
+        |CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |  AS min_k,
+        |CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |  AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Array columns (T[] kinds, type_converter.py:7-8): size, element,
     // sort+join, membership.
     "q_array_fns" -> ((

@@ -168,6 +168,23 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("q_time_ohlc windows stay grain-partitioned and feed partial+final agg") {
+    val df = SparkEntry.queries("q_time_ohlc")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!"""Window \[[^\]]*\], \[\]""".r.findFirstIn(p).isDefined, p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q_funnel never re-shuffles the event log for the stage joins") {
+    val df = SparkEntry.queries("q_funnel")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // Surviving-cohort joins must be broadcast (stage relations only
+    // shrink); the only BNL allowed is the final 1-row×1-row scalar
+    // stitch.
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_sample_stratified pre-prunes each group's top-N before the exchange") {
     val p = planOf("q_sample_stratified")
     // The rank<=50 filter must compile to WindowGroupLimit so each map
