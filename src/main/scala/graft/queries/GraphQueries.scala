@@ -85,6 +85,57 @@ object GraphQueries {
     ranks.orderBy("node")
   }
 
+  /** Canonically-oriented (s < t) co-purchase edge set: parts adjacent
+    * iff they share an order. The gate bounds the kernel to a
+    * pushed-down shipdate slice (PushedFilters on the parquet scan):
+    * the operator shape is scale-free, and the slice keeps the
+    * deliberately-quadratic wedge stream (~6M rows at sf0.1) from
+    * dominating the bench. Baskets are <= ~13 lines, so the per-basket
+    * pair fan-out is bounded by sum(k_i^2), never |V|^2. */
+  private def triEdges(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .filter(col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("s"), col("b.pk").as("t"))
+      .distinct()
+  }
+
+  /** Oriented-wedge triangle count + the open-wedge total over an
+    * s<t-oriented edge set. Both triangle joins BUILD on the edge set
+    * (|E| rows) and STREAM the wedge side, explicitly broadcast: the
+    * ~50·|E| wedge stream then never hits an exchange or a sort — it
+    * is generated, probed, and counted inside one stage. (The AQE
+    * default would SMJ: sorting the wedge stream costs more than the
+    * whole query.) At 100 TB |E| outgrows a broadcast; the posture
+    * there is e bucketed by s (wedge join co-located), compact-forward
+    * (degree, id) orientation to bound the stream, and a bloom filter
+    * on (s,t) ahead of the closing SMJ probe. */
+  private def triCounts(e: DataFrame): DataFrame = {
+    val deg = e.select(col("s").as("n"))
+      .unionByName(e.select(col("t").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    val wedges = deg.agg(
+      sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
+    val cand = e.as("e1").join(broadcast(e.as("e2")), "s")
+      .filter(col("e1.t") < col("e2.t"))
+      .select(col("e1.t").as("ws"), col("e2.t").as("wt"))
+    val tri = cand.join(broadcast(e),
+        cand("ws") === e("s") && cand("wt") === e("t"))
+      .agg(count(lit(1)).as("n_triangles"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(wedges).crossJoin(tri)
+  }
+
+  /** Plan probe for PlanQualitySpec: the triangle pipeline without the
+    * scoped cache/materialization, so the optimized wedge-join shape
+    * (broadcast builds, no cartesian, no wedge-stream sort) is
+    * inspectable. */
+  def trianglePlanProbe(s: SparkSession, d: String): DataFrame =
+    triCounts(triEdges(s, d))
+
   val entries: Map[String, (Q, String)] = Map(
 
     // Integer PageRank, 3 rounds. The oracle unrolls the same three
@@ -134,6 +185,62 @@ object GraphQueries {
         |  WHERE r.depth < 3
         |)
         |SELECT node, CAST(min(depth) AS INT) AS depth FROM reach
-        |GROUP BY node HAVING min(depth) >= 2 ORDER BY node""".stripMargin))
+        |GROUP BY node HAVING min(depth) >= 2 ORDER BY node""".stripMargin)),
+
+    // Triangle counting over the part co-purchase graph (parts sharing
+    // an order are adjacent) — the classic graph-analytics kernel the
+    // FK tree can't exercise. Edge build is a per-basket self-join
+    // (baskets are <= ~13 lines, so pair fan-out is bounded by
+    // Σ k_i², never |V|²); edges are canonically oriented s < t, and
+    // triangles counted by the oriented wedge join: out-neighbor pairs
+    // of each lowest vertex probed against the edge set — each
+    // triangle's lowest vertex counts it exactly once. n_wedges is the
+    // orientation-free open-wedge total Σ d(d−1)/2 (the clustering-
+    // coefficient denominator), computed from the degree relation, not
+    // by materializing wedges. Every join is an equality join on keys
+    // (plan-gated: no cartesian anywhere); at 100 TB the id ordering
+    // swaps for (degree, id) ordering — the compact-forward orientation
+    // that bounds the wedge join under hub skew — and the hot s-keys
+    // get salted.
+    "q_graph_triangle" -> ((
+      (s: SparkSession, d: String) => {
+        // The edge set feeds five scans (count, degree twice, both
+        // wedge sides, the closing membership probe) — scoped-cached
+        // like the dedup pipelines' shingle index so the basket
+        // self-join + distinct runs ONCE, with the eager-materialize +
+        // blocking-unpersist protocol that keeps a long-lived session
+        // from accumulating executor memory per run.
+        // The explicit repartition before persist is load-bearing: AQE
+        // coalesces the post-distinct shuffle to ~1 partition at this
+        // byte size, and broadcast joins add no exchange — without it
+        // the cached edge set's partitioning is inherited by the wedge
+        // stage and the ~15x wedge stream generates single-threaded
+        // (measured 8.7 s -> 1.3 s at sf0.1 from this line alone).
+        val e = triEdges(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("s"))
+          .persist()
+        val out = s"/tmp/graft_tri_${graft.Tables.dirTag(d)}"
+        try {
+          e.count()
+          triCounts(e).write.mode("overwrite").parquet(out)
+        } finally e.unpersist(blocking = true)
+        s.read.parquet(out)
+      },
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem
+        |            WHERE l_shipdate < TIMESTAMP '1999-01-01'),
+        |e AS (SELECT DISTINCT a.pk AS s, b.pk AS t
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT n, count(*) AS dg FROM (
+        |          SELECT s AS n FROM e UNION ALL SELECT t FROM e)
+        |        GROUP BY n),
+        |cand AS (SELECT e1.t AS ws, e2.t AS wt
+        |         FROM e e1 JOIN e e2 ON e1.s = e2.s AND e1.t < e2.t)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        |  (SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT) FROM deg)
+        |    AS n_wedges,
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |   FROM cand JOIN e ON cand.ws = e.s AND cand.wt = e.t)
+        |    AS n_triangles""".stripMargin))
   )
 }

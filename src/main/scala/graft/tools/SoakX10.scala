@@ -44,7 +44,22 @@ object SoakX10 {
     "q_text_bm25", "q_rank_fusion",
     // Scalar quantization: per-dim stats + map-only encode must both
     // scale linearly in rows with a constant (dim-sized) exchange.
-    "q_embed_quantize")
+    "q_embed_quantize",
+    // Event-analytics + shard family (round 7 additions): the soak
+    // events scale rows AND user cardinality, so window partition
+    // counts, funnel cohorts, retention cells, and OHLC grains all grow
+    // with the data; q_shard_assign's rank buckets ride the 100x
+    // document corpus; q_agg_list's per-nation supplier lists grow
+    // linearly (the operator's spec — the 100 TB note in COVERAGE.md
+    // caps them).
+    "q_sessionize", "q_scd2", "q_window_ntile", "q_json_extract",
+    "q_funnel", "q_retention", "q_time_ohlc", "q_shard_assign",
+    "q_agg_list",
+    // Triangle counting: edges/wedges/triangles all grow linearly in
+    // the soak (per-copy key offsets keep copies disconnected); what
+    // must NOT grow superlinearly is the per-row cost of the bounded
+    // basket self-join and the wedge stream.
+    "q_graph_triangle")
 
   def ensureSoakDir(spark: SparkSession, baseSf: String, dir: String,
       x: Long): Unit = {

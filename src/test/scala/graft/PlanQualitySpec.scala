@@ -295,6 +295,20 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("Join"), p)
   }
 
+  test("q_graph_triangle builds on the edge set and streams the wedges") {
+    val p = graft.queries.GraphQueries.trianglePlanProbe(spark, dir)
+      .queryExecution.executedPlan.toString
+    // The wedge join and the closing membership probe must both be
+    // broadcast builds of the |E|-row edge set — an SMJ would sort the
+    // ~50·|E| wedge stream, and a cartesian anywhere means the
+    // orientation predicate fell out of the join condition. (The two
+    // 1-row scalar stitches at the top are BNL by construction.)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // The shipdate slice must reach the parquet scan.
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
+  }
+
   test("q_join_bucketed sort-merge-joins with zero shuffle exchanges") {
     import graft.queries.ExtraQueries
     ExtraQueries.withoutBroadcast(spark) {
