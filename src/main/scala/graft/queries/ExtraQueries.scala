@@ -102,7 +102,58 @@ object ExtraQueries {
     }
   }
 
+  /** Morton/Z-order bit-spread of the low 16 bits of a key: the
+    * classic shift-or-mask cascade (0x00FF00FF / 0x0F0F0F0F /
+    * 0x33333333 / 0x55555555) — pure integer arithmetic, stays inside
+    * whole-stage codegen, bit-identical in any engine. */
+  private def spread16(c: org.apache.spark.sql.Column) = {
+    val x0 = c.bitwiseAND(lit(65535L))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(16711935L))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(252645135L))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(858993459L))
+    x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(1431655765L))
+  }
+
   val entries: Map[String, (Q, String)] = Map(
+
+    // Z-order (Morton-curve) layout clustering — the Delta/Iceberg
+    // OPTIMIZE ZORDER kernel: interleave the bits of two cluster keys
+    // into one curve position so that sorting by it co-locates rows
+    // close in BOTH dimensions, and min/max file stats then prune scans
+    // filtered on EITHER key. The z-value is a pure map-side expression
+    // (shift/or/mask cascade, codegen'd, no exchange); at 100 TB the
+    // layout step is repartitionByRange(zval) + sortWithinPartitions —
+    // one range exchange to rewrite a whole table into skip-friendly
+    // files. The gate emits the curve positions themselves over a
+    // pushed-down shipdate slice so the bit math is verified
+    // bit-for-bit against the oracle.
+    "q_zorder" -> ((
+      (s: SparkSession, d: String) => {
+        val z = shiftleft(spread16(col("l_partkey")), 1)
+          .bitwiseOR(spread16(col("l_suppkey")))
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            z.cast("long").as("zval"))
+          .orderBy("zval", "l_orderkey", "l_linenumber")
+      },
+      """WITH sp AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    l_partkey & 65535 AS x0,
+        |    (x0 | (x0 << 8)) & 16711935 AS x1,
+        |    (x1 | (x1 << 4)) & 252645135 AS x2,
+        |    (x2 | (x2 << 2)) & 858993459 AS x3,
+        |    (x3 | (x3 << 1)) & 1431655765 AS x4,
+        |    l_suppkey & 65535 AS y0,
+        |    (y0 | (y0 << 8)) & 16711935 AS y1,
+        |    (y1 | (y1 << 4)) & 252645135 AS y2,
+        |    (y2 | (y2 << 2)) & 858993459 AS y3,
+        |    (y3 | (y3 << 1)) & 1431655765 AS y4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '2001-01-01')
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST((x4 << 1) | y4 AS BIGINT) AS zval
+        |FROM sp ORDER BY zval, l_orderkey, l_linenumber""".stripMargin)),
 
     // ROLLUP hierarchy totals. Grouping nulls are coalesced to a
     // sentinel so both engines order identically.

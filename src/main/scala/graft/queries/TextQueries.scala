@@ -283,8 +283,30 @@ object TextQueries {
       case "simhash" => jaccardFilter(
         interFor(simhashCandidates(t(s, d, "documents")), idx),
         sizesOf(t(s, d, "documents"), 3), 0.7)
+      case "contain" =>
+        val a = idx.select(col("doc_id").as("doc_a"), col("s"))
+        val b = idx.select(col("doc_id").as("doc_b"), col("s"))
+        val pairs = a.join(b, Seq("s")).filter(col("doc_a") =!= col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+        containmentFilter(pairs, sizesOf(t(s, d, "documents"), 5), 7)
       case "exact" => entriesExactPlan(s, d)
     }
+  }
+
+  /** Directional containment C(a in b) = |Sa ∩ Sb| / |Sa| over
+    * (doc_a, doc_b) pairs with their intersection counts: keeps pairs
+    * where containment >= thresholdTenths/10 and |Sa| >= 10. The
+    * threshold compare is exact integer cross-multiplication, so every
+    * engine agrees bit-for-bit; the ratio rounds only in the
+    * projection. */
+  private def containmentFilter(pairsWithInter: DataFrame, sizes: DataFrame,
+      thresholdTenths: Int): DataFrame = {
+    val na = sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))
+    pairsWithInter.join(na, "doc_a")
+      .filter(col("na") >= 10 &&
+        col("inter") * 10 >= col("na") * thresholdTenths)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") * 1.0 / col("na"), 6).as("containment"))
   }
 
   private def entriesExactPlan(s: SparkSession, d: String): DataFrame =
@@ -914,6 +936,36 @@ object TextQueries {
          |JOIN sizes sa ON sa.doc_id = i.doc_a
          |JOIN sizes sb ON sb.doc_id = i.doc_b
          |WHERE i.inter * 1.0 / (sa.n + sb.n - i.inter) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Directional containment dedup — C(a in b) = |Sa ∩ Sb| / |Sa|:
+    // catches a document INCLUDED in a larger one, which symmetric
+    // jaccard misses entirely (|Sb| >> |Sa| drives J toward 0 while C
+    // stays 1) — the quote/aggregator-page case every pretraining
+    // dedup pass needs beyond near-identity. Same inverted-index shape
+    // as q_dedup_ngram (equality join on shingle, never all-pairs;
+    // same df-bounded scale posture), emitted per DIRECTION: (a,b)
+    // scores a's coverage, (b,a) scores b's.
+    "q_text_containment" -> ((
+      (s: SparkSession, d: String) =>
+        withShingleIndex(s, t(s, d, "documents"), 5,
+          s"/tmp/graft_res_contain_${graft.Tables.dirTag(d)}") { idx =>
+          val a = idx.select(col("doc_id").as("doc_a"), col("s"))
+          val b = idx.select(col("doc_id").as("doc_b"), col("s"))
+          val pairs = a.join(b, Seq("s"))
+            .filter(col("doc_a") =!= col("doc_b"))
+            .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+          containmentFilter(pairs, sizesOf(t(s, d, "documents"), 5), 7)
+        }.orderBy("doc_a", "doc_b"),
+      s"""WITH ${shinglesSqlCte(5)},
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i.doc_a, i.doc_b,
+         |  round(i.inter * 1.0 / sa.n, 6) AS containment
+         |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+         |WHERE sa.n >= 10 AND i.inter * 10 >= sa.n * 7
          |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // MinHash-LSH near-dup: banded signature bucketing -> candidate

@@ -59,7 +59,11 @@ object SoakX10 {
     // the soak (per-copy key offsets keep copies disconnected); what
     // must NOT grow superlinearly is the per-row cost of the bounded
     // basket self-join and the wedge stream.
-    "q_graph_triangle")
+    "q_graph_triangle",
+    // Containment rides the 10x document corpus (inverted-index shape,
+    // same scaling law as q_dedup_ngram); zorder is map-only — its
+    // soak cost is the scan + the gate's output sort.
+    "q_text_containment", "q_zorder")
 
   def ensureSoakDir(spark: SparkSession, baseSf: String, dir: String,
       x: Long): Unit = {

@@ -39,7 +39,7 @@ class PlanQualitySpec extends SparkSpecBase {
   test("no unintended cartesian shapes in the bucketed similarity ops") {
     // The dedup gate queries materialize eagerly (scoped shingle-index
     // cache), so inspect the unmaterialized pipeline plans directly.
-    Seq("ngram", "minhash", "simhash").foreach { which =>
+    Seq("ngram", "minhash", "simhash", "contain").foreach { which =>
       val p = graft.queries.TextQueries.planProbe(spark, dir, which)
         .queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$which:\n$p")
@@ -293,6 +293,17 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("Expand"), p)
     assert(!p.contains("Exchange hashpartitioning"), p)
     assert(!p.contains("Join"), p)
+  }
+
+  test("q_zorder computes the curve position map-only with a pushed slice") {
+    val p = planOf("q_zorder")
+    // The Morton interleave is a pure shift/or/mask expression: the
+    // only exchange allowed is the output ORDER BY's range exchange —
+    // a hash shuffle or join means the bit math left the map side —
+    // and the shipdate slice must reach the parquet scan.
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"), p)
   }
 
   test("q_graph_triangle builds on the edge set and streams the wedges") {
