@@ -43,7 +43,26 @@ object ExtraQueries {
         .select(col("l_returnflag"),
           col("qs")(0).as("q25"), col("qs")(1).as("q50"),
           col("qs")(2).as("q90"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+    // The third classic sketch next to HLL (distinct) and KLL/GK
+    // (quantiles): Misra-Gries frequent items — top tokens over an
+    // open domain without a full wordcount shuffle. The exchange
+    // carries one <=k-counter summary per map partition instead of one
+    // row per distinct token (billions at 100 TB); est <= true and
+    // true - est <= N/k across arbitrary merge trees, error-bounded vs
+    // exact counts in EdgeCasesSpec. Rows-only by design (survivor
+    // identity near the tail is stream-order dependent; the row count
+    // is fixed at outK).
+    "q_topk_sketch" -> ((s: SparkSession, d: String) => {
+      graft.functions.TopKSketch.register(s)
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .agg(expr("mg_topk(tok, 256, 10)").as("hh"))
+        .select(posexplode(col("hh")).as(Seq("rnk", "e")))
+        .select(col("rnk"), col("e.item").as("item"),
+          col("e.est_count").as("est_count"))
+        .orderBy("rnk")
+    })
   )
 
   /** Write both q_join_bucketed sides bucketed+sorted on the join key

@@ -82,6 +82,36 @@ class EdgeCasesSpec extends SparkSpecBase {
       assert(math.abs(a - e) <= 2.0, s"group $k: approx $a vs exact $e")
   }
 
+  test("mg_topk heavy hitters survive overflow and merges within N/k error") {
+    // The q_topk_sketch gate is rows-only by design (tail survivors are
+    // stream-order dependent) — bound the sketch here on a stream that
+    // actually overflows k and forces partial merges: 5 heavy items
+    // (1000 each) hidden in 10k distinct singletons, k=64, spread over
+    // 16 partitions. MG guarantees est <= true and true - est <= N/k;
+    // with N=15000, N/k=234, every heavy item's estimate stays >= 766
+    // while any singleton's est <= 1, so the top-5 must be exactly the
+    // heavy set in order.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.TopKSketch.register(spark)
+    val heavy = (1 to 5).flatMap(h => Seq.fill(1000)(s"heavy_$h"))
+    val tail = (1 to 10000).map(i => s"tail_$i")
+    val n = heavy.size + tail.size
+    val k = 64
+    val out = new scala.util.Random(42).shuffle(heavy ++ tail).toDF("tok")
+      .repartition(16)
+      .agg(expr(s"mg_topk(tok, $k, 5)").as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.est_count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(out.map(_._1).sorted.toSeq ==
+      (1 to 5).map(h => s"heavy_$h"), out.toSeq.toString)
+    out.foreach { case (item, est) =>
+      assert(est <= 1000L, s"$item overestimated: $est")
+      assert(1000L - est <= n.toLong / k, s"$item est $est below bound")
+    }
+  }
+
   test("q_chunk_sliding covers every token with the spec'd overlap") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"

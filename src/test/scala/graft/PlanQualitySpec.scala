@@ -295,6 +295,16 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("Join"), p)
   }
 
+  test("q_topk_sketch aggregates a fixed-size summary, not a wordcount") {
+    val p = planOf("q_topk_sketch")
+    // The Misra-Gries aggregate must run partial+final (one <=k-counter
+    // sketch per map partition through the exchange); a token-keyed
+    // hash exchange would mean the sketch decomposed into a full
+    // wordcount shuffle — one row per distinct token at 100 TB.
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("q_zorder computes the curve position map-only with a pushed slice") {
     val p = planOf("q_zorder")
     // The Morton interleave is a pure shift/or/mask expression: the
