@@ -31,19 +31,29 @@ object Tables {
   val all = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects outright; read it with nanos-as-long and convert to
-    * a microsecond TimestampType column (the same truncation DuckDB's
-    * CAST(ts AS TIMESTAMP) applies). */
+  /** Fixture generations differ in the `ts` physical type:
+    * TIMESTAMP(NANOS) (which Spark's parquet reader rejects unless read
+    * nanos-as-long, then truncated to micros — the same truncation
+    * DuckDB's CAST(ts AS TIMESTAMP) applies) vs TIMESTAMP(MICROS)
+    * (read natively as TIMESTAMP_NTZ). Both normalize to a
+    * session-TZ-UTC TimestampType column with identical values. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
     try {
-      spark.read.parquet(s"$dir/events.parquet")
-        // integer div, not /: true division returns double and rounds
-        // the microsecond up, diverging from truncating casts.
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // integer div, not /: true division returns double and rounds
+          // the microsecond up, diverging from truncating casts.
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ =>
+          // MICROS fixture, already truncated at write time; the cast
+          // from NTZ reinterprets the wall clock in the session TZ
+          // (UTC), matching the nanos path's timestamp_micros instant.
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)

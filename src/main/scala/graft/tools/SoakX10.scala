@@ -91,9 +91,10 @@ object SoakX10 {
           .as("embedding"),
         col("label"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    // events: keep ts as the raw long-nanos column the fixture carries
-    // (Tables.events converts), offset user/event ids per copy so the
-    // streaming operators' STATE cardinality scales with the rows.
+    // events: keep ts in whatever raw form the fixture carries
+    // (long-nanos or micros — Tables.events adapts), offset user/event
+    // ids per copy so the streaming operators' STATE cardinality
+    // scales with the rows.
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     spark.conf.set(key, "true")
     val ev =
