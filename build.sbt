@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round perf artifact is the LAST stdout line of
+// `sbt "runMain graft.Bench"`. sbt's "[success] Total time: ..." epilogue
+// printed after the forked JVM exits made a parse-the-last-line driver
+// record `parsed: null` three rounds running — silence it globally.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

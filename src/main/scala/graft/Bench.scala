@@ -175,7 +175,15 @@ object Bench {
       else math.round(calibVals(calibVals.length / 2) * 100.0) / 100.0
     def r2(v: Double) = math.round(v * 100.0) / 100.0
     val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","steal_sec":${r2(stealTotal)},"calib_med":$calibMed,"n":${results.length},"failed":${results.count(_._2 < 0)},"sf":"$sfTag","full":"$out"}""")
+    val compact = s"""{"metric":"total","value":${r2(total)},"unit":"sec","steal_sec":${r2(stealTotal)},"calib_med":$calibMed,"n":${results.length},"failed":${results.count(_._2 < 0)},"sf":"$sfTag","full":"$out"}"""
+    // Stop Spark BEFORE the final print so no shutdown log line can land
+    // after the summary; build.sbt sets `Global / showSuccess := false`
+    // so sbt's trailing "[success] Total time: ..." (the reason
+    // BENCH_r0{5,6,7}.json parsed as null) is gone and the compact line
+    // below is the process's final stdout line. The stderr copy is
+    // belt-and-suspenders for drivers that merge streams.
     spark.stop()
+    System.err.println(compact)
+    println(compact)
   }
 }

@@ -38,21 +38,34 @@ object Tables {
     * (read natively as TIMESTAMP_NTZ). Both normalize to a
     * session-TZ-UTC TimestampType column with identical values. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // The NTZ->timestamp cast below is instant-preserving only when the
+    // session zone is UTC (every graft session builder pins it); a
+    // non-UTC caller would get silently shifted instants on the MICROS
+    // fixture generation but not the NANOS one — fail loudly instead.
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "Tables.events requires spark.sql.session.timeZone=UTC for " +
+        "fixture-generation-independent instants")
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
     try {
       val raw = spark.read.parquet(s"$dir/events.parquet")
+      import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
       raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          // integer div, not /: true division returns double and rounds
-          // the microsecond up, diverging from truncating casts.
+        case LongType =>
+          // NANOS generation read nanos-as-long. Integer div, not /:
+          // true division returns double and rounds the microsecond up,
+          // diverging from truncating casts.
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _ =>
+        case TimestampNTZType =>
           // MICROS fixture, already truncated at write time; the cast
           // from NTZ reinterprets the wall clock in the session TZ
-          // (UTC), matching the nanos path's timestamp_micros instant.
+          // (UTC, required above), matching timestamp_micros' instant.
           raw.withColumn("ts", col("ts").cast("timestamp"))
+        case TimestampType => raw // already instant-typed; no-op
+        case other => throw new IllegalStateException(
+          s"events.parquet ts has unexpected type $other; expected " +
+            "INT64 (nanos-as-long), TIMESTAMP_NTZ (micros) or TIMESTAMP")
       }
     } finally {
       prev match {

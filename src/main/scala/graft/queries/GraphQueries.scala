@@ -103,27 +103,58 @@ object GraphQueries {
       .distinct()
   }
 
-  /** Oriented-wedge triangle count + the open-wedge total over an
-    * s<t-oriented edge set. Both triangle joins BUILD on the edge set
-    * (|E| rows) and STREAM the wedge side, explicitly broadcast: the
-    * ~50·|E| wedge stream then never hits an exchange or a sort — it
-    * is generated, probed, and counted inside one stage. (The AQE
-    * default would SMJ: sorting the wedge stream costs more than the
-    * whole query.) At 100 TB |E| outgrows a broadcast; the posture
-    * there is e bucketed by s (wedge join co-located), compact-forward
-    * (degree, id) orientation to bound the stream, and a bloom filter
-    * on (s,t) ahead of the closing SMJ probe. */
-  private def triCounts(e: DataFrame): DataFrame = {
+  /** Compact-forward orientation: re-orient each undirected edge
+    * {a, b} from its lower-(degree, id) endpoint to the higher one.
+    * This is THE load-bearing trick of oriented-wedge counting under
+    * skew (Chiba–Nishizeki / Latapy arboricity argument): a hub of
+    * degree d ends up with out-degree 0 toward its spokes — every
+    * incident edge points INTO it — so the wedge fan-out at any vertex
+    * is bounded by its out-degree ≤ O(sqrt(|E|)) instead of d², and a
+    * celebrity key can never explode the wedge stream. Ties are broken
+    * by id, giving a total order. Output carries `dk` = struct(deg,
+    * id) of dst, the wedge-pair ordering key. Degree joins broadcast
+    * (|V| ≤ |E|; at 100 TB the degree relation is still the node
+    * dimension next to the edge fact — broadcast or co-bucketed). */
+  private[graft] def orientByDegree(e: DataFrame, deg: DataFrame): DataFrame = {
+    val ds = deg.select(col("n").as("s"), col("dg").as("dgs"))
+    val dt = deg.select(col("n").as("t"), col("dg").as("dgt"))
+    val fwd = col("dgs") < col("dgt") ||
+      (col("dgs") === col("dgt") && col("s") < col("t"))
+    e.join(broadcast(ds), "s").join(broadcast(dt), "t")
+      .select(
+        when(fwd, col("s")).otherwise(col("t")).as("src"),
+        when(fwd, col("t")).otherwise(col("s")).as("dst"),
+        when(fwd, struct(col("dgt").as("d"), col("t").as("i")))
+          .otherwise(struct(col("dgs").as("d"), col("s").as("i")))
+          .as("dk"))
+  }
+
+  /** Oriented-wedge triangle count + the open-wedge total. Edges are
+    * compact-forward oriented by (degree, id) — see orientByDegree —
+    * so each triangle is counted exactly once at its minimum-(deg, id)
+    * vertex and wedge fan-out stays bounded under hub skew. Both
+    * triangle joins BUILD on the oriented edge set (|E| rows) and
+    * STREAM the wedge side, explicitly broadcast: the wedge stream
+    * never hits an exchange or a sort — it is generated, probed, and
+    * counted inside one stage. (The AQE default would SMJ: sorting the
+    * wedge stream costs more than the whole query.) n_wedges stays the
+    * orientation-free open-wedge total Σ d(d−1)/2. At 100 TB |E|
+    * outgrows a broadcast; the posture there is the oriented set
+    * bucketed by src (wedge join co-located) and a bloom filter on
+    * (src, dst) ahead of the closing SMJ probe — the orientation
+    * itself is already the scale-safe one. */
+  private[graft] def triCounts(e: DataFrame): DataFrame = {
     val deg = e.select(col("s").as("n"))
       .unionByName(e.select(col("t").as("n")))
       .groupBy("n").agg(count(lit(1)).as("dg"))
     val wedges = deg.agg(
       sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
-    val cand = e.as("e1").join(broadcast(e.as("e2")), "s")
-      .filter(col("e1.t") < col("e2.t"))
-      .select(col("e1.t").as("ws"), col("e2.t").as("wt"))
-    val tri = cand.join(broadcast(e),
-        cand("ws") === e("s") && cand("wt") === e("t"))
+    val o = orientByDegree(e, deg)
+    val cand = o.as("e1").join(broadcast(o.as("e2")), "src")
+      .filter(col("e1.dk") < col("e2.dk"))
+      .select(col("e1.dst").as("ws"), col("e2.dst").as("wt"))
+    val tri = cand.join(broadcast(o),
+        cand("ws") === o("src") && cand("wt") === o("dst"))
       .agg(count(lit(1)).as("n_triangles"))
     e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(wedges).crossJoin(tri)
@@ -193,15 +224,16 @@ object GraphQueries {
     // (baskets are <= ~13 lines, so pair fan-out is bounded by
     // Σ k_i², never |V|²); edges are canonically oriented s < t, and
     // triangles counted by the oriented wedge join: out-neighbor pairs
-    // of each lowest vertex probed against the edge set — each
-    // triangle's lowest vertex counts it exactly once. n_wedges is the
+    // of each minimum-(degree, id) vertex probed against the edge set —
+    // each triangle counts exactly once at that vertex. The orientation
+    // is compact-forward by (degree, id) (orientByDegree) — the shipped
+    // code path, not a comment: hubs receive all their edges, so wedge
+    // fan-out is bounded by out-degree ≤ O(sqrt|E|) even under
+    // celebrity skew (skew fixture: TriangleSkewSpec). n_wedges is the
     // orientation-free open-wedge total Σ d(d−1)/2 (the clustering-
     // coefficient denominator), computed from the degree relation, not
     // by materializing wedges. Every join is an equality join on keys
-    // (plan-gated: no cartesian anywhere); at 100 TB the id ordering
-    // swaps for (degree, id) ordering — the compact-forward orientation
-    // that bounds the wedge join under hub skew — and the hot s-keys
-    // get salted.
+    // (plan-gated: no cartesian anywhere).
     "q_graph_triangle" -> ((
       (s: SparkSession, d: String) => {
         // The edge set feeds five scans (count, degree twice, both

@@ -89,9 +89,10 @@ object StreamQueries {
   }
 
   def streamCounts(s: SparkSession, d: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
-    // reader rejects; re-encode to a micros staging dir (the shape a
-    // real file-stream source directory would have) and stream from it.
+    // events.parquet's ts physical type is generation-dependent (NANOS
+    // -as-long or MICROS — see Tables.events, which normalizes both);
+    // re-encode to a micros staging dir (the shape a real file-stream
+    // source directory would have) and stream from it.
     val srcDir = s"/tmp/graft_stream_src_${graft.Tables.dirTag(d)}_v$DumpVersion"
     ensureStreamDump(d, "events", srcDir)(graft.Tables.events(s, d))
     val schema = s.read.parquet(srcDir).schema
