@@ -150,6 +150,21 @@ class EdgeCasesSpec extends SparkSpecBase {
     }
   }
 
+  test("incremental dedup apply equals full dedup of the union") {
+    // The defining invariant of cross-snapshot incremental dedup: the
+    // rows accepted against the persisted index, appended to the
+    // deduped base, must equal a from-scratch dedup of base ∪ batch.
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, dir, "documents")
+    val accepted = queries.TextQueries.incrementalDedupPlan(spark, dir).count()
+    val baseDistinct = docs.filter(col("doc_id") % 4 =!= 3)
+      .select("text").distinct().count()
+    val unionDistinct = docs.select("text").distinct().count()
+    assert(unionDistinct == baseDistinct + accepted,
+      s"union=$unionDistinct base=$baseDistinct accepted=$accepted")
+  }
+
   test("batch stream of an empty iterator emits nothing") {
     assert(BatchStream.batches(Iterator.empty[(String, Int)], 5, 10).isEmpty)
   }

@@ -330,6 +330,20 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
   }
 
+  test("q_dedup_incremental anti-joins the persisted index without re-aggregating it") {
+    val p = planOf("q_dedup_incremental")
+    // The previous snapshot's digest index must enter the plan as a
+    // plain parquet scan feeding a LEFT ANTI join — any aggregate on
+    // that side means the accumulated corpus is being recomputed
+    // instead of read, the exact thing incremental dedup exists to
+    // avoid at 100 TB.
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("graft_digidx_"), p)
+    // Exactly the batch side's partial+final digest collapse — no
+    // third aggregate anywhere (the index side is scan-only).
+    assert("HashAggregate".r.findAllIn(p).size == 2, p)
+  }
+
   test("q_join_bucketed sort-merge-joins with zero shuffle exchanges") {
     import graft.queries.ExtraQueries
     ExtraQueries.withoutBroadcast(spark) {
