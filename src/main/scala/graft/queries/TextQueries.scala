@@ -354,6 +354,17 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Shared retrieval workload — the query relation q_text_bm25_multi
+    * scores and q_rank_fusion's lexical leg consumes (query 1 is the
+    * original q_text_bm25 term set). In production this is a TABLE
+    * (thousands of queries); here it is a literal broadcast relation,
+    * which is exactly how a query workload joins at any corpus scale —
+    * the corpus side is the big side, the workload broadcasts. */
+  private[graft] val RetrievalQueries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("vector", "stream", "merge"),
+    2 -> Seq("join", "hash", "window"),
+    3 -> Seq("scan", "filter", "sort"))
+
   private def entriesExactPlan(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .groupBy(sha2(col("text"), 256).as("fp"))
@@ -698,7 +709,7 @@ object TextQueries {
     // no engine is free to reassociate a float reduction.
     "q_text_bm25" -> ((
       (s: SparkSession, d: String) => {
-        val terms = Seq("vector", "stream", "merge")
+        val terms = RetrievalQueries.head._2 // query 1 of the shared workload
         val base = t(s, d, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("tk"))
         val dl = base.select(col("doc_id"),
@@ -770,6 +781,101 @@ object TextQueries {
         |SELECT doc_id, CAST(rn AS INT) AS rn, dl,
         |  round(bm25raw, 4) AS bm25
         |FROM r WHERE rn <= 20 ORDER BY rn""".stripMargin)),
+
+    // BM25 parameterized by a query RELATION (the production shape of
+    // q_text_bm25, VERDICT r7 #6): score every (query_id, doc_id) pair
+    // against the shared RetrievalQueries workload, top-10 per query.
+    // Same inverted-index head — the token explode is pruned to the
+    // UNION of all query vocabularies before any exchange, so the
+    // shuffled relation is |matching (doc, term)| rows regardless of
+    // workload size; df broadcasts, the workload relation broadcasts
+    // (a query table is dimension-sized next to a 100 TB corpus), and
+    // the per-query top-10 is one window partitioned by query_id —
+    // thousands of query partitions spread across executors.
+    // Determinism across engines: the per-(doc, term) score is rounded
+    // to 1e-4 FIRST (absorbing the ≤1-ulp libm ln() divergence exactly
+    // as q_text_bm25's round(…,4) does) and materialized as an exact
+    // BIGINT in 1e-4 units — the per-(query, doc) sum is then integer
+    // arithmetic, associative under any grouping order, so neither
+    // engine can drift by float reassociation.
+    "q_text_bm25_multi" -> ((
+      (s: SparkSession, d: String) => {
+        val qrel = {
+          import s.implicits._
+          RetrievalQueries
+            .flatMap { case (qid, ts) => ts.map(tm => (qid, tm)) }
+            .toDF("query_id", "term")
+        }
+        val vocab = RetrievalQueries.flatMap(_._2).distinct
+        val base = t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        val dl = base.select(col("doc_id"),
+          size(col("tk")).cast("long").as("dl"))
+        val tot = dl.agg(count(lit(1)), sum(col("dl"))).head()
+        val nDocs = tot.getLong(0)
+        val avgdl = tot.getLong(1).toDouble / nDocs.toDouble
+        val tf = base
+          .select(col("doc_id"), explode(col("tk")).as("term"))
+          .filter(col("term").isin(vocab: _*))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val sc = tf.join(broadcast(dfq), "term").join(dl, "doc_id")
+          .withColumn("s4", expr(
+            s"""CAST(round(
+               |  ln(1.0 + (CAST($nDocs - df AS DOUBLE) + 0.5)
+               |           / (CAST(df AS DOUBLE) + 0.5))
+               |  * (CAST(tf AS DOUBLE) * 2.2)
+               |  / (CAST(tf AS DOUBLE)
+               |     + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / $avgdl)))
+               |  * 10000.0, 0) AS BIGINT)""".stripMargin))
+        val scored = sc.join(broadcast(qrel), "term")
+          .groupBy("query_id", "doc_id").agg(sum("s4").as("bm25_e4"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("bm25_e4").desc, col("doc_id"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select(col("query_id"), col("rn").cast("int").as("rn"),
+            col("doc_id"), col("bm25_e4"))
+          .orderBy("query_id", "rn")
+      },
+      """WITH qrel AS (
+        |  SELECT * FROM (VALUES
+        |    (1,'vector'),(1,'stream'),(1,'merge'),
+        |    (2,'join'),(2,'hash'),(2,'window'),
+        |    (3,'scan'),(3,'filter'),(3,'sort')) AS t(query_id, term)),
+        |dl AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents)
+        |  WHERE term IN (SELECT term FROM qrel) GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT t.doc_id, t.term,
+        |    CAST(round(
+        |      ln(1.0 + (CAST(n.n_docs - q.df AS DOUBLE) + 0.5)
+        |               / (CAST(q.df AS DOUBLE) + 0.5))
+        |      * (CAST(t.tf AS DOUBLE) * 2.2)
+        |      / (CAST(t.tf AS DOUBLE)
+        |         + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+        |           / (CAST(n.sum_dl AS DOUBLE) / CAST(n.n_docs AS DOUBLE)))))
+        |      * 10000.0, 0) AS BIGINT) AS s4
+        |  FROM tf t JOIN dfq q USING (term) JOIN dl l USING (doc_id), n),
+        |scored AS (
+        |  SELECT r.query_id, s.doc_id, sum(s.s4) AS bm25_e4
+        |  FROM sc s JOIN qrel r USING (term) GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT query_id, doc_id, bm25_e4,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY query_id
+        |      ORDER BY bm25_e4 DESC, doc_id) AS INT) AS rn
+        |  FROM scored)
+        |SELECT query_id, rn, doc_id, bm25_e4
+        |FROM rk WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin)),
 
     // PMI collocations — corpus-level bigram association. Two
     // wordcount-shaped aggregations (bigrams, unigrams) + a broadcast

@@ -584,7 +584,10 @@ object VectorQueries {
     // the two-term sum has fixed textual order in both engines.
     "q_rank_fusion" -> ((
       (s: SparkSession, d: String) => {
-        val terms = Seq("vector", "stream", "merge")
+        // Lexical leg scores query 1 of the SAME workload relation the
+        // BM25 gates use (TextQueries.RetrievalQueries) — one shared
+        // query table feeds lexical, vector, and fusion stages.
+        val terms = TextQueries.RetrievalQueries.head._2
         val topN = 50
         val hits = t(s, d, "documents")
           .select(col("doc_id"),

@@ -264,6 +264,25 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_text_bm25_multi prunes to the workload vocabulary map-side, group-limits per query") {
+    val p = planOf("q_text_bm25_multi")
+    // The token explode must be filtered to the UNION of the query
+    // vocabularies before the tf aggregate's exchange, so the shuffled
+    // relation is |matching (doc, term)| rows regardless of corpus
+    // size: the IN-filter sits in the same stage as the Generate
+    // (printed directly above it, below the partial HashAggregate).
+    assert(p.contains(
+      "IN (vector,stream,merge,join,hash,window,scan,filter,sort)"), p)
+    // Per-query top-10 must compile to partial+final WindowGroupLimit
+    // (per-partition heads), never a full sort of every scored pair.
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+    // df, dl, and the workload relation all broadcast; the workload is
+    // a literal LocalTableScan on the build side.
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_rank_fusion legs end in per-partition top-N; fusion join is tiny") {
     val p = planOf("q_rank_fusion")
     // Both retrieval legs must prune to their top-50 via TakeOrdered
