@@ -40,6 +40,42 @@ object FnQueries {
          |  columns = {'n_nationkey':'INTEGER','n_name':'VARCHAR','n_regionkey':'INTEGER'})
          |ORDER BY n_nationkey""".stripMargin)),
 
+    // ORC write + read-back (P14's third columnar format — Spark ships
+    // the ORC reader/writer natively). DuckDB cannot read ORC, so the
+    // oracle is the parquet source itself: the check is that the ORC
+    // round-trip preserves every value bit-for-bit (int64/int32/string/
+    // double are all lossless in ORC). Splittable + predicate-pushdown
+    // capable at scale, same as parquet.
+    "q_scan_orc" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = s"/tmp/graft_orc_supplier_${graft.Tables.dirTag(d)}"
+        t(s, d, "supplier").write.mode("overwrite").orc(dir)
+        s.read.orc(dir).orderBy("s_suppkey")
+      },
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin)),
+
+    // JSONL write + schema'd read-back — the exchange format LLM
+    // document pipelines actually ingest (web-scrape and annotation
+    // dumps arrive as JSON Lines). Schema is explicit, never inferred
+    // (inference is a full extra pass at corpus scale and can type-flip
+    // on dirty rows); JSON string escaping round-trips text exactly,
+    // and the oracle is the parquet source the dump was written from.
+    "q_scan_jsonl" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = s"/tmp/graft_jsonl_docs_${graft.Tables.dirTag(d)}"
+        t(s, d, "documents").write.mode("overwrite").json(dir)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType),
+          StructField("lang", StringType),
+          StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        s.read.schema(schema).json(dir).orderBy("doc_id")
+      },
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // UTC datetime string <-> timestamp conversions + date parts
     // (reference DateTimeString/DateString codecs, sql.py:43-70). The
     // ISO date string is a plain cast (dates render yyyy-MM-dd) and the

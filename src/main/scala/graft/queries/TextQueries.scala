@@ -877,6 +877,70 @@ object TextQueries {
         |SELECT query_id, rn, doc_id, bm25_e4
         |FROM rk WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin)),
 
+    // Bigram language-model perplexity scoring — the CCNet-style LM
+    // quality filter every pretraining pipeline runs (a doc whose
+    // add-one-smoothed bigram NLL is far above the corpus norm is
+    // boilerplate, gibberish, or the wrong language). Train: one
+    // wordcount-shaped aggregation over the in-order bigram stream
+    // (codegen'd word_shingles, duplicates kept); prefix counts c1 and
+    // the log-prob table derive from the bigram relation itself, never
+    // a second corpus pass; V is one bounded driver scalar. Score: the
+    // doc bigram stream joins the log-prob table on the bigram key —
+    // at gate scale the planner broadcasts the table, at 100 TB it
+    // flips to a shuffle join, and the production posture prunes the
+    // LM to its Zipf head with a unigram-backoff default (the
+    // q_text_boilerplate broadcast-head protocol). Determinism: each
+    // bigram's NLL is rounded to 1e-6 and materialized as BIGINT
+    // BEFORE the per-doc sum (integer-associative in any engine/order)
+    // and the per-doc mean is exact integer division — nll >= 0, so
+    // DuckDB's floor-// and Spark's truncating div agree.
+    "q_text_perplexity" -> ((
+      (s: SparkSession, d: String) => {
+        graft.functions.SketchFunctions.register(s)
+        val docs = t(s, d, "documents")
+        val bi = docs.select(col("doc_id"),
+          explode(expr("word_shingles(split(text, ' '), 2)")).as("g"))
+        val c12 = bi.groupBy("g").agg(count(lit(1)).as("c12"))
+        val c1 = c12.groupBy(expr("split(g, ' ')[0]").as("w1"))
+          .agg(sum("c12").as("c1"))
+        val v = docs.select(explode(split(col("text"), " ")).as("w"))
+          .agg(countDistinct(col("w"))).head().getLong(0)
+        val lp = c12.withColumn("w1", expr("split(g, ' ')[0]"))
+          .join(c1, "w1")
+          .select(col("g"), expr(
+            s"""CAST(round(ln((CAST(c12 AS DOUBLE) + 1.0)
+               |  / (CAST(c1 AS DOUBLE) + CAST($v AS DOUBLE)))
+               |  * -1000000.0, 0) AS BIGINT)""".stripMargin).as("nll_e6"))
+        bi.join(lp, "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_pairs"),
+            expr("sum(nll_e6) div count(1)").as("nll_e6_avg"))
+          .orderBy("doc_id")
+      },
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |u AS (
+        |  SELECT doc_id, unnest(ts) AS w,
+        |    generate_subscripts(ts, 1) AS pos FROM tk),
+        |bi AS (
+        |  SELECT a.doc_id, a.w || ' ' || b.w AS g
+        |  FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |c12 AS (SELECT g, count(*) AS c12 FROM bi GROUP BY 1),
+        |c1 AS (
+        |  SELECT string_split(g, ' ')[1] AS w1, sum(c12) AS c1
+        |  FROM c12 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM u),
+        |lp AS (
+        |  SELECT c12.g,
+        |    CAST(round(ln((CAST(c12.c12 AS DOUBLE) + 1.0)
+        |      / (CAST(c1.c1 AS DOUBLE) + CAST(v.v AS DOUBLE)))
+        |      * -1000000.0, 0) AS BIGINT) AS nll_e6
+        |  FROM c12 JOIN c1 ON string_split(c12.g, ' ')[1] = c1.w1, v)
+        |SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(lp.nll_e6) // count(*) AS BIGINT) AS nll_e6_avg
+        |FROM bi JOIN lp USING (g)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // PMI collocations — corpus-level bigram association. Two
     // wordcount-shaped aggregations (bigrams, unigrams) + a broadcast
     // join of the unigram vocabulary; top-20 by lift compiles to

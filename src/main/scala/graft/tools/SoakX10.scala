@@ -55,6 +55,18 @@ object SoakX10 {
     "q_sessionize", "q_scd2", "q_window_ntile", "q_json_extract",
     "q_funnel", "q_retention", "q_time_ohlc", "q_shard_assign",
     "q_agg_list",
+    // Warehouse melt + Misra-Gries: unpivot is Expand-based map-only
+    // (soak cost = scan + output sort); the topk exchange must stay at
+    // one <=k-counter sketch per partition no matter the row count.
+    "q_unpivot", "q_topk_sketch",
+    // Round 8: incremental dedup's anti-join rides the 100x digest
+    // index (the side that outgrows a broadcast); bm25_multi's pruned
+    // token scan and 3-partition window must scale like q_text_bm25.
+    "q_dedup_incremental", "q_text_bm25_multi",
+    // LM perplexity: bigram train + score joins are both corpus-sized
+    // (the one deliberately fact-fact text op) — per-row cost must stay
+    // flat as bigram cardinality grows 100x.
+    "q_text_perplexity",
     // Triangle counting: edges/wedges/triangles all grow linearly in
     // the soak (per-copy key offsets keep copies disconnected); what
     // must NOT grow superlinearly is the per-row cost of the bounded

@@ -283,6 +283,17 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_text_perplexity trains and scores without a cartesian or extra corpus pass") {
+    val p = planOf("q_text_perplexity")
+    // The bigram stream comes from the codegen'd word_shingles pass;
+    // prefix counts and the log-prob table derive from the bigram
+    // relation (no third corpus scan for c1); the score join is an
+    // equality join on the bigram key — never a cartesian.
+    assert(p.contains("word_shingles"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_rank_fusion legs end in per-partition top-N; fusion join is tiny") {
     val p = planOf("q_rank_fusion")
     // Both retrieval legs must prune to their top-50 via TakeOrdered
