@@ -14,8 +14,11 @@ run / fork := true
 // The per-round perf artifact is the LAST stdout line of
 // `sbt "runMain graft.Bench"`. sbt's "[success] Total time: ..." epilogue
 // printed after the forked JVM exits made a parse-the-last-line driver
-// record `parsed: null` three rounds running — silence it globally.
+// record `parsed: null` three rounds running — silence it globally, and
+// pass the forked JVM's stdout through RAW (no "[info] " logger prefix)
+// so the final line is pure JSON.
 Global / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -143,13 +143,24 @@ object GraphQueries {
     * bucketed by src (wedge join co-located) and a bloom filter on
     * (src, dst) ahead of the closing SMJ probe — the orientation
     * itself is already the scale-safe one. */
-  private[graft] def triCounts(e: DataFrame): DataFrame = {
-    val deg = e.select(col("s").as("n"))
+  private[graft] def degreesOf(e: DataFrame): DataFrame =
+    e.select(col("s").as("n"))
       .unionByName(e.select(col("t").as("n")))
       .groupBy("n").agg(count(lit(1)).as("dg"))
+
+  private[graft] def triCounts(e: DataFrame): DataFrame = {
+    val deg = degreesOf(e)
+    triCountsOriented(e, deg, orientByDegree(e, deg))
+  }
+
+  /** The counting stage over an already-built (ideally persisted)
+    * oriented edge set — the gated entry materializes `o` once so the
+    * three scans of it (both wedge sides + the closing probe) read the
+    * cache instead of re-running the orientation joins per branch. */
+  private[graft] def triCountsOriented(e: DataFrame, deg: DataFrame,
+      o: DataFrame): DataFrame = {
     val wedges = deg.agg(
       sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
-    val o = orientByDegree(e, deg)
     val cand = o.as("e1").join(broadcast(o.as("e2")), "src")
       .filter(col("e1.dk") < col("e2.dk"))
       .select(col("e1.dst").as("ws"), col("e2.dst").as("wt"))
@@ -254,7 +265,23 @@ object GraphQueries {
         val out = s"/tmp/graft_tri_${graft.Tables.dirTag(d)}"
         try {
           e.count()
-          triCounts(e).write.mode("overwrite").parquet(out)
+          // Materialize the ORIENTED set too (same repartition-before-
+          // persist rationale, keyed by src for the wedge join): its
+          // three consumers (both wedge sides + the closing probe)
+          // then read the cache instead of re-running the two
+          // orientation joins per branch (r8: 3.6 s -> back to the r7
+          // profile in the same bench window).
+          val deg = degreesOf(e)
+          // No repartition here: the orientation is a narrow map over
+          // the cached (already repartitioned) edge set — o inherits
+          // its 32-way layout, and both wedge consumers broadcast o,
+          // so an extra |E| shuffle would buy nothing.
+          val o = orientByDegree(e, deg).persist()
+          try {
+            o.count()
+            triCountsOriented(e, deg, o)
+              .write.mode("overwrite").parquet(out)
+          } finally o.unpersist(blocking = true)
         } finally e.unpersist(blocking = true)
         s.read.parquet(out)
       },
