@@ -18,6 +18,9 @@ run / fork := true
 // pass the forked JVM's stdout through RAW (no "[info] " logger prefix)
 // so the final line is pure JSON.
 Global / showSuccess := false
+// (showSuccess is consumed by sbt's command engine, not a task — exclude
+// it from the unused-key lint so batch output stays warning-free.)
+Global / excludeLintKeys += showSuccess
 run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

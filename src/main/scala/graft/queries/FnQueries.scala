@@ -76,6 +76,28 @@ object FnQueries {
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Hive-partitioned sink + partition-PRUNED read-back — the
+    // pay-the-layout-once posture at 100 TB: a corpus written
+    // partitionBy(lang) answers a single-language query by never
+    // opening the other languages' files at all. Plan-gated: the lang
+    // predicate must land in PartitionFilters (directory pruning), NOT
+    // DataFilters (row filtering after reading everything).
+    "q_sink_partitioned" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = s"/tmp/graft_part_docs_${graft.Tables.dirTag(d)}"
+        t(s, d, "documents").write.mode("overwrite")
+          .partitionBy("lang").parquet(dir)
+        s.read.parquet(dir).filter(col("lang") === "en")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("chars"))
+          .orderBy("source")
+      },
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin)),
+
     // UTC datetime string <-> timestamp conversions + date parts
     // (reference DateTimeString/DateString codecs, sql.py:43-70). The
     // ISO date string is a plain cast (dates render yyyy-MM-dd) and the

@@ -619,15 +619,30 @@ object TextQueries {
         val docs = t(s, d, "documents")
           .select(col("doc_id"),
             size(split(col("text"), " ")).cast("long").as("n_tok"))
-        val nb = math.max(1, s.sparkContext.defaultParallelism).toLong
-        val b = docs.agg(min("n_tok"), max("n_tok")).head()
-        if (b.isNullAt(0))
+        val nb = math.max(1, s.sparkContext.defaultParallelism)
+        if (docs.isEmpty)
           docs.select(col("doc_id"), col("n_tok"), lit(0L).as("shard"))
         else {
-          val (lo, hi) = (b.getLong(0), b.getLong(1))
-          val width = math.max(1L, (hi - lo + nb) / nb)
-          val bucketed = docs.withColumn("bucket",
-            expr(s"(n_tok - ${lo}L) div ${width}L"))
+          // Equi-DEPTH bucket boundaries from a quantile sketch (the
+          // r7 VERDICT's skew posture, now the shipped path): nb-1 cut
+          // points from approxQuantile (GK sketch — one bounded pass,
+          // mergeable at any scale) instead of equi-width (min, max)
+          // arithmetic, which under a Zipf length distribution piles
+          // most rows into bucket 0 and serializes the rank window.
+          // Correctness does not depend on the boundaries: bucket
+          // assignment is a monotone function of n_tok alone (ties
+          // stay together), and the count-offset pass makes the global
+          // rank exact for ANY such bucketing — the sketch only
+          // balances partition sizes.
+          val cuts = docs.stat.approxQuantile("n_tok",
+            (1 until nb).map(_.toDouble / nb).toArray, 0.001)
+            .map(_.toLong).distinct.sorted
+          val bucketCol =
+            if (cuts.isEmpty) lit(0L)
+            else expr("size(filter(array(" +
+              cuts.map(_ + "L").mkString(",") +
+              "), b -> b < n_tok))").cast("long")
+          val bucketed = docs.withColumn("bucket", bucketCol)
           var acc = 0L
           val offs: Map[Long, Long] = bucketed.groupBy("bucket")
             .agg(count(lit(1)).as("cnt")).orderBy("bucket").collect()

@@ -360,6 +360,17 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
   }
 
+  test("q_sink_partitioned prunes at the partition level, not the row level") {
+    val p = planOf("q_sink_partitioned")
+    // The lang predicate must be a directory-level PartitionFilter on
+    // the hive-partitioned layout; if it shows up in DataFilters the
+    // scan read every language's files and filtered rows afterwards —
+    // the difference between touching 1/5th and 5/5ths of a 100 TB
+    // corpus.
+    assert(p.contains("PartitionFilters: [isnotnull(lang"), p)
+    assert("DataFilters: \\[[^\\]]*lang".r.findFirstIn(p).isEmpty, p)
+  }
+
   test("q_dedup_incremental anti-joins the persisted index without re-aggregating it") {
     val p = planOf("q_dedup_incremental")
     // The previous snapshot's digest index must enter the plan as a
