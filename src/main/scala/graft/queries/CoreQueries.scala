@@ -217,6 +217,53 @@ object CoreQueries {
       """SELECT c_custkey AS id, 'customer' AS src FROM customer
         |UNION ALL
         |SELECT s_suppkey AS id, 'supplier' AS src FROM supplier
-        |ORDER BY src, id""".stripMargin))
+        |ORDER BY src, id""".stripMargin)),
+
+    // Six-table star join (the TPC-H Q5 "local supplier volume" shape):
+    // fact⋈fact lineitem⋈orders under a pushed-down date slice, two
+    // dimension hops to customer/supplier, the local-supplier predicate
+    // c_nationkey = s_nationkey riding the supplier join, and the tiny
+    // nation/region dims explicitly broadcast. This is the planner's
+    // classic join-reorder + broadcast showcase: the date filter reaches
+    // the orders parquet scan (plan-gated PushedFilters), size-based
+    // planning broadcasts what is dimension-sized and shuffles what
+    // grows (the r7 100x relational soak's plan-flip posture), and the
+    // 5-row result sort is free. Revenue is exact integer cents —
+    // per-row round to cents BEFORE the sum, so the aggregation is
+    // integer-associative in any engine and partition order.
+    "q_join_star" -> ((
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+        val ord = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, d, "supplier"),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(t(s, d, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(sum(expr(
+            "CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0, 0) AS BIGINT)"))
+            .as("revenue_cents"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("revenue_cents").desc, col("n_name"))
+      },
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+        |    * 100.0, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue_cents DESC, n_name""".stripMargin))
   )
 }

@@ -33,7 +33,8 @@ object SoakX10 {
     // and group cardinality scale with the data; nation/region stay
     // dimension-sized — the 100 TB reality).
     "q_filter", "q_agg_group", "q_agg_distinct", "q_agg_quantile",
-    "q_join_link", "q_join_semi", "q_join_anti", "q_topk_group",
+    "q_join_link", "q_join_semi", "q_join_anti", "q_join_star",
+    "q_topk_group",
     "q_sort_limit", "q_union", "q_window_frames", "q_chunk_sliding",
     // Retrieval family (round 7): the soak corpus renames tokens per
     // copy, so the fixed query terms match only copy 0 — constant

@@ -360,6 +360,17 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
   }
 
+  test("q_join_star pushes the date slice and broadcasts the dims") {
+    val p = planOf("q_join_star")
+    // The order-date slice must reach the orders parquet scan; nation/
+    // region broadcast; no cartesian from the multi-predicate supplier
+    // join (c_nationkey = s_nationkey rides the equality join, it
+    // never becomes a filter over a cross product).
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_sink_partitioned prunes at the partition level, not the row level") {
     val p = planOf("q_sink_partitioned")
     // The lang predicate must be a directory-level PartitionFilter on
