@@ -193,7 +193,9 @@ object TextQueries {
     * pure map over each document row (round 2 shuffled the exploded
     * shingle index into a typed Aggregator to rebuild exactly this
     * per-document state; the signature is a function of the row). */
-  private def minhashCandidates(docs: DataFrame): DataFrame = {
+  /** (doc_id, b, v) banded-bucket relation of the MinHash signatures —
+    * the map-only LSH fingerprint a near-dup index persists. */
+  private def minhashBands(docs: DataFrame): DataFrame = {
     val sigs = docShingles(docs, 3)
       .select(col("doc_id"), expr("minhash_sig(sh)").as("sig"))
     val bandStructs = (0 until numBands).map { j =>
@@ -201,10 +203,48 @@ object TextQueries {
         hash(col("sig").getItem(bandRows * j),
           col("sig").getItem(bandRows * j + 1)).as("v"))
     }
-    val bands = sigs.select(col("doc_id"),
+    sigs.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.v").as("v"))
-    bandedPairs(bands)
+  }
+
+  private def minhashCandidates(docs: DataFrame): DataFrame =
+    bandedPairs(minhashBands(docs))
+
+  /** The incremental candidate join (batch bands ⋈ persisted band
+    * index). Exposed as a probe so PlanQualitySpec can assert the base
+    * side enters as a parquet SCAN of the index — exactly one
+    * minhash_sig pass in the whole plan (the new batch), never a
+    * re-signature of the accumulated corpus. */
+  private[graft] def incMinhashCandidateProbe(s: SparkSession, d: String): DataFrame = {
+    val baseBands = s.read.parquet(ensureBandIndex(s, d))
+      .select(col("doc_id").as("doc_a"), col("b"), col("v"))
+    minhashBands(t(s, d, "documents").filter(col("doc_id") % 4 === 3))
+      .select(col("doc_id").as("doc_b"), col("b"), col("v"))
+      .join(baseBands, Seq("b", "v"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Build-once persisted MinHash band index of the "previous
+    * snapshot" (doc_id % 4 <> 3) — the NEAR-dup twin of
+    * ensureDigestIndex's exact-digest table: (doc_id, b, v) LSH
+    * buckets, the artifact a continuously-ingesting pipeline carries
+    * across syncs so new batches can be near-dup-checked without
+    * re-signaturing the accumulated corpus. */
+  private def ensureBandIndex(s: SparkSession, d: String): String = {
+    val dir = s"/tmp/graft_bandidx_${graft.Tables.dirTag(d)}_v1"
+    import java.nio.file.{Files, Paths}
+    val success = Paths.get(dir, "_SUCCESS")
+    val src = Paths.get(d, "documents.parquet")
+    val srcM =
+      if (Files.exists(src)) Files.getLastModifiedTime(src).toMillis
+      else Long.MaxValue
+    val fresh = Files.exists(success) &&
+      Files.getLastModifiedTime(success).toMillis >= srcM
+    if (!fresh)
+      minhashBands(t(s, d, "documents").filter(col("doc_id") % 4 =!= 3))
+        .write.mode("overwrite").parquet(dir)
+    dir
   }
 
   // ---- SimHash: 64-bit signature over distinct 3-gram shingles,
@@ -1228,6 +1268,38 @@ object TextQueries {
             s"/tmp/graft_cand_minhash_${graft.Tables.dirTag(d)}", 0.7)
         }.orderBy("doc_a", "doc_b"),
       verifySql(s"/tmp/graft_cand_minhash_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}", 0.7))),
+
+    // Incremental cross-snapshot NEAR-dup — the MinHash twin of
+    // q_dedup_incremental, and the operator a continuously-ingesting
+    // pretraining pipeline actually needs (exact digests only catch
+    // byte-identical recrawls; near-dup catches boilerplate re-renders).
+    // The NEW batch (doc_id % 4 = 3) is signatured map-only; its LSH
+    // bands equality-join the persisted band index of the previous
+    // snapshot (ensureBandIndex — the accumulated corpus is never
+    // re-signatured), and only the band-collision candidates pay the
+    // exact-jaccard verify, over a shingle index built from JUST the
+    // docs that appear in some candidate pair (semi-join pruned — at
+    // 100 TB this is the bounded re-fetch of matched docs' text, not a
+    // corpus rescan; a production index would persist shingle sets
+    // alongside the bands). Output: verified (base doc_a, batch doc_b,
+    // jaccard >= 0.7) pairs; the oracle re-verifies the exact candidate
+    // set from the side-file, same protocol as q_dedup_minhash.
+    "q_dedup_minhash_inc" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val candPath = s"/tmp/graft_cand_minhinc_${graft.Tables.dirTag(d)}"
+        incMinhashCandidateProbe(s, d)
+          .write.mode("overwrite").parquet(candPath)
+        val cand = s.read.parquet(candPath)
+        val candDocs = cand.select(col("doc_a").as("doc_id"))
+          .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+        val inPlay = docs.join(candDocs, Seq("doc_id"), "left_semi")
+        withShingleIndex(s, inPlay, 3,
+          s"/tmp/graft_res_minhinc_${graft.Tables.dirTag(d)}") { idx =>
+          jaccardFilter(interFor(cand, idx), sizesOf(inPlay, 3), 0.7)
+        }.orderBy("doc_a", "doc_b")
+      },
+      verifySql(s"/tmp/graft_cand_minhinc_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}", 0.7))),
 
     // SimHash near-dup: 64-bit signature, 16-bit bands -> candidates ->
     // exact verify. Oracle re-verifies the candidates.

@@ -62,8 +62,10 @@ object SoakX10 {
     "q_unpivot", "q_topk_sketch",
     // Round 8: incremental dedup's anti-join rides the 100x digest
     // index (the side that outgrows a broadcast); bm25_multi's pruned
-    // token scan and 3-partition window must scale like q_text_bm25.
-    "q_dedup_incremental", "q_text_bm25_multi",
+    // token scan and 3-partition window must scale like q_text_bm25;
+    // minhash_inc's cost must track the batch signature + candidate
+    // verify, with the corpus contributing only an index scan.
+    "q_dedup_incremental", "q_text_bm25_multi", "q_dedup_minhash_inc",
     // LM perplexity: bigram train + score joins are both corpus-sized
     // (the one deliberately fact-fact text op) — per-row cost must stay
     // flat as bigram cardinality grows 100x.

@@ -360,6 +360,18 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
   }
 
+  test("q_dedup_minhash_inc signatures only the batch; the corpus enters as an index scan") {
+    val p = graft.queries.TextQueries.incMinhashCandidateProbe(spark, dir)
+      .queryExecution.executedPlan.toString
+    // The previous snapshot's side of the candidate join must be a
+    // parquet scan of the persisted band index — a second minhash_sig
+    // occurrence would mean the accumulated corpus is re-signatured on
+    // every sync, the thing incremental near-dup exists to avoid.
+    assert(p.contains("graft_bandidx_"), p)
+    assert("minhash_sig".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_join_star pushes the date slice and broadcasts the dims") {
     val p = planOf("q_join_star")
     // The order-date slice must reach the orders parquet scan; nation/
