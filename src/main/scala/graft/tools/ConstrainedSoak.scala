@@ -17,7 +17,12 @@ object ConstrainedSoak {
 
   private val Heavy = Seq(
     "q_dedup_minhash", "q_corpus_clean", "q_dedup_cluster",
-    "q_window_range", "q_embed_pq")
+    "q_window_range", "q_embed_pq",
+    // Round-8 heavies: the incremental near-dup's candidate verify,
+    // the corpus-sized bigram train/score joins, the multi-query BM25
+    // head, and the six-table star join.
+    "q_dedup_minhash_inc", "q_text_perplexity", "q_text_bm25_multi",
+    "q_join_star")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkEnv.session(
