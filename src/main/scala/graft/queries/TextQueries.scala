@@ -921,7 +921,7 @@ object TextQueries {
         |      * 10000.0, 0) AS BIGINT) AS s4
         |  FROM tf t JOIN dfq q USING (term) JOIN dl l USING (doc_id), n),
         |scored AS (
-        |  SELECT r.query_id, s.doc_id, sum(s.s4) AS bm25_e4
+        |  SELECT r.query_id, s.doc_id, CAST(sum(s.s4) AS BIGINT) AS bm25_e4
         |  FROM sc s JOIN qrel r USING (term) GROUP BY 1, 2),
         |rk AS (
         |  SELECT query_id, doc_id, bm25_e4,

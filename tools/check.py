@@ -60,16 +60,38 @@ def main():
             res_dir = f"{OUT}/{name}"
             spark = con.sql(
                 f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
-            scols, srows = spark.columns, spark.fetchall()
+            scols, stypes = spark.columns, [str(t) for t in spark.types]
+            srows = spark.fetchall()
             oracle = con.sql(sql)
-            ocols, orows = oracle.columns, oracle.fetchall()
+            ocols, otypes = oracle.columns, [str(t) for t in oracle.types]
+            orows = oracle.fetchall()
         except Exception as e:
             print(f"FAIL {name}: exception {str(e)[:200]}")
             n_fail += 1
             continue
         ok = True
+        # The driver hashes what each engine SERIALIZES, so identical values
+        # with different physical types (e.g. DuckDB promoting sum(BIGINT)
+        # to HUGEINT/int128) still hash-mismatch.  Mirror that: oracle result
+        # types must match the Spark parquet result types per column, and
+        # never be HUGEINT/DECIMAL (which Arrow serializes as decimal128).
+        stype_by = dict(zip(scols, stypes))
+        otype_by = dict(zip(ocols, otypes))
+        bad_types = [(c, t) for c, t in otype_by.items()
+                     if "HUGEINT" in t or "DECIMAL" in t]
+        mismatches = [(c, stype_by[c], otype_by[c])
+                      for c in sorted(set(scols) & set(ocols))
+                      if stype_by[c] != otype_by[c]]
         if sorted(scols) != sorted(ocols):
             print(f"FAIL {name}: cols spark={scols} oracle={ocols}")
+            ok = False
+        elif bad_types:
+            print(f"FAIL {name}: oracle wide types {bad_types} "
+                  f"(add CAST(... AS BIGINT/DOUBLE) in the oracle SQL)")
+            ok = False
+        elif mismatches:
+            print(f"FAIL {name}: type mismatch (col, spark, oracle): "
+                  f"{mismatches}")
             ok = False
         elif len(srows) != len(orows):
             print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}")
