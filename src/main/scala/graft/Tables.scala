@@ -28,6 +28,51 @@ object Tables {
     * dir's tag. */
   val VerifySfDir = "/root/testdata/sf0.01"
 
+  /** Content fingerprint of a source parquet file/dir plus a
+    * caller-supplied params tag: every regular file's relative path,
+    * size, and mtime. Derived-artifact freshness keys on this instead
+    * of a bare mtime comparison — a fixture regenerated within one
+    * mtime-granularity tick still changes size, and a change to the
+    * derivation's parameters (band count, hash seed, dump version)
+    * changes the tag, so neither can silently serve a stale artifact. */
+  def sourceFingerprint(sources: Seq[java.nio.file.Path],
+      params: String): String = {
+    import java.nio.file.Files
+    val parts = scala.collection.mutable.ArrayBuffer[String](params)
+    sources.foreach { src =>
+      if (Files.isDirectory(src)) {
+        val stream = Files.walk(src)
+        try stream.sorted().forEach { p =>
+          if (Files.isRegularFile(p))
+            parts += s"${src.relativize(p)}:${Files.size(p)}:" +
+              s"${Files.getLastModifiedTime(p).toMillis}"
+        } finally stream.close()
+      } else if (Files.exists(src))
+        parts += s"${src.getFileName}:${Files.size(src)}:" +
+          s"${Files.getLastModifiedTime(src).toMillis}"
+      else parts += s"${src.getFileName}:missing"
+    }
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(parts.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Build-once guard for a derived artifact dir: rebuild when the
+    * recorded fingerprint differs from the current one (or the build
+    * never completed — the marker is written only after `build`). */
+  def ensureDerived(dir: String, fingerprint: String)(
+      build: => Unit): String = {
+    import java.nio.file.{Files, Paths}
+    val marker = Paths.get(dir, "_GRAFT_FINGERPRINT")
+    val fresh = Files.exists(marker) &&
+      Files.readString(marker).trim == fingerprint
+    if (!fresh) {
+      build
+      Files.writeString(marker, fingerprint)
+    }
+    dir
+  }
+
   val all = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 

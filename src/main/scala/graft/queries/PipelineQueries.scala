@@ -63,16 +63,13 @@ object PipelineQueries {
     * fixture (same protocol as the stream staging dumps). */
   private def ensureDump(d: String, tables: Seq[String], dump: String)(
       lines: => DataFrame): Unit = {
-    import java.nio.file.{Files, Paths}
-    val success = Paths.get(dump, "_SUCCESS")
-    val srcMtime = tables.map { tb =>
-      val p = Paths.get(d, s"$tb.parquet")
-      if (Files.exists(p)) Files.getLastModifiedTime(p).toMillis
-      else Long.MaxValue
-    }.max
-    val fresh = Files.exists(success) &&
-      Files.getLastModifiedTime(success).toMillis >= srcMtime
-    if (!fresh) lines.write.mode("overwrite").text(dump)
+    val fp = graft.Tables.sourceFingerprint(
+      tables.map(tb => java.nio.file.Paths.get(d, s"$tb.parquet")),
+      s"envdump_v$DumpVersion")
+    graft.Tables.ensureDerived(dump, fp) {
+      lines.write.mode("overwrite").text(dump)
+    }
+    ()
   }
 
   // -- Envelope-line builders shared by the source-search dumps --------

@@ -77,6 +77,66 @@ object SnapshotQueries {
         |CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS sum_price_e2
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // Time travel over the manifest chain — the query surface the r3
+    // manifest protocol was built to carry (every snapshot records its
+    // parent in a `_PARENT` marker; the retention rule keeps HEAD's
+    // parent alive until the sweep after next). Two syncs land two
+    // versions; the gate reads the table AS OF version N-1 through the
+    // chain walk and classifies what HEAD changed relative to it. The
+    // reference's whole sync model is repeated snapshot refresh
+    // (sql.py:129-159); AS OF is the natural read over those
+    // generations. Oracle: both versions are deterministic derivations
+    // of `documents`, so DuckDB recomputes the diff directly. At 100 TB
+    // the chain walk is O(versions) tiny pointer reads on the driver;
+    // the data read is one snapshot dir either way.
+    "q_snapshot_asof" -> ((
+      (s: SparkSession, d: String) => {
+        val base = s"/tmp/graft_asof_${graft.Tables.dirTag(d)}"
+        val docs = t(s, d, "documents")
+        val vOld = docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("n_chars"))
+        val vNew = docs.filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0, col("n_chars") + 1)
+              .otherwise(col("n_chars")).as("n_chars"))
+        SnapshotSwap.writeManifested(vOld, base, "docs")
+        SnapshotSwap.writeManifested(vNew, base, "docs")
+        val head = SnapshotSwap.readManifested(s, base, "docs")
+        val asof = SnapshotSwap.readAsOf(s, base, "docs",
+          SnapshotSwap.currentVersion(base, "docs") - 1)
+        asof.select(col("doc_id"), col("n_chars").as("old_chars"))
+          .join(head.select(col("doc_id"), col("n_chars").as("new_chars")),
+            Seq("doc_id"), "full_outer")
+          .withColumn("change",
+            when(col("old_chars").isNull, "added")
+              .when(col("new_chars").isNull, "removed")
+              .when(col("old_chars") =!= col("new_chars"), "changed")
+              .otherwise("unchanged"))
+          .filter(col("change") =!= "unchanged")
+          .groupBy("change")
+          .agg(count(lit(1)).as("cnt"),
+            sum("doc_id").cast("long").as("sum_ids"))
+          .orderBy("change")
+      },
+      """WITH old AS (
+        |  SELECT doc_id, n_chars FROM documents WHERE doc_id % 7 <> 0),
+        |neu AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN n_chars + 1 ELSE n_chars END
+        |      AS n_chars
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |diff AS (
+        |  SELECT COALESCE(old.doc_id, neu.doc_id) AS doc_id,
+        |    CASE WHEN old.n_chars IS NULL THEN 'added'
+        |         WHEN neu.n_chars IS NULL THEN 'removed'
+        |         WHEN old.n_chars <> neu.n_chars THEN 'changed'
+        |         ELSE 'unchanged' END AS change
+        |  FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id)
+        |SELECT change, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM diff WHERE change <> 'unchanged'
+        |GROUP BY change ORDER BY change""".stripMargin)),
+
     // Snapshot diff — the domain's natural follow-up to P12: what
     // changed between two collects (added / removed / changed rows).
     // One full-outer join on the key classifies everything; unchanged

@@ -30,21 +30,20 @@ object StreamQueries {
   private[queries] val DumpVersion = 2
 
   /** Re-encode a source table into a file-stream staging dir, skipping
-    * the copy only when the existing dump is complete (_SUCCESS) AND at
-    * least as new as the source fixture — a source regenerated in place
-    * must never be served from a stale dump (the gate would compare
-    * stale Spark output against a fresh oracle). */
+    * the copy only when the existing dump carries the current source
+    * CONTENT fingerprint (size+mtime of every source file, plus the
+    * dump version) — a source regenerated in place must never be served
+    * from a stale dump (the gate would compare stale Spark output
+    * against a fresh oracle). */
   private def ensureStreamDump(d: String, table: String, dumpDir: String)(
       df: => DataFrame): Unit = {
-    import java.nio.file.{Files, Paths}
-    val success = Paths.get(dumpDir, "_SUCCESS")
-    val src = Paths.get(d, s"$table.parquet")
-    val srcMtime =
-      if (Files.exists(src)) Files.getLastModifiedTime(src).toMillis
-      else Long.MaxValue // unknown source shape: always rewrite
-    val fresh = Files.exists(success) &&
-      Files.getLastModifiedTime(success).toMillis >= srcMtime
-    if (!fresh) df.write.mode("overwrite").parquet(dumpDir)
+    val fp = graft.Tables.sourceFingerprint(
+      Seq(java.nio.file.Paths.get(d, s"$table.parquet")),
+      s"streamdump_v$DumpVersion")
+    graft.Tables.ensureDerived(dumpDir, fp) {
+      df.write.mode("overwrite").parquet(dumpDir)
+    }
+    ()
   }
 
   /** Gate-scale streaming constants, scoped to one query and restored:
@@ -86,6 +85,48 @@ object StreamQueries {
         case None => s.conf.unset(providerKey)
       }
     }
+  }
+
+  /** One micro-batch of the streaming incremental dedup sink
+    * (q_stream_dedup_inc): collapse the micro-batch on its content
+    * digest, LEFT ANTI join against the PERSISTED corpus digest index
+    * (the q_dedup_incremental protocol — the accumulated corpus is
+    * never rescanned), log the batch's surviving digests, and append
+    * the stream-first-seen ones to the stream's accepted-digest index.
+    * Both writes are keyed by micro-batch id and OVERWRITE their own
+    * dir, so a replayed batch (foreachBatch is at-least-once)
+    * reproduces rather than duplicates its output — exactly-once
+    * acceptance, asserted across a literal restart in StreamDedupSpec.
+    * At 100 TB the per-batch anti-join is batch-sized vs an index scan
+    * (broadcast the batch side), and the acceptance append is one new
+    * file per micro-batch — the index compacts on the next full sync. */
+  /** The per-micro-batch observation plan: batch collapsed map-side on
+    * its digest, LEFT ANTI against the persisted index (scan-only side
+    * — plan-gated in PlanQualitySpec). */
+  private[graft] def incDedupObsPlan(batch: DataFrame,
+      baseIdx: DataFrame): DataFrame =
+    batch.groupBy(sha2(col("text"), 256).as("digest"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .join(baseIdx, Seq("digest"), "left_anti")
+
+  private[graft] def incDedupBatch(batch: DataFrame, baseIdx: DataFrame,
+      root: String, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    incDedupObsPlan(batch, baseIdx)
+      .write.mode("overwrite").parquet(s"$root/obs/batch=$batchId")
+    val obs = s.read.parquet(s"$root/obs/batch=$batchId").select("digest")
+    // Accepted-so-far = strictly EARLIER batches only: a replay of this
+    // batch must not see its own previous attempt's output.
+    val priorDirs = Option(new java.io.File(s"$root/idx").listFiles())
+      .getOrElse(Array.empty[java.io.File]).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .filter(_.getName.stripPrefix("batch=").toLong < batchId)
+      .map(_.getAbsolutePath)
+    val accepted =
+      if (priorDirs.isEmpty) obs
+      else obs.join(s.read.parquet(priorDirs: _*).select("digest"),
+        Seq("digest"), "left_anti")
+    accepted.write.mode("overwrite").parquet(s"$root/idx/batch=$batchId")
   }
 
   def streamCounts(s: SparkSession, d: String): DataFrame = {
@@ -147,6 +188,59 @@ object StreamQueries {
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
         |CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin)),
+
+    // Streaming incremental dedup — q_stream_dedup composed with the
+    // persisted digest-index protocol: the operator a continuously-
+    // ingesting pretraining pipeline actually runs. The NEW batch
+    // (doc_id % 4 = 3) streams in as four files / four micro-batches
+    // (maxFilesPerTrigger=1); each micro-batch anti-joins the persisted
+    // corpus digest index (never rescanning the accumulated corpus) and
+    // appends its stream-first-seen digests to the acceptance index,
+    // idempotently per batch id. The gate answer aggregates the
+    // per-batch observation log, which is micro-batch-split independent
+    // — the oracle is the BATCH-equivalent incremental dedup (same SQL
+    // as q_dedup_incremental). Exactly-once acceptance across restarts
+    // is pinned in StreamDedupSpec.
+    "q_stream_dedup_inc" -> ((
+      (s: SparkSession, d: String) => {
+        val tag = graft.Tables.dirTag(d)
+        val srcDir = s"/tmp/graft_stream_newb_${tag}_v$DumpVersion"
+        ensureStreamDump(d, "documents", srcDir)(
+          t(s, d, "documents").filter(col("doc_id") % 4 === 3)
+            .repartition(4))
+        val baseIdx = s.read.parquet(TextQueries.ensureDigestIndex(s, d))
+        val root = s"/tmp/graft_sdinc_$tag"
+        // Fresh run per gate invocation: restart semantics are the
+        // spec's subject; the gate needs a deterministic end state.
+        graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        withStreamGateConfs(s) {
+          val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            Long) => Unit = (b, id) => incDedupBatch(b, baseIdx, root, id)
+          val q = stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        s.read.parquet(s"$root/obs")
+          .groupBy("digest")
+          .agg(min("doc_id").as("doc_id"), sum("n_copies").as("n_copies"))
+          .select("doc_id", "digest", "n_copies")
+          .orderBy("doc_id")
+      },
+      """WITH base AS (
+        |  SELECT DISTINCT sha256(text) AS digest FROM documents
+        |  WHERE doc_id % 4 <> 3),
+        |bd AS (
+        |  SELECT sha256(text) AS digest,
+        |    CAST(min(doc_id) AS BIGINT) AS doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_copies
+        |  FROM documents WHERE doc_id % 4 = 3 GROUP BY 1)
+        |SELECT doc_id, digest, n_copies FROM bd
+        |WHERE NOT EXISTS (SELECT 1 FROM base WHERE base.digest = bd.digest)
+        |ORDER BY doc_id""".stripMargin)),
 
     // Per-key session windows (30-minute inactivity gap) — the
     // session-window flavor of P6's per-key batching; the same

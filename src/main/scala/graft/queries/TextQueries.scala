@@ -233,18 +233,18 @@ object TextQueries {
     * re-signaturing the accumulated corpus. */
   private def ensureBandIndex(s: SparkSession, d: String): String = {
     val dir = s"/tmp/graft_bandidx_${graft.Tables.dirTag(d)}_v1"
-    import java.nio.file.{Files, Paths}
-    val success = Paths.get(dir, "_SUCCESS")
-    val src = Paths.get(d, "documents.parquet")
-    val srcM =
-      if (Files.exists(src)) Files.getLastModifiedTime(src).toMillis
-      else Long.MaxValue
-    val fresh = Files.exists(success) &&
-      Files.getLastModifiedTime(success).toMillis >= srcM
-    if (!fresh)
+    // Freshness keys on the source CONTENT fingerprint plus every
+    // signature parameter — not a bare mtime comparison (r8 ADVICE:
+    // same-tick regeneration or a timestamp-preserving restore must
+    // not serve a stale index, and a band/hash-count change must
+    // invalidate it).
+    val fp = graft.Tables.sourceFingerprint(
+      Seq(java.nio.file.Paths.get(d, "documents.parquet")),
+      s"minhash:$numHashes:$numBands:$bandRows:shingle3")
+    graft.Tables.ensureDerived(dir, fp) {
       minhashBands(t(s, d, "documents").filter(col("doc_id") % 4 =!= 3))
         .write.mode("overwrite").parquet(dir)
-    dir
+    }
   }
 
   // ---- SimHash: 64-bit signature over distinct 3-gram shingles,
@@ -356,21 +356,15 @@ object TextQueries {
     * when the fixture is newer than the dump (same freshness protocol
     * as StreamQueries.ensureStreamDump); the gated incremental query
     * only ever READS it. */
-  private def ensureDigestIndex(s: SparkSession, d: String): String = {
+  private[queries] def ensureDigestIndex(s: SparkSession, d: String): String = {
     val dir = s"/tmp/graft_digidx_${graft.Tables.dirTag(d)}_v1"
-    import java.nio.file.{Files, Paths}
-    val success = Paths.get(dir, "_SUCCESS")
-    val src = Paths.get(d, "documents.parquet")
-    val srcM =
-      if (Files.exists(src)) Files.getLastModifiedTime(src).toMillis
-      else Long.MaxValue
-    val fresh = Files.exists(success) &&
-      Files.getLastModifiedTime(success).toMillis >= srcM
-    if (!fresh)
+    val fp = graft.Tables.sourceFingerprint(
+      Seq(java.nio.file.Paths.get(d, "documents.parquet")), "sha256")
+    graft.Tables.ensureDerived(dir, fp) {
       t(s, d, "documents").filter(col("doc_id") % 4 =!= 3)
         .select(sha2(col("text"), 256).as("digest")).distinct()
         .write.mode("overwrite").parquet(dir)
-    dir
+    }
   }
 
   /** Incremental cross-snapshot dedup: dedup a NEW batch (doc_id % 4 =
@@ -848,11 +842,17 @@ object TextQueries {
     // the per-query top-10 is one window partitioned by query_id —
     // thousands of query partitions spread across executors.
     // Determinism across engines: the per-(doc, term) score is rounded
-    // to 1e-4 FIRST (absorbing the ≤1-ulp libm ln() divergence exactly
-    // as q_text_bm25's round(…,4) does) and materialized as an exact
-    // BIGINT in 1e-4 units — the per-(query, doc) sum is then integer
-    // arithmetic, associative under any grouping order, so neither
-    // engine can drift by float reassociation.
+    // to 1e-4 FIRST and materialized as an exact BIGINT in 1e-4 units —
+    // the per-(query, doc) sum is then integer arithmetic, associative
+    // under any grouping order, so neither engine can drift by float
+    // reassociation. BOUNDARY ASSUMPTION (r8 ADVICE): rounding absorbs
+    // the ≤1-ulp libm ln() divergence only AWAY from .5 boundaries — a
+    // raw score within ~1e-8 units of a boundary could round apart
+    // under Math.log vs DuckDB ln. This is fixture-dependent, so
+    // tools/check.py's boundary_audit re-measures the minimum margin on
+    // every gate run (requires ≥1e-4 units; sf0.01 measures ~1.1e-3)
+    // and fails loudly if a regenerated fixture lands near a boundary.
+    // Same audit covers q_text_perplexity's nll_e6.
     "q_text_bm25_multi" -> ((
       (s: SparkSession, d: String) => {
         val qrel = {

@@ -20,7 +20,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SnapshotSwap {
 
-  private[sink] def rm(p: Path): Unit = {
+  private[graft] def rm(p: Path): Unit = {
     if (Files.exists(p)) {
       if (Files.isDirectory(p)) {
         val children = Files.list(p)
@@ -300,6 +300,13 @@ object SnapshotSwap {
         versionOf(table, n).exists(_ < pubVersion))
       .foreach(n => fs.deleteRecursive(s"$base/$n"))
     fs.stage(df, dataDir)
+    // Manifest chain: every snapshot records its parent (the snapshot
+    // published when this sync started) in a `_PARENT` marker inside
+    // its own immutable dir — Iceberg's previous-metadata link. Written
+    // BEFORE the pointer commit so a published snapshot always carries
+    // its chain; underscore-prefixed, so parquet readers ignore it.
+    fs.commitPointer(s"$dataDir/_PARENT", s"$dataDir/_parent_tmp_$uniq",
+      prev.getOrElse(""))
     beforeCommit()
     // Atomic publish: re-check the pointer under the lock, then commit
     // the new pointer (tmp+rename on nio; a direct atomic object PUT on
@@ -340,6 +347,41 @@ object SnapshotSwap {
       table: String): DataFrame = {
     val snap = currentSnapshot(base, table).getOrElse(
       sys.error(s"no published snapshot for $table under $base"))
+    spark.read.parquet(s"$base/$snap")
+  }
+
+  /** The version number of the currently published snapshot (0 if none
+    * published yet). */
+  def currentVersion(base: String, table: String): Long =
+    currentSnapshot(base, table).flatMap(versionOf(table, _)).getOrElse(0L)
+
+  /** Time travel: resolve the snapshot dir that was published AS OF
+    * `version` by walking the `_PARENT` chain back from HEAD. Only
+    * versions not yet swept resolve — the retention contract keeps HEAD
+    * and HEAD's parent alive (the parent is swept at the START of the
+    * sync after next), so `currentVersion - 1` is always readable;
+    * anything older is best-effort until its sweep. Returns None when
+    * the requested version has been swept (the chain walk dead-ends at
+    * a missing `_PARENT` pointer) or never existed. */
+  def snapshotAsOf(base: String, table: String,
+      version: Long): Option[String] = {
+    val fs = swapFsFor(base)
+    var cur = currentSnapshot(base, table)
+    while (cur.exists(n => versionOf(table, n).exists(_ > version)))
+      cur = fs.readPointer(s"$base/${cur.get}/_PARENT").filter(_.nonEmpty)
+    cur.filter(n => versionOf(table, n).contains(version))
+      // The chain can still NAME a swept generation (the child's
+      // _PARENT marker outlives its parent dir) — readable means the
+      // dir itself survived the sweep.
+      .filter(n => fs.listNames(base).contains(n))
+  }
+
+  /** Read the snapshot AS OF `version` through the manifest chain. */
+  def readAsOf(spark: SparkSession, base: String, table: String,
+      version: Long): DataFrame = {
+    val snap = snapshotAsOf(base, table, version).getOrElse(sys.error(
+      s"version $version of '$table' under $base is not readable " +
+        "(swept or never published)"))
     spark.read.parquet(s"$base/$snap")
   }
 

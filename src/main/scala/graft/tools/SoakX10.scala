@@ -78,7 +78,17 @@ object SoakX10 {
     // Containment rides the 10x document corpus (inverted-index shape,
     // same scaling law as q_dedup_ngram); zorder is map-only — its
     // soak cost is the scan + the gate's output sort.
-    "q_text_containment", "q_zorder")
+    "q_text_containment", "q_zorder",
+    // Round 8 format/sink family (r8 VERDICT ask #4): ORC and JSONL
+    // round-trips are map-only re-encodes (cost = scan + write, must
+    // stay linear); the partitioned sink's pruned read-back must keep
+    // touching only the en partition as the corpus grows.
+    "q_scan_orc", "q_scan_jsonl", "q_sink_partitioned",
+    // Round 9: AS OF reads write two snapshot generations and diff
+    // them (linear in snapshot size, one full-outer join); the
+    // streaming incremental dedup rides the 100x batch through four
+    // micro-batches against the 100x digest index.
+    "q_snapshot_asof", "q_stream_dedup_inc")
 
   def ensureSoakDir(spark: SparkSession, baseSf: String, dir: String,
       x: Long): Unit = {
@@ -221,16 +231,18 @@ object SoakX10 {
     // no code change — while the explicitly-broadcast nation stays
     // broadcast. Print the operator census of both plans so PLANS.md
     // can record the flip.
-    if (only.forall(_.contains("q_join_link"))) {
-      def joinCensus(d: String): String = {
-        val p = graft.SparkEntry.queries("q_join_link")(spark, d)
-          .queryExecution.executedPlan.toString
-        val bhj = "BroadcastHashJoin".r.findAllIn(p).length
-        val smj = "SortMergeJoin".r.findAllIn(p).length
-        s"BroadcastHashJoin=$bhj SortMergeJoin=$smj"
+    def joinCensus(q: String, d: String): String = {
+      val p = graft.SparkEntry.queries(q)(spark, d)
+        .queryExecution.executedPlan.toString
+      val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+      val smj = "SortMergeJoin".r.findAllIn(p).length
+      s"BroadcastHashJoin=$bhj SortMergeJoin=$smj"
+    }
+    Seq("q_join_link", "q_join_star").foreach { q =>
+      if (only.forall(_.contains(q))) {
+        println(s"$q plan at base: ${joinCensus(q, baseSf)}")
+        println(s"$q plan at ${x}x: ${joinCensus(q, dir)}")
       }
-      println(s"q_join_link plan at base: ${joinCensus(baseSf)}")
-      println(s"q_join_link plan at ${x}x: ${joinCensus(dir)}")
     }
     spark.stop()
   }

@@ -64,6 +64,32 @@ class SnapshotSwapSpec extends SparkSpecBase {
     }
   }
 
+  test("AS OF reads walk the manifest chain; old versions readable until swept") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_asof").toString
+    SnapshotSwap.writeManifested(Seq((1, "a")).toDF("id", "v"), base, "t")
+    SnapshotSwap.writeManifested(Seq((2, "b")).toDF("id", "v"), base, "t")
+    assert(SnapshotSwap.currentVersion(base, "t") == 2)
+
+    // HEAD-1 resolves through the _PARENT chain and reads the v1 data.
+    assert(SnapshotSwap.readAsOf(spark, base, "t", 1)
+      .as[(Int, String)].collect().toSeq == Seq((1, "a")))
+    assert(SnapshotSwap.readAsOf(spark, base, "t", 2)
+      .as[(Int, String)].collect().toSeq == Seq((2, "b")))
+
+    // Third sync: v1 is swept at its start (retention keeps only the
+    // published predecessor), v2 becomes the retained parent.
+    SnapshotSwap.writeManifested(Seq((3, "c")).toDF("id", "v"), base, "t")
+    assert(SnapshotSwap.readAsOf(spark, base, "t", 2)
+      .as[(Int, String)].collect().toSeq == Seq((2, "b")))
+    assert(SnapshotSwap.snapshotAsOf(base, "t", 1).isEmpty) // swept
+    intercept[RuntimeException] {
+      SnapshotSwap.readAsOf(spark, base, "t", 1)
+    }
+    // A version that never existed is not readable either.
+    assert(SnapshotSwap.snapshotAsOf(base, "t", 99).isEmpty)
+  }
+
   test("manifest swap runs a full publish/read/sweep cycle on a rename-less FileSystem") {
     import spark.implicits._
     // Close the testable half of the P15 object-store residual

@@ -43,6 +43,32 @@ class TablesSpec extends SparkSpecBase {
       .collect().head.getInt(0) == 1)
   }
 
+  test("events refuses a non-UTC session instead of shifting instants") {
+    // The NTZ->timestamp cast is instant-preserving only under UTC; a
+    // non-UTC session must fail loudly, not shift silently (both the
+    // Spark side and a DuckDB oracle would shift together, so the
+    // correctness gate could never catch it).
+    val key = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "America/New_York")
+    try {
+      val e = intercept[IllegalArgumentException](Tables.events(spark, dir))
+      assert(e.getMessage.contains("UTC"))
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("events rejects an unexpected ts physical type") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_badts_")
+      .toString
+    // A string-typed ts is none of the three known fixture generations
+    // (INT64 nanos / TIMESTAMP_NTZ micros / TIMESTAMP) — error, don't guess.
+    spark.range(3).select(col("id"), lit("2024-01-01").as("ts"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val e = intercept[IllegalStateException](Tables.events(spark, tmp))
+    assert(e.getMessage.contains("unexpected type"))
+  }
+
   test("dirTag distinguishes same-basename dirs and normalizes slashes") {
     assert(Tables.dirTag("/root/testdata/sf0.01") ==
       Tables.dirTag("/root/testdata/sf0.01/"))

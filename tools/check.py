@@ -44,6 +44,74 @@ def norm(v):
         return v.hex()
     return v
 
+# The integer-unit determinism trick (round scores to 1e-4/1e-6 BIGINT
+# units pre-sum) absorbs cross-engine libm differences ONLY while no raw
+# score sits near a .5 rounding boundary: a score within ~1 ulp of a
+# boundary would round differently under Spark's Math.log vs DuckDB's
+# ln. A 1-ulp ln() divergence moves a score by ~1e-8 units, so require
+# every raw score to clear the boundary by 1e-4 units — fixture
+# regeneration re-verifies this automatically (r8 ADVICE).
+BOUNDARY_EPS = 1e-4
+BOUNDARY_AUDITS = {
+    "q_text_bm25_multi": """
+      WITH qrel AS (
+        SELECT unnest(['vector','stream','merge','join','hash','window',
+                       'scan','filter','sort']) AS term),
+      dl AS (SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+             FROM documents),
+      n AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents)
+        WHERE term IN (SELECT term FROM qrel) GROUP BY 1, 2),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      raw AS (
+        SELECT ln(1.0 + (CAST(n.n_docs - q.df AS DOUBLE) + 0.5)
+                        / (CAST(q.df AS DOUBLE) + 0.5))
+             * (CAST(t.tf AS DOUBLE) * 2.2)
+             / (CAST(t.tf AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                  / (CAST(n.sum_dl AS DOUBLE) / CAST(n.n_docs AS DOUBLE)))))
+             * 10000.0 AS x
+        FROM tf t JOIN dfq q USING (term) JOIN dl l USING (doc_id), n)
+      SELECT min(abs(x - floor(x) - 0.5)) FROM raw""",
+    "q_text_perplexity": """
+      WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts
+                  FROM documents),
+      u AS (SELECT doc_id, unnest(ts) AS w,
+              generate_subscripts(ts, 1) AS pos FROM tk),
+      bi AS (SELECT a.doc_id, a.w || ' ' || b.w AS g
+             FROM u a JOIN u b
+               ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+      c12 AS (SELECT g, count(*) AS c12 FROM bi GROUP BY 1),
+      c1 AS (SELECT string_split(g, ' ')[1] AS w1, sum(c12) AS c1
+             FROM c12 GROUP BY 1),
+      v AS (SELECT count(DISTINCT w) AS v FROM u),
+      raw AS (
+        SELECT ln((CAST(c12.c12 AS DOUBLE) + 1.0)
+                  / (CAST(c1.c1 AS DOUBLE) + CAST(v.v AS DOUBLE)))
+               * -1000000.0 AS x
+        FROM c12 JOIN c1 ON string_split(c12.g, ' ')[1] = c1.w1, v)
+      SELECT min(abs(x - floor(x) - 0.5)) FROM raw""",
+}
+
+def boundary_audit(con):
+    ok = True
+    for name, sql in sorted(BOUNDARY_AUDITS.items()):
+        margin = con.sql(sql).fetchall()[0][0]
+        if margin is None or margin < BOUNDARY_EPS:
+            print(f"BOUNDARY-FAIL {name}: min margin {margin} < "
+                  f"{BOUNDARY_EPS} — a 1-ulp libm divergence could flip "
+                  "an integer unit; adjust the fixture or the rounding "
+                  "scale")
+            ok = False
+        else:
+            print(f"boundary-ok {name}: min margin to a .5 rounding "
+                  f"boundary = {margin:.6f} units")
+    return ok
+
 def main():
     import duckdb
     run_verify()
@@ -111,6 +179,8 @@ def main():
             n_pass += 1
         else:
             n_fail += 1
+    if not ONLY and not boundary_audit(con):
+        n_fail += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
