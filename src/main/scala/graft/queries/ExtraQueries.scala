@@ -133,7 +133,65 @@ object ExtraQueries {
     x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(1431655765L))
   }
 
+  /** Persisted per-customer aggregate of the OLD orders snapshot
+    * (o_orderkey % 7 <> 0) — the "materialized view" q_agg_incremental
+    * maintains. Exact integer cents per row before any sum, so the
+    * split MV+delta sum equals the direct sum bit-for-bit. */
+  private def ensureOrdersMatview(s: SparkSession, d: String): String = {
+    val dir = s"/tmp/graft_mv_orders_${graft.Tables.dirTag(d)}_v1"
+    val fp = graft.Tables.sourceFingerprint(
+      Seq(java.nio.file.Paths.get(d, "orders.parquet")), "mv_custkey_v1")
+    graft.Tables.ensureDerived(dir, fp) {
+      t(s, d, "orders").filter(col("o_orderkey") % 7 =!= 0)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .write.mode("overwrite").parquet(dir)
+    }
+  }
+
+  /** Unmaterialized MV+delta maintenance plan for plan inspection:
+    * the persisted view must enter as a parquet SCAN (no re-aggregation
+    * of old rows); only the delta is aggregated. */
+  private[graft] def aggIncrementalProbe(s: SparkSession,
+      d: String): DataFrame = {
+    val mv = s.read.parquet(ensureOrdersMatview(s, d))
+      .select(col("o_custkey"), col("n_orders").as("n_mv"),
+        col("cents").as("c_mv"))
+    val delta = t(s, d, "orders").filter(col("o_orderkey") % 7 === 0)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_d"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("c_d"))
+    mv.join(delta, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("n_mv"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("c_mv"), lit(0L)) + coalesce(col("c_d"), lit(0L)))
+          .as("cents"))
+  }
+
   val entries: Map[String, (Q, String)] = Map(
+
+    // Incremental aggregate maintenance — the materialized-view delta
+    // protocol, the relational twin of the persisted digest-index
+    // dedup: a 100 TB warehouse does NOT re-aggregate the whole fact
+    // table each sync; it keeps the aggregate as a persisted view and
+    // folds in the delta (distributive aggs: count/sum — min/max too
+    // under insert-only). The old rows are touched only through the
+    // persisted view's scan (plan-gated); only the delta (dimension-
+    // sized next to the accumulated base) is aggregated and full-outer
+    // merged. Gate: MV(old) + delta(new) must equal the direct
+    // aggregate over everything — the oracle recomputes from scratch.
+    // Exact integer cents per row pre-sum keep the split sum
+    // bit-identical to the direct sum.
+    "q_agg_incremental" -> ((
+      (s: SparkSession, d: String) =>
+        aggIncrementalProbe(s, d).orderBy("o_custkey"),
+      """SELECT o_custkey,
+        |CAST(count(*) AS BIGINT) AS n_orders,
+        |CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |  AS cents
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
 
     // Z-order (Morton-curve) layout clustering — the Delta/Iceberg
     // OPTIMIZE ZORDER kernel: interleave the bits of two cluster keys

@@ -19,6 +19,19 @@ object FnQueries {
   private def csvDir(d: String) =
     s"/tmp/graft_csv_nation_${graft.Tables.dirTag(d)}"
 
+  /** Output file count for a compaction pass: ceil(on-disk data bytes /
+    * target). Driver-side census of one directory's part files — at
+    * scale this is the per-partition metadata listing a table OPTIMIZE
+    * already does. */
+  private[graft] def compactionFileCount(dir: String,
+      targetBytes: Long): Int = {
+    val parts = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+    val total = parts.map(_.length).sum
+    math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+  }
+
   val entries: Map[String, (Q, String)] = Map(
 
     // CSV write + schema'd read-back (arrow/writer.py:245-249 analogue;
@@ -97,6 +110,37 @@ object FnQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Small-file compaction — the OPTIMIZE kernel every long-running
+    // sink needs: a streaming/append pipeline accumulates thousands of
+    // KB-sized files per partition, and scan parallelism/throughput
+    // collapse under per-file open cost. Kernel: size the output file
+    // count from the actual on-disk bytes (ceil(total/target)) and
+    // bin-pack with a NARROW coalesce — no shuffle, rows keep partition
+    // locality; at 100 TB this runs per table-partition with exactly
+    // the same arithmetic, and only partitions whose file census
+    // violates the target are rewritten. Correctness gate: the rewrite
+    // preserves every row bit-for-bit (oracle = the source); the layout
+    // half (file count == plan, < fragmented count) is pinned in
+    // CompactionSpec.
+    "q_compact_files" -> ((
+      (s: SparkSession, d: String) => {
+        val tag = graft.Tables.dirTag(d)
+        val frag = s"/tmp/graft_frag_orders_$tag"
+        val compacted = s"/tmp/graft_compact_orders_$tag"
+        t(s, d, "orders").repartition(64)
+          .write.mode("overwrite").parquet(frag)
+        val n = compactionFileCount(frag, 32L << 20)
+        s.read.parquet(frag).coalesce(n)
+          .write.mode("overwrite").parquet(compacted)
+        s.read.parquet(compacted)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_orderstatus,
+        |CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
     // UTC datetime string <-> timestamp conversions + date parts
     // (reference DateTimeString/DateString codecs, sql.py:43-70). The

@@ -88,7 +88,12 @@ object SoakX10 {
     // them (linear in snapshot size, one full-outer join); the
     // streaming incremental dedup rides the 100x batch through four
     // micro-batches against the 100x digest index.
-    "q_snapshot_asof", "q_stream_dedup_inc")
+    "q_snapshot_asof", "q_stream_dedup_inc",
+    // Round 9 warehouse-maintenance kernels: compaction is a read +
+    // narrow coalesce + write (linear in bytes, zero shuffle); the
+    // matview delta-fold aggregates only the delta — the base enters
+    // as the persisted view's scan at every scale.
+    "q_compact_files", "q_agg_incremental")
 
   def ensureSoakDir(spark: SparkSession, baseSf: String, dir: String,
       x: Long): Unit = {

@@ -469,6 +469,35 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q_agg_incremental folds the delta into a SCANNED matview — no base re-aggregation") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val df = graft.queries.ExtraQueries.aggIncrementalProbe(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // The persisted view enters as a parquet scan; exactly one
+    // orders.parquet scan may exist (the delta's) — a second would mean
+    // the old rows are re-aggregated every sync.
+    assert(p.contains("graft_mv_orders_"), p)
+    assert("orders\\.parquet".r.findAllIn(p).size == 1, p)
+    def collectNodes(n: SparkPlan): Seq[SparkPlan] = {
+      val kids = n match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => n.children
+      }
+      n +: kids.flatMap(collectNodes)
+    }
+    val joins = collectNodes(df.queryExecution.executedPlan).collect {
+      case j: BaseJoinExec if j.joinType.toString == "FullOuter" => j
+    }
+    assert(joins.nonEmpty, p)
+    val mvSide = joins.flatMap(j => Seq(j.left, j.right))
+      .find(_.toString.contains("graft_mv_orders_"))
+    assert(mvSide.isDefined, p)
+    assert(!mvSide.get.toString.contains("HashAggregate"),
+      mvSide.get.toString)
+  }
+
   test("q_join_bucketed sort-merge-joins with zero shuffle exchanges") {
     import graft.queries.ExtraQueries
     ExtraQueries.withoutBroadcast(spark) {
