@@ -193,6 +193,34 @@ object ExtraQueries {
         |  AS cents
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
 
+    // Correlated scalar subquery — the SQL-surface shape analysts write
+    // against the synced catalog (P16 passthrough) that MUST decorrelate
+    // to stay runnable at scale: per-row re-execution of the inner
+    // query is O(n·m); Catalyst rewrites it into one per-customer
+    // aggregate joined back (plan-gated: an aggregate + equality join,
+    // no cartesian). Predicate is exact integer arithmetic (cents,
+    // integer doubling) so both engines decide every row identically —
+    // no float-mean boundary cases. Finds orders carrying more than
+    // half their customer's lifetime spend.
+    "q_subquery_corr" -> ((
+      (s: SparkSession, d: String) => {
+        t(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT o_orderkey, o_custkey,
+          |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          |FROM orders o
+          |WHERE CAST(round(o_totalprice * 100) AS BIGINT) * 2 >
+          |  (SELECT sum(CAST(round(i.o_totalprice * 100) AS BIGINT))
+          |   FROM orders i WHERE i.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+      },
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders o
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT) * 2 >
+        |  (SELECT sum(CAST(round(i.o_totalprice * 100) AS BIGINT))
+        |   FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)),
+
     // Z-order (Morton-curve) layout clustering — the Delta/Iceberg
     // OPTIMIZE ZORDER kernel: interleave the bits of two cluster keys
     // into one curve position so that sorting by it co-locates rows

@@ -93,7 +93,10 @@ object SoakX10 {
     // narrow coalesce + write (linear in bytes, zero shuffle); the
     // matview delta-fold aggregates only the delta — the base enters
     // as the persisted view's scan at every scale.
-    "q_compact_files", "q_agg_incremental")
+    "q_compact_files", "q_agg_incremental",
+    // Correlated-subquery decorrelation: the rewritten agg+join must
+    // scale like q_agg_group + q_join_link, never O(n·m).
+    "q_subquery_corr")
 
   def ensureSoakDir(spark: SparkSession, baseSf: String, dir: String,
       x: Long): Unit = {

@@ -498,6 +498,18 @@ class PlanQualitySpec extends SparkSpecBase {
       mvSide.get.toString)
   }
 
+  test("q_subquery_corr decorrelates into one aggregate + equality join") {
+    val p = planOf("q_subquery_corr")
+    // The correlated scalar subquery must not execute per outer row:
+    // Catalyst rewrites it to a per-customer aggregate joined back on
+    // the correlation key. A cartesian or nested-loop shape means
+    // decorrelation failed and the query is O(n·m) at scale.
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_join_bucketed sort-merge-joins with zero shuffle exchanges") {
     import graft.queries.ExtraQueries
     ExtraQueries.withoutBroadcast(spark) {
