@@ -137,7 +137,7 @@ object ExtraQueries {
     * (o_orderkey % 7 <> 0) — the "materialized view" q_agg_incremental
     * maintains. Exact integer cents per row before any sum, so the
     * split MV+delta sum equals the direct sum bit-for-bit. */
-  private def ensureOrdersMatview(s: SparkSession, d: String): String = {
+  private[queries] def ensureOrdersMatview(s: SparkSession, d: String): String = {
     val dir = s"/tmp/graft_mv_orders_${graft.Tables.dirTag(d)}_v1"
     val fp = graft.Tables.sourceFingerprint(
       Seq(java.nio.file.Paths.get(d, "orders.parquet")), "mv_custkey_v1")

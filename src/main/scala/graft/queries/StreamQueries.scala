@@ -129,6 +129,19 @@ object StreamQueries {
     accepted.write.mode("overwrite").parquet(s"$root/idx/batch=$batchId")
   }
 
+  /** One micro-batch of the streaming matview-maintenance sink
+    * (q_stream_agg_inc): aggregate THIS batch's delta and write it to a
+    * batch-id-keyed dir, OVERWRITTEN on replay — the same idempotency
+    * protocol as incDedupBatch. The fold into the persisted view
+    * happens at read time over base ∪ deltas (distributive aggs), so a
+    * replayed batch can never double-count. */
+  private[graft] def mvDeltaBatch(batch: DataFrame, root: String,
+      batchId: Long): Unit =
+    batch.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .write.mode("overwrite").parquet(s"$root/delta/batch=$batchId")
+
   def streamCounts(s: SparkSession, d: String): DataFrame = {
     // events.parquet's ts physical type is generation-dependent (NANOS
     // -as-long or MICROS — see Tables.events, which normalizes both);
@@ -241,6 +254,51 @@ object StreamQueries {
         |SELECT doc_id, digest, n_copies FROM bd
         |WHERE NOT EXISTS (SELECT 1 FROM base WHERE base.digest = bd.digest)
         |ORDER BY doc_id""".stripMargin)),
+
+    // Streaming materialized-view maintenance — q_agg_incremental's
+    // protocol under continuous ingest: the delta (o_orderkey % 7 = 0
+    // appends) streams in as four micro-batches; each batch's
+    // per-customer aggregate lands in a batch-id-keyed delta dir
+    // (idempotent overwrite, same exactly-once protocol as
+    // q_stream_dedup_inc), and the view resolves as base-MV ∪ deltas
+    // folded with one distributive re-aggregation. The base is touched
+    // only through its persisted scan; per-batch work is
+    // delta-batch-sized at any base scale. Oracle: the direct
+    // aggregate over everything (identical to q_agg_incremental).
+    "q_stream_agg_inc" -> ((
+      (s: SparkSession, d: String) => {
+        val tag = graft.Tables.dirTag(d)
+        val srcDir = s"/tmp/graft_stream_odelta_${tag}_v$DumpVersion"
+        ensureStreamDump(d, "orders", srcDir)(
+          t(s, d, "orders").filter(col("o_orderkey") % 7 === 0)
+            .repartition(4))
+        val root = s"/tmp/graft_smv_$tag"
+        graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        withStreamGateConfs(s) {
+          val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            Long) => Unit = (b, id) => mvDeltaBatch(b, root, id)
+          val q = stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        val base = s.read.parquet(ExtraQueries.ensureOrdersMatview(s, d))
+          .select("o_custkey", "n_orders", "cents")
+        val deltas = s.read.parquet(s"$root/delta")
+          .select("o_custkey", "n_orders", "cents")
+        base.unionByName(deltas)
+          .groupBy("o_custkey")
+          .agg(sum("n_orders").as("n_orders"), sum("cents").as("cents"))
+          .orderBy("o_custkey")
+      },
+      """SELECT o_custkey,
+        |CAST(count(*) AS BIGINT) AS n_orders,
+        |CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |  AS cents
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
 
     // Per-key session windows (30-minute inactivity gap) — the
     // session-window flavor of P6's per-key batching; the same

@@ -96,7 +96,10 @@ object SoakX10 {
     "q_compact_files", "q_agg_incremental",
     // Correlated-subquery decorrelation: the rewritten agg+join must
     // scale like q_agg_group + q_join_link, never O(n·m).
-    "q_subquery_corr")
+    "q_subquery_corr",
+    // Streaming matview maintenance: per-batch cost is delta-sized;
+    // the base enters only as the persisted view's scan in the fold.
+    "q_stream_agg_inc")
 
   def ensureSoakDir(spark: SparkSession, baseSf: String, dir: String,
       x: Long): Unit = {
