@@ -193,6 +193,47 @@ object ExtraQueries {
         |  AS cents
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
 
+    // Bloom-filter semi-join pre-probe — THE shuffle-reduction
+    // technique for a selective fact⋈fact join at 100 TB: aggregate the
+    // small (filtered) side's join keys into a bloom filter (Spark's
+    // native BloomFilterAggregate — partial+final, fixed-size state),
+    // ship it as a scalar (bounded driver protocol, ~100 KB — the SQ8
+    // stats shape), and pre-filter the BIG side with the codegen'd
+    // might_contain BEFORE its exchange: only ~selectivity·N + fp rows
+    // pay the shuffle instead of all of N. No false negatives, so the
+    // join output is bit-identical to the plain join (the oracle);
+    // false positives are eliminated by the join itself. This is the
+    // explicit form of AQE's InjectRuntimeFilter, usable where the
+    // optimizer can't prove it (pre-staged filters, cross-job reuse).
+    // Pruning factor and plan shape pinned in BloomJoinSpec /
+    // PlanQualitySpec.
+    "q_join_bloom" -> ((
+      (s: SparkSession, d: String) => {
+        graft.functions.BloomFunctions.register(s)
+        val small = t(s, d, "orders")
+          .filter(col("o_orderkey") % 97 === 0)
+        // est 100k items / 800k bits: ~1% fp at gate scales and the
+        // 100x soak; production derives est from the filter's
+        // selectivity estimate.
+        val bloomBytes = small
+          .agg(expr("bloom_agg(xxhash64(o_orderkey), 100000L, 800000L)"))
+          .head().getAs[Array[Byte]](0)
+        val probed = t(s, d, "lineitem")
+          .filter(call_function("bloom_might_contain",
+            lit(bloomBytes), xxhash64(col("l_orderkey"))))
+        probed.join(small, probed("l_orderkey") === small("o_orderkey"))
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n_items"),
+            sum(round(col("l_quantity")).cast("long")).as("sum_qty"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+        |    AS sum_qty
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey % 97 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Correlated scalar subquery — the SQL-surface shape analysts write
     // against the synced catalog (P16 passthrough) that MUST decorrelate
     // to stay runnable at scale: per-row re-execution of the inner

@@ -99,7 +99,11 @@ object SoakX10 {
     "q_subquery_corr",
     // Streaming matview maintenance: per-batch cost is delta-sized;
     // the base enters only as the persisted view's scan in the fold.
-    "q_stream_agg_inc")
+    "q_stream_agg_inc",
+    // Bloom pre-probe: the filter build scales with the SMALL side,
+    // the probe is a map-only predicate over the big side — pruned
+    // shuffle input must keep the join sublinear per-row.
+    "q_join_bloom")
 
   def ensureSoakDir(spark: SparkSession, baseSf: String, dir: String,
       x: Long): Unit = {

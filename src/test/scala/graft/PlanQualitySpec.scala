@@ -498,6 +498,15 @@ class PlanQualitySpec extends SparkSpecBase {
       mvSide.get.toString)
   }
 
+  test("q_join_bloom probes the big side before its exchange") {
+    val p = planOf("q_join_bloom")
+    // The might_contain predicate must sit on the lineitem scan side
+    // (pre-shuffle row pruning); the join itself stays an equality
+    // join — never a cartesian.
+    assert(p.contains("bloom_might_contain"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_subquery_corr decorrelates into one aggregate + equality join") {
     val p = planOf("q_subquery_corr")
     // The correlated scalar subquery must not execute per outer row:
