@@ -142,6 +142,37 @@ object FnQueries {
         |CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // Schema evolution on read — a corpus written over months has
+    // generations with DIFFERENT schemas (new quality/metadata columns
+    // appear; old files are never rewritten). Spark's mergeSchema scan
+    // unions the per-file footers at planning time and pads missing
+    // columns with NULL row-group-side — no rewrite of the old
+    // generation, no second pass. Gate: generation 1 lacks n_chars,
+    // generation 2 carries it; the merged read must serve both with
+    // NULLs exactly where the column never existed (oracle recomputes
+    // the CASE from the source). At 100 TB the footer union is
+    // per-file metadata work; the data read is unchanged.
+    "q_schema_evolve" -> ((
+      (s: SparkSession, d: String) => {
+        val base = s"/tmp/graft_schevo_${graft.Tables.dirTag(d)}"
+        val docs = t(s, d, "documents")
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang"), col("source"))
+          .write.mode("overwrite").parquet(s"$base/gen=1")
+        docs.filter(col("doc_id") % 2 =!= 0)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"))
+          .write.mode("overwrite").parquet(s"$base/gen=2")
+        s.read.option("mergeSchema", "true").parquet(base)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, lang, source,
+        |  CASE WHEN doc_id % 2 <> 0 THEN n_chars ELSE NULL END
+        |    AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // UTC datetime string <-> timestamp conversions + date parts
     // (reference DateTimeString/DateString codecs, sql.py:43-70). The
     // ISO date string is a plain cast (dates render yyyy-MM-dd) and the

@@ -1562,6 +1562,59 @@ object TextQueries {
          |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
          |ORDER BY doc_id""".stripMargin)),
 
+    // Near-dup benchmark decontamination — the stricter sibling of
+    // q_text_decontaminate (exact shared-5-gram) that production
+    // pipelines also run: drop corpus documents whose 3-gram Jaccard
+    // with ANY benchmark document clears 0.7 (a light paraphrase or
+    // re-render of an eval item shares most shingles but not
+    // necessarily one exact 5-gram window... and vice versa). Scale
+    // shape: the benchmark side is SMALL by definition, so the
+    // intersection counts come from a broadcast join against the
+    // corpus shingle stream — map-only over the corpus, no LSH needed
+    // and no false negatives (this is exact, unlike corpus-vs-corpus
+    // near-dup where all-pairs is impossible). Threshold compares in
+    // cross-multiplied integers.
+    "q_decontaminate_neardup" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        graft.functions.SketchFunctions.register(s)
+        def sh(df: DataFrame): DataFrame = df
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+          .select(col("doc_id"),
+            explode(expr("word_shingles_distinct(tk, 3)")).as("s"))
+        val bench = sh(docs.filter(col("doc_id") < 50))
+          .select(col("doc_id").as("bench_id"), col("s"))
+        val benchSizes = bench.groupBy("bench_id")
+          .agg(count(lit(1)).as("nb"))
+        val corpus = sh(docs.filter(col("doc_id") >= 50))
+        val sizes = corpus.groupBy("doc_id").agg(count(lit(1)).as("na"))
+        val inter = corpus.join(broadcast(bench), "s")
+          .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("i"))
+        val contaminated = inter
+          .join(sizes, "doc_id").join(broadcast(benchSizes), "bench_id")
+          .filter(col("i") * 10 >= (col("na") + col("nb") - col("i")) * 7)
+          .select("doc_id").distinct()
+        docs.filter(col("doc_id") >= 50)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang", "n_chars")
+          .orderBy("doc_id")
+      },
+      s"""WITH ${shinglesSqlCte(3)},
+         |inter AS (
+         |  SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS i
+         |  FROM sh c JOIN sh b
+         |    ON c.s = b.s AND b.doc_id < 50 AND c.doc_id >= 50
+         |  GROUP BY 1, 2),
+         |contaminated AS (
+         |  SELECT DISTINCT i.doc_id FROM inter i
+         |  JOIN sizes sa ON sa.doc_id = i.doc_id
+         |  JOIN sizes sb ON sb.doc_id = i.bench_id
+         |  WHERE i.i * 10 >= (sa.n + sb.n - i.i) * 7)
+         |SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id >= 50
+         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |ORDER BY doc_id""".stripMargin)),
+
     // Repetition signals (Gopher/RefinedWeb-style quality rules):
     // duplicate word-2-gram fraction and top-word dominance — pure
     // map-side per-row array math, no exchange. The per-row pass is the

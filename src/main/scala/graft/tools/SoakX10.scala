@@ -103,7 +103,12 @@ object SoakX10 {
     // Bloom pre-probe: the filter build scales with the SMALL side,
     // the probe is a map-only predicate over the big side — pruned
     // shuffle input must keep the join sublinear per-row.
-    "q_join_bloom")
+    "q_join_bloom",
+    // Schema-evolution read: footer union is per-file metadata work;
+    // the merged scan must stay linear in rows. Near-dup decon: the
+    // benchmark stays fixed-size while the corpus grows 100x — cost is
+    // the corpus shingle stream against a broadcast bench.
+    "q_schema_evolve", "q_decontaminate_neardup")
 
   def ensureSoakDir(spark: SparkSession, baseSf: String, dir: String,
       x: Long): Unit = {

@@ -503,7 +503,17 @@ class PlanQualitySpec extends SparkSpecBase {
     // The might_contain predicate must sit on the lineitem scan side
     // (pre-shuffle row pruning); the join itself stays an equality
     // join — never a cartesian.
-    assert(p.contains("bloom_might_contain"), p)
+    // (the expression prints its prettyName, not the registry alias)
+    assert(p.contains("might_contain"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_decontaminate_neardup broadcasts the benchmark side, no cartesian") {
+    val p = planOf("q_decontaminate_neardup")
+    // The benchmark shingle set is small by definition — it must enter
+    // the intersection join as a broadcast build; the corpus side is
+    // map-only up to its (doc, bench) count aggregate.
+    assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
