@@ -22,7 +22,12 @@ object ConstrainedSoak {
     // the corpus-sized bigram train/score joins, the multi-query BM25
     // head, and the six-table star join.
     "q_dedup_minhash_inc", "q_text_perplexity", "q_text_bm25_multi",
-    "q_join_star")
+    "q_join_star",
+    // Round-9 heavies: the streaming incremental dedup's per-batch
+    // anti-joins, the double-write compaction pass, the corpus-vs-
+    // bench shingle intersection, and the bloom build + probed join.
+    "q_stream_dedup_inc", "q_compact_files", "q_decontaminate_neardup",
+    "q_join_bloom")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkEnv.session(

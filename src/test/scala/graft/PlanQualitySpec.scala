@@ -508,6 +508,28 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_stream_agg_inc folds base-MV and delta scans with one re-aggregation") {
+    val p = planOf("q_stream_agg_inc")
+    // The fold is a union of the persisted view's scan and the
+    // per-batch delta scans plus ONE distributive aggregate — no join,
+    // no re-aggregation of base rows (the base enters only through the
+    // matview parquet).
+    assert(p.contains("graft_mv_orders_"), p)
+    assert(p.contains("Union"), p)
+    assert(!p.contains("Join"), p)
+    assert("orders\\.parquet".r.findAllIn(p).isEmpty, p)
+  }
+
+  test("q_schema_evolve serves both generations from one merged scan") {
+    val p = planOf("q_schema_evolve")
+    // mergeSchema is a planning-time footer union: BOTH generation dirs
+    // feed a single parquet scan whose ReadSchema carries the evolved
+    // column — no join, no union-of-scans, no per-generation pass.
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("n_chars"), p)
+  }
+
   test("q_decontaminate_neardup broadcasts the benchmark side, no cartesian") {
     val p = planOf("q_decontaminate_neardup")
     // The benchmark shingle set is small by definition — it must enter
