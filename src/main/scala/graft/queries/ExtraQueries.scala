@@ -140,7 +140,8 @@ object ExtraQueries {
   private[queries] def ensureOrdersMatview(s: SparkSession, d: String): String = {
     val dir = s"/tmp/graft_mv_orders_${graft.Tables.dirTag(d)}_v1"
     val fp = graft.Tables.sourceFingerprint(
-      Seq(java.nio.file.Paths.get(d, "orders.parquet")), "mv_custkey_v1")
+      Seq(java.nio.file.Paths.get(d, "orders.parquet")),
+      "mv_custkey_v1:old_mod7ne0:cents_e2")
     graft.Tables.ensureDerived(dir, fp) {
       t(s, d, "orders").filter(col("o_orderkey") % 7 =!= 0)
         .groupBy("o_custkey")

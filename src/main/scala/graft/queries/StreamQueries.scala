@@ -35,11 +35,14 @@ object StreamQueries {
     * dump version) — a source regenerated in place must never be served
     * from a stale dump (the gate would compare stale Spark output
     * against a fresh oracle). */
-  private def ensureStreamDump(d: String, table: String, dumpDir: String)(
-      df: => DataFrame): Unit = {
+  private def ensureStreamDump(d: String, table: String, dumpDir: String,
+      variant: String = "full")(df: => DataFrame): Unit = {
+    // `variant` encodes the derivation predicate (filter/layout), so
+    // changing how a dump is built — not just its source — invalidates
+    // it without anyone remembering to bump DumpVersion.
     val fp = graft.Tables.sourceFingerprint(
       Seq(java.nio.file.Paths.get(d, s"$table.parquet")),
-      s"streamdump_v$DumpVersion")
+      s"streamdump_v$DumpVersion:$variant")
     graft.Tables.ensureDerived(dumpDir, fp) {
       df.write.mode("overwrite").parquet(dumpDir)
     }
@@ -87,6 +90,15 @@ object StreamQueries {
     }
   }
 
+  /** The per-micro-batch observation plan: batch collapsed map-side on
+    * its digest, LEFT ANTI against the persisted index (scan-only side
+    * — plan-gated in PlanQualitySpec). */
+  private[graft] def incDedupObsPlan(batch: DataFrame,
+      baseIdx: DataFrame): DataFrame =
+    batch.groupBy(sha2(col("text"), 256).as("digest"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .join(baseIdx, Seq("digest"), "left_anti")
+
   /** One micro-batch of the streaming incremental dedup sink
     * (q_stream_dedup_inc): collapse the micro-batch on its content
     * digest, LEFT ANTI join against the PERSISTED corpus digest index
@@ -100,15 +112,6 @@ object StreamQueries {
     * At 100 TB the per-batch anti-join is batch-sized vs an index scan
     * (broadcast the batch side), and the acceptance append is one new
     * file per micro-batch — the index compacts on the next full sync. */
-  /** The per-micro-batch observation plan: batch collapsed map-side on
-    * its digest, LEFT ANTI against the persisted index (scan-only side
-    * — plan-gated in PlanQualitySpec). */
-  private[graft] def incDedupObsPlan(batch: DataFrame,
-      baseIdx: DataFrame): DataFrame =
-    batch.groupBy(sha2(col("text"), 256).as("digest"))
-      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
-      .join(baseIdx, Seq("digest"), "left_anti")
-
   private[graft] def incDedupBatch(batch: DataFrame, baseIdx: DataFrame,
       root: String, batchId: Long): Unit = {
     val s = batch.sparkSession
@@ -218,7 +221,7 @@ object StreamQueries {
       (s: SparkSession, d: String) => {
         val tag = graft.Tables.dirTag(d)
         val srcDir = s"/tmp/graft_stream_newb_${tag}_v$DumpVersion"
-        ensureStreamDump(d, "documents", srcDir)(
+        ensureStreamDump(d, "documents", srcDir, "batch_mod4eq3_files4")(
           t(s, d, "documents").filter(col("doc_id") % 4 === 3)
             .repartition(4))
         val baseIdx = s.read.parquet(TextQueries.ensureDigestIndex(s, d))
@@ -269,7 +272,7 @@ object StreamQueries {
       (s: SparkSession, d: String) => {
         val tag = graft.Tables.dirTag(d)
         val srcDir = s"/tmp/graft_stream_odelta_${tag}_v$DumpVersion"
-        ensureStreamDump(d, "orders", srcDir)(
+        ensureStreamDump(d, "orders", srcDir, "delta_mod7eq0_files4")(
           t(s, d, "orders").filter(col("o_orderkey") % 7 === 0)
             .repartition(4))
         val root = s"/tmp/graft_smv_$tag"

@@ -233,14 +233,16 @@ object TextQueries {
     * re-signaturing the accumulated corpus. */
   private def ensureBandIndex(s: SparkSession, d: String): String = {
     val dir = s"/tmp/graft_bandidx_${graft.Tables.dirTag(d)}_v1"
-    // Freshness keys on the source CONTENT fingerprint plus every
-    // signature parameter — not a bare mtime comparison (r8 ADVICE:
-    // same-tick regeneration or a timestamp-preserving restore must
-    // not serve a stale index, and a band/hash-count change must
-    // invalidate it).
+    // Freshness keys on the source fingerprint (per-file size+mtime)
+    // plus every signature parameter — not a bare mtime comparison
+    // (r8 ADVICE: a same-tick regeneration changes size, and a
+    // band/hash-count or predicate change must invalidate the index).
+    // Limit: a same-SIZE timestamp-preserving content swap is still
+    // invisible — detecting that needs a content hash, which would
+    // cost a full source read per freshness check.
     val fp = graft.Tables.sourceFingerprint(
       Seq(java.nio.file.Paths.get(d, "documents.parquet")),
-      s"minhash:$numHashes:$numBands:$bandRows:shingle3")
+      s"minhash:$numHashes:$numBands:$bandRows:shingle3:base_mod4ne3")
     graft.Tables.ensureDerived(dir, fp) {
       minhashBands(t(s, d, "documents").filter(col("doc_id") % 4 =!= 3))
         .write.mode("overwrite").parquet(dir)
@@ -359,7 +361,8 @@ object TextQueries {
   private[queries] def ensureDigestIndex(s: SparkSession, d: String): String = {
     val dir = s"/tmp/graft_digidx_${graft.Tables.dirTag(d)}_v1"
     val fp = graft.Tables.sourceFingerprint(
-      Seq(java.nio.file.Paths.get(d, "documents.parquet")), "sha256")
+      Seq(java.nio.file.Paths.get(d, "documents.parquet")),
+      "sha256:base_mod4ne3")
     graft.Tables.ensureDerived(dir, fp) {
       t(s, d, "documents").filter(col("doc_id") % 4 =!= 3)
         .select(sha2(col("text"), 256).as("digest")).distinct()

@@ -13,6 +13,18 @@ class PlanQualitySpec extends SparkSpecBase {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Flatten the physical plan tree, descending through the AQE root
+    * (shared by every side-of-join structural assertion below). */
+  private def collectNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case _ => p.children
+    }
+    p +: kids.flatMap(collectNodes)
+  }
+
   test("q_filter pushes predicates into the parquet scan") {
     val p = planOf("q_filter")
     assert(p.contains("PushedFilters"), p)
@@ -408,17 +420,8 @@ class PlanQualitySpec extends SparkSpecBase {
     // avoid at 100 TB. Asserted on the join node's index subtree, not
     // via a global aggregate count (which is brittle to optimizer/AQE
     // changes — r8 ADVICE).
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.joins.BaseJoinExec
     val df = SparkEntry.queries("q_dedup_incremental")(spark, dir)
-    def collectNodes(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case _ => p.children
-      }
-      p +: kids.flatMap(collectNodes)
-    }
     val nodes = collectNodes(df.queryExecution.executedPlan)
     val anti = nodes.collect {
       case j: BaseJoinExec if j.joinType.toString == "LeftAnti" => j
@@ -470,8 +473,6 @@ class PlanQualitySpec extends SparkSpecBase {
   }
 
   test("q_agg_incremental folds the delta into a SCANNED matview — no base re-aggregation") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.joins.BaseJoinExec
     val df = graft.queries.ExtraQueries.aggIncrementalProbe(spark, dir)
     val p = df.queryExecution.executedPlan.toString
@@ -480,13 +481,6 @@ class PlanQualitySpec extends SparkSpecBase {
     // the old rows are re-aggregated every sync.
     assert(p.contains("graft_mv_orders_"), p)
     assert("orders\\.parquet".r.findAllIn(p).size == 1, p)
-    def collectNodes(n: SparkPlan): Seq[SparkPlan] = {
-      val kids = n match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case _ => n.children
-      }
-      n +: kids.flatMap(collectNodes)
-    }
     val joins = collectNodes(df.queryExecution.executedPlan).collect {
       case j: BaseJoinExec if j.joinType.toString == "FullOuter" => j
     }
@@ -499,13 +493,27 @@ class PlanQualitySpec extends SparkSpecBase {
   }
 
   test("q_join_bloom probes the big side before its exchange") {
-    val p = planOf("q_join_bloom")
-    // The might_contain predicate must sit on the lineitem scan side
-    // (pre-shuffle row pruning); the join itself stays an equality
-    // join — never a cartesian.
-    // (the expression prints its prettyName, not the registry alias)
-    assert(p.contains("might_contain"), p)
-    assert(!p.contains("CartesianProduct"), p)
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    // The might_contain predicate must sit ON THE LINEITEM SIDE of the
+    // join (pre-shuffle row pruning) — a probe that drifted above the
+    // join, or onto the small side, keeps a plan-string contains()
+    // green while losing the entire shuffle-reduction property. So:
+    // structural assertion on the join node's lineitem subtree. (The
+    // expression prints its prettyName `might_contain`, not the
+    // registry alias.)
+    val df = SparkEntry.queries("q_join_bloom")(spark, dir)
+    val nodes = collectNodes(df.queryExecution.executedPlan)
+    val joins = nodes.collect {
+      case j: BaseJoinExec if j.joinType.toString == "Inner" => j
+    }
+    assert(joins.nonEmpty, df.queryExecution.executedPlan.toString)
+    val probeSide = joins.flatMap(j => Seq(j.left, j.right))
+      .find(_.toString.contains("lineitem.parquet"))
+    assert(probeSide.isDefined, df.queryExecution.executedPlan.toString)
+    assert(probeSide.get.toString.contains("might_contain"),
+      probeSide.get.toString)
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
   }
 
   test("q_stream_agg_inc folds base-MV and delta scans with one re-aggregation") {

@@ -97,8 +97,28 @@ BOUNDARY_AUDITS = {
       SELECT min(abs(x - floor(x) - 0.5)) FROM raw""",
 }
 
-def boundary_audit(con):
+# The audit SQL above hand-mirrors the oracle formulas. Tripwire: if a
+# distinctive constant of either formula disappears from the LIVE
+# oracle string, the audit is stale and must be updated — fail loudly
+# instead of silently measuring the old formula.
+AUDIT_MIRROR_CONSTANTS = {
+    "q_text_bm25_multi": ["* 2.2", "1.2 *", "0.25 + 0.75", "+ 0.5)",
+                          "10000.0"],
+    "q_text_perplexity": ["+ 1.0)", "-1000000.0"],
+}
+
+def boundary_audit(con, oracles):
     ok = True
+    for name, consts in sorted(AUDIT_MIRROR_CONSTANTS.items()):
+        live = oracles.get(name, "")
+        missing = [c for c in consts if c not in live]
+        if missing:
+            print(f"BOUNDARY-FAIL {name}: oracle formula changed "
+                  f"(constants {missing} gone) — update BOUNDARY_AUDITS "
+                  "to match before trusting the margin")
+            ok = False
+    if not ok:
+        return False
     for name, sql in sorted(BOUNDARY_AUDITS.items()):
         margin = con.sql(sql).fetchall()[0][0]
         if margin is None or margin < BOUNDARY_EPS:
@@ -179,7 +199,7 @@ def main():
             n_pass += 1
         else:
             n_fail += 1
-    if not ONLY and not boundary_audit(con):
+    if not ONLY and not boundary_audit(con, oracles):
         n_fail += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
