@@ -54,6 +54,14 @@ object SparkEnv {
       // on any real corpus.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "1000000")
+      // Engine default, found by measurement (LayoutSkipProbe): Spark
+      // still WRITES parquet timestamps as deprecated INT96 by default,
+      // and INT96 carries no pushdown-usable statistics — so row-group
+      // pruning on a time column is silently impossible for anything
+      // this engine writes, no matter how well the data is laid out.
+      // INT64 micros restores min/max stats (9x scan reduction on the
+      // sorted-layout probe) and is what every modern reader expects.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

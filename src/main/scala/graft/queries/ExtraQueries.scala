@@ -447,7 +447,14 @@ object ExtraQueries {
             last(when(col("tag") === 0, col("p_value")), ignoreNulls = true)
               .over(w))
           .filter(col("tag") === 1 && col("purchase_ts").isNotNull)
-          .select("event_id", "user_id", "purchase_ts", "purchase_value")
+          // NTZ on output: with the engine's INT64-micros parquet
+          // timestamps (SparkEnv), an LTZ column serializes as
+          // isAdjustedToUTC=true and type-sensitive readers see
+          // TIMESTAMPTZ while the oracle computes plain TIMESTAMP;
+          // the UTC session makes the NTZ cast instant-preserving.
+          .select(col("event_id"), col("user_id"),
+            col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+            col("purchase_value"))
           .orderBy("event_id")
       },
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts

@@ -190,8 +190,11 @@ object FnQueries {
             month(col("o_orderdate")).as("mo"),
             trunc(col("o_orderdate"), "month").cast("string")
               .as("month_start"),
+            // NTZ on output: see q_asof_join — keeps the serialized
+            // parquet type aligned with the oracle's plain TIMESTAMP
+            // under the engine's INT64-micros writer default.
             expr("make_timestamp(year(o_orderdate), month(o_orderdate), " +
-              "day(o_orderdate), 0, 0, 0)").as("ts_rt"))
+              "day(o_orderdate), 0, 0, 0)").cast("timestamp_ntz").as("ts_rt"))
           .orderBy("o_orderkey"),
       """SELECT o_orderkey,
         |CAST(o_orderdate AS VARCHAR) AS d_str,
