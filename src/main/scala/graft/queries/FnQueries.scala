@@ -142,6 +142,43 @@ object FnQueries {
         |CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // Time-sorted sink + statistics-pruned slice read-back — the
+    // read-side twin of q_sink_partitioned, and the gate that the
+    // INT96 finding (PLANS.md / SparkEnv outputTimestampType) makes
+    // possible: an event log written range-sorted by its timestamp
+    // answers a narrow time-slice query by materializing only the row
+    // groups whose min/max stats intersect the slice. Partitioning
+    // prunes at directory granularity; sorting prunes INSIDE files —
+    // at 100 TB the two compose (partition by day, sort within by ts).
+    // The slice bounds derive from min(ts) (one bounded driver scalar,
+    // the avgdl protocol) so the gate tracks any fixture regeneration.
+    // The skip factor itself is gated in SortedSinkSpec via the scan's
+    // numOutputRows; the oracle proves the answer exact.
+    "q_sink_sorted" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = s"/tmp/graft_sorted_events_${graft.Tables.dirTag(d)}"
+        val ev = graft.Tables.events(s, d)
+        ev.repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
+          .write.mode("overwrite").parquet(dir)
+        val t0 = ev.agg(min("ts")).head().getTimestamp(0).toInstant
+        val lo = java.sql.Timestamp.from(t0.plus(7, java.time.temporal.ChronoUnit.DAYS))
+        val hi = java.sql.Timestamp.from(t0.plus(10, java.time.temporal.ChronoUnit.DAYS))
+        s.read.parquet(dir)
+          .filter(col("ts") >= lit(lo) && col("ts") < lit(hi))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100).cast("long")).as("value_e2"))
+          .orderBy("event_type")
+      },
+      """WITH b AS (SELECT min(CAST(ts AS TIMESTAMP)) AS t0 FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_e2
+        |FROM events, b
+        |WHERE CAST(ts AS TIMESTAMP) >= b.t0 + INTERVAL 7 DAY
+        |  AND CAST(ts AS TIMESTAMP) < b.t0 + INTERVAL 10 DAY
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Schema evolution on read — a corpus written over months has
     // generations with DIFFERENT schemas (new quality/metadata columns
     // appear; old files are never rewritten). Spark's mergeSchema scan

@@ -108,7 +108,11 @@ object SoakX10 {
     // the merged scan must stay linear in rows. Near-dup decon: the
     // benchmark stays fixed-size while the corpus grows 100x — cost is
     // the corpus shingle stream against a broadcast bench.
-    "q_schema_evolve", "q_decontaminate_neardup")
+    "q_schema_evolve", "q_decontaminate_neardup",
+    // Sorted time sink: write cost is the range sort (linear); the
+    // slice read-back must keep materializing only stat-intersecting
+    // row groups as the log grows.
+    "q_sink_sorted")
 
   def ensureSoakDir(spark: SparkSession, baseSf: String, dir: String,
       x: Long): Unit = {
