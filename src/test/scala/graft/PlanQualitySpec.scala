@@ -340,14 +340,25 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("Join"), p)
   }
 
-  test("q_topk_sketch aggregates a fixed-size summary, not a wordcount") {
-    val p = planOf("q_topk_sketch")
-    // The Misra-Gries aggregate must run partial+final (one <=k-counter
-    // sketch per map partition through the exchange); a token-keyed
-    // hash exchange would mean the sketch decomposed into a full
-    // wordcount shuffle — one row per distinct token at 100 TB.
+  test("q_topk_sketch pass 1 aggregates a fixed-size summary, not a wordcount") {
+    val p = graft.queries.ExtraQueries.topkSketchProbe(spark, dir)
+      .queryExecution.executedPlan.toString
+    // The Misra-Gries candidate pass must run partial+final (one
+    // <=k-counter sketch per map partition through the exchange); a
+    // token-keyed hash exchange would mean the sketch decomposed into
+    // a full wordcount shuffle — one row per distinct token at 100 TB.
     assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p)
     assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q_topk_sketch pass 2 prunes to the candidate set before its exchange") {
+    val p = planOf("q_topk_sketch")
+    // The verify pass may shuffle — but only the <=k candidate tokens:
+    // the In-list filter must sit below the aggregation (map-side
+    // prune), so the exchange carries candidate keys, not the corpus
+    // vocabulary.
+    assert(p.contains("tok#") && (p.contains("INSET") || p.contains(" IN ")), p)
+    assert(!p.contains("Join"), p)
   }
 
   test("q_zorder computes the curve position map-only with a pushed slice") {
