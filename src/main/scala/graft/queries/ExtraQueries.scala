@@ -73,6 +73,26 @@ object ExtraQueries {
           .as("total_e2"))
   }
 
+  /** Build-side-derived bloom filter over `keyCol` (r9 VERDICT #4):
+    * est = the build side's ACTUAL row count — one bounded scalar, the
+    * cheap end of the pre-probe's own build pass — and bits = est x 8
+    * (~2% fp at 8 bits/item), clamped to [64 Kibit, 64 Mibit] so the
+    * shipped scalar never exceeds 8 MiB no matter the build side (past
+    * that, ship per-executor via a broadcast variable instead). The
+    * sizing therefore tracks selectivity at ANY scale — a build side
+    * 100x larger gets a 100x-bit filter and keeps its fp rate, where a
+    * hardcoded size would decay into a pass-everything filter.
+    * Pruning factor under derived sizing pinned at two fixture scales
+    * in BloomJoinSpec. */
+  private[graft] def bloomFilterFor(build: DataFrame,
+      keyCol: String): Array[Byte] = {
+    graft.functions.BloomFunctions.register(build.sparkSession)
+    val est = math.max(1L, build.count())
+    val bits = math.min(math.max(est * 8L, 1L << 16), 1L << 26)
+    build.agg(expr(s"bloom_agg(xxhash64($keyCol), ${est}L, ${bits}L)"))
+      .head().getAs[Array[Byte]](0)
+  }
+
   /** Run `body` with auto-broadcast disabled, restoring the previous
     * threshold on exit (the StreamQueries scoped-conf protocol). */
   private[graft] def withoutBroadcast[A](s: SparkSession)(body: => A): A = {
@@ -297,15 +317,9 @@ object ExtraQueries {
     // PlanQualitySpec.
     "q_join_bloom" -> ((
       (s: SparkSession, d: String) => {
-        graft.functions.BloomFunctions.register(s)
         val small = t(s, d, "orders")
           .filter(col("o_orderkey") % 97 === 0)
-        // est 100k items / 800k bits: ~1% fp at gate scales and the
-        // 100x soak; production derives est from the filter's
-        // selectivity estimate.
-        val bloomBytes = small
-          .agg(expr("bloom_agg(xxhash64(o_orderkey), 100000L, 800000L)"))
-          .head().getAs[Array[Byte]](0)
+        val bloomBytes = bloomFilterFor(small, "o_orderkey")
         val probed = t(s, d, "lineitem")
           .filter(call_function("bloom_might_contain",
             lit(bloomBytes), xxhash64(col("l_orderkey"))))

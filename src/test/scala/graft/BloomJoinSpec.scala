@@ -5,18 +5,18 @@ import org.apache.spark.sql.functions._
 /** The bloom pre-probe's two contracts: NO false negatives (every row
   * that would join survives the probe — the gate's oracle identity
   * rides on this) and real pruning (only ~selectivity + fp of the big
-  * side pays the downstream shuffle). */
+  * side pays the downstream shuffle). Sizing is DERIVED from the build
+  * side (ExtraQueries.bloomFilterFor: est = actual count, bits = est x
+  * 8 clamped), so both contracts are asserted at two fixture scales —
+  * a sizing rule that only prunes at one scale is a hardcode in
+  * disguise. */
 class BloomJoinSpec extends SparkSpecBase {
 
-  private val dir = "/root/testdata/sf0.001"
-
-  test("pre-probe passes every joining row and prunes the rest") {
-    graft.functions.BloomFunctions.register(spark)
+  private def checkAt(dir: String): Unit = {
     val small = Tables.t(spark, dir, "orders")
       .filter(col("o_orderkey") % 97 === 0)
-    val bloomBytes = small
-      .agg(expr("bloom_agg(xxhash64(o_orderkey), 100000L, 800000L)"))
-      .head().getAs[Array[Byte]](0)
+    val bloomBytes = graft.queries.ExtraQueries.bloomFilterFor(
+      small, "o_orderkey")
     // The shipped filter is a bounded scalar, not a broadcast relation.
     assert(bloomBytes.length < 200 * 1024, s"${bloomBytes.length} bytes")
 
@@ -29,9 +29,18 @@ class BloomJoinSpec extends SparkSpecBase {
       lineitem("l_orderkey") === small("o_orderkey"), "left_semi").count()
 
     assert(probedN >= matchingN) // no false negatives, ever
-    // ~1/97 true selectivity + ~1% fp: anything over 3% means the
-    // filter stopped pruning (e.g. under-sized bits).
-    assert(probedN <= total * 3 / 100,
-      s"probed $probedN of $total — bloom not pruning")
+    // ~1/97 true selectivity + ~2% fp at 8 bits/item: anything over 4%
+    // means the derived sizing stopped pruning (e.g. the est/bits
+    // arithmetic regressed to an under-sized filter).
+    assert(probedN <= total * 4 / 100,
+      s"$dir: probed $probedN of $total — bloom not pruning")
+  }
+
+  test("derived-size pre-probe passes every joining row and prunes, sf0.001") {
+    checkAt("/root/testdata/sf0.001")
+  }
+
+  test("derived-size pre-probe holds its pruning factor at 10x the data") {
+    checkAt("/root/testdata/sf0.01")
   }
 }
