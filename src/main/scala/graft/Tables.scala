@@ -34,7 +34,14 @@ object Tables {
     * of a bare mtime comparison — a fixture regenerated within one
     * mtime-granularity tick still changes size, and a change to the
     * derivation's parameters (band count, hash seed, dump version)
-    * changes the tag, so neither can silently serve a stale artifact. */
+    * changes the tag, so neither can silently serve a stale artifact.
+    *
+    * Contract limitation (inherited by EVERY caller): a same-SIZE,
+    * timestamp-preserving content swap of a source file is invisible —
+    * detecting that would need a content hash, i.e. a full source read
+    * per freshness check. Callers whose sources can be rewritten in
+    * place with `cp -p`-style mtime preservation must bump the params
+    * tag (or delete the derived dir) to force a rebuild. */
   def sourceFingerprint(sources: Seq[java.nio.file.Path],
       params: String): String = {
     import java.nio.file.Files

@@ -130,8 +130,15 @@ object FnQueries {
         val compacted = s"/tmp/graft_compact_orders_$tag"
         t(s, d, "orders").repartition(64)
           .write.mode("overwrite").parquet(frag)
-        val n = compactionFileCount(frag, 32L << 20)
-        s.read.parquet(frag).coalesce(n)
+        val fragDf = s.read.parquet(frag)
+        // coalesce(n) silently caps at the scan's partition count, so a
+        // census planning MORE outputs than inputs (a grown fixture)
+        // would make the rewrite a no-op: clamp the plan to the actual
+        // input parallelism — compaction only ever REDUCES the census;
+        // splitting oversized files is the sorted/z-order writers' job.
+        val n = math.min(compactionFileCount(frag, 32L << 20),
+          fragDf.rdd.getNumPartitions)
+        fragDf.coalesce(n)
           .write.mode("overwrite").parquet(compacted)
         s.read.parquet(compacted)
           .select(col("o_orderkey"), col("o_orderstatus"),

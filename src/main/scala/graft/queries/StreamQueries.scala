@@ -119,12 +119,17 @@ object StreamQueries {
       .write.mode("overwrite").parquet(s"$root/obs/batch=$batchId")
     val obs = s.read.parquet(s"$root/obs/batch=$batchId").select("digest")
     // Accepted-so-far = strictly EARLIER batches only: a replay of this
-    // batch must not see its own previous attempt's output.
-    val priorDirs = Option(new java.io.File(s"$root/idx").listFiles())
-      .getOrElse(Array.empty[java.io.File]).toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-      .filter(_.getName.stripPrefix("batch=").toLong < batchId)
-      .map(_.getAbsolutePath)
+    // batch must not see its own previous attempt's output. The
+    // enumeration goes through the sink layer's SwapFs seam, so it
+    // resolves object-store URIs the same way the snapshot protocol
+    // does (driver-local File listing would silently see nothing
+    // there). One bounded listing per micro-batch; the per-batch dirs
+    // are compacted into the base index at the next full sync, which
+    // also bounds how many dirs this scan unions.
+    val priorDirs = graft.sink.SnapshotSwap.listDirNames(s"$root/idx")
+      .filter(_.startsWith("batch="))
+      .filter(_.stripPrefix("batch=").toLong < batchId)
+      .map(n => s"$root/idx/$n")
     val accepted =
       if (priorDirs.isEmpty) obs
       else obs.join(s.read.parquet(priorDirs: _*).select("digest"),

@@ -249,6 +249,17 @@ object SnapshotSwap {
   def currentSnapshot(base: String, table: String): Option[String] =
     swapFsFor(base).readPointer(s"$base/$table.manifest")
 
+  /** List child names of `dir` through the storage seam ([] if the dir
+    * doesn't exist yet) — so sink-adjacent code (e.g. the streaming
+    * dedup index's batch-dir enumeration) resolves local paths AND
+    * object-store URIs through the same SwapFs the snapshot protocol
+    * uses, instead of driver-local java.io.File. */
+  private[graft] def listDirNames(dir: String): Seq[String] = {
+    val fs = swapFsFor(dir)
+    try fs.listNames(dir)
+    catch { case _: java.nio.file.NoSuchFileException => Nil }
+  }
+
   /** Write df as a fresh immutable versioned dir and atomically repoint
     * the manifest at it. Returns the new snapshot path.
     *
@@ -367,8 +378,19 @@ object SnapshotSwap {
       version: Long): Option[String] = {
     val fs = swapFsFor(base)
     var cur = currentSnapshot(base, table)
-    while (cur.exists(n => versionOf(table, n).exists(_ > version)))
+    // The chain must strictly DECREASE in version each hop: a corrupted
+    // or cyclic _PARENT marker (a dir naming itself, or a
+    // same-or-higher version) would otherwise spin this walk forever —
+    // fail loudly instead of wedging the driver.
+    var prevV = Long.MaxValue
+    while (cur.exists(n => versionOf(table, n).exists(_ > version))) {
+      val v = versionOf(table, cur.get).get
+      if (v >= prevV) sys.error(
+        s"corrupt _PARENT chain for '$table' under $base: version $v " +
+          s"after $prevV (cycle or non-decreasing link) at ${cur.get}")
+      prevV = v
       cur = fs.readPointer(s"$base/${cur.get}/_PARENT").filter(_.nonEmpty)
+    }
     cur.filter(n => versionOf(table, n).contains(version))
       // The chain can still NAME a swept generation (the child's
       // _PARENT marker outlives its parent dir) — readable means the

@@ -23,8 +23,11 @@ class CompactionSpec extends SparkSpecBase {
     val nFrag = partFiles(frag).length
     val nCompact = partFiles(compacted).length
     assert(nFrag == 64)
-    val planned = graft.queries.FnQueries
-      .compactionFileCount(frag, 32L << 20)
+    // The kernel clamps the plan at the input partition count (coalesce
+    // can only merge, never split) — mirror the clamp here so the
+    // assertion stays true if a fixture ever plans past 64 inputs.
+    val planned = math.min(graft.queries.FnQueries
+      .compactionFileCount(frag, 32L << 20), nFrag)
     assert(nCompact == planned, s"compacted=$nCompact planned=$planned")
     assert(nCompact < nFrag)
     // No row lost or duplicated by the rewrite.

@@ -232,6 +232,9 @@ class PlanQualitySpec extends SparkSpecBase {
 
   test("q_anomaly_zscore standardizes in a single user_id shuffle") {
     val p = planOf("q_anomaly_zscore")
+    // Exactness is the contract: the window and the standardization
+    // must share ONE user_id exchange — a second hash exchange means
+    // the event log is re-shuffled between the stats and the apply.
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
     assert("""Window \[[^\]]*\], \[user_id#\d+""".r.findFirstIn(p).isDefined, p)
   }

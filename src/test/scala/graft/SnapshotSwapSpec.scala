@@ -90,6 +90,22 @@ class SnapshotSwapSpec extends SparkSpecBase {
     assert(SnapshotSwap.snapshotAsOf(base, "t", 99).isEmpty)
   }
 
+  test("a cyclic _PARENT chain fails the AS OF walk loudly, never spins") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_asof_cycle").toString
+    SnapshotSwap.writeManifested(Seq((1, "a")).toDF("id", "v"), base, "t")
+    SnapshotSwap.writeManifested(Seq((2, "b")).toDF("id", "v"), base, "t")
+    val head = SnapshotSwap.currentSnapshot(base, "t").get
+    // Corrupt HEAD's parent marker to name HEAD itself (a cycle — the
+    // version no longer strictly decreases along the chain).
+    Files.writeString(
+      java.nio.file.Paths.get(base, head, "_PARENT"), head)
+    val e = intercept[RuntimeException] {
+      SnapshotSwap.snapshotAsOf(base, "t", 1)
+    }
+    assert(e.getMessage.contains("corrupt _PARENT chain"), e.getMessage)
+  }
+
   test("manifest swap runs a full publish/read/sweep cycle on a rename-less FileSystem") {
     import spark.implicits._
     // Close the testable half of the P15 object-store residual

@@ -199,7 +199,11 @@ def main():
             n_pass += 1
         else:
             n_fail += 1
-    if not ONLY and not boundary_audit(con, oracles):
+    # Run the margin audit on full sweeps AND whenever a targeted
+    # re-verify names an audited query (a post-regeneration
+    # ONLY=q_text_bm25_multi run must re-check exactly this margin).
+    audit_due = not ONLY or set(ONLY) & set(BOUNDARY_AUDITS)
+    if audit_due and not boundary_audit(con, oracles):
         n_fail += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
