@@ -137,6 +137,52 @@ object SnapshotQueries {
         |FROM diff WHERE change <> 'unchanged'
         |GROUP BY change ORDER BY change""".stripMargin)),
 
+    // Live OPTIMIZE under the snapshot protocol (r9 VERDICT #3) — the
+    // composition of the q_compact_files kernel with the manifest CAS:
+    // a PUBLISHED table accumulates small files (here: a 48-way
+    // fragmented sync), and the nightly maintenance job rewrites its
+    // layout as a NEW snapshot generation without breaking in-flight
+    // readers — the old generation stays readable (retention keeps
+    // HEAD's parent until the sweep after next), AS OF v(N-1) returns
+    // the pre-compaction layout, and HEAD serves identical rows from a
+    // census-sized file count. The gate emits the data (oracle
+    // recomputes from orders) plus two protocol booleans the oracle
+    // pins TRUE: same_rows (HEAD vs pre-OPTIMIZE generation, exact
+    // multiset equality via two anti-joins) and fewer_files (the
+    // rewrite actually compacted). Concurrent-reader half pinned in
+    // SnapshotSwapSpec; the rewrite plan is the narrow zero-shuffle
+    // coalesce (SnapshotSwap.optimizePlan, pinned there too).
+    "q_optimize_snapshot" -> ((
+      (s: SparkSession, d: String) => {
+        val base = s"/tmp/graft_optsnap_${graft.Tables.dirTag(d)}"
+        val live = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+        SnapshotSwap.writeManifested(live.repartition(48), base,
+          "orders_live")
+        val vPre = SnapshotSwap.currentVersion(base, "orders_live")
+        val preDir = s"$base/${SnapshotSwap.currentSnapshot(base, "orders_live").get}"
+        SnapshotSwap.optimizeManifested(s, base, "orders_live", 32L << 20)
+        val headDir = s"$base/${SnapshotSwap.currentSnapshot(base, "orders_live").get}"
+        val head = SnapshotSwap.readManifested(s, base, "orders_live")
+        val pre = SnapshotSwap.readAsOf(s, base, "orders_live", vPre)
+        val sameRows = pre.exceptAll(head).isEmpty &&
+          head.exceptAll(pre).isEmpty
+        val fewerFiles = SnapshotSwap.partCensus(headDir)._1 <
+          SnapshotSwap.partCensus(preDir)._1
+        head.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"), sum("cents").as("cents"))
+          .withColumn("same_rows", lit(sameRows))
+          .withColumn("fewer_files", lit(fewerFiles))
+          .orderBy("o_orderstatus")
+      },
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        |CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |  AS cents,
+        |TRUE AS same_rows, TRUE AS fewer_files
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)),
+
     // Snapshot diff — the domain's natural follow-up to P12: what
     // changed between two collects (added / removed / changed rows).
     // One full-outer join on the key classifies everything; unchanged

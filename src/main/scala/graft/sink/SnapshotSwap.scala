@@ -352,6 +352,55 @@ object SnapshotSwap {
     dataDir
   }
 
+  /** Count + total bytes of the part files inside a snapshot dir via
+    * the Hadoop FileSystem API (works for local paths and object-store
+    * URIs alike — metadata-only, no data read). */
+  private[graft] def partCensus(dir: String): (Int, Long) = {
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val fs = hp.getFileSystem(
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration()))
+    val parts = fs.listStatus(hp)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    (parts.length, parts.map(_.getLen).sum)
+  }
+
+  /** The layout-rewrite plan of [[optimizeManifested]], exposed so its
+    * shape can be pinned: a parquet scan of the published snapshot
+    * plus a NARROW coalesce sized from the dir's byte census
+    * (ceil(bytes/targetBytes), clamped at the scan's parallelism) —
+    * no shuffle, rows keep partition locality. */
+  private[graft] def optimizePlan(spark: SparkSession, base: String,
+      table: String, targetBytes: Long): DataFrame = {
+    val snap = currentSnapshot(base, table).getOrElse(
+      sys.error(s"no published snapshot for $table under $base"))
+    val dir = s"$base/$snap"
+    val (_, bytes) = partCensus(dir)
+    val df = spark.read.parquet(dir)
+    val n = math.min(
+      math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt),
+      df.rdd.getNumPartitions)
+    df.coalesce(n)
+  }
+
+  /** Live OPTIMIZE under the snapshot protocol: rewrite the PUBLISHED
+    * table's layout (small-file compaction) as a NEW snapshot
+    * generation, committed through the same manifest CAS as any sync.
+    * In-flight readers that resolved the old pointer keep reading the
+    * old dir (the existing retention rule keeps HEAD's parent alive
+    * until the sweep after next); readers after the commit see
+    * identical rows in fewer files; AS OF v(N-1) still returns the
+    * pre-compaction generation. This is the nightly maintenance job a
+    * 100 TB streaming-append table actually runs — at that scale the
+    * same call runs per table-partition, and only partitions whose
+    * census violates the target are rewritten. Returns the new
+    * snapshot dir. */
+  def optimizeManifested(spark: SparkSession, base: String, table: String,
+      targetBytes: Long): String =
+    writeManifested(optimizePlan(spark, base, table, targetBytes),
+      base, table)
+
   /** Reader half of the manifest protocol: resolve the pointer, read
     * the snapshot it names. */
   def readManifested(spark: SparkSession, base: String,

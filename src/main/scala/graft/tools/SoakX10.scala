@@ -112,7 +112,11 @@ object SoakX10 {
     // Sorted time sink: write cost is the range sort (linear); the
     // slice read-back must keep materializing only stat-intersecting
     // row groups as the log grows.
-    "q_sink_sorted")
+    "q_sink_sorted",
+    // Round 10: live OPTIMIZE = fragmented publish + narrow-coalesce
+    // rewrite + CAS commit — two linear write passes, zero shuffle in
+    // the rewrite, manifest work O(1) regardless of data size.
+    "q_optimize_snapshot")
 
   def ensureSoakDir(spark: SparkSession, baseSf: String, dir: String,
       x: Long): Unit = {

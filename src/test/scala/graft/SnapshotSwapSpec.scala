@@ -90,6 +90,39 @@ class SnapshotSwapSpec extends SparkSpecBase {
     assert(SnapshotSwap.snapshotAsOf(base, "t", 99).isEmpty)
   }
 
+  test("live OPTIMIZE commits a compacted generation under an in-flight reader") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_optimize").toString
+    val df = (1 to 500).map(i => (i, s"v$i")).toDF("id", "v")
+    SnapshotSwap.writeManifested(df.repartition(8), base, "t")
+    val preDir = s"$base/${SnapshotSwap.currentSnapshot(base, "t").get}"
+    // A reader that resolved the pointer BEFORE the OPTIMIZE commit:
+    // its plan is bound to the old generation's dir.
+    val inFlight = spark.read.parquet(preDir)
+
+    // The rewrite plan is a narrow coalesce — no shuffle exchange.
+    val p = SnapshotSwap.optimizePlan(spark, base, "t", 32L << 20)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Coalesce"), p)
+    assert(!p.contains("Exchange"), p)
+
+    SnapshotSwap.optimizeManifested(spark, base, "t", 32L << 20)
+
+    // The in-flight reader still completes against the retained old
+    // generation after the commit.
+    assert(inFlight.count() == 500)
+    // AS OF v1 returns the pre-compaction generation; HEAD serves the
+    // identical rows from fewer files.
+    assert(SnapshotSwap.readAsOf(spark, base, "t", 1).count() == 500)
+    val headDir = s"$base/${SnapshotSwap.currentSnapshot(base, "t").get}"
+    assert(headDir != preDir)
+    assert(SnapshotSwap.partCensus(headDir)._1 <
+      SnapshotSwap.partCensus(preDir)._1)
+    assert(SnapshotSwap.readManifested(spark, base, "t")
+      .as[(Int, String)].collect().toSet ==
+      (1 to 500).map(i => (i, s"v$i")).toSet)
+  }
+
   test("a cyclic _PARENT chain fails the AS OF walk loudly, never spins") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_asof_cycle").toString
