@@ -282,6 +282,133 @@ object TextQueries {
       .select("doc_a", "doc_b")
   }
 
+  // ---- Multimodal perceptual near-dup: byte-level fuzzy fingerprint.
+  // The binary-column twin of q_dedup_simhash: images/audio near-dup
+  // on CONTENT, not just the exact digest. With no media libs in the
+  // environment the codec boundary is the documented deterministic
+  // stub (graft.multimodal), so the signature here is computed over
+  // the raw payload's byte 4-grams — the ssdeep/TLSH family of fuzzy
+  // hashing, which is exactly what a binary-blob pipeline runs BEFORE
+  // any decode (codec-independent, works on any payload). A real
+  // image pipeline swaps the shingle source for decoded-pixel
+  // features (pHash DCT coefficients) at the Multimodal.decode
+  // boundary; every plan shape downstream — signature map, band
+  // explode, bucket join, Hamming pre-verify, exact verify — is
+  // unchanged by that swap.
+  //
+  // Byte 4-grams ride as 8-hex-char strings (substr over hex(payload)
+  // stays inside whole-stage codegen; a raw-binary slice would need a
+  // custom expression for no plan benefit at this width).
+
+  /** (doc_id, h) hex view of the payload column; payloads under 4
+    * bytes have no 4-gram and drop out (sequence(1, negative) would
+    * otherwise produce a DESCENDING range — Spark's auto step). */
+  private def payloadHex(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        hex(col("text").cast("binary")).as("h"))
+      .filter(length(col("h")) >= 8)
+
+  private val byteShingleExpr =
+    "array_distinct(transform(sequence(1, length(h) - 7), i -> substr(h, i, 8)))"
+
+  /** Exploded distinct byte-4-gram inverted index (verify side). */
+  private def byteShingleIndex(docs: DataFrame): DataFrame =
+    payloadHex(docs)
+      .select(col("doc_id"), explode(expr(byteShingleExpr)).as("s"))
+
+  /** Per-payload distinct byte-shingle-set size — map-only, same
+    * rationale as sizesOf. */
+  private def byteSizes(docs: DataFrame): DataFrame =
+    payloadHex(docs).select(col("doc_id"),
+      size(expr(byteShingleExpr)).cast("long").as("n"))
+
+  /** Candidate pairs: 64-bit simhash over the byte shingles, 4x16-bit
+    * Hamming bands -> capped bucket join -> full-signature Hamming
+    * pre-verify (same collision-floor reasoning as simhashCandidates:
+    * the 8-byte xor/popcount kills the 4/2^16 random-band floor
+    * before the expensive shingle verify). */
+  private def multimodalNeardupCandidates(docs: DataFrame): DataFrame = {
+    graft.functions.SketchFunctions.register(docs.sparkSession)
+    val sigs = payloadHex(docs)
+      .select(col("doc_id"), expr(s"simhash_sig($byteShingleExpr)").as("sig"))
+    val chunks = (0 until 4).map { c =>
+      struct(lit(c).as("b"),
+        expr(s"(sig >> ${16 * c}) & 65535").as("v"))
+    }
+    val bands = sigs.select(col("doc_id"), explode(array(chunks: _*)).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.v").as("v"))
+    bandedPairsCapped(bands, 128)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        "doc_b")
+      .filter(expr("bit_count(sig_a ^ sig_b) <= 16"))
+      .select("doc_a", "doc_b")
+  }
+
+  /** Unmaterialized eval-suite-scale decontamination plan (shared by
+    * the gate query and PlanQualitySpec's two-regime gate). Bench =
+    * doc_id % 3 == 0 (an eval-suite-sized THIRD of the corpus — the
+    * slice that outgrows a broadcast at scale); corpus = the rest. */
+  private[graft] def decontaminateLargePlan(s: SparkSession,
+      d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    graft.functions.SketchFunctions.register(s)
+    def sh(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        explode(expr("word_shingles_distinct(tk, 5)")).as("s"))
+    val bench = sh(docs.filter(col("doc_id") % 3 === 0))
+      .select("s").distinct()
+    // Bounded scalar: est derived from the bench side, bits clamped to
+    // 2^26 — the filter stays a literal even when the relation cannot
+    // be broadcast.
+    val bloomBytes = graft.queries.ExtraQueries.bloomFilterFor(bench, "s")
+    val corpusSh = sh(docs.filter(col("doc_id") % 3 =!= 0))
+      .filter(call_function("bloom_might_contain",
+        lit(bloomBytes), xxhash64(col("s"))))
+    // No broadcast hint: the size-based planner owns the join strategy.
+    val contaminated = corpusSh.join(bench, "s")
+      .select("doc_id").distinct()
+    docs.filter(col("doc_id") % 3 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "n_chars")
+  }
+
+  /** The full unmaterialized near-dup pipeline over an arbitrary
+    * (doc_id, text-as-payload) frame — shared by the gate query, the
+    * plan probe, and MultimodalSpec's semantic tests. */
+  private[graft] def multimodalNeardupOn(docs: DataFrame,
+      threshold: Double): DataFrame =
+    jaccardFilter(
+      interFor(multimodalNeardupCandidates(docs), byteShingleIndex(docs)),
+      byteSizes(docs), threshold)
+
+  /** Oracle twin of the byte-shingle verify over the candidate
+    * side-file (byte-4-gram analogue of verifySql). */
+  private def byteVerifySql(candPath: String, threshold: Double): String =
+    s"""WITH cand AS (SELECT DISTINCT doc_a, doc_b
+       |  FROM read_parquet('$candPath/*.parquet')),
+       |hx AS (SELECT doc_id, upper(hex(encode(text))) AS h
+       |  FROM documents WHERE octet_length(encode(text)) >= 4),
+       |sh AS (SELECT DISTINCT doc_id, substr(h, CAST(i AS INT), 8) AS s
+       |  FROM (SELECT doc_id, h,
+       |    unnest(generate_series(1, length(h) - 7)) AS i FROM hx)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+       |  GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b,
+       |  round(i.inter * 1.0 / (sa.n + sb.n - i.inter), 6) AS jaccard
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.doc_a
+       |JOIN sizes sb ON sb.doc_id = i.doc_b
+       |WHERE i.inter * 1.0 / (sa.n + sb.n - i.inter) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Persist candidates for the oracle's verify-only pass, then verify.
     * The side-file exists solely so the DuckDB oracle can re-verify the
     * EXACT candidate set Spark generated — the driver only reads it at
@@ -331,6 +458,7 @@ object TextQueries {
         val pairs = a.join(b, Seq("s")).filter(col("doc_a") =!= col("doc_b"))
           .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
         containmentFilter(pairs, sizesOf(t(s, d, "documents"), 5), 7)
+      case "mmnear" => multimodalNeardupOn(t(s, d, "documents"), 0.8)
       case "exact" => entriesExactPlan(s, d)
     }
   }
@@ -1618,6 +1746,34 @@ object TextQueries {
          |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
          |ORDER BY doc_id""".stripMargin)),
 
+    // Decontamination at EVAL-SUITE scale — the regime where the
+    // benchmark side outgrows a broadcast (a full eval-suite union
+    // plus its paraphrase expansions can reach tens of GB against a
+    // 100 TB corpus). Two deliberate differences from
+    // q_text_decontaminate: (1) NO broadcast hint — the size-based
+    // planner picks broadcast at gate scale and flips to a shuffled
+    // equi-join when the bench side crosses the threshold (the r7
+    // broadcast->SMJ flip, gated in both regimes in PlanQualitySpec);
+    // (2) the map-side vocabulary prune survives the flip as an
+    // EXPLICIT bloom pre-probe: the bench shingle set aggregates into
+    // a bounded bloom scalar (<=8 MB at ANY bench size) that prunes
+    // the corpus shingle stream BEFORE its exchange — without it, the
+    // shuffled regime pays a corpus-shingle-sized exchange, which is
+    // the whole cost at 100 TB. No false negatives, so the join
+    // output — and the oracle identity — is unchanged in both regimes.
+    "q_decontaminate_large" -> ((
+      (s: SparkSession, d: String) => decontaminateLargePlan(s, d)
+        .orderBy("doc_id"),
+      s"""WITH ${shinglesSqlCte(5)},
+         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 3 = 0),
+         |contaminated AS (
+         |  SELECT DISTINCT doc_id FROM sh
+         |  WHERE doc_id % 3 <> 0 AND s IN (SELECT s FROM bench))
+         |SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id % 3 <> 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |ORDER BY doc_id""".stripMargin)),
+
     // Repetition signals (Gopher/RefinedWeb-style quality rules):
     // duplicate word-2-gram fraction and top-word dominance — pure
     // map-side per-row array math, no exchange. The per-row pass is the
@@ -1763,6 +1919,34 @@ object TextQueries {
         |CAST(count(*) AS BIGINT) AS n_copies,
         |CAST(min(octet_length(encode(text))) AS INT) AS n_bytes
         |FROM documents GROUP BY sha256(text)
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Multimodal PERCEPTUAL near-dup — the fuzzy twin of
+    // q_multimodal_dedup (which only collapses byte-identical
+    // payloads): simhash over the payload's byte 4-grams, Hamming-band
+    // LSH buckets, capped bucket join, full-signature Hamming
+    // pre-verify, then EXACT byte-shingle Jaccard >= 0.8. Never
+    // all-pairs (plan-gated via planProbe("mmnear")). The oracle
+    // re-verifies the exact candidate set with the same integer
+    // shingle arithmetic. At 100 TB the signature is computed at
+    // ingest next to the digest; only (doc_id, band, bucket) rows
+    // reach the exchange.
+    "q_multimodal_neardup" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val resPath = s"/tmp/graft_res_mmnear_${graft.Tables.dirTag(d)}"
+        val idx = byteShingleIndex(docs).persist()
+        idx.count()
+        try {
+          candidateVerify(s, d, multimodalNeardupCandidates(docs), idx,
+            byteSizes(docs),
+            s"/tmp/graft_cand_mmnear_${graft.Tables.dirTag(d)}", 0.8)
+            .write.mode("overwrite").parquet(resPath)
+        } finally idx.unpersist(blocking = true)
+        s.read.parquet(resPath).orderBy("doc_a", "doc_b")
+      },
+      byteVerifySql(
+        s"/tmp/graft_cand_mmnear_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}",
+        0.8)))
   )
 }

@@ -204,6 +204,65 @@ object VectorQueries {
         candPath + "_res")
     }
 
+  // ---- Incremental ANN: batch-vs-persisted-bucket-index probe --------
+
+  /** Build-once persisted LSH bucket index of the "previous snapshot"
+    * (vec_id % 4 != 3) — the VECTOR twin of the text side's
+    * ensureBandIndex: (vec_id, tbl, bkt) rows, the artifact a
+    * continuously-ingesting embedding pipeline carries across syncs so
+    * each NEW batch can be similarity-probed without re-bucketing the
+    * accumulated corpus. Freshness keys on the source fingerprint plus
+    * every bucketing parameter (tables, bits, base predicate) — bits
+    * derive deterministically from the corpus row count, so probe-time
+    * bucketing of the batch uses the identical plane set. */
+  private def ensureBucketIndex(s: SparkSession, d: String,
+      bits: Int): String = {
+    val dir = s"/tmp/graft_vecidx_${graft.Tables.dirTag(d)}_v1"
+    val fp = graft.Tables.sourceFingerprint(
+      Seq(java.nio.file.Paths.get(d, "embeddings.parquet")),
+      s"lshbuckets:$numTables:bits$bits:base_mod4ne3")
+    graft.Tables.ensureDerived(dir, fp) {
+      withBuckets(emb(s, d).filter(col("vec_id") % 4 =!= 3), bits)
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  /** The incremental candidate join (batch buckets ⋈ persisted bucket
+    * index). Exposed as a probe so PlanQualitySpec can assert the base
+    * side enters as a parquet SCAN of the index — exactly one
+    * plane-projection bucket build in the whole plan (the new batch),
+    * never a re-bucketing of the accumulated corpus. The index side is
+    * skew-capped at read (deterministic by vec_id, same guard as
+    * q_embed_dup); candidates stay (tbl, bkt)-equi-joined — never
+    * all-pairs. */
+  private[graft] def incAnnCandidateProbe(s: SparkSession,
+      d: String): DataFrame = {
+    val bits = bitsFor(corpusRows(s, d))
+    val baseBuckets = capBuckets(
+      s.read.parquet(ensureBucketIndex(s, d, bits)))
+      .select(col("vec_id").as("nid"), col("tbl"), col("bkt"))
+    withBuckets(emb(s, d).filter(col("vec_id") % 4 === 3), bits)
+      .select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
+      .join(baseBuckets, Seq("tbl", "bkt"))
+      .select("qid", "nid").distinct()
+  }
+
+  /** Exact cosine for (qid, nid) pairs with SIZE-BASED join planning —
+    * unlike cosineFor (which broadcasts its ≤NQ-row query side), the
+    * incremental batch is corpus-scaled, so the planner must be free
+    * to flip the batch side to a shuffled join as it grows. */
+  private def cosineForPlanned(s: SparkSession, d: String,
+      pairs: DataFrame): DataFrame = {
+    val e = emb(s, d)
+    val q = e.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("nid"), col("v"), col("nrm"))
+    pairs.join(q, "qid").join(c, "nid")
+      .withColumn("cosraw", expr("vec_dot(qv, v)") / (col("qn") * col("nrm")))
+      .select("qid", "nid", "cosraw")
+  }
+
   // ---- IVF-style partitioning: nearest-centroid inverted lists -------
   private val numCentroids = 16
   private val numProbes = 2
@@ -524,6 +583,23 @@ object VectorQueries {
         annResult(s, d, s"/tmp/graft_cand_ann_${graft.Tables.dirTag(d)}")
           .orderBy("qid", "rn"),
       rankSql(s"SELECT DISTINCT qid, nid FROM read_parquet('/tmp/graft_cand_ann_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/*.parquet')"))),
+
+    // Incremental ANN — the vector twin of q_dedup_minhash_inc: a NEW
+    // batch of embeddings (vec_id % 4 == 3) is similarity-probed
+    // against the previous snapshot's PERSISTED LSH bucket index; the
+    // accumulated corpus is never re-bucketed (plan-gated: the base
+    // enters as a parquet scan of the index, exactly one plane-
+    // projection bucket build exists — the batch's). Exact cosine
+    // re-rank on candidates with size-based join planning (the batch
+    // side is corpus-scaled, unlike the fixed-probe ANN queries).
+    // Oracle re-ranks the same candidate set.
+    "q_embed_ann_inc" -> ((
+      (s: SparkSession, d: String) => {
+        val cand = maybeSideFile(s, d, incAnnCandidateProbe(s, d),
+          s"/tmp/graft_cand_anninc_${graft.Tables.dirTag(d)}")
+        rankTopK(cosineForPlanned(s, d, cand)).orderBy("qid", "rn")
+      },
+      rankSql(s"SELECT DISTINCT qid, nid FROM read_parquet('/tmp/graft_cand_anninc_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/*.parquet')"))),
 
     // IVF-style ANN: k-means-refined nearest-centroid inverted lists,
     // multi-probe, exact re-rank on the probed lists only.

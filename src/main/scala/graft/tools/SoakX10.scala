@@ -116,7 +116,23 @@ object SoakX10 {
     // Round 10: live OPTIMIZE = fragmented publish + narrow-coalesce
     // rewrite + CAS commit — two linear write passes, zero shuffle in
     // the rewrite, manifest work O(1) regardless of data size.
-    "q_optimize_snapshot")
+    "q_optimize_snapshot",
+    // Multimodal perceptual near-dup: byte-shingle simhash is a pure
+    // map; the banded bucket join is capped per bucket and the Hamming
+    // pre-verify kills the fixed-band random-collision floor, so pair
+    // counts (and the exact verify) must scale with TRUE near-dups,
+    // not N^2. Per-copy token renaming keeps cross-copy byte
+    // similarity at zero, exactly like the text dedup family.
+    "q_multimodal_neardup",
+    // Incremental ANN: the batch bucket build + index probe must track
+    // the BATCH size; the accumulated corpus contributes only the
+    // bucket-index scan (vector twin of q_dedup_minhash_inc).
+    "q_embed_ann_inc",
+    // Eval-suite-scale decontamination: the bench side grows WITH the
+    // corpus here (a third of it), so the soak exercises the
+    // shuffled-join regime the gate's plan test pins — the bloom
+    // pre-probe must keep the corpus-side exchange pruned.
+    "q_decontaminate_large")
 
   def ensureSoakDir(spark: SparkSession, baseSf: String, dir: String,
       x: Long): Unit = {

@@ -185,6 +185,30 @@ class EdgeCasesSpec extends SparkSpecBase {
       s"union=$unionDistinct base=$baseDistinct accepted=$accepted")
   }
 
+  test("incremental ANN probes batch-vs-base only, ranked and bounded") {
+    // Partition correctness: every reported neighbor pair crosses the
+    // batch/base boundary (qid from the new batch, nid from the base);
+    // ranks are 1..K dense per qid in descending-cosine order; and a
+    // second run is bit-identical (the persisted index + deterministic
+    // planes leave nothing run-dependent).
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val run1 = SparkEntry.queries("q_embed_ann_inc")(spark, dir).collect()
+    assert(run1.nonEmpty)
+    assert(run1.forall(r => r.getLong(0) % 4 == 3), "qid not from batch")
+    assert(run1.forall(r => r.getLong(1) % 4 != 3), "nid not from base")
+    val byQ = run1.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to sorted.length).toSeq)
+      val cos = sorted.map(_.getDouble(2)).toSeq
+      assert(cos == cos.sorted.reverse, s"not rank-ordered: $cos")
+      assert(sorted.length <= 5)
+    }
+    val run2 = SparkEntry.queries("q_embed_ann_inc")(spark, dir).collect()
+    assert(run1.map(_.toString).toSeq == run2.map(_.toString).toSeq)
+  }
+
   test("batch stream of an empty iterator emits nothing") {
     assert(BatchStream.batches(Iterator.empty[(String, Int)], 5, 10).isEmpty)
   }

@@ -38,6 +38,35 @@ class MultimodalSpec extends SparkSpecBase {
     assert(feats == base)
   }
 
+  test("perceptual near-dup finds byte-level near copies, not unrelated payloads") {
+    import spark.implicits._
+    // Non-repetitive ~2 KB payload: a 1-byte edit perturbs ~0.4% of
+    // the distinct byte 4-grams, so simhash Hamming stays within the
+    // band guarantee (4x16-bit bands detect Hamming <= 3 for certain;
+    // measured Hamming here is 1 with 3 bands shared). A SHORT payload
+    // is the documented recall edge: few distinct shingles -> small
+    // per-bit margins -> one edit can flip bits in every band.
+    val base = (1 to 300).map(i => s"token$i word$i").mkString(" ")
+    val nearCopy = base.updated(base.length / 2, 'X')
+    val unrelated = (1 to 300).map(i => s"other$i gram$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearCopy), (3L, unrelated), (4L, ""))
+      .toDF("doc_id", "text")
+    val pairs = graft.queries.TextQueries.multimodalNeardupOn(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // Jaccard of the surviving pair is high (single-byte edit).
+    val jac = graft.queries.TextQueries.multimodalNeardupOn(docs, 0.8)
+      .collect().head.getDouble(2)
+    assert(jac > 0.9 && jac <= 1.0, jac.toString)
+  }
+
+  test("near-dup tolerates sub-4-byte payloads (no descending sequence)") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab"), (2L, "ab"), (3L, "x")).toDF("doc_id", "text")
+    assert(graft.queries.TextQueries.multimodalNeardupOn(docs, 0.8)
+      .count() == 0)
+  }
+
   test("frame sampling explodes bounded frame indices") {
     val frames = Multimodal.sampleFrames(Multimodal.decode(assets), every = 2)
     assert(frames.columns.toSeq == Seq("asset_id", "frame_idx", "n_bytes"))

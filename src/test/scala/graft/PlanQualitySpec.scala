@@ -51,7 +51,7 @@ class PlanQualitySpec extends SparkSpecBase {
   test("no unintended cartesian shapes in the bucketed similarity ops") {
     // The dedup gate queries materialize eagerly (scoped shingle-index
     // cache), so inspect the unmaterialized pipeline plans directly.
-    Seq("ngram", "minhash", "simhash", "contain").foreach { which =>
+    Seq("ngram", "minhash", "simhash", "contain", "mmnear").foreach { which =>
       val p = graft.queries.TextQueries.planProbe(spark, dir, which)
         .queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$which:\n$p")
@@ -528,6 +528,57 @@ class PlanQualitySpec extends SparkSpecBase {
       probeSide.get.toString)
     assert(!df.queryExecution.executedPlan.toString
       .contains("CartesianProduct"))
+  }
+
+  test("q_embed_ann_inc probes a SCANNED bucket index — no corpus re-bucketing") {
+    val df = graft.queries.VectorQueries.incAnnCandidateProbe(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // The previous snapshot's side must be a parquet scan of the
+    // persisted bucket index. The plane-projection bucket build prints
+    // as the one BroadcastNestedLoopJoin (crossJoin of the broadcast
+    // plane frame) — exactness is the contract: a SECOND one means the
+    // accumulated corpus got re-bucketed this sync; zero means the
+    // batch's bucketing disappeared.
+    assert(p.contains("graft_vecidx_"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_decontaminate_large keeps the bloom prune in BOTH join regimes") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // The contract under the broadcast->shuffle flip: (a) the bench
+    // join is a size-planned equi-join in both regimes (never BNL /
+    // cartesian), and (b) the bloom vocabulary prune stays ON THE
+    // CORPUS SIDE — in the shuffled regime, BELOW the corpus-side
+    // exchange, because pruning AFTER the shuffle forfeits the entire
+    // exchange reduction that motivates the probe.
+    def innerJoins(df: org.apache.spark.sql.DataFrame) =
+      collectNodes(df.queryExecution.executedPlan).collect {
+        case j: BaseJoinExec if j.joinType.toString == "Inner" => j
+      }
+    // Regime 1 (default size-based planning): the bench side fits the
+    // broadcast threshold at this SF.
+    val dfB = graft.queries.TextQueries.decontaminateLargePlan(spark, dir)
+    val pB = dfB.queryExecution.executedPlan.toString
+    assert(pB.contains("BroadcastHashJoin"), pB)
+    assert(innerJoins(dfB).flatMap(j => Seq(j.left, j.right))
+      .exists(_.toString.contains("might_contain")), pB)
+    // Regime 2 (bench exceeds the threshold): the join must flip to a
+    // shuffled equi-join with the prune still below the exchange.
+    graft.queries.ExtraQueries.withoutBroadcast(spark) {
+      val dfS = graft.queries.TextQueries.decontaminateLargePlan(spark, dir)
+      val pS = dfS.queryExecution.executedPlan.toString
+      assert(!pS.contains("BroadcastHashJoin"), pS)
+      assert(pS.contains("SortMergeJoin") || pS.contains("ShuffledHashJoin"),
+        pS)
+      assert(!pS.contains("BroadcastNestedLoopJoin") &&
+        !pS.contains("CartesianProduct"), pS)
+      val prunedExchanges = collectNodes(dfS.queryExecution.executedPlan)
+        .collect { case e: ShuffleExchangeExec => e }
+        .filter(_.child.toString.contains("might_contain"))
+      assert(prunedExchanges.nonEmpty, pS)
+    }
   }
 
   test("q_stream_agg_inc folds base-MV and delta scans with one re-aggregation") {
