@@ -27,7 +27,7 @@ object StreamQueries {
     * below compares only fixture mtimes, so without a version in the
     * dump path a code change to the re-encode would keep serving old
     * dumps. */
-  private[queries] val DumpVersion = 2
+  private[graft] val DumpVersion = 2
 
   /** Re-encode a source table into a file-stream staging dir, skipping
     * the copy only when the existing dump carries the current source
@@ -135,6 +135,38 @@ object StreamQueries {
       else obs.join(s.read.parquet(priorDirs: _*).select("digest"),
         Seq("digest"), "left_anti")
     accepted.write.mode("overwrite").parquet(s"$root/idx/batch=$batchId")
+  }
+
+  /** One micro-batch of the streaming ANN maintenance sink
+    * (q_stream_ann_inc): bucket THIS batch's vectors with the
+    * deterministic plane set (same bit width as the persisted index,
+    * so candidates equal the batch-mode probe's), append them to the
+    * stream's bucket index (the artifact the next full sync compacts
+    * into the base index), and log the batch's candidate pairs against
+    * the base index. Both writes are keyed by micro-batch id and
+    * OVERWRITE their own dir — exactly-once under at-least-once
+    * foreachBatch replay, same protocol as incDedupBatch. Bucket
+    * equi-joins are per-row independent, so the union of per-batch
+    * candidate logs is micro-batch-split independent and equals
+    * q_embed_ann_inc's candidate set exactly (asserted in
+    * StreamAnnSpec). At 100 TB the per-batch work is batch-sized: one
+    * plane projection over the batch plus an equi-join against the
+    * (scan-only, skew-capped) index. */
+  private[graft] def annIncBatch(batch: DataFrame, baseIdx: DataFrame,
+      bits: Int, root: String, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    graft.functions.VectorFunctions.register(s)
+    val vecs = batch.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    VectorQueries.bucketsOf(vecs, bits)
+      .write.mode("overwrite").parquet(s"$root/idx/batch=$batchId")
+    s.read.parquet(s"$root/idx/batch=$batchId")
+      .select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
+      .join(VectorQueries.cappedIndex(baseIdx)
+        .select(col("vec_id").as("nid"), col("tbl"), col("bkt")),
+        Seq("tbl", "bkt"))
+      .select("qid", "nid").distinct()
+      .write.mode("overwrite").parquet(s"$root/obs/batch=$batchId")
   }
 
   /** One micro-batch of the streaming matview-maintenance sink
@@ -262,6 +294,47 @@ object StreamQueries {
         |SELECT doc_id, digest, n_copies FROM bd
         |WHERE NOT EXISTS (SELECT 1 FROM base WHERE base.digest = bd.digest)
         |ORDER BY doc_id""".stripMargin)),
+
+    // Streaming ANN index maintenance — q_embed_ann_inc's protocol
+    // under continuous ingest: new embedding vectors (vec_id % 4 = 3)
+    // stream in as four micro-batches; each batch is bucketed once
+    // with the deterministic plane set, its buckets land in a
+    // batch-id-keyed index dir (idempotent overwrite — the
+    // exactly-once protocol of q_stream_dedup_inc; replay case in
+    // StreamAnnSpec) and its candidates against the persisted base
+    // bucket index land in a batch-id-keyed observation log. The gate
+    // answer exact-re-ranks the union of per-batch candidates — which
+    // is micro-batch-split independent (bucket equi-joins are per-row
+    // independent) and equals the batch-mode q_embed_ann_inc
+    // candidates. Oracle re-ranks the same logged candidate set.
+    "q_stream_ann_inc" -> ((
+      (s: SparkSession, d: String) => {
+        val tag = graft.Tables.dirTag(d)
+        val srcDir = s"/tmp/graft_stream_vecb_${tag}_v$DumpVersion"
+        ensureStreamDump(d, "embeddings", srcDir, "batch_mod4eq3_files4")(
+          t(s, d, "embeddings").filter(col("vec_id") % 4 === 3)
+            .repartition(4))
+        val (idxDir, bits) = VectorQueries.annIndexFor(s, d)
+        val baseIdx = s.read.parquet(idxDir)
+        val root = s"/tmp/graft_sann_$tag"
+        graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        withStreamGateConfs(s) {
+          val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            Long) => Unit = (b, id) => annIncBatch(b, baseIdx, bits, root, id)
+          val q = stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        val cand = s.read.parquet(s"$root/obs")
+          .select("qid", "nid").distinct()
+        VectorQueries.rankCandidates(s, d, cand).orderBy("qid", "rn")
+      },
+      VectorQueries.rankSqlFor(
+        s"/tmp/graft_sann_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/obs/*/*.parquet"))),
 
     // Streaming materialized-view maintenance — q_agg_incremental's
     // protocol under continuous ingest: the delta (o_orderkey % 7 = 0

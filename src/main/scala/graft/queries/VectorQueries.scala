@@ -248,6 +248,34 @@ object VectorQueries {
       .select("qid", "nid").distinct()
   }
 
+  /** Oracle re-rank over a candidate side-file glob (StreamQueries'
+    * streaming ANN gate shares the batch oracle verbatim). */
+  private[graft] def rankSqlFor(glob: String): String =
+    rankSql(s"SELECT DISTINCT qid, nid FROM read_parquet('$glob')")
+
+  /** Index location + bit width for the incremental/streaming ANN
+    * probes (StreamQueries shares the exact batch protocol, so its
+    * per-micro-batch candidates equal the batch run's). */
+  private[graft] def annIndexFor(s: SparkSession, d: String): (String, Int) = {
+    val bits = bitsFor(corpusRows(s, d))
+    (ensureBucketIndex(s, d, bits), bits)
+  }
+
+  /** Bucket relation of an arbitrary (vec_id, v) frame (StreamQueries'
+    * per-micro-batch bucketing — same planes, same bit width). */
+  private[graft] def bucketsOf(e: DataFrame, bits: Int): DataFrame =
+    withBuckets(e, bits)
+
+  /** Deterministic skew cap over an index read (see capBuckets). */
+  private[graft] def cappedIndex(idx: DataFrame): DataFrame =
+    capBuckets(idx)
+
+  /** Exact top-K re-rank of an explicit candidate set with size-based
+    * join planning (shared by q_embed_ann_inc and its streaming twin). */
+  private[graft] def rankCandidates(s: SparkSession, d: String,
+      cand: DataFrame): DataFrame =
+    rankTopK(cosineForPlanned(s, d, cand))
+
   /** Exact cosine for (qid, nid) pairs with SIZE-BASED join planning —
     * unlike cosineFor (which broadcasts its ≤NQ-row query side), the
     * incremental batch is corpus-scaled, so the planner must be free
@@ -597,7 +625,7 @@ object VectorQueries {
       (s: SparkSession, d: String) => {
         val cand = maybeSideFile(s, d, incAnnCandidateProbe(s, d),
           s"/tmp/graft_cand_anninc_${graft.Tables.dirTag(d)}")
-        rankTopK(cosineForPlanned(s, d, cand)).orderBy("qid", "rn")
+        rankCandidates(s, d, cand).orderBy("qid", "rn")
       },
       rankSql(s"SELECT DISTINCT qid, nid FROM read_parquet('/tmp/graft_cand_anninc_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/*.parquet')"))),
 

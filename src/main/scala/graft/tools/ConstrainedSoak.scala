@@ -27,7 +27,13 @@ object ConstrainedSoak {
     // anti-joins, the double-write compaction pass, the corpus-vs-
     // bench shingle intersection, and the bloom build + probed join.
     "q_stream_dedup_inc", "q_compact_files", "q_decontaminate_neardup",
-    "q_join_bloom")
+    "q_join_bloom",
+    // Round-10 heavies: the byte-shingle index + banded verify of the
+    // multimodal near-dup, the plane-projection + index probe of the
+    // incremental ANN (batch and streaming), the shuffled-regime
+    // decontamination, and the double-publish OPTIMIZE cycle.
+    "q_multimodal_neardup", "q_embed_ann_inc", "q_stream_ann_inc",
+    "q_decontaminate_large", "q_optimize_snapshot")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkEnv.session(

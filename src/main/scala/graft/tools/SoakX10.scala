@@ -128,6 +128,10 @@ object SoakX10 {
     // the BATCH size; the accumulated corpus contributes only the
     // bucket-index scan (vector twin of q_dedup_minhash_inc).
     "q_embed_ann_inc",
+    // Streaming ANN maintenance: four micro-batches of plane
+    // projection + index equi-join — per-batch work must track the
+    // batch, with the corpus contributing only the index scan.
+    "q_stream_ann_inc",
     // Eval-suite-scale decontamination: the bench side grows WITH the
     // corpus here (a third of it), so the soak exercises the
     // shuffled-join regime the gate's plan test pins — the bloom
