@@ -200,10 +200,75 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
     copy(child = newChild)
 }
 
+/** One-pass distinct byte n-gram construction over a BINARY payload,
+  * emitted as uppercase-hex strings (2n chars per shingle) so the
+  * DuckDB oracle can recompute the identical set from substr over
+  * hex(payload) with a stride of 2. Byte-aligned stride (1 byte per
+  * step) — the fuzzy-hashing convention (ssdeep/TLSH) — not the
+  * half-byte positions a naive substr-over-hex sweep produces. The
+  * SQL formulation (`array_distinct(transform(sequence(...), i ->
+  * substr(h, i, 8)))`) is an interpreted higher-order lambda
+  * allocating a frame per shingle — executor profiles under the 10x
+  * soak showed it dominating the multimodal near-dup; this builds the
+  * same strings in one JIT-compiled loop (same rationale as
+  * WordShingleImpl). */
+object ByteShingleImpl {
+
+  private val Hex = "0123456789ABCDEF".getBytes("US-ASCII")
+
+  def shingles(bytes: Array[Byte], n: Int): ArrayData = {
+    val len = bytes.length
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[UTF8String](len - n + 1)
+    val seen = new java.util.HashSet[UTF8String]()
+    var i = 0
+    while (i <= len - n) {
+      val cs = new Array[Byte](2 * n)
+      var k = 0
+      while (k < n) {
+        val b = bytes(i + k) & 0xff
+        cs(2 * k) = Hex(b >>> 4)
+        cs(2 * k + 1) = Hex(b & 0xf)
+        k += 1
+      }
+      val s = UTF8String.fromBytes(cs)
+      if (seen.add(s)) out.add(s)
+      i += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+}
+
+/** byte_shingles_distinct(binary, n) → array<string> of distinct
+  * byte n-grams as 2n-char uppercase hex. */
+case class ByteShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "byte_shingles_distinct"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ByteShingleImpl.shingles(input.asInstanceOf[Array[Byte]], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.ByteShingleImpl.shingles($a, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ByteShingles =
+    copy(child = newChild)
+}
+
 object SketchFunctions {
-  /** Register minhash_sig / simhash_sig / word_shingles[_distinct] in
-    * the session registry (idempotent — same route as vec_dot). The
-    * shingle size is passed as a literal int argument. */
+  /** Register minhash_sig / simhash_sig / word_shingles[_distinct] /
+    * byte_shingles_distinct in the session registry (idempotent — same
+    * route as vec_dot). The shingle size is passed as a literal int
+    * argument. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSig(exprs.head), "built-in")
@@ -220,6 +285,10 @@ object SketchFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles_distinct",
       exprs => WordShingles(exprs.head, lit(exprs(1)), distinct = true),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "byte_shingles_distinct",
+      exprs => ByteShingles(exprs.head, lit(exprs(1))),
       "built-in")
   }
 }

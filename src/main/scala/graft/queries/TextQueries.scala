@@ -169,26 +169,6 @@ object TextQueries {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** Band-bucket pairs under a per-bucket occupancy cap. SimHash's
-    * band space is FIXED — 4 x 16-bit chunks of a 64-bit signature —
-    * so unlike the corpus-scaled LSH spaces (`bitsFor`) or MinHash's
-    * effectively unbounded band values, bucket occupancy grows
-    * linearly with N once N approaches 2^16 and pair counts grow
-    * QUADRATICALLY: the 100x soak measured simhash at 1.46x per-row
-    * while every bounded operator stayed flat. The cap bounds each
-    * bucket's contribution to cap^2 pairs; a document pushed past the
-    * cap in one band keeps its other three bands (graceful recall
-    * degradation — the recall-preserving alternative at extreme N is
-    * Manku-style permutation tables over wider prefixes). Selection is
-    * deterministic (row_number by doc_id), and the cap cannot bind at
-    * the oracle SFs (occupancy there is single digits), so the gate's
-    * verified candidate side-file is unchanged. */
-  private def bandedPairsCapped(bands: DataFrame, cap: Int): DataFrame = {
-    val w = Window.partitionBy("b", "v").orderBy("doc_id")
-    bandedPairs(bands.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= cap).drop("rk"))
-  }
-
   /** MinHash signatures via the codegen'd minhash_sig expression — a
     * pure map over each document row (round 2 shuffled the exploded
     * shingle index into a typed Aggregator to rebuild exactly this
@@ -254,33 +234,19 @@ object TextQueries {
   // every document contains nearly every token, so token-feature
   // signatures collapse into one bucket; shingle sets stay distinctive.
   //
-  // The fixed 16-bit band width has an intrinsic RANDOM-collision
-  // floor: unrelated signatures agree on one band with p = 4/2^16, so
-  // candidate pairs grow as ~N^2/2^14 regardless of bucket skew — the
-  // 100x soak measured 8.3M candidates of which ~2k were real, each
-  // false pair paying the expensive shingle-index verify join. The
-  // standard remedy (Manku et al.) is applied here: a HAMMING
-  // pre-verify on the full 64-bit signature — an 8-byte join and one
-  // xor/popcount per candidate — kills random collisions (P[hamming
-  // <= 16 | random] ~ 1e-5) before the shingle verify; true near-dups
-  // at the 0.7 jaccard bar sit well inside 16 differing bits.
-  private def simhashCandidates(docs: DataFrame): DataFrame = {
-    val sigs = docShingles(docs, 3)
-      .select(col("doc_id"), expr("simhash_sig(sh)").as("sig"))
-    val chunks = (0 until 4).map { c =>
-      struct(lit(c).as("b"),
-        expr(s"(sig >> ${16 * c}) & 65535").as("v"))
-    }
-    val bands = sigs.select(col("doc_id"), explode(array(chunks: _*)).as("band"))
-      .select(col("doc_id"), col("band.b").as("b"), col("band.v").as("v"))
-    bandedPairsCapped(bands, 128)
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
-        "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
-        "doc_b")
-      .filter(expr("bit_count(sig_a ^ sig_b) <= 16"))
-      .select("doc_a", "doc_b")
-  }
+  // Candidate generation is the shared sorted-neighborhood scan over
+  // the 64-bit signatures (simhashNeighborCandidates below): the fixed
+  // 16-bit band width has an intrinsic RANDOM-collision floor
+  // (unrelated signatures agree on one band with p = 4/2^16, so raw
+  // same-bucket pairs grow as ~N^2/2^14 regardless of skew — the 100x
+  // soak measured 8.3M candidates of which ~2k were real), and the
+  // Hamming pre-verify on the full signature kills those random
+  // collisions (P[hamming <= 16 | random] ~ 1e-5) before the shingle
+  // verify; true near-dups at the 0.7 jaccard bar sit well inside 16
+  // differing bits.
+  private def simhashCandidates(docs: DataFrame): DataFrame =
+    simhashNeighborCandidates(docShingles(docs, 3)
+      .select(col("doc_id"), expr("simhash_sig(sh)").as("sig")))
 
   // ---- Multimodal perceptual near-dup: byte-level fuzzy fingerprint.
   // The binary-column twin of q_dedup_simhash: images/audio near-dup
@@ -296,30 +262,32 @@ object TextQueries {
   // explode, bucket join, Hamming pre-verify, exact verify — is
   // unchanged by that swap.
   //
-  // Byte 4-grams ride as 8-hex-char strings (substr over hex(payload)
-  // stays inside whole-stage codegen; a raw-binary slice would need a
-  // custom expression for no plan benefit at this width).
+  // Byte 4-grams ride as 8-hex-char strings via the codegen'd
+  // byte_shingles_distinct expression (one JIT loop per payload — the
+  // substr-over-hex SQL formulation is an interpreted per-shingle
+  // lambda that dominated executor profiles under the 10x soak, and
+  // its hex-position sweep also produced half-byte-aligned shingles;
+  // this one is byte-aligned, the ssdeep/TLSH convention).
 
-  /** (doc_id, h) hex view of the payload column; payloads under 4
-    * bytes have no 4-gram and drop out (sequence(1, negative) would
-    * otherwise produce a DESCENDING range — Spark's auto step). */
-  private def payloadHex(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        hex(col("text").cast("binary")).as("h"))
-      .filter(length(col("h")) >= 8)
+  /** (doc_id, payload) binary view; payloads under 4 bytes have no
+    * 4-gram and drop out. */
+  private def payloadOf(docs: DataFrame): DataFrame = {
+    graft.functions.SketchFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .filter(length(col("payload")) >= 4)
+  }
 
-  private val byteShingleExpr =
-    "array_distinct(transform(sequence(1, length(h) - 7), i -> substr(h, i, 8)))"
+  private val byteShingleExpr = "byte_shingles_distinct(payload, 4)"
 
   /** Exploded distinct byte-4-gram inverted index (verify side). */
   private def byteShingleIndex(docs: DataFrame): DataFrame =
-    payloadHex(docs)
+    payloadOf(docs)
       .select(col("doc_id"), explode(expr(byteShingleExpr)).as("s"))
 
   /** Per-payload distinct byte-shingle-set size — map-only, same
     * rationale as sizesOf. */
   private def byteSizes(docs: DataFrame): DataFrame =
-    payloadHex(docs).select(col("doc_id"),
+    payloadOf(docs).select(col("doc_id"),
       size(expr(byteShingleExpr)).cast("long").as("n"))
 
   /** Candidate pairs: 64-bit simhash over the byte shingles, 4x16-bit
@@ -327,24 +295,57 @@ object TextQueries {
     * pre-verify (same collision-floor reasoning as simhashCandidates:
     * the 8-byte xor/popcount kills the 4/2^16 random-band floor
     * before the expensive shingle verify). */
-  private def multimodalNeardupCandidates(docs: DataFrame): DataFrame = {
-    graft.functions.SketchFunctions.register(docs.sparkSession)
-    val sigs = payloadHex(docs)
-      .select(col("doc_id"), expr(s"simhash_sig($byteShingleExpr)").as("sig"))
+  /** Sorted-neighborhood candidate generation over 64-bit simhash
+    * signatures (Manku et al.'s permuted-prefix scan), shared by the
+    * word-shingle (q_dedup_simhash) and byte-shingle
+    * (q_multimodal_neardup) pipelines: within each 16-bit band bucket,
+    * members sort by the signature ROTATED so the bucket's band
+    * occupies the top bits (numerically-close remainders — i.e.
+    * small-Hamming neighbors — cluster adjacently; the top bits are
+    * constant within the bucket, so the signed sort is the unsigned
+    * one), and each member pairs with only its next `NeighborWindow`
+    * neighbors in that order. Per-bucket work is size×W, NOT size² —
+    * the earlier capped all-pairs form measured 1.3-1.5x per-row
+    * under bucket skew at the 10x soak; this form is linear in N with
+    * no cap-truncation recall cliff (every member keeps W
+    * similarity-ordered neighbors). Buckets no larger than W+1 are
+    * paired exhaustively, so at the oracle SFs (single-digit
+    * occupancy) the candidate set is identical to the
+    * all-pairs-in-bucket form. The signature rides the band rows, so
+    * the Hamming pre-verify (<=16) needs no sig re-join. */
+  private val NeighborWindow = 16
+
+  private def simhashNeighborCandidates(sigs: DataFrame): DataFrame = {
     val chunks = (0 until 4).map { c =>
       struct(lit(c).as("b"),
         expr(s"(sig >> ${16 * c}) & 65535").as("v"))
     }
-    val bands = sigs.select(col("doc_id"), explode(array(chunks: _*)).as("band"))
-      .select(col("doc_id"), col("band.b").as("b"), col("band.v").as("v"))
-    bandedPairsCapped(bands, 128)
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
-        "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
-        "doc_b")
-      .filter(expr("bit_count(sig_a ^ sig_b) <= 16"))
-      .select("doc_a", "doc_b")
+    val bands = sigs
+      .select(col("doc_id"), col("sig"), explode(array(chunks: _*)).as("band"))
+      .select(col("doc_id"), col("sig"),
+        col("band.b").as("b"), col("band.v").as("v"))
+      // rotl(sig, 48 - 16b): band b becomes the (constant-in-bucket)
+      // top 16 bits; the remaining 48 sort the bucket.
+      .withColumn("key",
+        expr("(sig << (48 - 16 * b)) | (sig >>> (16 + 16 * b))"))
+    val w = Window.partitionBy("b", "v").orderBy("key", "doc_id")
+    val ranked = bands.withColumn("rn", row_number().over(w))
+    val probes = ranked.select(
+      col("doc_id").as("id_l"), col("sig").as("sig_l"),
+      col("b"), col("v"),
+      explode(sequence(col("rn") + 1, col("rn") + NeighborWindow)).as("rn"))
+    probes
+      .join(ranked.select(col("doc_id").as("id_r"), col("sig").as("sig_r"),
+        col("b"), col("v"), col("rn")), Seq("b", "v", "rn"))
+      .filter(expr("bit_count(sig_l ^ sig_r) <= 16"))
+      .select(least(col("id_l"), col("id_r")).as("doc_a"),
+        greatest(col("id_l"), col("id_r")).as("doc_b"))
+      .distinct()
   }
+
+  private def multimodalNeardupCandidates(docs: DataFrame): DataFrame =
+    simhashNeighborCandidates(payloadOf(docs)
+      .select(col("doc_id"), expr(s"simhash_sig($byteShingleExpr)").as("sig")))
 
   /** Unmaterialized eval-suite-scale decontamination plan (shared by
     * the gate query and PlanQualitySpec's two-regime gate). Bench =
@@ -393,7 +394,7 @@ object TextQueries {
        |  FROM documents WHERE octet_length(encode(text)) >= 4),
        |sh AS (SELECT DISTINCT doc_id, substr(h, CAST(i AS INT), 8) AS s
        |  FROM (SELECT doc_id, h,
-       |    unnest(generate_series(1, length(h) - 7)) AS i FROM hx)),
+       |    unnest(generate_series(1, length(h) - 7, 2)) AS i FROM hx)),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS inter
@@ -1935,14 +1936,24 @@ object TextQueries {
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")
         val resPath = s"/tmp/graft_res_mmnear_${graft.Tables.dirTag(d)}"
-        val idx = byteShingleIndex(docs).persist()
-        idx.count()
-        try {
-          candidateVerify(s, d, multimodalNeardupCandidates(docs), idx,
-            byteSizes(docs),
-            s"/tmp/graft_cand_mmnear_${graft.Tables.dirTag(d)}", 0.8)
-            .write.mode("overwrite").parquet(resPath)
-        } finally idx.unpersist(blocking = true)
+        // Candidates materialize FIRST (three consumers below — the
+        // side-file doubles as the oracle's verify input), then the
+        // byte-shingle verify index is built over IN-PLAY docs only —
+        // the pair-member semi-join keeps the exploded index
+        // candidate-sized, not corpus-sized (the 10x soak measured the
+        // full-corpus index at 1.27x per-row; with the restriction the
+        // per-sync verify cost tracks the candidate count, the same
+        // contract as q_dedup_minhash_inc).
+        val candPath = s"/tmp/graft_cand_mmnear_${graft.Tables.dirTag(d)}"
+        multimodalNeardupCandidates(docs)
+          .write.mode("overwrite").parquet(candPath)
+        val cand = s.read.parquet(candPath)
+        val candDocs = cand.select(col("doc_a").as("doc_id"))
+          .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+        val inPlay = docs.join(candDocs, Seq("doc_id"), "left_semi")
+        jaccardFilter(interFor(cand, byteShingleIndex(inPlay)),
+          byteSizes(inPlay), 0.8)
+          .write.mode("overwrite").parquet(resPath)
         s.read.parquet(resPath).orderBy("doc_a", "doc_b")
       },
       byteVerifySql(

@@ -138,21 +138,46 @@ object SoakX10 {
     // pre-probe must keep the corpus-side exchange pruned.
     "q_decontaminate_large")
 
+  /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
+    * coprime to 26: a character-substitution CIPHER per copy. Chosen
+    * over the previous per-token suffix rename ("tok" -> "tok_c")
+    * because the suffix only perturbs byte 4-grams at token
+    * boundaries — cross-copy BYTE-gram Jaccard stayed above the 0.8
+    * near-dup bar, so the multimodal near-dup's true answer grew
+    * quadratically with the copy count (820k verified pairs at 10x —
+    * a fixture artifact, not an operator property). A bijection
+    * preserves intra-copy structure EXACTLY (dup groups, lengths,
+    * n_chars, Zipf shape, within-copy gram Jaccard), while two
+    * distinct affine maps agree on at most one letter, so any word or
+    * byte gram with two distinct letters decorrelates across copies —
+    * in WORD space and BYTE space both. (a, b) pairs are distinct for
+    * all c < 156, far past the 100x soak. Copy 0 is the identity, so
+    * fixed-vocabulary queries (bm25) keep matching exactly copy 0. */
+  private[tools] def permutedAlphabet(c: Long): String = {
+    val coprimes = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    val a = coprimes((c % 12).toInt)
+    val b = (c % 26).toInt
+    (0 until 26).map(i => ('a' + ((a * i + b) % 26)).toChar).mkString
+  }
+
   def ensureSoakDir(spark: SparkSession, baseSf: String, dir: String,
       x: Long): Unit = {
     ensureRelationalSoak(spark, baseSf, dir, x)
-    val done = java.nio.file.Paths.get(dir, "_DONE_v2")
+    val done = java.nio.file.Paths.get(dir, "_DONE_v3")
     if (java.nio.file.Files.exists(done)) return
     val docs = spark.read.parquet(s"$baseSf/documents.parquet")
     val nDocs = docs.agg(max("doc_id")).head().getLong(0) + 1
-    val copies = spark.range(x).select(col("id").as("copy"))
-    docs.crossJoin(copies)
-      .select(
-        (col("doc_id") + col("copy") * nDocs).as("doc_id"),
-        array_join(transform(split(col("text"), " "),
-          t => concat(t, lit("_"), col("copy"))), " ").as("text"),
+    // One branch per copy (translate's mapping is a literal): a
+    // bounded union for a one-time fixture build.
+    (0L until x).map { c =>
+      docs.select(
+        (col("doc_id") + lit(c * nDocs)).as("doc_id"),
+        translate(col("text"), "abcdefghijklmnopqrstuvwxyz",
+          permutedAlphabet(c)).as("text"),
         col("lang"), col("source"), col("n_chars"))
+    }.reduce(_.unionByName(_))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val copies = spark.range(x).select(col("id").as("copy"))
     val emb = spark.read.parquet(s"$baseSf/embeddings.parquet")
     val nVec = emb.agg(max("vec_id")).head().getLong(0) + 1
     emb.crossJoin(copies)

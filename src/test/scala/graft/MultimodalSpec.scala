@@ -40,12 +40,12 @@ class MultimodalSpec extends SparkSpecBase {
 
   test("perceptual near-dup finds byte-level near copies, not unrelated payloads") {
     import spark.implicits._
-    // Non-repetitive ~2 KB payload: a 1-byte edit perturbs ~0.4% of
-    // the distinct byte 4-grams, so simhash Hamming stays within the
-    // band guarantee (4x16-bit bands detect Hamming <= 3 for certain;
-    // measured Hamming here is 1 with 3 bands shared). A SHORT payload
-    // is the documented recall edge: few distinct shingles -> small
-    // per-bit margins -> one edit can flip bits in every band.
+    // Non-repetitive ~2 KB payload: a 1-byte edit perturbs well under
+    // 1% of the distinct byte 4-grams, so simhash Hamming stays within
+    // the band guarantee (4x16-bit bands detect Hamming <= 3 for
+    // certain). A SHORT payload is the documented recall edge: few
+    // distinct shingles -> small per-bit margins -> one edit can flip
+    // bits in every band.
     val base = (1 to 300).map(i => s"token$i word$i").mkString(" ")
     val nearCopy = base.updated(base.length / 2, 'X')
     val unrelated = (1 to 300).map(i => s"other$i gram$i").mkString(" ")

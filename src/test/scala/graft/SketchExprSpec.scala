@@ -52,6 +52,25 @@ class SketchExprSpec extends SparkSpecBase {
     assert(out(0) != out(2))
   }
 
+  test("byte_shingles_distinct: byte-aligned hex 4-grams, distinct, guarded") {
+    import spark.implicits._
+    SketchFunctions.register(spark)
+    val rows = Seq(("abcde", 1), ("aaaa", 2), ("ab", 3))
+      .toDF("t", "id")
+      .select(col("id"),
+        expr("byte_shingles_distinct(cast(t AS binary), 4)").as("sh"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    // "abcde" = 0x61 62 63 64 65 -> two byte-aligned 4-grams.
+    assert(rows(1) == Seq("61626364", "62636465"))
+    // "aaaa" -> one distinct 4-gram (both positions collapse... only
+    // one position exists for len 4).
+    assert(rows(2) == Seq("61616161"))
+    // Under-length payloads yield the empty set, never an error.
+    assert(rows(3).isEmpty)
+    // Oracle parity: uppercase hex, stride 2 over hex(payload).
+    assert(rows(1).forall(_.forall(c => c.isDigit || (c >= 'A' && c <= 'F'))))
+  }
+
   test("signature computation is map-only (no exchange before banding)") {
     import spark.implicits._
     SketchFunctions.register(spark)
