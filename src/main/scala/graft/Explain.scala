@@ -21,7 +21,8 @@ object Explain {
     // explain the unmaterialized pipeline instead.
     val probes = Map(
       "q_dedup_exact" -> "exact", "q_dedup_ngram" -> "ngram",
-      "q_dedup_minhash" -> "minhash", "q_dedup_simhash" -> "simhash")
+      "q_dedup_minhash" -> "minhash", "q_dedup_simhash" -> "simhash",
+      "q_multimodal_neardup" -> "mmnear")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (only.isEmpty || only.contains(name)) {
         println(s"\n========== $name ==========")
