@@ -766,6 +766,69 @@ object ExtraQueries {
         |  SELECT 'l_shipdate', n_rows, nn_sd, nd_sd, min_sd, max_sd FROM w)
         |ORDER BY col_name""".stripMargin)),
 
+    // Data-quality expectation gate (the deequ / Delta-constraints
+    // shape every training-data pipeline runs before accepting a
+    // sync): declared constraints evaluate to per-constraint violation
+    // counts + pass booleans. Scale shape: every ROW-LOCAL constraint
+    // fuses into ONE scan's partial aggregate (conditional sums — not
+    // one query per expectation, which is the naive N-pass form);
+    // uniqueness is one partial+final count on the key; referential
+    // integrity is a LEFT ANTI whose build side is size-planned. At
+    // 100 TB the row-local family costs exactly one map pass no
+    // matter how many constraints are declared.
+    "q_quality_expect" -> ((
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+        val rowLocal = li.agg(
+          sum(when(col("l_orderkey").isNull, 1L).otherwise(0L))
+            .as("null_orderkey"),
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+            .otherwise(0L)).as("qty_in_range"),
+          sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+            .otherwise(0L)).as("disc_in_range"),
+          sum(when(col("l_quantity") > 25, 1L).otherwise(0L))
+            .as("qty_le_25"))
+          .selectExpr("""stack(4,
+            'null_orderkey', null_orderkey,
+            'qty_in_range', qty_in_range,
+            'disc_in_range', disc_in_range,
+            'qty_le_25', qty_le_25) AS (cname, n_violations)""")
+        val dups = li.groupBy("l_orderkey", "l_linenumber")
+          .agg(count(lit(1)).as("c"))
+          .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n_violations"))
+          .select(lit("uniq_line_key").as("cname"), col("n_violations"))
+        val orders = t(s, d, "orders").select(col("o_orderkey"))
+        val orphans = li
+          .join(orders, li("l_orderkey") === orders("o_orderkey"),
+            "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit("fk_order_exists").as("cname"), col("n_violations"))
+        rowLocal.unionByName(dups).unionByName(orphans)
+          .withColumn("ok", col("n_violations") === 0L)
+          .orderBy("cname")
+      },
+      """WITH r AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderkey,
+        |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS qty_in_range,
+        |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS disc_in_range,
+        |    CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS qty_le_25
+        |  FROM lineitem),
+        |d AS (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS v FROM (
+        |  SELECT count(*) AS c FROM lineitem
+        |  GROUP BY l_orderkey, l_linenumber)),
+        |o AS (SELECT CAST(count(*) AS BIGINT) AS v FROM lineitem l
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |SELECT cname, n_violations, n_violations = 0 AS ok FROM (
+        |  SELECT 'null_orderkey' AS cname, null_orderkey AS n_violations FROM r
+        |  UNION ALL SELECT 'qty_in_range', qty_in_range FROM r
+        |  UNION ALL SELECT 'disc_in_range', disc_in_range FROM r
+        |  UNION ALL SELECT 'qty_le_25', qty_le_25 FROM r
+        |  UNION ALL SELECT 'uniq_line_key', v FROM d
+        |  UNION ALL SELECT 'fk_order_exists', v FROM o)
+        |ORDER BY cname""".stripMargin)),
+
     // Salted equi-join under the gate: the planned-ahead skew
     // mitigation (graft.functions.SkewJoin — hot keys spread over
     // `salts` reducers, small side replicated across salts) must be

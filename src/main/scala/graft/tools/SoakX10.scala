@@ -136,7 +136,11 @@ object SoakX10 {
     // corpus here (a third of it), so the soak exercises the
     // shuffled-join regime the gate's plan test pins — the bloom
     // pre-probe must keep the corpus-side exchange pruned.
-    "q_decontaminate_large")
+    "q_decontaminate_large",
+    // Expectation gate: row-local constraints are one fused map pass;
+    // uniqueness and FK track the key cardinality — all three
+    // families must stay linear per-row.
+    "q_quality_expect")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

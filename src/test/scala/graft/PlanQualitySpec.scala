@@ -530,6 +530,20 @@ class PlanQualitySpec extends SparkSpecBase {
       .contains("CartesianProduct"))
   }
 
+  test("q_quality_expect fuses row-local constraints into one scan per family") {
+    val p = planOf("q_quality_expect")
+    // Exactly three lineitem scans — one per constraint FAMILY: the
+    // four row-local expectations fuse into a single scan's
+    // conditional partial aggregate, uniqueness is its own
+    // partial+final count, FK its own anti-join probe. A fourth scan
+    // means a row-local constraint stopped fusing (the naive
+    // one-pass-per-expectation regression this gate exists to catch);
+    // two would mean a family silently vanished.
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 3, p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_embed_ann_inc probes a SCANNED bucket index — no corpus re-bucketing") {
     val df = graft.queries.VectorQueries.incAnnCandidateProbe(spark, dir)
     val p = df.queryExecution.executedPlan.toString
