@@ -63,6 +63,41 @@ object Multimodal {
     }
   }
 
+  /** A resized asset: original + fitted dimensions (the payload would
+    * be the re-encoded bytes in a real codec; the stub carries the
+    * deterministic dims so the oracle can recompute them). */
+  final case class ResizedAsset(
+      asset_id: Long,
+      width: Int, height: Int,
+      out_width: Int, out_height: Int)
+
+  /** Fit (w, h) into a box×box square preserving aspect ratio — EXACT
+    * integer arithmetic (floor division, min-1 clamp) so any engine
+    * recomputes the identical dims. Upscales small assets too (the
+    * thumbnail-grid convention); a real pipeline gates that with a
+    * no-upscale flag at the same call site. */
+  def fitBox(w: Int, h: Int, box: Int): (Int, Int) = {
+    val m = math.max(w, h)
+    (math.max(1, w * box / m), math.max(1, h * box / m))
+  }
+
+  /** Per-partition resize — the second codec stage, chained after
+    * [[decode]]: same mapInPandas-shaped boundary (batch iterator per
+    * partition, codec init amortized per task). The stub computes the
+    * target dims from the decoded fake dims; a real impl would also
+    * re-encode the payload here, changing no plan shape. */
+  def resize(features: Dataset[AssetFeatures], box: Int): Dataset[ResizedAsset] = {
+    require(box > 0)
+    import features.sparkSession.implicits._
+    features.mapPartitions { it =>
+      // Real impl: initialize the scaler/encoder once per partition.
+      it.map { f =>
+        val (ow, oh) = fitBox(f.width, f.height, box)
+        ResizedAsset(f.asset_id, f.width, f.height, ow, oh)
+      }
+    }
+  }
+
   /** Build an asset table from any binary column (here: text bytes as
     * payloads so the shape is testable without media files). */
   def assetsFromBinary(df: DataFrame, idCol: String, binCol: String,

@@ -1884,6 +1884,42 @@ object TextQueries {
         |  n_bytes
         |FROM s ORDER BY asset_id, frame_idx""".stripMargin)),
 
+    // Resize (the named third codec verb after decode and
+    // frame-sample): fit the stub-decoded dims into a 256-box
+    // preserving aspect — exact integer floor-division arithmetic so
+    // the oracle recomputes identical dims from the same sha256-head
+    // derivation. Plumbing-wise this is the CHAINED per-partition
+    // codec shape (decode -> resize, two mapPartitions stages, codec
+    // init amortized per task per stage); a real impl re-encodes the
+    // payload in the same stage with no plan change.
+    "q_multimodal_resize" -> ((
+      (s: SparkSession, d: String) => {
+        val assets = graft.multimodal.Multimodal.assetsFromBinary(
+          t(s, d, "documents")
+            .withColumn("bin", col("text").cast("binary")),
+          "doc_id", "bin", "text/plain")
+        graft.multimodal.Multimodal.resize(
+          graft.multimodal.Multimodal.decode(assets), box = 256).toDF()
+          .orderBy("asset_id")
+      },
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(range(1, 17),
+        |      i -> (strpos('0123456789abcdef', substr(sha256(text), i, 1)) - 1)::HUGEINT),
+        |      (a, x) -> a * 16 + x) AS uv
+        |  FROM documents),
+        |dims AS (
+        |  SELECT doc_id AS asset_id,
+        |    CAST(64 + (uv % 1024) AS INT) AS width,
+        |    CAST(64 + ((uv // 1024) % 1024) AS INT) AS height
+        |  FROM u)
+        |SELECT asset_id, width, height,
+        |  CAST(greatest(1, width * 256 // greatest(width, height)) AS INT)
+        |    AS out_width,
+        |  CAST(greatest(1, height * 256 // greatest(width, height)) AS INT)
+        |    AS out_height
+        |FROM dims ORDER BY asset_id""".stripMargin)),
+
     "q_multimodal_meta" -> ((
       (s: SparkSession, d: String) =>
         t(s, d, "documents")

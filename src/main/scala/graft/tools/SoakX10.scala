@@ -140,7 +140,10 @@ object SoakX10 {
     // Expectation gate: row-local constraints are one fused map pass;
     // uniqueness and FK track the key cardinality — all three
     // families must stay linear per-row.
-    "q_quality_expect")
+    "q_quality_expect",
+    // Chained per-partition codec (decode -> resize): two map-only
+    // stages, cost = scan + per-row integer math at any scale.
+    "q_multimodal_resize")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

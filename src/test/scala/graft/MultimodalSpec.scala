@@ -67,6 +67,25 @@ class MultimodalSpec extends SparkSpecBase {
       .count() == 0)
   }
 
+  test("resize fits the box, preserves aspect direction, never hits zero") {
+    // Exact integer contract: longer side maps to exactly `box`,
+    // aspect ORDER is preserved, and degenerate dims clamp to 1.
+    assert(Multimodal.fitBox(1024, 512, 256) == ((256, 128)))
+    assert(Multimodal.fitBox(512, 1024, 256) == ((128, 256)))
+    assert(Multimodal.fitBox(100, 100, 256) == ((256, 256)))
+    assert(Multimodal.fitBox(100000, 1, 256) == ((256, 1)))
+    for (w <- 1 to 40; h <- 1 to 40) {
+      val (ow, oh) = Multimodal.fitBox(w, h, 256)
+      assert(ow >= 1 && oh >= 1 && math.max(ow, oh) == 256)
+      assert((w >= h) == (ow >= oh), s"aspect order flipped for $w x $h")
+    }
+    // The chained codec stage carries every asset through.
+    val resized = Multimodal.resize(Multimodal.decode(assets), 256)
+      .collect().sortBy(_.asset_id)
+    assert(resized.map(_.asset_id).toSeq == Seq(1L, 2L, 3L))
+    assert(resized.forall(r => math.max(r.out_width, r.out_height) == 256))
+  }
+
   test("frame sampling explodes bounded frame indices") {
     val frames = Multimodal.sampleFrames(Multimodal.decode(assets), every = 2)
     assert(frames.columns.toSeq == Seq("asset_id", "frame_idx", "n_bytes"))
