@@ -290,11 +290,6 @@ object TextQueries {
     payloadOf(docs).select(col("doc_id"),
       size(expr(byteShingleExpr)).cast("long").as("n"))
 
-  /** Candidate pairs: 64-bit simhash over the byte shingles, 4x16-bit
-    * Hamming bands -> capped bucket join -> full-signature Hamming
-    * pre-verify (same collision-floor reasoning as simhashCandidates:
-    * the 8-byte xor/popcount kills the 4/2^16 random-band floor
-    * before the expensive shingle verify). */
   /** Sorted-neighborhood candidate generation over 64-bit simhash
     * signatures (Manku et al.'s permuted-prefix scan), shared by the
     * word-shingle (q_dedup_simhash) and byte-shingle
