@@ -209,14 +209,22 @@ object ExtraQueries {
     // alone: fixed-size state per group through the exchange vs exact
     // countDistinct's per-key expansion — the point of the operator.
     "q_approx_distinct" -> ((
-      (s: SparkSession, d: String) =>
-        t(s, d, "lineitem")
-          .groupBy("l_returnflag")
-          .agg(
-            countDistinct(col("l_partkey")).as("exact_parts"),
-            countDistinct(col("l_suppkey")).as("exact_supps"),
-            approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
-            approx_count_distinct(col("l_suppkey"), 0.02).as("asu"))
+      (s: SparkSession, d: String) => {
+        // The exact side (gate verification only — the sketch is the
+        // production operator) comes from per-key two-level
+        // aggregation instead of multi-countDistinct: four distinct
+        // aggregates in one agg plan via Expand, which pushes 4x the
+        // scan through the exchange; two distinct-pair partial+final
+        // pipelines move the same information at 1/2 the exchanged
+        // rows, and the per-flag frames join at 3 rows.
+        def side(key: String, exact: String, inb: String) =
+          t(s, d, "lineitem").groupBy(col("l_returnflag"), col(key))
+            .agg(count(lit(1)).as("c"))
+            .groupBy("l_returnflag")
+            .agg(count(lit(1)).as(exact),
+              approx_count_distinct(col(key), 0.02).as(inb))
+        side("l_partkey", "exact_parts", "ap")
+          .join(side("l_suppkey", "exact_supps", "asu"), "l_returnflag")
           .select(col("l_returnflag"), col("exact_parts"),
             col("exact_supps"),
             (abs(col("ap") - col("exact_parts")) * lit(50L) <=
@@ -225,7 +233,8 @@ object ExtraQueries {
             (abs(col("asu") - col("exact_supps")) * lit(50L) <=
               greatest(lit(50L), col("exact_supps") * lit(3L)))
               .as("supps_in_bound"))
-          .orderBy("l_returnflag"),
+          .orderBy("l_returnflag")
+      },
       """SELECT l_returnflag,
         |CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
         |CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
