@@ -494,6 +494,14 @@ object TextQueries {
     }
   }
 
+  /** The fold itself (exposed for PlanQualitySpec): base index scan ∪
+    * acceptance-dir scans → distinct. No document scan anywhere. */
+  private[graft] def indexCompactPlan(s: SparkSession, d: String,
+      root: String): DataFrame =
+    s.read.parquet(ensureDigestIndex(s, d)).select("digest")
+      .unionByName(s.read.parquet(s"$root/idx").select("digest"))
+      .distinct()
+
   /** Incremental cross-snapshot dedup: dedup a NEW batch (doc_id % 4 =
     * 3) against the previous snapshot's persisted digest index without
     * rescanning the accumulated corpus. The batch collapses map-side on
@@ -1810,6 +1818,35 @@ object TextQueries {
         |      w -> len(list_filter(tk, x -> x = w)))) * 1.0 / len(tk), 6)
         |    AS top_word_ratio
         |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // Index compaction — the "next full sync" step the incremental /
+    // streaming dedup protocol promises (incDedupBatch's per-batch
+    // acceptance dirs are bounded BECAUSE this folds them away): base
+    // digest index ∪ per-batch acceptance dirs → distinct → ONE new
+    // index generation. The compaction plan touches INDEX ARTIFACTS
+    // ONLY — the corpus is never re-hashed (plan-gated: no documents
+    // scan in the fold), so its cost tracks the index size, not the
+    // data. The gate's setup half stands in for a streaming session's
+    // leftovers: two batch-acceptance dirs built under the same
+    // first-seen-anti-join rule.
+    "q_index_compact" -> ((
+      (s: SparkSession, d: String) => {
+        val root = s"/tmp/graft_idxcomp_${graft.Tables.dirTag(d)}"
+        val baseIdx = s.read.parquet(ensureDigestIndex(s, d))
+        val batch = t(s, d, "documents").filter(col("doc_id") % 4 === 3)
+        for (b <- 0 to 1) {
+          batch.filter((col("doc_id") / lit(4)).cast("long") % 2 === b)
+            .select(sha2(col("text"), 256).as("digest")).distinct()
+            .join(baseIdx, Seq("digest"), "left_anti")
+            .write.mode("overwrite").parquet(s"$root/idx/batch=$b")
+        }
+        val gen = s"$root/gen1"
+        indexCompactPlan(s, d, root)
+          .write.mode("overwrite").parquet(gen)
+        s.read.parquet(gen).orderBy("digest")
+      },
+      """SELECT DISTINCT sha256(text) AS digest
+        |FROM documents ORDER BY digest""".stripMargin)),
 
     // Multimodal plumbing: opaque binary payload column + typed metadata.
     // The real decode would be a per-partition codec (see

@@ -143,7 +143,10 @@ object SoakX10 {
     "q_quality_expect",
     // Chained per-partition codec (decode -> resize): two map-only
     // stages, cost = scan + per-row integer math at any scale.
-    "q_multimodal_resize")
+    "q_multimodal_resize",
+    // Index compaction: the fold reads index artifacts only — cost
+    // tracks distinct-digest cardinality, never the corpus bytes.
+    "q_index_compact")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

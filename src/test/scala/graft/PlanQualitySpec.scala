@@ -530,6 +530,23 @@ class PlanQualitySpec extends SparkSpecBase {
       .contains("CartesianProduct"))
   }
 
+  test("q_index_compact folds index artifacts only — corpus never re-hashed") {
+    // Setup: run the gate once so the acceptance dirs exist, then
+    // inspect the unmaterialized fold plan.
+    SparkEntry.queries("q_index_compact")(spark, dir).count()
+    val root = s"/tmp/graft_idxcomp_${Tables.dirTag(dir)}"
+    val p = graft.queries.TextQueries.indexCompactPlan(spark, dir, root)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_digidx_"), p)
+    assert(p.contains("graft_idxcomp_"), p)
+    // Zero corpus scans: a documents.parquet scan here would mean the
+    // fold re-hashes the data its index exists to summarize. (The two
+    // positive asserts above keep this gate honest if plan printing
+    // ever stops naming files.)
+    assert("documents\\.parquet".r.findAllIn(p).isEmpty, p)
+    assert(!p.contains("sha2"), p)
+  }
+
   test("q_quality_expect fuses row-local constraints into one scan per family") {
     val p = planOf("q_quality_expect")
     // Exactly three lineitem scans — one per constraint FAMILY: the
