@@ -310,7 +310,7 @@ object TextQueries {
     * the Hamming pre-verify (<=16) needs no sig re-join. */
   private val NeighborWindow = 16
 
-  private def simhashNeighborCandidates(sigs: DataFrame): DataFrame = {
+  private[graft] def simhashNeighborCandidates(sigs: DataFrame): DataFrame = {
     val chunks = (0 until 4).map { c =>
       struct(lit(c).as("b"),
         expr(s"(sig >> ${16 * c}) & 65535").as("v"))
