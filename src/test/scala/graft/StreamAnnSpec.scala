@@ -61,6 +61,70 @@ class StreamAnnSpec extends SparkSpecBase {
     assert(before == after, "replay changed per-batch state")
   }
 
+  test("ANN sink indexes each vector exactly once across a restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_sann_spec").toString
+    val srcDir = s"$work/src"
+    val out = s"$work/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    def vec(seed: Int): Seq[Float] =
+      (0 until 64).map(j => math.sin(seed * 64 + j).toFloat)
+    val bits = 6
+    val baseVecs = (100L to 110L).map(i => (i, vec(i.toInt))).toSeq
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    graft.functions.VectorFunctions.register(spark)
+    val baseIdx = graft.queries.VectorQueries.bucketsOf(baseVecs, bits)
+
+    def runAvailable(): Unit = {
+      val schema = spark.read.parquet(srcDir).schema
+      val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        Long) => Unit = (b, id) =>
+        graft.queries.StreamQueries.annIncBatch(b, baseIdx, bits, out, id)
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    Seq((1L, vec(1)), (2L, vec(2))).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runAvailable()
+    // Restart with new arrivals: the checkpoint must resume past the
+    // already-processed file — vectors 1-2 stay indexed exactly once.
+    Seq((3L, vec(3)), (4L, vec(4))).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runAvailable()
+
+    val idx = spark.read.parquet(s"$out/idx")
+    val perVec = idx.groupBy("vec_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perVec.keySet == Set(1L, 2L, 3L, 4L))
+    assert(perVec.values.forall(_ == 2), s"dup index rows: $perVec")
+    // The accumulated candidate log equals a single-shot probe of all
+    // streamed vectors against the same base index.
+    val streamed = spark.read.parquet(s"$out/obs")
+      .select("qid", "nid").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allVecs = (1L to 4L).map(i => (i, vec(i.toInt))).toSeq
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val expected = graft.queries.VectorQueries.bucketsOf(allVecs, bits)
+      .select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
+      .join(graft.queries.VectorQueries.cappedIndex(baseIdx)
+        .select(col("vec_id").as("nid"), col("tbl"), col("bkt")),
+        Seq("tbl", "bkt"))
+      .select("qid", "nid").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == expected)
+  }
+
   test("the maintained bucket index covers every streamed vector") {
     val idx = spark.read.parquet(s"$root/idx")
     val streamedVecs = idx.select("vec_id").distinct().collect()
