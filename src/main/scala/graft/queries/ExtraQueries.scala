@@ -1327,6 +1327,71 @@ object ExtraQueries {
         |  max(CASE WHEN rn_r = 1 THEN cents END) AS close_cents,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM r GROUP BY user_id, hour
-        |ORDER BY user_id, hour""".stripMargin))
+        |ORDER BY user_id, hour""".stripMargin)),
+
+    // Dense time-grid gap fill + LOCF — the regularization step every
+    // downstream time-series consumer (forecasting, feature windows,
+    // SLO burn rates) needs before window math is valid: one row per
+    // (user, day) over each user's observed span, absent days filled
+    // with n_events=0 and the last observed day-closing event_type
+    // carried forward. Shape at 100 TB: the grid is GENERATED, never
+    // joined against a calendar table — a per-user min/max agg (one
+    // exchange on user_id) feeds a map-side sequence()+explode, so grid
+    // size is output-sized, not |users|x|calendar|; the observed-day
+    // agg partial-aggregates map-side on the same (user, day) key; the
+    // LOCF window re-uses the user_id hash partitioning the join
+    // already established, so fill + carry-forward add no exchange
+    // beyond the join's own. Closing type is argmax-by-(ts, event_id)
+    // via one struct max — tie-free (event_id unique), so both engines
+    // pick the identical row without LAST_VALUE frame ambiguity.
+    "q_time_fill" -> ((
+      (s: SparkSession, d: String) => {
+        val dd = graft.Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            col("ts"), col("event_id"), col("event_type"))
+        val agg = dd
+          .groupBy("user_id", "day")
+          .agg(count(lit(1)).as("n_ev"),
+            max(struct(col("ts"), col("event_id"), col("event_type")))
+              .as("mx"))
+          .select(col("user_id"), col("day"), col("n_ev"),
+            col("mx").getField("event_type").as("closing"))
+        val grid = dd.groupBy("user_id")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+          .select(col("user_id"),
+            explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        val w = Window.partitionBy("user_id").orderBy("day")
+        grid.join(agg, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"),
+            coalesce(col("n_ev"), lit(0L)).as("n_events"), col("closing"))
+          .withColumn("last_type",
+            last(col("closing"), ignoreNulls = true).over(w))
+          .select("user_id", "day", "n_events", "last_type")
+          .orderBy("user_id", "day")
+      },
+      """WITH dd AS (SELECT user_id,
+        |  CAST(date_trunc('day', ts) AS DATE) AS day, ts, event_id,
+        |  event_type FROM events),
+        |agg AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_ev
+        |        FROM dd GROUP BY 1, 2),
+        |cl AS (SELECT user_id, day, event_type AS closing FROM (
+        |  SELECT user_id, day, event_type,
+        |    row_number() OVER (PARTITION BY user_id, day
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM dd) WHERE rn = 1),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |         FROM dd GROUP BY 1),
+        |grid AS (SELECT user_id, CAST(unnest(generate_series(
+        |    CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+        |j AS (SELECT g.user_id, g.day,
+        |    CAST(coalesce(a.n_ev, 0) AS BIGINT) AS n_events, c.closing
+        |  FROM grid g LEFT JOIN agg a USING (user_id, day)
+        |  LEFT JOIN cl c USING (user_id, day))
+        |SELECT user_id, day, n_events,
+        |  last_value(closing IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_type
+        |FROM j ORDER BY user_id, day""".stripMargin))
   )
 }

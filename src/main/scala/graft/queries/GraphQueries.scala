@@ -85,6 +85,45 @@ object GraphQueries {
     ranks.orderBy("node")
   }
 
+  /** Connected components by iterative min-label propagation over the
+    * undirected FK graph: every node starts labeled with its own id;
+    * each round every node takes the minimum of its label and its
+    * neighbors' labels; at fixpoint the label is the component-minimum
+    * id. The propagation is structure-agnostic — the Spark side never
+    * uses the schema's region grouping, only the edge list — while the
+    * oracle derives the same labels relationally from the known
+    * topology (component == region subtree), so the two computations
+    * are independent. Each round is one shuffle join on `src` plus a
+    * partial+final min-agg; `iters` must be >= the graph diameter
+    * (here 4: C–N–R–N–C), run with headroom. At 100 TB: bucket the
+    * edge list by src once so rounds co-locate without fresh
+    * exchanges, checkpoint labels every few rounds to truncate
+    * lineage, and switch to alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce")
+    * when the diameter — not the data size — is the enemy. */
+  def connectedComponents(s: SparkSession, d: String,
+      iters: Int): DataFrame = {
+    def und(): DataFrame = {
+      // Fresh lineage per use — see reach() on self-join ambiguity.
+      val e = edges(s, d)
+      e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+    }
+    val e0 = und()
+    var labels = e0.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to iters) {
+      val nbrMin = und()
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("lbl"))
+        .groupBy("node").agg(min("lbl").as("nl"))
+      labels = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+    }
+    labels.orderBy("node")
+  }
+
   /** Canonically-oriented (s < t) co-purchase edge set: parts adjacent
     * iff they share an order. The gate bounds the kernel to a
     * pushed-down shipdate slice (PushedFilters on the parquet scan):
@@ -228,6 +267,29 @@ object GraphQueries {
         |)
         |SELECT node, CAST(min(depth) AS INT) AS depth FROM reach
         |GROUP BY node HAVING min(depth) >= 2 ORDER BY node""".stripMargin)),
+
+    // Connected components (min-label propagation to fixpoint; see
+    // connectedComponents for the per-round shape and the 100 TB
+    // posture). 6 rounds ≥ diameter 4 + headroom. The oracle computes
+    // the identical labels from the schema's known topology — each
+    // component is exactly one region's FK subtree, so a node's label
+    // is the minimum node id in its region group — a pure relational
+    // derivation with no iteration, independent of the Spark side's
+    // structure-agnostic propagation.
+    "q_graph_cc" -> ((
+      (s: SparkSession, d: String) => connectedComponents(s, d, 6),
+      """WITH nn AS (SELECT n_nationkey AS nk, n_regionkey AS rk
+        |            FROM nation),
+        |nodes AS (
+        |  SELECT 'R' || r_regionkey AS node, r_regionkey AS rk
+        |    FROM region WHERE r_regionkey IN (SELECT rk FROM nn)
+        |  UNION ALL SELECT 'N' || nk, rk FROM nn
+        |  UNION ALL SELECT 'C' || c_custkey, nn.rk
+        |    FROM customer JOIN nn ON c_nationkey = nn.nk
+        |  UNION ALL SELECT 'S' || s_suppkey, nn.rk
+        |    FROM supplier JOIN nn ON s_nationkey = nn.nk)
+        |SELECT node, min(node) OVER (PARTITION BY rk) AS lbl
+        |FROM nodes ORDER BY node""".stripMargin)),
 
     // Triangle counting over the part co-purchase graph (parts sharing
     // an order are adjacent) — the classic graph-analytics kernel the

@@ -1558,6 +1558,45 @@ object TextQueries {
         |      FROM documents)
         |GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin)),
 
+    // Hashed linear classifier scoring — the inference half of the
+    // fastText-style quality filters (DCLM, FineWeb-Edu) a corpus
+    // pipeline runs over every document: tokens → hashed feature ids →
+    // per-feature weight lookup → linear score → keep/drop. The weight
+    // table here is FROZEN PSEUDO-RANDOM (an exact integer function of
+    // the feature digest) standing in for trained weights — what the
+    // gate verifies is the scoring plumbing: the hashing trick needs no
+    // vocab broadcast, the weight is computed IN ROW (no model-table
+    // join at all — at 100 TB that's the difference between a map-only
+    // scorer and shipping a weight table to every executor), and the
+    // per-doc score partial-aggregates map-side with one doc_id
+    // exchange. All-integer math: ascii() folds of the sha256 hex
+    // prefix, so both engines score bit-identically.
+    "q_text_classify" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(split(col("text"), " ")).as("tok"))
+          .withColumn("h", sha2(col("tok"), 256))
+          .withColumn("w",
+            (ascii(substring(col("h"), 1, 1)) * 4096 +
+             ascii(substring(col("h"), 2, 1)) * 256 +
+             ascii(substring(col("h"), 3, 1)) * 16 +
+             ascii(substring(col("h"), 4, 1))) % 2001 - 1000)
+          .groupBy("doc_id")
+          .agg(sum(col("w").cast("long")).as("score"))
+          .withColumn("keep", col("score") >= 0)
+          .orderBy("doc_id"),
+      """WITH w AS (SELECT doc_id,
+        |  (ascii(substr(h,1,1))*4096 + ascii(substr(h,2,1))*256
+        |   + ascii(substr(h,3,1))*16 + ascii(substr(h,4,1)))
+        |    % 2001 - 1000 AS w
+        |  FROM (SELECT doc_id,
+        |          sha256(unnest(string_split(text, ' '))) AS h
+        |        FROM documents))
+        |SELECT doc_id, CAST(sum(w) AS BIGINT) AS score,
+        |  (sum(w) >= 0) AS keep
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Winnowing fingerprint (MOSS-style rolling scheme): hash every
     // ORDERED 3-gram shingle, slide a 4-hash window, keep each window's
     // minimum — the classic position-robust document fingerprint for

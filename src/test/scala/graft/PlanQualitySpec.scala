@@ -669,4 +669,42 @@ class PlanQualitySpec extends SparkSpecBase {
       assert(!p.contains("Exchange"), p)
     }
   }
+
+  test("q_text_classify scores in-row: no model join, one doc_id exchange") {
+    val p = planOf("q_text_classify")
+    // The frozen weights are an exact integer function of the token
+    // digest computed inside the row — ANY join in this plan means a
+    // weight table crept in and the scorer stopped being map-only.
+    assert(!p.contains("Join"), p)
+    // Exactness justified: the sole hash exchange is the per-doc score
+    // agg's partial->final boundary (the output ORDER BY is a range
+    // exchange); a second would mean scoring lost its map-side combine.
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q_time_fill generates the grid, fills without cartesian shapes") {
+    val p = planOf("q_time_fill")
+    // The dense calendar must be GENERATED from per-user spans
+    // (sequence+explode), never joined against a calendar relation —
+    // and the LOCF pass is the plan's single window, partitioned by
+    // user_id (an unpartitioned running window would serialize the
+    // grid through one task).
+    assert(p.contains("Generate explode(sequence("), p)
+    assert("Window \\[".r.findAllIn(p).length == 1, p)
+    assert("""Window \[[^\]]*\], \[user_id#\d+""".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_graph_cc propagates via equality joins only") {
+    val p = planOf("q_graph_cc")
+    // Six rounds of min-label propagation: every round must be an
+    // equality shuffle/broadcast join on the edge key — a cartesian or
+    // BNL anywhere means a label join lost its key and the round went
+    // O(V*E).
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
 }
