@@ -256,6 +256,57 @@ object SnapshotQueries {
         |  CASE WHEN doc_id % 5 = 0 THEN n_chars + 1 ELSE n_chars END
         |    AS n_chars
         |FROM documents WHERE doc_id % 3 <> 0
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Rollback-as-commit (Delta RESTORE / Iceberg rollback): a good
+    // sync lands, a corrupted sync lands on top of it, and the
+    // operator republishes the good generation as a NEW version —
+    // history only moves forward, the pointer never rewinds, and the
+    // bad generation stays on the parent chain for audit. The gate
+    // emits the restored data (oracle recomputes the good derivation
+    // directly from `documents`) plus three protocol booleans the
+    // oracle pins TRUE: restored_matches (HEAD multiset-equals AS OF
+    // v_good — the bytes came through the chain, not a recompute),
+    // version_advanced (restore committed v_bad+1), and bad_on_chain
+    // (AS OF v_bad still reads the corrupted generation — audit
+    // readability survives the restore). Restore mechanics + the
+    // sweep-vs-staging race are in SnapshotSwap.restoreManifested.
+    "q_snapshot_restore" -> ((
+      (s: SparkSession, d: String) => {
+        val base = s"/tmp/graft_restore_${graft.Tables.dirTag(d)}"
+        val docs = t(s, d, "documents")
+        val good = docs.filter(col("doc_id") % 4 =!= 1)
+          .select(col("doc_id"), col("n_chars"))
+        // The "corrupted" sync: half the rows gone, counts zeroed.
+        val bad = docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), (col("n_chars") * 0L).as("n_chars"))
+        SnapshotSwap.writeManifested(good, base, "docs")
+        val vGood = SnapshotSwap.currentVersion(base, "docs")
+        SnapshotSwap.writeManifested(bad, base, "docs")
+        val vBad = SnapshotSwap.currentVersion(base, "docs")
+        SnapshotSwap.restoreManifested(s, base, "docs", vGood)
+        val head = SnapshotSwap.readManifested(s, base, "docs")
+        val asofGood = SnapshotSwap.readAsOf(s, base, "docs", vGood)
+        val restoredMatches = head.exceptAll(asofGood).isEmpty &&
+          asofGood.exceptAll(head).isEmpty
+        val versionAdvanced =
+          SnapshotSwap.currentVersion(base, "docs") == vBad + 1
+        val badOnChain =
+          SnapshotSwap.readAsOf(s, base, "docs", vBad).count() ==
+            docs.filter(col("doc_id") % 2 === 0).count()
+        head.groupBy((col("doc_id") % 10).as("bucket"))
+          .agg(count(lit(1)).as("cnt"),
+            sum("n_chars").cast("long").as("sum_chars"))
+          .withColumn("restored_matches", lit(restoredMatches))
+          .withColumn("version_advanced", lit(versionAdvanced))
+          .withColumn("bad_on_chain", lit(badOnChain))
+          .orderBy("bucket")
+      },
+      """SELECT doc_id % 10 AS bucket, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  TRUE AS restored_matches, TRUE AS version_advanced,
+        |  TRUE AS bad_on_chain
+        |FROM documents WHERE doc_id % 4 <> 1
+        |GROUP BY bucket ORDER BY bucket""".stripMargin))
   )
 }

@@ -283,7 +283,16 @@ object SnapshotSwap {
     * from the new snapshot. The commit critical section is serialized
     * by an O_EXCL lock file (the object-store analogue is a
     * conditional/If-Match PUT of the pointer object). */
-  def writeManifested(df: DataFrame, base: String, table: String): String = {
+  def writeManifested(df: DataFrame, base: String, table: String): String =
+    writeManifestedImpl(df, base, table, sweepStale = true)
+
+  /** [[writeManifested]] with the stale-generation sweep controllable:
+    * [[restoreManifested]] STAGES FROM a generation the sweep would
+    * delete (the sweep runs before staging, and staging is the first
+    * read of the source dir — Spark scans lazily), so a restore commits
+    * with the sweep off and leaves cleanup to the next regular sync. */
+  private def writeManifestedImpl(df: DataFrame, base: String,
+      table: String, sweepStale: Boolean): String = {
     val fs = swapFsFor(base)
     fs.mkdirs(base)
     val manifest = s"$base/$table.manifest"
@@ -305,7 +314,7 @@ object SnapshotSwap {
     // staging right now — sweeping here would delete an in-flight
     // writer's dir out from under it.
     val prefix = s"_snap_$table-"
-    fs.listNames(base)
+    if (sweepStale) fs.listNames(base)
       .filter(n => n.startsWith(prefix) && prev.nonEmpty &&
         !prev.contains(n) &&
         versionOf(table, n).exists(_ < pubVersion))
@@ -400,6 +409,25 @@ object SnapshotSwap {
       targetBytes: Long): String =
     writeManifested(optimizePlan(spark, base, table, targetBytes),
       base, table)
+
+  /** Rollback-as-commit: republish the table AS OF `version` as a NEW
+    * snapshot generation (Delta RESTORE / Iceberg rollback semantics —
+    * history moves forward, the bad generation stays on the chain for
+    * audit, readers never see a pointer move backwards). The restored
+    * bytes are re-staged with a narrow scan→write (no shuffle,
+    * embarrassingly parallel); an O(1) metadata-only restore would
+    * need per-snapshot FILE manifests (Iceberg's design) where this
+    * protocol deliberately spends one dir per generation to keep the
+    * pointer commit a single rename/CAS. The stale-generation sweep is
+    * OFF for this commit — the source generation is exactly what the
+    * sweep would delete before staging reads it — so cleanup happens
+    * at the next regular sync, per the existing retention rule.
+    * Restoring to a swept (unreadable) version fails loudly in
+    * [[readAsOf]]. Returns the new snapshot dir. */
+  def restoreManifested(spark: SparkSession, base: String, table: String,
+      version: Long): String =
+    writeManifestedImpl(readAsOf(spark, base, table, version),
+      base, table, sweepStale = false)
 
   /** Reader half of the manifest protocol: resolve the pointer, read
     * the snapshot it names. */

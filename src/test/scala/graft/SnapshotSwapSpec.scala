@@ -123,6 +123,41 @@ class SnapshotSwapSpec extends SparkSpecBase {
       (1 to 500).map(i => (i, s"v$i")).toSet)
   }
 
+  test("RESTORE republishes an old generation as a new forward version") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_restore").toString
+    SnapshotSwap.writeManifested(Seq((1, "good")).toDF("id", "v"), base, "t")
+    SnapshotSwap.writeManifested(Seq((2, "bad")).toDF("id", "v"), base, "t")
+
+    SnapshotSwap.restoreManifested(spark, base, "t", 1)
+
+    // History moved FORWARD: v3, whose data is v1's, with v2 its parent.
+    assert(SnapshotSwap.currentVersion(base, "t") == 3)
+    assert(SnapshotSwap.readManifested(spark, base, "t")
+      .as[(Int, String)].collect().toSeq == Seq((1, "good")))
+    assert(SnapshotSwap.readAsOf(spark, base, "t", 2)
+      .as[(Int, String)].collect().toSeq == Seq((2, "bad")))
+    // The restore commit did NOT sweep its own source generation (the
+    // sweep-vs-staging race restoreManifested documents): v1's dir is
+    // still readable through the chain.
+    assert(SnapshotSwap.readAsOf(spark, base, "t", 1)
+      .as[(Int, String)].collect().toSeq == Seq((1, "good")))
+
+    // The NEXT regular sync sweeps by the normal retention rule
+    // (everything below its published predecessor v3): v1 and v2 go.
+    SnapshotSwap.writeManifested(Seq((4, "d")).toDF("id", "v"), base, "t")
+    assert(SnapshotSwap.snapshotAsOf(base, "t", 1).isEmpty)
+    assert(SnapshotSwap.snapshotAsOf(base, "t", 2).isEmpty)
+    assert(SnapshotSwap.readAsOf(spark, base, "t", 3)
+      .as[(Int, String)].collect().toSeq == Seq((1, "good")))
+
+    // Restoring to a swept generation fails loudly, commits nothing.
+    intercept[RuntimeException] {
+      SnapshotSwap.restoreManifested(spark, base, "t", 2)
+    }
+    assert(SnapshotSwap.currentVersion(base, "t") == 4)
+  }
+
   test("a cyclic _PARENT chain fails the AS OF walk loudly, never spins") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_asof_cycle").toString
