@@ -521,6 +521,102 @@ object StreamQueries {
         |  epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM numbered GROUP BY user_id, sid
-        |ORDER BY user_id, session_start_us""".stripMargin))
+        |ORDER BY user_id, session_start_us""".stripMargin)),
+
+    // Watermark late-data accounting — the semantics every production
+    // streaming agg lives or dies by, made deterministic: the dump is
+    // THREE files with pinned arrival order (explicit mtimes;
+    // file-stream sources admit files oldest-first): phase 0 = before
+    // Jan 11, phase 1 = Jan 11–20, phase 2 = the rest PLUS a replay of
+    // the pre-Jan-6 rows. Three phases, not two, because Spark (3.4+)
+    // filters late events against the watermark of the batch BEFORE
+    // the one they arrive in (eviction uses the current one) — probed
+    // empirically this round: a replay arriving in batch 1 is judged
+    // against batch 0's starting watermark (epoch) and KEPT. By batch
+    // 2 the late-filter watermark is post-batch-0 (~Jan 10 23:00,
+    // 1 h delay), weeks past the replays: the state operator must DROP
+    // them — final window counts equal the batch answer over the
+    // original events (oracle), and the dropped count (summed
+    // numRowsDroppedByWatermark across the run's progress) must equal
+    // exactly the replays' distinct (hour, type) GROUP cardinality —
+    // the state operator sits after the map-side partial agg, so what
+    // it drops are collapsed group rows, not raw events — which the
+    // oracle recomputes as a scalar subquery. (Partial rows are one
+    // per INPUT PARTITION per group; each phase is a single
+    // well-under-maxPartitionBytes file, so one partition and the
+    // count is exactly the distinct-group cardinality.) Update mode:
+    // late filtering is live (complete
+    // mode retains all state and drops nothing), and each emission is
+    // monotone per window, so max(count) per window is the final
+    // answer regardless of micro-batch split.
+    "q_stream_late" -> ((
+      (s: SparkSession, d: String) => {
+        import java.nio.file.{Files, Paths}
+        val tag = graft.Tables.dirTag(d)
+        val srcDir = s"/tmp/graft_stream_late_${tag}_v$DumpVersion"
+        val cut1 = "2024-01-11 00:00:00"
+        val cut2 = "2024-01-21 00:00:00"
+        val lateEnd = "2024-01-06 00:00:00"
+        val fp = graft.Tables.sourceFingerprint(
+          Seq(Paths.get(d, "events.parquet")),
+          s"streamdump_v$DumpVersion:late_three_phase")
+        graft.Tables.ensureDerived(srcDir, fp) {
+          graft.sink.SnapshotSwap.rm(Paths.get(srcDir))
+          Files.createDirectories(Paths.get(srcDir))
+          val ev = graft.Tables.events(s, d)
+          val phases = Seq(
+            ev.filter(col("ts") < lit(cut1).cast("timestamp")),
+            ev.filter(col("ts") >= lit(cut1).cast("timestamp") &&
+              col("ts") < lit(cut2).cast("timestamp")),
+            ev.filter(col("ts") >= lit(cut2).cast("timestamp"))
+              .unionByName(
+                ev.filter(col("ts") < lit(lateEnd).cast("timestamp"))))
+          phases.zipWithIndex.foreach { case (df, i) =>
+            val stage = s"${srcDir}_stage$i"
+            graft.sink.SnapshotSwap.rm(Paths.get(stage))
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            import scala.jdk.CollectionConverters._
+            val part = Files.list(Paths.get(stage)).iterator().asScala
+              .filter(_.getFileName.toString.startsWith("part-"))
+              .toSeq.head
+            val dest = Paths.get(srcDir, s"phase$i.parquet")
+            Files.move(part, dest)
+            // Pinned arrival order: the source admits oldest-first.
+            Files.setLastModifiedTime(dest, java.nio.file.attribute
+              .FileTime.fromMillis(1700000000000L + i * 600000L))
+            graft.sink.SnapshotSwap.rm(Paths.get(stage))
+          }
+        }
+        val schema = s.read.parquet(srcDir).schema
+        val qn = "graft_late_" + math.abs(d.hashCode).toString
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .count()
+        var dropped = 0L
+        withStreamGateConfs(s) {
+          val q = stream.writeStream.format("memory").queryName(qn)
+            .outputMode("update").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          dropped = q.recentProgress.flatMap(_.stateOperators)
+            .map(_.numRowsDroppedByWatermark).sum
+        }
+        s.table(qn)
+          .groupBy(date_format(col("window.start"),
+              "yyyy-MM-dd HH:mm:ss").as("ws"), col("event_type"))
+          .agg(max("count").as("cnt"))
+          .withColumn("late_groups_dropped", lit(dropped))
+          .orderBy("ws", "event_type")
+      },
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type
+        |           FROM events)
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS ws, event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM (
+        |     SELECT DISTINCT date_trunc('hour', ts), event_type FROM e
+        |     WHERE ts < TIMESTAMP '2024-01-06 00:00:00'))
+        |    AS late_groups_dropped
+        |FROM e GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin))
   )
 }

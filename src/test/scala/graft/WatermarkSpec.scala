@@ -53,4 +53,55 @@ class WatermarkSpec extends SparkSpecBase {
       assert(all("2024-01-01 10:40:00") == 1L) // the ts(40) event's window
     } finally q.stop()
   }
+
+  test("late filtering lags one batch: judged by the PREVIOUS watermark") {
+    // The q_stream_late gate's load-bearing discovery (probed on this
+    // Spark version): the state operator filters late input against
+    // the watermark of the batch BEFORE the one it arrives in, while
+    // eviction uses the current one. A replay arriving one batch after
+    // the watermark passed it is KEPT; one batch later it is DROPPED.
+    // If a Spark upgrade tightens this to same-batch filtering, this
+    // spec fails before the gate's oracle does — update both together.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val qn = "wm_lag_out"
+    val agg = input.toDS().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("k"))
+      .count()
+    // No-data micro-batches would silently consume the one-batch lag
+    // this spec exists to observe (and the gate disables them too).
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = spark.conf.get(noDataKey, "true")
+    spark.conf.set(noDataKey, "false")
+    val q = agg.writeStream.format("memory").queryName(qn)
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      def windows: Map[String, Long] = spark.table(qn)
+        .select(col("window.start").cast("string"), col("count")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+
+      input.addData((ts(0), "a"), (ts(30), "a")) // wm after: 10:20
+      q.processAllAvailable()
+
+      // Arrives AFTER the watermark passed 10:00, but only one batch
+      // after: judged by the previous (epoch) watermark -> kept.
+      input.addData((ts(35), "a"), (ts(1), "a"))
+      q.processAllAvailable()
+      assert(windows("2024-01-01 10:00:00") == 2L)
+
+      // Two batches after: judged by the post-batch-0 watermark -> the
+      // straggler is dropped, the window count does not move.
+      input.addData((ts(40), "a"), (ts(2), "a"))
+      q.processAllAvailable()
+      assert(windows("2024-01-01 10:00:00") == 2L)
+      val dropped = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped == 1L, s"expected exactly the one straggler, got $dropped")
+    } finally {
+      q.stop()
+      spark.conf.set(noDataKey, prevNoData)
+    }
+  }
 }
