@@ -9,7 +9,12 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkEnv.session(cpus)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev-loop filter (tools/check.py ONLY=...): restrict the dump to a
+    // comma-separated subset. The driver never sets this — unset runs all.
+    val only = sys.env.get("GRAFT_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       spark.catalog.clearCache()
       // Drop any previous run's output first: a failed query must leave
       // a MISSING dir (reported as FAIL by the checker), not a stale

@@ -1158,6 +1158,114 @@ object ExtraQueries {
         |    (PARTITION BY user_id ORDER BY version) AS valid_to
         |FROM v ORDER BY user_id, version""".stripMargin)),
 
+    // CDC log replay — the batch kernel of MERGE-from-changelog: the
+    // events table read as a change stream on user_id entities (op
+    // derived deterministically: every 11th event a DELETE, the rest
+    // UPSERTs), replayed to the final snapshot by last-writer-wins on
+    // (ts, event_id). rn=1 picks the surviving version, count(*) over
+    // the partition audits churn, and a final DELETE tombstones the
+    // entity entirely. Both window functions share ONE hash exchange on
+    // user_id (plan-gated) — the second Window reuses the first's
+    // partitioning and sort; the churn audit is also why the rn filter
+    // can't pre-prune to WindowGroupLimit (n_changes must see every
+    // version — drop the audit and the same query map-side-prunes to
+    // one row per key). At 100 TB this is exactly how
+    // a nightly CDC compaction runs: pure window over the log, no join
+    // against the previous snapshot (q_snapshot_merge covers the
+    // join-with-base variant); value compared in integer cents so the
+    // snapshot hashes identically in any engine.
+    "q_cdc_apply" -> ((
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us").desc, col("event_id").desc)
+        graft.Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            expr("unix_micros(ts)").as("us"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("val_e2"),
+            when(col("event_id") % 11 === 0, lit("D"))
+              .otherwise(lit("U")).as("op"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_changes",
+            count(lit(1)).over(Window.partitionBy("user_id")).cast("long"))
+          .filter(col("rn") === 1 && col("op") =!= "D")
+          .select("user_id", "n_changes", "us", "val_e2")
+          .withColumnRenamed("us", "last_us")
+          .orderBy("user_id")
+      },
+      """WITH log AS (
+        |  SELECT event_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS val_e2,
+        |    CASE WHEN event_id % 11 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY us DESC, event_id DESC) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+        |      AS n_changes
+        |  FROM log)
+        |SELECT user_id, n_changes, us AS last_us, val_e2
+        |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin)),
+
+    // Referential-integrity audit — the cross-TABLE data-quality gate
+    // (q_quality_expect covers per-row expectations): child keys with
+    // no parent, per constraint, with violations injected by
+    // restricting each parent set (every 7th customer / 5th part / 3rd
+    // supplier "missing") so the gate exercises non-zero counts. Each
+    // constraint is one left-anti join; counts are partial+final aggs.
+    // At 100 TB the parent key set is the dimension side — broadcast
+    // here; when a parent outgrows broadcast, the same anti-join plans
+    // as a shuffled SMJ on the key, and the q_join_bloom pre-probe
+    // prunes the child scan before its exchange. The three audits scan
+    // three independent fact slices, so a real run fuses them into one
+    // pass per fact table; kept separate here so each constraint's
+    // count is independently attributable.
+    "q_fk_check" -> ((
+      (s: SparkSession, d: String) => {
+        def audit(name: String, child: DataFrame, key: String,
+            parent: DataFrame, pkey: String): DataFrame = {
+          val orphans = child.join(broadcast(parent),
+              child(key) === parent(pkey), "left_anti")
+          child.agg(count(lit(1)).as("n_checked"))
+            .crossJoin(orphans.agg(count(lit(1)).as("n_violations")))
+            .select(lit(name).as("constraint_name"),
+              col("n_violations"), col("n_checked"))
+        }
+        val cust = t(s, d, "customer")
+          .filter(col("c_custkey") % 7 =!= 0).select("c_custkey")
+        val part = t(s, d, "part")
+          .filter(col("p_partkey") % 5 =!= 0).select("p_partkey")
+        val supp = t(s, d, "supplier")
+          .filter(col("s_suppkey") % 3 =!= 0).select("s_suppkey")
+        audit("orders_custkey", t(s, d, "orders"), "o_custkey",
+            cust, "c_custkey")
+          .unionByName(audit("lineitem_partkey", t(s, d, "lineitem"),
+            "l_partkey", part, "p_partkey"))
+          .unionByName(audit("lineitem_suppkey", t(s, d, "lineitem"),
+            "l_suppkey", supp, "s_suppkey"))
+          .orderBy("constraint_name")
+      },
+      """SELECT * FROM (
+        |  SELECT 'orders_custkey' AS constraint_name,
+        |    CAST((SELECT count(*) FROM orders WHERE o_custkey NOT IN
+        |      (SELECT c_custkey FROM customer WHERE c_custkey % 7 <> 0))
+        |      AS BIGINT) AS n_violations,
+        |    CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_checked
+        |  UNION ALL
+        |  SELECT 'lineitem_partkey',
+        |    CAST((SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
+        |      (SELECT p_partkey FROM part WHERE p_partkey % 5 <> 0))
+        |      AS BIGINT),
+        |    CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'lineitem_suppkey',
+        |    CAST((SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN
+        |      (SELECT s_suppkey FROM supplier WHERE s_suppkey % 3 <> 0))
+        |      AS BIGINT),
+        |    CAST((SELECT count(*) FROM lineitem) AS BIGINT))
+        |ORDER BY constraint_name""".stripMargin)),
+
     // Deterministic list aggregation — collect_list is order-unstable
     // by contract (partial aggs merge in arrival order), so the
     // portable deterministic form is collect → array_sort → join; the

@@ -217,6 +217,90 @@ object GraphQueries {
   def trianglePlanProbe(s: SparkSession, d: String): DataFrame =
     triCounts(triEdges(s, d))
 
+  /** Weighted directed edge list for SSSP — derived from the schema so
+    * it exists at every scale factor, and deliberately multi-path:
+    * intra-region nation cliques (weight 2|a-b|+1), two modular rings
+    * over the 25 nations (step 1 weight 7, step 5 weight 9) tying the
+    * regions together, and nation→supplier leaf edges (weight
+    * s_suppkey%5+1). Shortest paths genuinely compete (clique shortcut
+    * vs ring walk), so relaxation — not mere reachability — is what
+    * the gate verifies. All weights are small positive longs; the true
+    * eccentricity from N0 is < 100, which the oracle's walk bound
+    * relies on. */
+  private[graft] def weightedEdges(s: SparkSession, d: String): DataFrame = {
+    val nn = t(s, d, "nation")
+      .select(col("n_nationkey").as("nk"), col("n_regionkey").as("rk"))
+    val clique = nn.as("a").join(nn.as("b"),
+        col("a.rk") === col("b.rk") && col("a.nk") =!= col("b.nk"))
+      .select(concat(lit("N"), col("a.nk")).as("src"),
+        concat(lit("N"), col("b.nk")).as("dst"),
+        (abs(col("a.nk") - col("b.nk")) * 2 + 1).cast("long").as("w"))
+    val ring1 = nn.select(concat(lit("N"), col("nk")).as("src"),
+      concat(lit("N"), (col("nk") + 1) % 25).as("dst"), lit(7L).as("w"))
+    val ring5 = nn.select(concat(lit("N"), col("nk")).as("src"),
+      concat(lit("N"), (col("nk") + 5) % 25).as("dst"), lit(9L).as("w"))
+    val leaves = t(s, d, "supplier").select(
+      concat(lit("N"), col("s_nationkey")).as("src"),
+      concat(lit("S"), col("s_suppkey")).as("dst"),
+      (col("s_suppkey") % 5 + 1).cast("long").as("w"))
+    clique.unionByName(ring1).unionByName(ring5).unionByName(leaves)
+  }
+
+  /** Single-source shortest paths by frontier-based distributed
+    * Bellman-Ford: each round relaxes only edges out of nodes whose
+    * distance improved last round (the frontier), takes the per-dst
+    * min of the candidate distances (partial+final agg — map-side
+    * combine collapses duplicate dsts before the exchange), and folds
+    * improvements into the running distance table with one full-outer
+    * merge on the node key. Non-frontier nodes ship nothing, so late
+    * rounds — when most of the graph has converged — cost only the
+    * residual frontier, not |V|. Exact long arithmetic throughout:
+    * bit-identical in any engine and partition order. `iters` must be
+    * >= the weighted-path hop diameter (here <= 11: <=5 ring5 hops +
+    * <=4 ring1/clique hops + 1 leaf hop), run with headroom. The state
+    * is materialized (localCheckpoint) EVERY round, Pregel-style: both
+    * next-round branches (candidate generation and the merge) re-embed
+    * the state's lineage, so an unmaterialized loop doubles the plan
+    * per round — linear rounds need materialized state. At 100 TB: bucket
+    * the edge list by src once so every round's relaxation join
+    * co-locates with no fresh exchange, keep the frontier as the only
+    * moving relation (it is delta-sized), and switch the merge to a
+    * co-partitioned zip when the distance table itself outgrows a
+    * shuffle join. */
+  def sssp(s: SparkSession, d: String, source: String,
+      iters: Int): DataFrame = {
+    var dist = s.range(1).select(lit(source).as("node"), lit(0L).as("dist"))
+    var frontier = dist
+    for (_ <- 1 to iters) {
+      // Fresh edge lineage per round — see reach() on self-join
+      // ambiguity. At scale this is a re-read of the same bucketed
+      // table, not extra work.
+      val m = ssspRound(frontier, dist, weightedEdges(s, d))
+        .localCheckpoint()
+      frontier = m.filter(col("imp")).select("node", "dist")
+      dist = m.select("node", "dist")
+    }
+    dist.orderBy("node")
+  }
+
+  /** One relaxation round — exposed unmaterialized so PlanQualitySpec
+    * can pin its shape (the gated entry checkpoints each round, so its
+    * returned plan is only the final state scan). Output: (node, dist,
+    * imp) where imp marks nodes whose distance improved. */
+  private[graft] def ssspRound(frontier: DataFrame, dist: DataFrame,
+      e: DataFrame): DataFrame = {
+    val cand = frontier.join(e, frontier("node") === e("src"))
+      .select(e("dst").as("node"),
+        (frontier("dist") + e("w")).as("nd"))
+      .groupBy("node").agg(min("nd").as("nd"))
+    dist.join(cand, Seq("node"), "full_outer")
+      .select(col("node"),
+        least(coalesce(col("dist"), col("nd")),
+          coalesce(col("nd"), col("dist"))).as("dist"),
+        (col("nd").isNotNull &&
+          (col("dist").isNull || col("nd") < col("dist"))).as("imp"))
+  }
+
   val entries: Map[String, (Q, String)] = Map(
 
     // Integer PageRank, 3 rounds. The oracle unrolls the same three
@@ -290,6 +374,38 @@ object GraphQueries {
         |    FROM supplier JOIN nn ON s_nationkey = nn.nk)
         |SELECT node, min(node) OVER (PARTITION BY rk) AS lbl
         |FROM nodes ORDER BY node""".stripMargin)),
+
+    // Weighted single-source shortest paths (frontier Bellman-Ford to
+    // fixpoint; see sssp() for the per-round shape and the 100 TB
+    // posture). 12 rounds >= hop diameter 11 + headroom. The oracle
+    // computes the same distances by exhaustive bounded walk
+    // enumeration — a recursive CTE keeping every (node, walk-length)
+    // state under the bound and taking the min — a derivation with no
+    // relaxation or frontier, so the two computations share only the
+    // edge definition. The 100-unit bound is safe: every optimal walk
+    // prefix is itself optimal, hence < 100 (max true distance ~78),
+    // so pruning removes only non-optimal walks.
+    "q_graph_sssp" -> ((
+      (s: SparkSession, d: String) => sssp(s, d, "N0", 12),
+      """WITH RECURSIVE nn AS (
+        |  SELECT n_nationkey AS nk, n_regionkey AS rk FROM nation),
+        |e AS (
+        |  SELECT 'N' || a.nk AS src, 'N' || b.nk AS dst,
+        |         CAST(abs(a.nk - b.nk) * 2 + 1 AS BIGINT) AS w
+        |    FROM nn a JOIN nn b ON a.rk = b.rk AND a.nk <> b.nk
+        |  UNION ALL SELECT 'N' || nk, 'N' || ((nk + 1) % 25),
+        |    CAST(7 AS BIGINT) FROM nn
+        |  UNION ALL SELECT 'N' || nk, 'N' || ((nk + 5) % 25),
+        |    CAST(9 AS BIGINT) FROM nn
+        |  UNION ALL SELECT 'N' || s_nationkey, 'S' || s_suppkey,
+        |    CAST(s_suppkey % 5 + 1 AS BIGINT) FROM supplier),
+        |walk(node, dist) AS (
+        |  SELECT 'N0', CAST(0 AS BIGINT)
+        |  UNION
+        |  SELECT e.dst, w.dist + e.w FROM walk w JOIN e ON e.src = w.node
+        |  WHERE w.dist + e.w < 100)
+        |SELECT node, min(dist) AS dist FROM walk
+        |GROUP BY node ORDER BY node""".stripMargin)),
 
     // Triangle counting over the part co-purchase graph (parts sharing
     // an order are adjacent) — the classic graph-analytics kernel the

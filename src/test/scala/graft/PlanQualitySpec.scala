@@ -707,4 +707,49 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("q_graph_sssp relaxes via equality joins with min pre-combine") {
+    // The gated entry materializes state every round (see sssp()), so
+    // its returned plan is only the final state scan; gate the exposed
+    // round kernel over a materialized mid-run state instead — the
+    // shape every data-sized round shares. (Round 1 alone is special:
+    // the literal seed frontier constant-folds into the edge scans,
+    // never reading non-source edges.)
+    import graft.queries.GraphQueries.{sssp, ssspRound, weightedEdges}
+    val st = sssp(spark, dir, "N0", 2).localCheckpoint()
+    val p = ssspRound(st, st, weightedEdges(spark, dir))
+      .queryExecution.executedPlan.toString
+    // The round must be an equality join frontier×edges on src plus a
+    // partial+final min-agg on dst — a cartesian/BNL means the round
+    // lost its key and went O(V*E).
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // The per-dst min candidates combine map-side (partial min) before
+    // any exchange ships them.
+    assert(p.contains("partial_min"), p)
+  }
+
+  test("q_cdc_apply replays the log through one shared window exchange") {
+    val plan = SparkEntry.queries("q_cdc_apply")(spark, dir)
+      .queryExecution.executedPlan
+    val nodes = collectNodes(plan).map(_.nodeName)
+    // Both window functions (last-writer rank + churn count) must
+    // reuse ONE hash exchange on user_id; a second non-final exchange
+    // means the count window re-shuffled the log.
+    assert(nodes.count(_ == "Window") == 2, nodes.mkString(","))
+    assert(nodes.count(_ == "Exchange") <= 2, // user_id hash + final sort
+      nodes.mkString(","))
+    assert(nodes.count(_ == "Sort") <= 2, nodes.mkString(","))
+  }
+
+  test("q_fk_check audits via broadcast anti-joins") {
+    val p = planOf("q_fk_check")
+    // Each constraint is a left-anti build on the (filtered, pruned)
+    // parent key set; the parent-side modulo filters push into their
+    // scans and the only non-equality joins are the single-row
+    // count×count cross products.
+    assert("BroadcastHashJoin .*LeftAnti".r.findAllIn(p).length == 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -24,6 +24,8 @@ def run_verify():
                ":".join(glob.glob("/opt/spark/jars/*.jar")),
         "graft.Verify", SF_DIR, OUT]
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    if ONLY:
+        env["GRAFT_ONLY"] = ",".join(ONLY)
     r = subprocess.run(cmd, capture_output=True, text=True, env=env)
     for ln in r.stderr.splitlines():
         if "[verify]" in ln or "Exception" in ln:
