@@ -209,6 +209,30 @@ object StreamQueries {
       .orderBy("ws", "event_type")
   }
 
+  /** One micro-batch of the streaming heavy-hitters sink
+    * (q_stream_topk): aggregate THIS batch's tokens into one
+    * <=k-counter Misra-Gries summary (the mergeable-summaries shape —
+    * fixed-size state through the batch's exchange regardless of
+    * batch vocabulary) and write it, plus the batch token count, to a
+    * batch-id-keyed dir — OVERWRITTEN on replay, the same
+    * exactly-once protocol as incDedupBatch. The summaries union is
+    * the candidate set: a token absent from EVERY batch summary has
+    * true total frequency <= sum_i N_i/(k+1) = N/(k+1) (the MG
+    * guarantee per batch), so with k=256 nothing above the N/200 gate
+    * threshold can be missed, under any micro-batch split. */
+  private[graft] def topkSketchBatch(batch: DataFrame, root: String,
+      batchId: Long): Unit = {
+    val s = batch.sparkSession
+    graft.functions.TopKSketch.register(s)
+    batch.select(explode(split(col("text"), " ")).as("tok"))
+      .agg(expr("mg_topk(tok, 256, 256)").as("hh"),
+        count(lit(1)).as("n"))
+      .select(explode(col("hh")).as("kv"), col("n"))
+      .select(col("kv.item").as("item"), col("kv.est_count").as("est"),
+        col("n"))
+      .write.mode("overwrite").parquet(s"$root/sketch/batch=$batchId")
+  }
+
   val entries: Map[String, (Q, String)] = Map(
     "q_stream_batch" -> ((
       (s: SparkSession, d: String) => streamCounts(s, d),
@@ -380,6 +404,64 @@ object StreamQueries {
         |CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |  AS cents
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // Streaming heavy hitters — the sketch family (q_topk_sketch)
+    // under continuous ingest: the corpus streams in as four
+    // micro-batches; each batch folds to one <=k Misra-Gries summary
+    // in a batch-id-keyed dir (idempotent overwrite — the exactly-once
+    // protocol of q_stream_dedup_inc), and the union of summary items
+    // is a guaranteed-complete candidate set for any frequency above
+    // N/(k+1), under ANY micro-batch split (mergeable-summaries
+    // property; see topkSketchBatch). The gate answer exact-counts
+    // only the candidates — broadcast In-list pruning map-side — and
+    // keeps tokens clearing N/200 exactly: deterministic output from a
+    // probabilistically-sized sketch, oracled by a direct DuckDB
+    // wordcount. At 100 TB the per-batch state through every exchange
+    // is k counters, and the final pass is the same two-pass protocol
+    // a batch deployment runs — both kernels are the q_topk_sketch
+    // passes, whose plan shapes PlanQualitySpec already pins; the
+    // stream-specific properties (restart/replay exactly-once, split
+    // independence, bounded summaries) are pinned in StreamTopkSpec.
+    "q_stream_topk" -> ((
+      (s: SparkSession, d: String) => {
+        val tag = graft.Tables.dirTag(d)
+        val srcDir = s"/tmp/graft_stream_docs_${tag}_v$DumpVersion"
+        ensureStreamDump(d, "documents", srcDir)(t(s, d, "documents"))
+        val root = s"/tmp/graft_stopk_$tag"
+        graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        withStreamGateConfs(s) {
+          val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            Long) => Unit = (b, id) => topkSketchBatch(b, root, id)
+          val q = stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        val sk = s.read.parquet(s"$root/sketch")
+        // One token count per batch (repeated on every summary row).
+        val total = sk.groupBy("batch").agg(first("n").as("n"))
+          .agg(sum("n")).head().getLong(0)
+        val cand = sk.select("item").distinct()
+          .collect().map(_.getString(0)).toSeq
+        t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok").isInCollection(cand))
+          .groupBy("tok")
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") * lit(200L) > lit(total))
+          .orderBy("tok")
+      },
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |n AS (SELECT count(*) AS total FROM tok)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        |FROM tok, n
+        |GROUP BY tok, n.total
+        |HAVING count(*) * 200 > n.total
+        |ORDER BY tok""".stripMargin)),
 
     // Per-key session windows (30-minute inactivity gap) — the
     // session-window flavor of P6's per-key batching; the same
