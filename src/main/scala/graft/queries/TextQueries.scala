@@ -555,7 +555,130 @@ object TextQueries {
   private def registerTextStats(s: SparkSession): Unit =
     graft.functions.TextStatFunctions.register(s, Seq(stopEn, stopDe, stopEs))
 
+  /** BPE tokenizer training (q_bpe_train): learn `iters` merge rules
+    * over the corpus word HISTOGRAM — the property that makes BPE
+    * trainable at 100 TB at all: the corpus is scanned exactly once
+    * (the wordcount shuffle); every later pass runs over the
+    * distinct-word relation (vocabulary-sized — millions of rows when
+    * the corpus is billions), so per-iteration cost tracks the vocab,
+    * not the data. Each iteration is (a) adjacent-pair counting — a
+    * map-side explode of symbol pairs weighted by word count into a
+    * partial+final sum — (b) a one-row argmax with a total tie-break
+    * (count desc, then pair lexicographic), and (c) the merge applied
+    * to every word as a left-to-right greedy fold over its symbol
+    * list (the textbook BPE apply), broadcast-joined as a one-row rule
+    * relation — map-only over the vocab. The vocab state is
+    * localCheckpointed per iteration (Pregel posture, see sssp):
+    * both next-iteration consumers re-embed its lineage. */
+  /** The word histogram with each word exploded to space-joined
+    * character symbols — BPE's initial state. */
+  private[graft] def bpeVocab(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .withColumn("sym", array_join(split(col("word"), ""), " "))
+
+  /** Adjacent-pair counts weighted by word count: a map-side explode
+    * of (symbol, next-symbol) structs into a partial+final sum —
+    * vocab-sized, one hash exchange on the pair key (plan-gated). */
+  private[graft] def bpePairs(vocab: DataFrame): DataFrame =
+    vocab
+      .select(col("wc"), explode(expr(
+        """zip_with(slice(split(sym, ' '), 1, size(split(sym, ' ')) - 1),
+          |         slice(split(sym, ' '), 2, size(split(sym, ' ')) - 1),
+          |         (a, b) -> named_struct('l', a, 'r', b))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("wc").as("cnt"))
+
+  /** The left-to-right greedy merge fold (textbook BPE apply),
+    * expecting rule columns `l`/`r` in scope alongside `sym`. */
+  private[graft] val BpeFoldSql: String =
+    """aggregate(split(sym, ' '), '', (acc, x) ->
+      |  CASE WHEN acc = '' THEN x
+      |       WHEN x = r AND acc = l THEN concat(l, r)
+      |       WHEN x = r AND endswith(acc, concat(' ', l))
+      |         THEN concat(left(acc, length(acc) - length(l) - 1),
+      |                     ' ', l, r)
+      |       ELSE concat(acc, ' ', x) END)""".stripMargin
+
+  /** Apply a one-row merge-rule relation to every vocab word: the rule
+    * broadcasts, the fold is map-only — no vocab shuffle (plan-gated). */
+  private[graft] def bpeApply(vocab: DataFrame, rule: DataFrame): DataFrame =
+    vocab.crossJoin(broadcast(rule.select("l", "r")))
+      .withColumn("sym", expr(BpeFoldSql))
+      .select("word", "wc", "sym")
+
+  private[graft] def bpeTrain(s: SparkSession, d: String,
+      iters: Int): DataFrame = {
+    var vocab = bpeVocab(s, d).localCheckpoint()
+    val rules = (1 to iters).map { i =>
+      val best = bpePairs(vocab)
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).localCheckpoint()
+      vocab = bpeApply(vocab, best).localCheckpoint()
+      best.select(lit(i).as("iter"), col("l"), col("r"), col("cnt"))
+    }
+    rules.reduce(_.unionByName(_)).orderBy("iter")
+  }
+
   val entries: Map[String, (Q, String)] = Map(
+
+    // BPE tokenizer training — three merge rules learned over the word
+    // histogram (see bpeTrain for the per-iteration shape and why the
+    // corpus is scanned exactly once). Output is the rule table
+    // (iter, l, r, pair count): deterministic under the total
+    // tie-break. The oracle replays the identical greedy fold and
+    // argmax in DuckDB (list_reduce / unnest-zip pair counting) — the
+    // independence is in the distributed layout (histogram shuffle,
+    // vocab-sized iterations, one-row broadcast rules), not the merge
+    // arithmetic, which both engines must share for the rules to be
+    // comparable at all.
+    "q_bpe_train" -> ((
+      (s: SparkSession, d: String) => bpeTrain(s, d, 3),
+      """WITH w AS (
+        |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS wc FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE regexp_matches(tok, '^[a-z]+$') GROUP BY tok),
+        |s1 AS (SELECT word, wc,
+        |  list_reduce(string_split(word, ''),
+        |    (a, b) -> a || ' ' || b) AS sym FROM w),
+        |p1 AS (SELECT p[1] AS l, p[2] AS r, CAST(sum(wc) AS BIGINT) AS cnt
+        |  FROM (SELECT wc, unnest(list_zip(sl, sl[2:])) AS p
+        |        FROM (SELECT wc, string_split(sym, ' ') AS sl FROM s1))
+        |  WHERE p[2] IS NOT NULL GROUP BY 1, 2),
+        |r1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+        |s2 AS (SELECT word, wc,
+        |  list_reduce(string_split(sym, ' '), (acc, x) ->
+        |    CASE WHEN x = r1.r AND acc = r1.l THEN r1.l || r1.r
+        |         WHEN x = r1.r AND ends_with(acc, ' ' || r1.l)
+        |           THEN left(acc, length(acc) - length(r1.l) - 1)
+        |                || ' ' || r1.l || r1.r
+        |         ELSE acc || ' ' || x END) AS sym
+        |  FROM s1, r1),
+        |p2 AS (SELECT p[1] AS l, p[2] AS r, CAST(sum(wc) AS BIGINT) AS cnt
+        |  FROM (SELECT wc, unnest(list_zip(sl, sl[2:])) AS p
+        |        FROM (SELECT wc, string_split(sym, ' ') AS sl FROM s2))
+        |  WHERE p[2] IS NOT NULL GROUP BY 1, 2),
+        |r2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+        |s3 AS (SELECT word, wc,
+        |  list_reduce(string_split(sym, ' '), (acc, x) ->
+        |    CASE WHEN x = r2.r AND acc = r2.l THEN r2.l || r2.r
+        |         WHEN x = r2.r AND ends_with(acc, ' ' || r2.l)
+        |           THEN left(acc, length(acc) - length(r2.l) - 1)
+        |                || ' ' || r2.l || r2.r
+        |         ELSE acc || ' ' || x END) AS sym
+        |  FROM s2, r2),
+        |p3 AS (SELECT p[1] AS l, p[2] AS r, CAST(sum(wc) AS BIGINT) AS cnt
+        |  FROM (SELECT wc, unnest(list_zip(sl, sl[2:])) AS p
+        |        FROM (SELECT wc, string_split(sym, ' ') AS sl FROM s3))
+        |  WHERE p[2] IS NOT NULL GROUP BY 1, 2),
+        |r3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l, r LIMIT 1)
+        |SELECT CAST(1 AS INT) AS iter, l, r, cnt FROM r1
+        |UNION ALL SELECT 2, l, r, cnt FROM r2
+        |UNION ALL SELECT 3, l, r, cnt FROM r3
+        |ORDER BY iter""".stripMargin)),
 
     // Exact dedup: hash groupBy on a sha256 digest of the content, keep
     // lowest doc_id. Grouping on the digest (not the raw text) keeps the

@@ -146,7 +146,27 @@ object SoakX10 {
     "q_multimodal_resize",
     // Index compaction: the fold reads index artifacts only — cost
     // tracks distinct-digest cardinality, never the corpus bytes.
-    "q_index_compact")
+    "q_index_compact",
+    // SSSP: supplier leaf edges scale with the data while the nation
+    // core stays dimension-sized — rounds after the frontier drains
+    // must cost only the residual frontier, and the leaf relaxation
+    // one equality join.
+    "q_graph_sssp",
+    // CDC replay: 100x log rows AND 100x entity cardinality — one
+    // shared window exchange whose partition count tracks the keys.
+    "q_cdc_apply",
+    // FK audit: parents scale past broadcast thresholds with the
+    // data; the anti-joins must flip to shuffled joins on their own
+    // without losing the pushed parent filters.
+    "q_fk_check",
+    // Streaming heavy hitters: the token stream grows 100x but every
+    // exchange still carries <=k counters per partition; the exact
+    // second pass prunes to the candidate In-list map-side.
+    "q_stream_topk",
+    // BPE training: the corpus contributes ONE wordcount pass; the
+    // per-copy cipher multiplies the vocabulary, so the iteration cost
+    // (pair counting + map-only merge) must track the vocab linearly.
+    "q_bpe_train")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q_bpe_train invariants: the greedy fold's textbook edge cases, the
+  * non-increasing merge-count law, prefix stability of the learned
+  * rules, and the token-conservation identity (each applied merge
+  * removes exactly `cnt` symbols from the weighted vocab). */
+class BpeTrainSpec extends SparkSpecBase {
+
+  import graft.queries.TextQueries.{bpeApply, bpePairs, bpeTrain, bpeVocab}
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def fold(sym: String, l: String, r: String): String = {
+    import spark.implicits._
+    Seq((sym, l, r)).toDF("sym", "l", "r")
+      .selectExpr(graft.queries.TextQueries.BpeFoldSql + " AS out")
+      .head().getString(0)
+  }
+
+  test("greedy fold handles overlap, chains, and boundaries") {
+    // Left-to-right greedy: the first pair wins, the merged token does
+    // not re-participate as its left half.
+    assert(fold("a a a", "a", "a") == "aa a")
+    assert(fold("a a a a", "a", "a") == "aa aa")
+    assert(fold("a b a b a b", "a", "b") == "ab ab ab")
+    // Merged symbol at word start and end; rule absent is identity.
+    assert(fold("l l o", "l", "l") == "ll o")
+    assert(fold("h e l l", "l", "l") == "h e ll")
+    assert(fold("x y z", "a", "b") == "x y z")
+    // Single-symbol word: fold returns it untouched.
+    assert(fold("q", "a", "b") == "q")
+    // A multi-char left side (later-iteration rule).
+    assert(fold("ab c ab c", "ab", "c") == "abc abc")
+  }
+
+  test("merge counts are non-increasing and rules are prefix-stable") {
+    val r3 = bpeTrain(spark, dir, 3).collect()
+    val cnts = r3.map(_.getLong(3)).toSeq
+    assert(cnts == cnts.sorted.reverse, cnts.mkString(","))
+    // A longer run learns the same first rules (the argmax tie-break
+    // is total, so training is deterministic and incremental).
+    val r5 = bpeTrain(spark, dir, 5).collect()
+    assert(r5.take(3).map(_.toSeq).toSeq == r3.map(_.toSeq).toSeq)
+  }
+
+  test("each applied merge removes exactly cnt symbols") {
+    def totalSyms(v: org.apache.spark.sql.DataFrame): Long =
+      v.select(sum(expr("wc * size(split(sym, ' '))"))).head().getLong(0)
+    val v0 = bpeVocab(spark, dir).localCheckpoint()
+    val best = bpePairs(v0)
+      .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+      .localCheckpoint()
+    val cnt = best.head().getLong(2)
+    val v1 = bpeApply(v0, best)
+    assert(totalSyms(v0) - totalSyms(v1) == cnt)
+    // And the merged pair no longer exists in the new state.
+    val (l, r) = (best.head().getString(0), best.head().getString(1))
+    val left = bpePairs(v1)
+      .filter(col("l") === l && col("r") === r).count()
+    assert(left == 0)
+  }
+}

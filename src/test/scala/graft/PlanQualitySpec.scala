@@ -743,6 +743,28 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(nodes.count(_ == "Sort") <= 2, nodes.mkString(","))
   }
 
+  test("q_bpe_train counts pairs map-side and applies merges map-only") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.TextQueries.{bpeApply, bpePairs, bpeVocab}
+    // Pair counting: a Generate (pair explode) feeding a partial+final
+    // sum — the only exchanges are the wordcount and the pair-key agg;
+    // no join anywhere in the counting pass.
+    val pp = bpePairs(bpeVocab(spark, dir))
+      .queryExecution.executedPlan.toString
+    assert(pp.contains("Generate"), pp)
+    assert(pp.contains("partial_sum"), pp)
+    assert(!pp.contains("Join"), pp)
+    // Merge apply: the one-row rule broadcasts onto the (materialized)
+    // vocab and the fold is map-only — a shuffle here would mean the
+    // vocab re-partitioned per iteration.
+    val v = bpeVocab(spark, dir).localCheckpoint()
+    val rule = bpePairs(v).orderBy(col("cnt").desc, col("l"), col("r"))
+      .limit(1).localCheckpoint()
+    val ap = bpeApply(v, rule).queryExecution.executedPlan.toString
+    assert(!ap.contains("Exchange hashpartitioning"), ap)
+    assert(!ap.contains("CartesianProduct"), ap)
+  }
+
   test("q_fk_check audits via broadcast anti-joins") {
     val p = planOf("q_fk_check")
     // Each constraint is a left-anti build on the (filtered, pruned)
