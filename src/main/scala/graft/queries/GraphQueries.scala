@@ -103,25 +103,54 @@ object GraphQueries {
     * when the diameter — not the data size — is the enemy. */
   def connectedComponents(s: SparkSession, d: String,
       iters: Int): DataFrame = {
-    def und(): DataFrame = {
-      // Fresh lineage per use — see reach() on self-join ambiguity.
-      val e = edges(s, d)
-      e.unionByName(
-        e.select(col("dst").as("src"), col("src").as("dst")))
-    }
-    val e0 = und()
-    var labels = e0.select(col("src").as("node")).distinct()
+    // Edge list materialized once for the fixpoint — see sssp().
+    val e = und(s, d).localCheckpoint()
+    var labels = e.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
-    for (_ <- 1 to iters) {
-      val nbrMin = und()
-        .join(labels.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), col("lbl"))
-        .groupBy("node").agg(min("lbl").as("nl"))
-      labels = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+      .localCheckpoint()
+    val nNodes = labels.count()
+    withIterParts(s, nNodes) {
+      // localCheckpoint-per-round Pregel loop — same protocol and
+      // rationale as sssp(): unconditional plan truncation (an
+      // unmaterialized loop doubles the plan per round, and a
+      // persist-chained one recomputes full lineage — see sssp's
+      // probe note). Together with the convergence early-exit, the
+      // scoped loop partitions, and the once-materialized edge list:
+      // bench 6.5 s -> ~2.0 s at sf0.1.
+      var round = 0
+      var converged = false
+      while (round < iters && !converged) {
+        val m = ccRound(labels, e).localCheckpoint()
+        converged = m.filter(col("chg")).isEmpty
+        labels = m.select("node", "lbl")
+        round += 1
+      }
     }
     labels.orderBy("node")
+  }
+
+  /** The undirected FK edge list (fresh lineage per use — see reach()
+    * on self-join ambiguity). */
+  private def und(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
+    e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** One min-label propagation round — exposed unmaterialized so
+    * PlanQualitySpec can pin its shape (the gated entry checkpoints
+    * each round, so its returned plan is only the final state scan).
+    * Output (node, lbl, chg); chg marks nodes whose label improved,
+    * driving the convergence early-exit. */
+  private[graft] def ccRound(labels: DataFrame, e: DataFrame): DataFrame = {
+    val nbrMin = e
+      .join(labels.withColumnRenamed("node", "src"), "src")
+      .select(col("dst").as("node"), col("lbl"))
+      .groupBy("node").agg(min("lbl").as("nl"))
+    labels.join(nbrMin, Seq("node"), "left")
+      .select(col("node"),
+        least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"),
+        (col("nl").isNotNull && col("nl") < col("lbl")).as("chg"))
   }
 
   /** Canonically-oriented (s < t) co-purchase edge set: parts adjacent
@@ -217,6 +246,39 @@ object GraphQueries {
   def trianglePlanProbe(s: SparkSession, d: String): DataFrame =
     triCounts(triEdges(s, d))
 
+  /** Scope the fixpoint loops' shuffle width to their STATE size (the
+    * q_dedup_cluster lesson, TextQueries.scala: per-round exchange
+    * overhead on near-empty partitions dominates iterative operators
+    * at gate scale; scales back up for a genuinely large state). Both
+    * shuffle.partitions AND AQE's initialPartitionNum must be scoped —
+    * the latter overrides the former while coalescing is on. */
+  private def withIterParts[T](s: SparkSession, stateRows: Long)
+      (body: => T): T = {
+    val pKey = "spark.sql.shuffle.partitions"
+    val iKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val aKey = "spark.sql.adaptive.enabled"
+    val prevP = s.conf.get(pKey)
+    val prevI = s.conf.getOption(iKey)
+    val prevA = s.conf.get(aKey, "true")
+    val parts = math.max(4L,
+      math.min(prevP.toLong, stateRows / 500000L + 4L))
+    s.conf.set(pKey, parts.toString)
+    s.conf.set(iKey, parts.toString)
+    // AQE re-plans every stage of every round — pure overhead once the
+    // loop's shuffle width is already sized to the state; its runtime
+    // decisions (coalesce, join flips) have nothing left to improve on
+    // a 4-partition fixpoint step.
+    s.conf.set(aKey, "false")
+    try body finally {
+      s.conf.set(pKey, prevP)
+      s.conf.set(aKey, prevA)
+      prevI match {
+        case Some(v) => s.conf.set(iKey, v)
+        case None => s.conf.unset(iKey)
+      }
+    }
+  }
+
   /** Weighted directed edge list for SSSP — derived from the schema so
     * it exists at every scale factor, and deliberately multi-path:
     * intra-region nation cliques (weight 2|a-b|+1), two modular rings
@@ -271,14 +333,36 @@ object GraphQueries {
       iters: Int): DataFrame = {
     var dist = s.range(1).select(lit(source).as("node"), lit(0L).as("dist"))
     var frontier = dist
-    for (_ <- 1 to iters) {
-      // Fresh edge lineage per round — see reach() on self-join
-      // ambiguity. At scale this is a re-read of the same bucketed
-      // table, not extra work.
-      val m = ssspRound(frontier, dist, weightedEdges(s, d))
-        .localCheckpoint()
-      frontier = m.filter(col("imp")).select("node", "dist")
-      dist = m.select("node", "dist")
+    // Materialize the edge list ONCE for the whole fixpoint (the
+    // at-scale analogue is bucketing it by src so rounds co-locate):
+    // a fresh per-round build re-ran the clique self-join + four
+    // scans every round. The checkpointed scan also kills the
+    // self-join ambiguity a reused lazy DataFrame would have — the
+    // frontier's lineage is truncated at the round boundary, so no
+    // edge attribute ever appears on both sides.
+    val e = weightedEdges(s, d).localCheckpoint()
+    // State is bounded by |V| (the full distance table) — size the
+    // loop's shuffles to it, not the session default.
+    val nNodes = e.select("dst").distinct().count() + 1
+    withIterParts(s, nNodes) {
+      // Per-round state goes through localCheckpoint, NOT persist: a
+      // persist-chained loop was tried and recomputed the ENTIRE
+      // lineage every round (cache lookups stop matching across the
+      // round boundary — probed at 110 s for one round-7 count at
+      // sf0.1, vs 0.3 s here); the checkpointed RDD truncates the
+      // plan unconditionally.
+      var round = 0
+      var drained = false
+      while (round < iters && !drained) {
+        val m = ssspRound(frontier, dist, e).localCheckpoint()
+        frontier = m.filter(col("imp")).select("node", "dist")
+        dist = m.select("node", "dist")
+        // Fixpoint early-exit: an empty frontier means no distance can
+        // change again (relaxation is monotone) — standard frontier
+        // termination, one cheap scan of the just-materialized state.
+        drained = frontier.isEmpty
+        round += 1
+      }
     }
     dist.orderBy("node")
   }

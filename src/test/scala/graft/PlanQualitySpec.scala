@@ -698,14 +698,26 @@ class PlanQualitySpec extends SparkSpecBase {
   }
 
   test("q_graph_cc propagates via equality joins only") {
-    val p = planOf("q_graph_cc")
-    // Six rounds of min-label propagation: every round must be an
-    // equality shuffle/broadcast join on the edge key — a cartesian or
-    // BNL anywhere means a label join lost its key and the round went
-    // O(V*E).
+    // The gated entry materializes state per round (see
+    // connectedComponents()), so its plan is only the final state
+    // scan; gate the exposed round kernel over a materialized state —
+    // the shape every round shares. Each round must be an equality
+    // shuffle/broadcast join on the edge key plus a partial+final
+    // min-agg — a cartesian or BNL means the label join lost its key
+    // and the round went O(V*E).
+    val st = SparkEntry.queries("q_graph_cc")(spark, dir).localCheckpoint()
+    val e = {
+      import org.apache.spark.sql.functions._
+      val n = Tables.t(spark, dir, "nation").select(
+        concat(lit("R"), col("n_regionkey")).as("src"),
+        concat(lit("N"), col("n_nationkey")).as("dst"))
+      n.unionByName(n.select(col("dst").as("src"), col("src").as("dst")))
+    }
+    val p = graft.queries.GraphQueries.ccRound(st, e)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_min"), p)
   }
 
   test("q_graph_sssp relaxes via equality joins with min pre-combine") {
