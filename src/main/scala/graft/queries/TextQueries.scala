@@ -603,6 +603,45 @@ object TextQueries {
       |                     ' ', l, r)
       |       ELSE concat(acc, ' ', x) END)""".stripMargin
 
+  /** DuckDB oracle CTE chain replaying `iters` BPE training rounds:
+    * w (word histogram) → s1 (char symbols) → [pK (pair counts) → rK
+    * (argmax rule) → s(K+1) (rule applied)]*. Shared by the train and
+    * encode oracles so the two stay bit-for-bit on one derivation. */
+  private[graft] def bpeOracleCtes(iters: Int): String = {
+    def pairSql(src: String): String =
+      s"""(SELECT p[1] AS l, p[2] AS r, CAST(sum(wc) AS BIGINT) AS cnt
+         |  FROM (SELECT wc, unnest(list_zip(sl, sl[2:])) AS p
+         |        FROM (SELECT wc, string_split(sym, ' ') AS sl FROM $src))
+         |  WHERE p[2] IS NOT NULL GROUP BY 1, 2)""".stripMargin
+    def applySql(src: String, rule: String): String =
+      s"""(SELECT word, wc,
+         |  list_reduce(string_split(sym, ' '), (acc, x) ->
+         |    CASE WHEN x = $rule.r AND acc = $rule.l
+         |           THEN $rule.l || $rule.r
+         |         WHEN x = $rule.r AND ends_with(acc, ' ' || $rule.l)
+         |           THEN left(acc, length(acc) - length($rule.l) - 1)
+         |                || ' ' || $rule.l || $rule.r
+         |         ELSE acc || ' ' || x END) AS sym
+         |  FROM $src, $rule)""".stripMargin
+    val head =
+      """WITH w AS (
+        |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS wc FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE regexp_matches(tok, '^[a-z]+$') GROUP BY tok),
+        |s1 AS (SELECT word, wc,
+        |  list_reduce(string_split(word, ''),
+        |    (a, b) -> a || ' ' || b) AS sym FROM w)""".stripMargin
+    // NOTE: no stripMargin here — the interpolated fragments contain
+    // SQL `||` operators that a second margin strip would truncate.
+    val rounds = (1 to iters).map { k =>
+      s"p$k AS ${pairSql(s"s$k")},\n" +
+        s"r$k AS (SELECT l, r, cnt FROM p$k " +
+        "ORDER BY cnt DESC, l, r LIMIT 1),\n" +
+        s"s${k + 1} AS ${applySql(s"s$k", s"r$k")}"
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
   /** Apply a one-row merge-rule relation to every vocab word: the rule
     * broadcasts, the fold is map-only — no vocab shuffle (plan-gated). */
   private[graft] def bpeApply(vocab: DataFrame, rule: DataFrame): DataFrame =
@@ -637,48 +676,43 @@ object TextQueries {
     // comparable at all.
     "q_bpe_train" -> ((
       (s: SparkSession, d: String) => bpeTrain(s, d, 3),
-      """WITH w AS (
-        |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS wc FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-        |  WHERE regexp_matches(tok, '^[a-z]+$') GROUP BY tok),
-        |s1 AS (SELECT word, wc,
-        |  list_reduce(string_split(word, ''),
-        |    (a, b) -> a || ' ' || b) AS sym FROM w),
-        |p1 AS (SELECT p[1] AS l, p[2] AS r, CAST(sum(wc) AS BIGINT) AS cnt
-        |  FROM (SELECT wc, unnest(list_zip(sl, sl[2:])) AS p
-        |        FROM (SELECT wc, string_split(sym, ' ') AS sl FROM s1))
-        |  WHERE p[2] IS NOT NULL GROUP BY 1, 2),
-        |r1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
-        |s2 AS (SELECT word, wc,
-        |  list_reduce(string_split(sym, ' '), (acc, x) ->
-        |    CASE WHEN x = r1.r AND acc = r1.l THEN r1.l || r1.r
-        |         WHEN x = r1.r AND ends_with(acc, ' ' || r1.l)
-        |           THEN left(acc, length(acc) - length(r1.l) - 1)
-        |                || ' ' || r1.l || r1.r
-        |         ELSE acc || ' ' || x END) AS sym
-        |  FROM s1, r1),
-        |p2 AS (SELECT p[1] AS l, p[2] AS r, CAST(sum(wc) AS BIGINT) AS cnt
-        |  FROM (SELECT wc, unnest(list_zip(sl, sl[2:])) AS p
-        |        FROM (SELECT wc, string_split(sym, ' ') AS sl FROM s2))
-        |  WHERE p[2] IS NOT NULL GROUP BY 1, 2),
-        |r2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
-        |s3 AS (SELECT word, wc,
-        |  list_reduce(string_split(sym, ' '), (acc, x) ->
-        |    CASE WHEN x = r2.r AND acc = r2.l THEN r2.l || r2.r
-        |         WHEN x = r2.r AND ends_with(acc, ' ' || r2.l)
-        |           THEN left(acc, length(acc) - length(r2.l) - 1)
-        |                || ' ' || r2.l || r2.r
-        |         ELSE acc || ' ' || x END) AS sym
-        |  FROM s2, r2),
-        |p3 AS (SELECT p[1] AS l, p[2] AS r, CAST(sum(wc) AS BIGINT) AS cnt
-        |  FROM (SELECT wc, unnest(list_zip(sl, sl[2:])) AS p
-        |        FROM (SELECT wc, string_split(sym, ' ') AS sl FROM s3))
-        |  WHERE p[2] IS NOT NULL GROUP BY 1, 2),
-        |r3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l, r LIMIT 1)
+      bpeOracleCtes(3) +
+        """
         |SELECT CAST(1 AS INT) AS iter, l, r, cnt FROM r1
         |UNION ALL SELECT 2, l, r, cnt FROM r2
         |UNION ALL SELECT 3, l, r, cnt FROM r3
         |ORDER BY iter""".stripMargin)),
+
+    // BPE corpus encoding — the apply side of q_bpe_train: re-derive
+    // the three learned rules, fold them IN ORDER over the word
+    // histogram's symbol strings (three chained map-only stages — the
+    // rules are one-row broadcasts), and emit the corpus token
+    // histogram after encoding (occurrences weighted by word count).
+    // The scale property mirrors training: the corpus is touched only
+    // by the wordcount; the encode itself runs over the vocabulary, so
+    // a 100 TB corpus encodes at vocab cost + one corpus-sized
+    // weighted sum that here collapses into the same vocab relation.
+    // Oracle: the shared training CTE chain extended one step — both
+    // gates replay one derivation, so train and encode can never
+    // drift apart.
+    "q_tokenize_apply" -> ((
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val rules = bpeTrain(s, d, 3).collect()
+        var vocab = bpeVocab(s, d)
+        rules.foreach { row =>
+          vocab = bpeApply(vocab,
+            Seq((row.getString(1), row.getString(2))).toDF("l", "r"))
+        }
+        vocab.select(col("wc"), explode(split(col("sym"), " ")).as("tok"))
+          .groupBy("tok").agg(sum("wc").as("cnt"))
+          .orderBy("tok")
+      },
+      bpeOracleCtes(3) +
+        """
+        |SELECT tok, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+        |  SELECT wc, unnest(string_split(sym, ' ')) AS tok FROM s4)
+        |GROUP BY tok ORDER BY tok""".stripMargin)),
 
     // Exact dedup: hash groupBy on a sha256 digest of the content, keep
     // lowest doc_id. Grouping on the digest (not the raw text) keeps the

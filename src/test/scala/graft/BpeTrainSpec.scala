@@ -45,6 +45,16 @@ class BpeTrainSpec extends SparkSpecBase {
     assert(r5.take(3).map(_.toSeq).toSeq == r3.map(_.toSeq).toSeq)
   }
 
+  test("encoding conserves tokens: chars minus the learned merge counts") {
+    val rules = bpeTrain(spark, dir, 3).collect()
+    val merged = rules.map(_.getLong(3)).sum
+    val chars = bpeVocab(spark, dir)
+      .select(sum(expr("wc * length(word)"))).head().getLong(0)
+    val encoded = SparkEntry.queries("q_tokenize_apply")(spark, dir)
+      .select(sum("cnt")).head().getLong(0)
+    assert(encoded == chars - merged, s"$encoded != $chars - $merged")
+  }
+
   test("each applied merge removes exactly cnt symbols") {
     def totalSyms(v: org.apache.spark.sql.DataFrame): Long =
       v.select(sum(expr("wc * size(split(sym, ' '))"))).head().getLong(0)
