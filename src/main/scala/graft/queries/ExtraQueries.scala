@@ -30,6 +30,18 @@ object ExtraQueries {
         count(lit(1)).as("n"))
   }
 
+  /** q_group_topk's pass 1, exposed for its plan gate: one MG summary
+    * + token count PER GROUP — the exchange is keyed on the group, and
+    * each group's state through it is <=k counters. */
+  private[graft] def groupTopkProbe(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TopKSketch.register(s)
+    t(s, d, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang")
+      .agg(expr("mg_topk(tok, 256, 256)").as("hh"),
+        count(lit(1)).as("n"))
+  }
+
   /** Write both q_join_bucketed sides bucketed+sorted on the join key
     * (same bucket count) and return the lazy aggregated join over the
     * bucketed tables. With broadcast disabled the sort-merge join reads
@@ -196,6 +208,43 @@ object ExtraQueries {
         |GROUP BY tok, n.total
         |HAVING count(*) * 100 > n.total
         |ORDER BY tok""".stripMargin)),
+
+    // GROUPED heavy hitters — q_topk_sketch's protocol as a per-group
+    // aggregate (per-language frequent tokens): pass 1 carries one
+    // <=k-counter MG summary PER GROUP through a group-keyed exchange
+    // (fixed-size state per group — never a (group, token)-keyed
+    // wordcount, whose exchange at 100 TB is groups x vocabulary);
+    // pass 2 exact-counts only the per-group candidates — the
+    // candidate relation is groups x k rows, broadcast onto the token
+    // stream so the prune happens map-side — and keeps tokens whose
+    // exact count clears the group's N_g/100 (per-group MG error <=
+    // N_g/(k+1) < N_g/100 at k=256, so no heavy hitter can be
+    // missed). Deterministic exact output from a sketch-sized
+    // shuffle; oracled by a per-group DuckDB wordcount.
+    "q_group_topk" -> ((
+      (s: SparkSession, d: String) => {
+        graft.functions.TopKSketch.register(s)
+        def toks = t(s, d, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        val cand = groupTopkProbe(s, d)
+          .select(col("lang"), col("n"), explode(col("hh")).as("kv"))
+          .select(col("lang"), col("n"), col("kv.item").as("tok"))
+        toks.join(broadcast(cand), Seq("lang", "tok"))
+          .groupBy("lang", "tok")
+          .agg(count(lit(1)).as("cnt"), max("n").as("n"))
+          .filter(col("cnt") * lit(100L) > col("n"))
+          .select("lang", "tok", "cnt")
+          .orderBy("lang", "tok")
+      },
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |n AS (SELECT lang, count(*) AS total FROM tok GROUP BY lang)
+        |SELECT t.lang, t.tok, CAST(count(*) AS BIGINT) AS cnt
+        |FROM tok t JOIN n USING (lang)
+        |GROUP BY t.lang, t.tok, n.total
+        |HAVING count(*) * 100 > n.total
+        |ORDER BY lang, tok""".stripMargin)),
 
     // HLL++ distinct sketch, hash-verifiable (r9 VERDICT #1): the gate
     // emits the EXACT per-group distinct counts (what the oracle can

@@ -152,6 +152,10 @@ object SoakX10 {
     // must cost only the residual frontier, and the leaf relaxation
     // one equality join.
     "q_graph_sssp",
+    // Connected components: node/edge counts scale with customers and
+    // suppliers; per-round cost must stay one equality join + min-agg
+    // over the materialized state.
+    "q_graph_cc",
     // CDC replay: 100x log rows AND 100x entity cardinality — one
     // shared window exchange whose partition count tracks the keys.
     "q_cdc_apply",
@@ -166,7 +170,14 @@ object SoakX10 {
     // BPE training: the corpus contributes ONE wordcount pass; the
     // per-copy cipher multiplies the vocabulary, so the iteration cost
     // (pair counting + map-only merge) must track the vocab linearly.
-    "q_bpe_train")
+    "q_bpe_train",
+    // BPE encoding: the same wordcount + three map-only folds over the
+    // scaled vocab — must track q_bpe_train's law.
+    "q_tokenize_apply",
+    // Grouped heavy hitters: groups stay fixed (3 languages) while
+    // the token stream grows 100x — the pass-1 exchange must stay at
+    // <=k counters per group, pass 2 at the broadcast-pruned scan.
+    "q_group_topk")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

@@ -364,6 +364,26 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("Join"), p)
   }
 
+  test("q_group_topk keys pass 1 on the group, prunes pass 2 map-side") {
+    val p1 = graft.queries.ExtraQueries.groupTopkProbe(spark, dir)
+      .queryExecution.executedPlan.toString
+    // Pass 1 must be partial+final with the ONLY hash exchange keyed
+    // on the group column — a (lang, tok)-keyed exchange would mean
+    // the grouped sketch decomposed into a per-group wordcount
+    // (groups x vocabulary rows through the shuffle at 100 TB).
+    assert("ObjectHashAggregate".r.findAllIn(p1).length >= 2, p1)
+    assert("""Exchange hashpartitioning\(lang#\d+, """.r
+      .findFirstIn(p1).isDefined, p1)
+    assert(!"""Exchange hashpartitioning\([^)]*tok#""".r
+      .findFirstIn(p1).isDefined, p1)
+    // Pass 2: candidates broadcast onto the token stream (the prune is
+    // a map-side broadcast hash join, never a shuffled corpus join).
+    val p2 = planOf("q_group_topk")
+    assert(p2.contains("BroadcastHashJoin"), p2)
+    assert(!p2.contains("SortMergeJoin"), p2)
+    assert(!p2.contains("CartesianProduct"), p2)
+  }
+
   test("q_zorder computes the curve position map-only with a pushed slice") {
     val p = planOf("q_zorder")
     // The Morton interleave is a pure shift/or/mask expression: the
