@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.Tables.t
@@ -233,6 +234,33 @@ object StreamQueries {
       .write.mode("overwrite").parquet(s"$root/sketch/batch=$batchId")
   }
 
+  /** One micro-batch of the streaming CDC compaction sink
+    * (q_stream_cdc): compact THIS batch's change rows to one
+    * latest-version row per entity (plus the batch's per-entity churn
+    * count), written to a batch-id-keyed dir — OVERWRITTEN on replay,
+    * the incDedupBatch exactly-once protocol. Per-entity latest and
+    * churn are both associative across batches, so the final fold over
+    * the per-batch compactions equals the batch replay (q_cdc_apply)
+    * under ANY micro-batch split — the log-structured-merge shape a
+    * real CDC pipeline runs: bounded per-batch state, delta-sized
+    * batch dirs, one entity-keyed re-fold at read time. */
+  private[graft] def cdcBatch(batch: DataFrame, root: String,
+      batchId: Long): Unit = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").desc, col("event_id").desc)
+    batch.select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("val_e2"),
+        when(col("event_id") % 11 === 0, lit("D"))
+          .otherwise(lit("U")).as("op"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nb",
+        count(lit(1)).over(Window.partitionBy("user_id")).cast("long"))
+      .filter(col("rn") === 1)
+      .select("event_id", "user_id", "us", "val_e2", "op", "nb")
+      .write.mode("overwrite").parquet(s"$root/delta/batch=$batchId")
+  }
+
   val entries: Map[String, (Q, String)] = Map(
     "q_stream_batch" -> ((
       (s: SparkSession, d: String) => streamCounts(s, d),
@@ -404,6 +432,64 @@ object StreamQueries {
         |CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |  AS cents
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // Streaming CDC compaction — q_cdc_apply under continuous ingest:
+    // the change log streams in as micro-batches; each batch compacts
+    // to one latest-version row per entity + its churn count in a
+    // batch-id-keyed delta dir (idempotent overwrite — the
+    // q_stream_dedup_inc exactly-once protocol; restart/replay cases
+    // in StreamCdcSpec), and the snapshot resolves as one
+    // entity-keyed fold over the per-batch compactions (latest by
+    // (us, event_id), churn summed — both associative, so the result
+    // is micro-batch-split independent and equals the batch replay
+    // exactly; the oracle IS q_cdc_apply's). At 100 TB each batch's
+    // work is batch-sized, delta dirs are compacted at the next full
+    // sync (the q_index_compact posture), and the fold touches only
+    // per-batch compactions — never the accumulated log.
+    "q_stream_cdc" -> ((
+      (s: SparkSession, d: String) => {
+        val tag = graft.Tables.dirTag(d)
+        val srcDir = s"/tmp/graft_stream_src_${tag}_v$DumpVersion"
+        ensureStreamDump(d, "events", srcDir)(graft.Tables.events(s, d))
+        val root = s"/tmp/graft_scdc_$tag"
+        graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        withStreamGateConfs(s) {
+          val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            Long) => Unit = (b, id) => cdcBatch(b, root, id)
+          val q = stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us").desc, col("event_id").desc)
+        s.read.parquet(s"$root/delta")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_changes",
+            sum("nb").over(Window.partitionBy("user_id")).cast("long"))
+          .filter(col("rn") === 1 && col("op") =!= "D")
+          .select("user_id", "n_changes", "us", "val_e2")
+          .withColumnRenamed("us", "last_us")
+          .orderBy("user_id")
+      },
+      """WITH log AS (
+        |  SELECT event_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS val_e2,
+        |    CASE WHEN event_id % 11 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY us DESC, event_id DESC) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+        |      AS n_changes
+        |  FROM log)
+        |SELECT user_id, n_changes, us AS last_us, val_e2
+        |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin)),
 
     // Streaming heavy hitters — the sketch family (q_topk_sketch)
     // under continuous ingest: the corpus streams in as four

@@ -159,6 +159,9 @@ object SoakX10 {
     // CDC replay: 100x log rows AND 100x entity cardinality — one
     // shared window exchange whose partition count tracks the keys.
     "q_cdc_apply",
+    // Streaming CDC compaction: per-batch work must track the batch;
+    // the fold reads per-batch compactions, never the accumulated log.
+    "q_stream_cdc",
     // FK audit: parents scale past broadcast thresholds with the
     // data; the anti-joins must flip to shuffled joins on their own
     // without losing the pushed parent filters.
