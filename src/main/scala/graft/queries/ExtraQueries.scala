@@ -30,6 +30,38 @@ object ExtraQueries {
         count(lit(1)).as("n"))
   }
 
+  /** The CDC change-log view of the events table — op derived
+    * deterministically (every 11th event a DELETE, the rest UPSERTs),
+    * value in integer cents, event time in micros. Shared by
+    * q_cdc_apply and the streaming q_stream_cdc so the two replay ONE
+    * log definition. */
+  private[graft] def cdcLog(events: DataFrame): DataFrame =
+    events.select(col("event_id"), col("user_id"),
+      expr("unix_micros(ts)").as("us"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("val_e2"),
+      when(col("event_id") % 11 === 0, lit("D"))
+        .otherwise(lit("U")).as("op"))
+
+  /** The CDC final-snapshot oracle — shared verbatim by q_cdc_apply
+    * and q_stream_cdc (the streamed compaction must equal the batch
+    * replay exactly, so both gates compare against one SQL). */
+  private[graft] val CdcSnapshotOracle: String =
+    """WITH log AS (
+      |  SELECT event_id, user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    CAST(round(value * 100) AS BIGINT) AS val_e2,
+      |    CASE WHEN event_id % 11 = 0 THEN 'D' ELSE 'U' END AS op
+      |  FROM events),
+      |r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY us DESC, event_id DESC) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+      |      AS n_changes
+      |  FROM log)
+      |SELECT user_id, n_changes, us AS last_us, val_e2
+      |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin
+
   /** q_group_topk's pass 1, exposed for its plan gate: one MG summary
     * + token count PER GROUP — the exchange is keyed on the group, and
     * each group's state through it is <=k counters. */
@@ -1227,12 +1259,7 @@ object ExtraQueries {
       (s: SparkSession, d: String) => {
         val w = Window.partitionBy("user_id")
           .orderBy(col("us").desc, col("event_id").desc)
-        graft.Tables.events(s, d)
-          .select(col("event_id"), col("user_id"),
-            expr("unix_micros(ts)").as("us"),
-            expr("CAST(round(value * 100) AS BIGINT)").as("val_e2"),
-            when(col("event_id") % 11 === 0, lit("D"))
-              .otherwise(lit("U")).as("op"))
+        cdcLog(graft.Tables.events(s, d))
           .withColumn("rn", row_number().over(w))
           .withColumn("n_changes",
             count(lit(1)).over(Window.partitionBy("user_id")).cast("long"))
@@ -1241,21 +1268,7 @@ object ExtraQueries {
           .withColumnRenamed("us", "last_us")
           .orderBy("user_id")
       },
-      """WITH log AS (
-        |  SELECT event_id, user_id,
-        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-        |    CAST(round(value * 100) AS BIGINT) AS val_e2,
-        |    CASE WHEN event_id % 11 = 0 THEN 'D' ELSE 'U' END AS op
-        |  FROM events),
-        |r AS (
-        |  SELECT *,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY us DESC, event_id DESC) AS rn,
-        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
-        |      AS n_changes
-        |  FROM log)
-        |SELECT user_id, n_changes, us AS last_us, val_e2
-        |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin)),
+      CdcSnapshotOracle)),
 
     // Referential-integrity audit — the cross-TABLE data-quality gate
     // (q_quality_expect covers per-row expectations): child keys with

@@ -248,11 +248,7 @@ object StreamQueries {
       batchId: Long): Unit = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("us").desc, col("event_id").desc)
-    batch.select(col("event_id"), col("user_id"),
-        expr("unix_micros(ts)").as("us"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("val_e2"),
-        when(col("event_id") % 11 === 0, lit("D"))
-          .otherwise(lit("U")).as("op"))
+    ExtraQueries.cdcLog(batch)
       .withColumn("rn", row_number().over(w))
       .withColumn("nb",
         count(lit(1)).over(Window.partitionBy("user_id")).cast("long"))
@@ -475,21 +471,7 @@ object StreamQueries {
           .withColumnRenamed("us", "last_us")
           .orderBy("user_id")
       },
-      """WITH log AS (
-        |  SELECT event_id, user_id,
-        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-        |    CAST(round(value * 100) AS BIGINT) AS val_e2,
-        |    CASE WHEN event_id % 11 = 0 THEN 'D' ELSE 'U' END AS op
-        |  FROM events),
-        |r AS (
-        |  SELECT *,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY us DESC, event_id DESC) AS rn,
-        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
-        |      AS n_changes
-        |  FROM log)
-        |SELECT user_id, n_changes, us AS last_us, val_e2
-        |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin)),
+      ExtraQueries.CdcSnapshotOracle)),
 
     // Streaming heavy hitters — the sketch family (q_topk_sketch)
     // under continuous ingest: the corpus streams in as four
