@@ -749,6 +749,64 @@ object ExtraQueries {
         |SELECT doc_id, lang, rank FROM r WHERE rank <= 50
         |ORDER BY doc_id""".stripMargin)),
 
+    // Weight-proportional sampling — the third sampling mode after
+    // fixed-rate (q_sample_hash) and fixed-size (q_sample_stratified):
+    // inclusion probability proportional to a per-row weight (here
+    // n_chars — token-budget-proportional document draws), computed as
+    // SYSTEMATIC sampling over a hash-randomized order: a row is
+    // selected iff its weight interval [cum-w, cum) crosses a stride
+    // boundary, stride = total_weight/100. Exactly ~100 draws, no
+    // replacement, pure integer arithmetic — deterministic at any
+    // scale and partition count. The global running weight uses the
+    // q_pack_sequences two-pass prefix-sum shape: hash-PREFIX range
+    // buckets (monotone in the sample order, so per-bucket offsets
+    // compose into the exact global cumsum), per-bucket sums collected
+    // once (bounded by parallelism), placement via a window PARTITIONED
+    // by bucket — never the degenerate single-task global window
+    // (plan-gated). A row heavier than the stride is emitted once
+    // (sample WITHOUT multiplicity — membership, not counts).
+    "q_sample_weighted" -> ((
+      (s: SparkSession, d: String) => {
+        val nb = math.max(1, s.sparkContext.defaultParallelism).toLong
+        val bucketWidth = math.max(1L, (65536L + nb - 1) / nb)
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("n_chars").as("w"))
+          .withColumn("h", sha2(concat(lit("wsmp:"),
+            col("doc_id").cast("string")), 256))
+          .withColumn("bucket",
+            expr(s"CAST(conv(substring(h, 1, 4), 16, 10) AS BIGINT)" +
+              s" div ${bucketWidth}L"))
+        var acc = 0L
+        val offs: Map[Long, Long] = docs.groupBy("bucket")
+          .agg(sum("w").as("sw")).orderBy("bucket").collect()
+          .map { r =>
+            val k = r.getLong(0); val o = acc; acc += r.getLong(1)
+            k -> o
+          }.toMap
+        val stride = math.max(1L, acc / 100L)
+        val win = Window.partitionBy("bucket").orderBy("h", "doc_id")
+        docs
+          .withColumn("cum",
+            coalesce(element_at(typedLit(offs), col("bucket")),
+              lit(0L)) + sum("w").over(win))
+          .filter(expr(s"(cum - w) div ${stride}L < cum div ${stride}L"))
+          .select("doc_id", "w", "cum")
+          .orderBy("doc_id")
+      },
+      """WITH d AS (
+        |  SELECT doc_id, n_chars AS w,
+        |    sha256('wsmp:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (SELECT *,
+        |  sum(w) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+        |    AS cum FROM d),
+        |t AS (SELECT greatest(CAST(sum(w) AS BIGINT) // 100, 1)
+        |        AS stride FROM d)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(cum AS BIGINT) AS cum
+        |FROM c, t
+        |WHERE (cum - w) // stride < cum // stride
+        |ORDER BY doc_id""".stripMargin)),
+
     // Corpus mixture rebalancing — domain mixing for a training run:
     // each source gets a target share (weights derived here from the
     // source name; a real run feeds its mixture config), the quota is

@@ -162,6 +162,10 @@ object SoakX10 {
     // Streaming CDC compaction: per-batch work must track the batch;
     // the fold reads per-batch compactions, never the accumulated log.
     "q_stream_cdc",
+    // Weighted systematic sampling: the prefix sum must stay two-pass
+    // bucket-parallel; the sample stays ~100 rows as the corpus grows
+    // (constant absolute draw — the training-budget reality).
+    "q_sample_weighted",
     // FK audit: parents scale past broadcast thresholds with the
     // data; the anti-joins must flip to shuffled joins on their own
     // without losing the pushed parent filters.

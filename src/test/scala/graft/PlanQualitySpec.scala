@@ -164,6 +164,16 @@ class PlanQualitySpec extends SparkSpecBase {
     assert("""Window \[[^\]]*\], \[bucket#\d+""".r.findFirstIn(p).isDefined, p)
   }
 
+  test("q_sample_weighted sums weights in a bucket-partitioned window") {
+    val df = SparkEntry.queries("q_sample_weighted")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // Same protocol as q_pack_sequences: the global running weight is
+    // bucket-local sums plus broadcast offsets — a Window.orderBy with
+    // no partitionBy would funnel the corpus through one task.
+    assert("Window \\[".r.findAllIn(p).length == 1, p)
+    assert("""Window \[[^\]]*\], \[bucket#\d+""".r.findFirstIn(p).isDefined, p)
+  }
+
   test("q_sessionize and q_scd2 shuffle once on user_id, windows stay partitioned") {
     for (q <- Seq("q_sessionize", "q_scd2")) {
       val df = SparkEntry.queries(q)(spark, dir)
