@@ -33,7 +33,12 @@ object ConstrainedSoak {
     // incremental ANN (batch and streaming), the shuffled-regime
     // decontamination, and the double-publish OPTIMIZE cycle.
     "q_multimodal_neardup", "q_embed_ann_inc", "q_stream_ann_inc",
-    "q_decontaminate_large", "q_optimize_snapshot")
+    "q_decontaminate_large", "q_optimize_snapshot",
+    // This session's heavies: the token streams of the heavy-hitter
+    // pair (global-stream + grouped), the CDC fold over per-batch
+    // compactions, BPE's vocab iterations, and the CC/SSSP fixpoints.
+    "q_stream_topk", "q_group_topk", "q_stream_cdc", "q_bpe_train",
+    "q_graph_cc", "q_graph_sssp")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkEnv.session(
