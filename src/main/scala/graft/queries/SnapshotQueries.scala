@@ -137,6 +137,53 @@ object SnapshotQueries {
         |FROM diff WHERE change <> 'unchanged'
         |GROUP BY change ORDER BY change""".stripMargin)),
 
+    // Named refs (Iceberg-style tags) — the retention escape hatch AS
+    // OF can't give: a tag pins its snapshot DIR past the HEAD+parent
+    // horizon (the sweep skips ref'd generations; see SnapshotSwap's
+    // ref-aware retention), resolved directly by name — NOT through
+    // the _PARENT chain, whose intermediate generations are
+    // legitimately reclaimed. The gate publishes four generations,
+    // tags the FIRST, and reads the tag after two sweeps have run
+    // (v2 is gone by then; v1 survives only because of the ref) next
+    // to HEAD. A release tag on a 100 TB training corpus is exactly
+    // this: one pointer object, zero data copies, survives every
+    // nightly sync until dropped.
+    "q_snapshot_tag" -> ((
+      (s: SparkSession, d: String) => {
+        val base = s"/tmp/graft_tag_${graft.Tables.dirTag(d)}"
+        SnapshotSwap.rm(java.nio.file.Paths.get(base))
+        val docs = t(s, d, "documents")
+        def gen(m: Int) = docs.filter(col("doc_id") % m =!= 0)
+          .select(col("doc_id"), col("n_chars"))
+        SnapshotSwap.writeManifested(gen(7), base, "docs")
+        SnapshotSwap.tagSnapshot(base, "docs", "baseline")
+        SnapshotSwap.writeManifested(gen(3), base, "docs")
+        SnapshotSwap.writeManifested(gen(2), base, "docs")
+        SnapshotSwap.writeManifested(gen(5), base, "docs")
+        val tagged = SnapshotSwap.readTagged(s, base, "docs", "baseline")
+        val head = SnapshotSwap.readManifested(s, base, "docs")
+        tagged.select(lit("tag:baseline").as("ref"), col("doc_id"),
+            col("n_chars"))
+          .unionByName(head.select(lit("head").as("ref"), col("doc_id"),
+            col("n_chars")))
+          .groupBy("ref")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").cast("long").as("sum_chars"),
+            sum("doc_id").cast("long").as("sum_ids"))
+          .orderBy("ref")
+      },
+      """SELECT * FROM (
+        |  SELECT 'tag:baseline' AS ref,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT 'head', CAST(count(*) AS BIGINT),
+        |    CAST(sum(n_chars) AS BIGINT), CAST(sum(doc_id) AS BIGINT)
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |ORDER BY ref""".stripMargin)),
+
     // Live OPTIMIZE under the snapshot protocol (r9 VERDICT #3) — the
     // composition of the q_compact_files kernel with the manifest CAS:
     // a PUBLISHED table accumulates small files (here: a 48-way

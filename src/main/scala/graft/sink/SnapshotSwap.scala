@@ -313,10 +313,15 @@ object SnapshotSwap {
     // sync's leftover (swept one generation later) or a competitor
     // staging right now — sweeping here would delete an in-flight
     // writer's dir out from under it.
+    // Ref-aware retention (Iceberg tag semantics): a generation NAMED
+    // by any ref is never swept, no matter how old — a tag keeps its
+    // snapshot readable past the HEAD+parent horizon until the ref is
+    // dropped (then the next sync's sweep reclaims it).
+    val tagged = taggedNames(fs, base, table)
     val prefix = s"_snap_$table-"
     if (sweepStale) fs.listNames(base)
       .filter(n => n.startsWith(prefix) && prev.nonEmpty &&
-        !prev.contains(n) &&
+        !prev.contains(n) && !tagged.contains(n) &&
         versionOf(table, n).exists(_ < pubVersion))
       .foreach(n => fs.deleteRecursive(s"$base/$n"))
     fs.stage(df, dataDir)
@@ -473,6 +478,69 @@ object SnapshotSwap {
       // _PARENT marker outlives its parent dir) — readable means the
       // dir itself survived the sweep.
       .filter(n => fs.listNames(base).contains(n))
+  }
+
+  // ---- Named refs (Iceberg-style tags) -------------------------------
+  //
+  // A tag pins a human-readable name to the snapshot DIR published at
+  // tag time, stored as one pointer file per ref under
+  // `base/_refs_<table>/` through the same SwapFs pointer commit the
+  // manifest uses (tmp+atomic-rename on nio paths, direct object PUT
+  // on stores). The ref names the DIR, not just the version: version
+  // numbers are ambiguous (lost-race same-generation dirs share one),
+  // and resolution must not depend on the `_PARENT` chain — the chain
+  // walks through intermediate dirs that the sweep may legitimately
+  // have reclaimed, while the tagged dir itself is sweep-protected
+  // (see writeManifestedImpl's ref-aware retention).
+
+  private def refsDir(base: String, table: String) = s"$base/_refs_$table"
+
+  /** Every snapshot dir currently named by a ref of `table`. A table
+    * that was never tagged has no refs dir at all (the nio listNames
+    * throws; the Hadoop one returns empty) — treat both as no refs. */
+  private def taggedNames(fs: SwapFs, base: String,
+      table: String): Set[String] = {
+    val names =
+      try fs.listNames(refsDir(base, table))
+      catch { case _: java.nio.file.NoSuchFileException => Nil }
+    names.filterNot(_.startsWith("_"))
+      .flatMap(r => fs.readPointer(s"${refsDir(base, table)}/$r"))
+      .filter(_.nonEmpty).toSet
+  }
+
+  /** Pin `name` to the currently published snapshot; returns the
+    * pinned version. Retagging an existing name repoints it. */
+  def tagSnapshot(base: String, table: String, name: String): Long = {
+    require(name.nonEmpty && !name.startsWith("_") && !name.contains("/"),
+      s"bad ref name '$name'")
+    val fs = swapFsFor(base)
+    val snap = currentSnapshot(base, table).getOrElse(
+      sys.error(s"no published snapshot of '$table' under $base to tag"))
+    fs.mkdirs(refsDir(base, table))
+    fs.commitPointer(s"${refsDir(base, table)}/$name",
+      s"${refsDir(base, table)}/_tmp_$name", snap)
+    versionOf(table, snap).getOrElse(0L)
+  }
+
+  /** Drop a ref; the generation it protected is reclaimed by the next
+    * sync's sweep (unless it is still HEAD/parent or otherwise ref'd). */
+  def dropTag(base: String, table: String, name: String): Unit =
+    swapFsFor(base).deleteRecursive(s"${refsDir(base, table)}/$name")
+
+  /** The version a ref currently pins, if the ref exists. */
+  def tagVersion(base: String, table: String, name: String): Option[Long] =
+    swapFsFor(base).readPointer(s"${refsDir(base, table)}/$name")
+      .filter(_.nonEmpty).flatMap(versionOf(table, _))
+
+  /** Read the snapshot a ref pins — direct dir resolution, valid at
+    * any age while the ref exists (the sweep never reclaims it). */
+  def readTagged(spark: SparkSession, base: String, table: String,
+      name: String): DataFrame = {
+    val fs = swapFsFor(base)
+    val snap = fs.readPointer(s"${refsDir(base, table)}/$name")
+      .filter(_.nonEmpty).getOrElse(
+        sys.error(s"no ref '$name' for '$table' under $base"))
+    spark.read.parquet(s"$base/$snap")
   }
 
   /** Read the snapshot AS OF `version` through the manifest chain. */

@@ -84,6 +84,9 @@ object SoakX10 {
     // stay linear); the partitioned sink's pruned read-back must keep
     // touching only the en partition as the corpus grows.
     "q_scan_orc", "q_scan_jsonl", "q_sink_partitioned",
+    // Named refs: four generations + one pointer object — cost is the
+    // publishes (linear in snapshot size); the ref machinery is O(1).
+    "q_snapshot_tag",
     // Round 9: AS OF reads write two snapshot generations and diff
     // them (linear in snapshot size, one full-outer join); the
     // streaming incremental dedup rides the 100x batch through four

@@ -90,6 +90,45 @@ class SnapshotSwapSpec extends SparkSpecBase {
     assert(SnapshotSwap.snapshotAsOf(base, "t", 99).isEmpty)
   }
 
+  test("a tag pins its generation past retention; dropping it releases the dir") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val base = Files.createTempDirectory("graft_tag").toString
+    SnapshotSwap.writeManifested(Seq((1, "a")).toDF("id", "v"), base, "t")
+    assert(SnapshotSwap.tagSnapshot(base, "t", "rel") == 1L)
+    assert(SnapshotSwap.tagVersion(base, "t", "rel").contains(1L))
+    SnapshotSwap.writeManifested(Seq((2, "b")).toDF("id", "v"), base, "t")
+    SnapshotSwap.writeManifested(Seq((3, "c")).toDF("id", "v"), base, "t")
+    SnapshotSwap.writeManifested(Seq((4, "d")).toDF("id", "v"), base, "t")
+
+    // Two sweeps have run (syncs 3 and 4): v2 is reclaimed (untagged,
+    // older than the retained parent), but tagged v1 SURVIVES and
+    // resolves by name — not through the now-broken _PARENT chain.
+    assert(SnapshotSwap.snapshotAsOf(base, "t", 2).isEmpty)
+    assert(SnapshotSwap.readTagged(spark, base, "t", "rel")
+      .as[(Int, String)].collect().toSeq == Seq((1, "a")))
+
+    // Retagging repoints; the old pin is released to the next sweep.
+    SnapshotSwap.tagSnapshot(base, "t", "rel") // now pins v4
+    assert(SnapshotSwap.tagVersion(base, "t", "rel").contains(4L))
+    SnapshotSwap.writeManifested(Seq((5, "e")).toDF("id", "v"), base, "t")
+    SnapshotSwap.writeManifested(Seq((6, "f")).toDF("id", "v"), base, "t")
+    // v1 (no longer ref'd) is gone; v4 (ref'd) survived both sweeps.
+    assert(!Files.list(Paths.get(base)).iterator().asScala
+      .exists(_.getFileName.toString.contains("_snap_t-1-")))
+    assert(SnapshotSwap.readTagged(spark, base, "t", "rel")
+      .as[(Int, String)].collect().toSeq == Seq((4, "d")))
+
+    // Dropping the ref releases v4 at the next sync's sweep.
+    SnapshotSwap.dropTag(base, "t", "rel")
+    SnapshotSwap.writeManifested(Seq((7, "g")).toDF("id", "v"), base, "t")
+    assert(!Files.list(Paths.get(base)).iterator().asScala
+      .exists(_.getFileName.toString.contains("_snap_t-4-")))
+    intercept[RuntimeException] {
+      SnapshotSwap.readTagged(spark, base, "t", "rel")
+    }
+  }
+
   test("live OPTIMIZE commits a compacted generation under an in-flight reader") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_optimize").toString
