@@ -228,7 +228,13 @@ object StreamQueries {
     batch.select(explode(split(col("text"), " ")).as("tok"))
       .agg(expr("mg_topk(tok, 256, 256)").as("hh"),
         count(lit(1)).as("n"))
-      .select(explode(col("hh")).as("kv"), col("n"))
+      // explode_OUTER: a batch whose summary came back empty (possible
+      // under MG counter pressure — e.g. k+1 distinct singletons
+      // decrement every counter to zero) must still contribute its
+      // token count to the stream total, or the N/200 threshold drifts
+      // below the oracle's. Such a batch writes one (null, null, n)
+      // row; the candidate union filters the null out.
+      .select(explode_outer(col("hh")).as("kv"), col("n"))
       .select(col("kv.item").as("item"), col("kv.est_count").as("est"),
         col("n"))
       .write.mode("overwrite").parquet(s"$root/sketch/batch=$batchId")
@@ -509,11 +515,12 @@ object StreamQueries {
           q.awaitTermination()
         }
         val sk = s.read.parquet(s"$root/sketch")
-        // One token count per batch (repeated on every summary row).
+        // One token count per batch (repeated on every summary row;
+        // present even for an empty summary — see topkSketchBatch).
         val total = sk.groupBy("batch").agg(first("n").as("n"))
           .agg(sum("n")).head().getLong(0)
-        val cand = sk.select("item").distinct()
-          .collect().map(_.getString(0)).toSeq
+        val cand = sk.select("item").filter(col("item").isNotNull)
+          .distinct().collect().map(_.getString(0)).toSeq
         t(s, d, "documents")
           .select(explode(split(col("text"), " ")).as("tok"))
           .filter(col("tok").isInCollection(cand))

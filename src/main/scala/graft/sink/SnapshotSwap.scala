@@ -336,23 +336,7 @@ object SnapshotSwap {
     // Atomic publish: re-check the pointer under the lock, then commit
     // the new pointer (tmp+rename on nio; a direct atomic object PUT on
     // the Hadoop/object-store path).
-    val lock = s"$base/_commit_lock_$table"
-    var acquired = false
-    var tries = 0
-    while (!acquired) {
-      acquired = fs.tryLock(lock)
-      if (!acquired) {
-        // A crashed writer must not wedge every future commit: the
-        // critical section is microseconds, so a lock older than 30 s
-        // is abandoned — break it and retry (the object-store
-        // analogue is a lease-expiring lock entry).
-        fs.breakIfAbandoned(lock, 30000)
-        tries += 1
-        if (tries > 2500) sys.error(s"commit lock stuck: $lock")
-        Thread.sleep(2)
-      }
-    }
-    try {
+    withCommitLock(fs, base, table) {
       if (fs.readPointer(manifest) != prev) {
         fs.deleteRecursive(dataDir)
         throw new java.util.ConcurrentModificationException(
@@ -362,8 +346,30 @@ object SnapshotSwap {
       }
       fs.commitPointer(manifest, s"$base/_manifest_tmp_${table}_$uniq",
         dataName)
-    } finally fs.unlock(lock)
+    }
     dataDir
+  }
+
+  /** The per-table commit critical section (shared by the manifest
+    * repoint and ref commits). A crashed writer must not wedge every
+    * future commit: the section is microseconds, so a lock older than
+    * 30 s is abandoned — break it and retry (the object-store analogue
+    * is a lease-expiring lock entry). */
+  private def withCommitLock[T](fs: SwapFs, base: String, table: String)
+      (body: => T): T = {
+    val lock = s"$base/_commit_lock_$table"
+    var acquired = false
+    var tries = 0
+    while (!acquired) {
+      acquired = fs.tryLock(lock)
+      if (!acquired) {
+        fs.breakIfAbandoned(lock, 30000)
+        tries += 1
+        if (tries > 2500) sys.error(s"commit lock stuck: $lock")
+        Thread.sleep(2)
+      }
+    }
+    try body finally fs.unlock(lock)
   }
 
   /** Count + total bytes of the part files inside a snapshot dir via
@@ -509,17 +515,27 @@ object SnapshotSwap {
   }
 
   /** Pin `name` to the currently published snapshot; returns the
-    * pinned version. Retagging an existing name repoints it. */
+    * pinned version. Retagging an existing name repoints it.
+    *
+    * Resolve + commit run under the table's commit lock: an unlocked
+    * tag could resolve a stale HEAD while a concurrent sync advances
+    * the manifest and then sweeps that generation — pinning a deleted
+    * dir. Under the lock the tagged dir IS the current published
+    * version, which no sweep can touch until at least two further
+    * manifest commits — and every commit takes this same lock, so by
+    * the time the dir is old enough to sweep, the ref is visible. */
   def tagSnapshot(base: String, table: String, name: String): Long = {
     require(name.nonEmpty && !name.startsWith("_") && !name.contains("/"),
       s"bad ref name '$name'")
     val fs = swapFsFor(base)
-    val snap = currentSnapshot(base, table).getOrElse(
-      sys.error(s"no published snapshot of '$table' under $base to tag"))
-    fs.mkdirs(refsDir(base, table))
-    fs.commitPointer(s"${refsDir(base, table)}/$name",
-      s"${refsDir(base, table)}/_tmp_$name", snap)
-    versionOf(table, snap).getOrElse(0L)
+    withCommitLock(fs, base, table) {
+      val snap = currentSnapshot(base, table).getOrElse(
+        sys.error(s"no published snapshot of '$table' under $base to tag"))
+      fs.mkdirs(refsDir(base, table))
+      fs.commitPointer(s"${refsDir(base, table)}/$name",
+        s"${refsDir(base, table)}/_tmp_$name", snap)
+      versionOf(table, snap).getOrElse(0L)
+    }
   }
 
   /** Drop a ref; the generation it protected is reclaimed by the next

@@ -46,7 +46,17 @@ class BpeTrainSpec extends SparkSpecBase {
   }
 
   test("encoding conserves tokens: chars minus the learned merge counts") {
+    // Pair counting counts OVERLAPPING occurrences (zip of adjacent
+    // symbols — the standard BPE accounting), while the greedy fold
+    // merges floor(run/2) of a self-overlapping run, so the exact
+    // identity `removed == cnt` holds only for rules with l != r; a
+    // self-pair rule removes between cnt/2 and cnt. The fixture's
+    // learned rules are all l != r (asserted, so a fixture change
+    // surfaces here as a clear message, not a spurious mismatch).
     val rules = bpeTrain(spark, dir, 3).collect()
+    assert(rules.forall(r => r.getString(1) != r.getString(2)),
+      "fixture now learns a self-overlapping rule; see comment: " +
+        rules.mkString(","))
     val merged = rules.map(_.getLong(3)).sum
     val chars = bpeVocab(spark, dir)
       .select(sum(expr("wc * length(word)"))).head().getLong(0)
@@ -64,7 +74,13 @@ class BpeTrainSpec extends SparkSpecBase {
       .localCheckpoint()
     val cnt = best.head().getLong(2)
     val v1 = bpeApply(v0, best)
-    assert(totalSyms(v0) - totalSyms(v1) == cnt)
+    val removed = totalSyms(v0) - totalSyms(v1)
+    // Exact only for l != r (see the conservation test's comment); a
+    // self-pair's overlap merges between cnt/2 and cnt occurrences.
+    if (best.head().getString(0) != best.head().getString(1))
+      assert(removed == cnt, s"$removed != $cnt")
+    else
+      assert(removed * 2 >= cnt && removed <= cnt, s"$removed vs $cnt")
     // And the merged pair no longer exists in the new state.
     val (l, r) = (best.head().getString(0), best.head().getString(1))
     val left = bpePairs(v1)

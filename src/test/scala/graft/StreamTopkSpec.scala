@@ -90,6 +90,24 @@ class StreamTopkSpec extends SparkSpecBase {
     }
   }
 
+  test("an empty-summary batch still contributes its token count") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_stopk_empty").toString
+    // k+1 = 257 distinct singleton tokens: the MG counter-full path
+    // decrements every counter to zero, so the summary evaluates
+    // EMPTY — but the batch's token count must still land (an
+    // explode-dropped row here once silently shrank the stream total
+    // and with it the N/200 threshold).
+    val docs = Seq((1L, (1 to 257).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    topkSketchBatch(docs, root, 0L)
+    val rows = spark.read.parquet(s"$root/sketch")
+      .select("item", "n").collect()
+    assert(rows.length == 1, rows.mkString(","))
+    assert(rows(0).isNullAt(0) && rows(0).getLong(1) == 257L)
+  }
+
   test("per-batch summary is bounded by k regardless of vocabulary") {
     import spark.implicits._
     import java.nio.file.Files
