@@ -385,6 +385,94 @@ object GraphQueries {
           (col("dist").isNull || col("nd") < col("dist"))).as("imp"))
   }
 
+  /** K-core decomposition by iterative peeling over the (sparsified)
+    * part co-purchase graph: repeatedly delete nodes of degree < k and
+    * their incident edges until stable. Each round is one partial+final
+    * degree aggregation plus two semi-joins restricting the edge set to
+    * surviving endpoints — the Pregel posture of cc/sssp: per-round
+    * state (the surviving undirected edge set) is localCheckpointed,
+    * loop shuffles scoped to the state, early exit when an entire round
+    * deletes nothing. The (s+t)%5 hash sparsifier keeps the fixture's
+    * peeling non-trivial (the full co-purchase slice is already a
+    * 3-core — nothing would peel); it is a deterministic edge predicate
+    * both engines share. At 100 TB this is exactly how distributed
+    * k-core runs (peeling needs O(rounds) passes, each a degree count +
+    * a semi-join); exact coreness numbers would switch to the
+    * iterative h-index algorithm on the same loop skeleton. */
+  def kcore(s: SparkSession, d: String, k: Int, iters: Int): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .filter(col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val canon = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("s"), col("b.pk").as("t"))
+      .distinct()
+      .filter((col("s") + col("t")) % 5 === 0)
+    // ONE edge-set materialization for the whole peel; per-round state
+    // is the NODE-sized alive set only (a first cut re-checkpointed
+    // the shrinking edge set each round — at the 100x soak that held
+    // several multi-GB edge generations in the block manager at once;
+    // the alive set is orders of magnitude smaller and the restriction
+    // re-derives from the one edge checkpoint).
+    val e = canon.unionByName(
+        canon.select(col("t").as("s"), col("s").as("t")))
+      .localCheckpoint()
+    val nEdges = e.count()
+    def restrict(alive: DataFrame): DataFrame = e
+      .join(alive.withColumnRenamed("n", "s"), Seq("s"), "left_semi")
+      .join(alive.withColumnRenamed("n", "t"), Seq("t"), "left_semi")
+    var alive = e.select(col("s").as("n")).distinct().localCheckpoint()
+    var nAlive = alive.count()
+    withIterParts(s, nEdges) {
+      var round = 0
+      var stable = false
+      while (round < iters && !stable) {
+        val next = restrict(alive)
+          .groupBy("s").agg(count(lit(1)).as("dg"))
+          .filter(col("dg") >= k).select(col("s").as("n"))
+          .localCheckpoint()
+        val n2 = next.count()
+        stable = n2 == nAlive
+        alive = next
+        nAlive = n2
+        round += 1
+      }
+    }
+    restrict(alive)
+      .groupBy(col("s").as("node"))
+      .agg(count(lit(1)).cast("long").as("deg"))
+      .orderBy("node")
+  }
+
+  /** DuckDB oracle for q_graph_kcore: `rounds` peeling rounds unrolled
+    * as a CTE chain (u0 = the undirected sparsified co-purchase edges;
+    * each round keeps edges whose BOTH endpoints have degree >= k).
+    * Peeling is idempotent at the fixpoint, so unrolling past
+    * convergence is safe; unrolling SHORT of it mismatches loudly. */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val head =
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE l_shipdate < TIMESTAMP '1999-01-01'),
+        |c0 AS (
+        |  SELECT DISTINCT a.pk AS s, b.pk AS t
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |u0 AS (
+        |  SELECT s, t FROM c0 WHERE (s + t) % 5 = 0
+        |  UNION ALL SELECT t, s FROM c0 WHERE (s + t) % 5 = 0)"""
+        .stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"a$i AS (SELECT s AS n FROM u${i - 1}\n" +
+        s"  GROUP BY s HAVING count(*) >= $k),\n" +
+        s"u$i AS (SELECT u.s, u.t FROM u${i - 1} u\n" +
+        s"  JOIN a$i x ON u.s = x.n JOIN a$i y ON u.t = y.n)"
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT s AS node, CAST(count(*) AS BIGINT) AS deg" +
+      s"\nFROM u$rounds GROUP BY s ORDER BY node"
+  }
+
   val entries: Map[String, (Q, String)] = Map(
 
     // Integer PageRank, 3 rounds. The oracle unrolls the same three
@@ -490,6 +578,17 @@ object GraphQueries {
         |  WHERE w.dist + e.w < 100)
         |SELECT node, min(dist) AS dist FROM walk
         |GROUP BY node ORDER BY node""".stripMargin)),
+
+    // K-core by iterative peeling (see kcore() for the per-round shape
+    // and the 100 TB posture), k=3, early-exit on stability. The
+    // oracle unrolls FIVE peeling rounds — the sf0.01 fixture
+    // converges in three, so two idempotent spare rounds absorb
+    // drift; if a regenerated fixture ever needed more, Spark's
+    // converged core would hash-mismatch the oracle's unconverged one
+    // LOUDLY (bump the unroll), never silently agree.
+    "q_graph_kcore" -> ((
+      (s: SparkSession, d: String) => kcore(s, d, 3, 12),
+      kcoreOracleSql(3, 5))),
 
     // Triangle counting over the part co-purchase graph (parts sharing
     // an order are adjacent) — the classic graph-analytics kernel the

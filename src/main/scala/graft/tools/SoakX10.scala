@@ -159,6 +159,10 @@ object SoakX10 {
     // suppliers; per-round cost must stay one equality join + min-agg
     // over the materialized state.
     "q_graph_cc",
+    // K-core: the co-purchase edge set scales with lineitem; each
+    // peeling round must stay one degree count + two semi-joins over
+    // the (shrinking) materialized edge state.
+    "q_graph_kcore",
     // CDC replay: 100x log rows AND 100x entity cardinality — one
     // shared window exchange whose partition count tracks the keys.
     "q_cdc_apply",

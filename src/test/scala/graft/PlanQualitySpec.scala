@@ -772,6 +772,36 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("partial_min"), p)
   }
 
+  test("q_graph_kcore peels via semi-joins with partial degree counts") {
+    // The gated entry materializes the edge state per round; gate one
+    // peeling round over a materialized state (the shape every round
+    // shares): a partial+final degree count and two LEFT SEMI
+    // restrictions — a cartesian/BNL means a semi-join lost its key.
+    import org.apache.spark.sql.functions._
+    val e = {
+      val li = Tables.t(spark, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val canon = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("s"), col("b.pk").as("t")).distinct()
+        .filter((col("s") + col("t")) % 5 === 0)
+      canon.unionByName(canon.select(col("t").as("s"), col("s").as("t")))
+        .localCheckpoint()
+    }
+    val alive = e.groupBy("s").agg(count(lit(1)).as("dg"))
+      .filter(col("dg") >= 3).select(col("s").as("n"))
+    val p = e
+      .join(alive.withColumnRenamed("n", "s"), Seq("s"), "left_semi")
+      .join(alive.withColumnRenamed("n", "t"), Seq("t"), "left_semi")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q_cdc_apply replays the log through one shared window exchange") {
     val plan = SparkEntry.queries("q_cdc_apply")(spark, dir)
       .queryExecution.executedPlan
