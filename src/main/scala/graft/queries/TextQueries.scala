@@ -405,6 +405,39 @@ object TextQueries {
        |WHERE i.inter * 1.0 / (sa.n + sb.n - i.inter) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Oracle twin of q_multimodal_cluster: the byteVerifySql derivation
+    * (same candidate side-file) continued into min-label connected
+    * components over the verified pair graph via a recursive
+    * reachability walk — the dedup_cluster oracle's CC tail on the
+    * byte-gram pair set. */
+  private def byteClusterSql(candPath: String, threshold: Double): String =
+    s"""WITH RECURSIVE cand AS (SELECT DISTINCT doc_a, doc_b
+       |  FROM read_parquet('$candPath/*.parquet')),
+       |hx AS (SELECT doc_id, upper(hex(encode(text))) AS h
+       |  FROM documents WHERE octet_length(encode(text)) >= 4),
+       |sh AS (SELECT DISTINCT doc_id, substr(h, CAST(i AS INT), 8) AS s
+       |  FROM (SELECT doc_id, h,
+       |    unnest(generate_series(1, length(h) - 7, 2)) AS i FROM hx)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+       |  GROUP BY 1, 2),
+       |dup AS (
+       |  SELECT i.doc_a, i.doc_b FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.doc_a
+       |  JOIN sizes sb ON sb.doc_id = i.doc_b
+       |  WHERE i.inter * 1.0 / (sa.n + sb.n - i.inter) >= $threshold),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM dup
+       |      UNION SELECT doc_b, doc_a FROM dup),
+       |r AS (SELECT a AS id, a AS m FROM e
+       |      UNION
+       |      SELECT r.id, e.b FROM r JOIN e ON e.a = r.m)
+       |SELECT id AS doc_id, CAST(min(m) AS BIGINT) AS cluster
+       |FROM r GROUP BY id ORDER BY doc_id""".stripMargin
+
   /** Persist candidates for the oracle's verify-only pass, then verify.
     * The side-file exists solely so the DuckDB oracle can re-verify the
     * EXACT candidate set Spark generated — the driver only reads it at
@@ -2221,6 +2254,49 @@ object TextQueries {
         s.read.parquet(resPath).orderBy("doc_a", "doc_b")
       },
       byteVerifySql(
+        s"/tmp/graft_cand_mmnear_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}",
+        0.8))),
+
+    // Multimodal dedup CLUSTERING — the binary-column twin of
+    // q_dedup_cluster: the verified byte-gram near-dup pair graph
+    // (q_multimodal_neardup's pipeline, same shared candidate
+    // side-file) contracted to cluster labels by min-label CC. Only
+    // the tiny confirmed-pair graph iterates (the corpus contributes
+    // one signature pass + the candidate-restricted verify); rounds
+    // follow the materialized-state Pregel protocol via
+    // GraphQueries.ccRound. A 100 TB image pipeline keeps exactly one
+    // representative per cluster — this labeling is that kill list.
+    "q_multimodal_cluster" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val candPath = s"/tmp/graft_cand_mmnear_${graft.Tables.dirTag(d)}"
+        multimodalNeardupCandidates(docs)
+          .write.mode("overwrite").parquet(candPath)
+        val cand = s.read.parquet(candPath)
+        val candDocs = cand.select(col("doc_a").as("doc_id"))
+          .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+        val inPlay = docs.join(candDocs, Seq("doc_id"), "left_semi")
+        val dups = jaccardFilter(interFor(cand, byteShingleIndex(inPlay)),
+            byteSizes(inPlay), 0.8)
+          .select("doc_a", "doc_b")
+        val e = dups.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionByName(
+            dups.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .localCheckpoint()
+        var labels = e.select(col("src").as("node")).distinct()
+          .withColumn("lbl", col("node")).localCheckpoint()
+        var round = 0
+        var converged = false
+        while (round < 20 && !converged) {
+          val m = GraphQueries.ccRound(labels, e).localCheckpoint()
+          converged = m.filter(col("chg")).isEmpty
+          labels = m.select("node", "lbl")
+          round += 1
+        }
+        labels.select(col("node").as("doc_id"), col("lbl").as("cluster"))
+          .orderBy("doc_id")
+      },
+      byteClusterSql(
         s"/tmp/graft_cand_mmnear_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}",
         0.8)))
   )

@@ -127,6 +127,9 @@ object SoakX10 {
     // not N^2. Per-copy token renaming keeps cross-copy byte
     // similarity at zero, exactly like the text dedup family.
     "q_multimodal_neardup",
+    // Its clustering tail: only the confirmed-pair graph iterates, so
+    // the CC rounds must stay pair-graph-sized as the corpus grows.
+    "q_multimodal_cluster",
     // Incremental ANN: the batch bucket build + index probe must track
     // the BATCH size; the accumulated corpus contributes only the
     // bucket-index scan (vector twin of q_dedup_minhash_inc).
