@@ -1250,6 +1250,91 @@ object ExtraQueries {
         |FROM g GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin)),
 
+    // Interval-overlap join — the two-sided twin of q_join_range's
+    // point-vs-band join: user activity sessions (30-min
+    // gaps-and-islands) joined to global error-incident windows
+    // (10-min gaps over error events) wherever the INTERVALS overlap.
+    // The scalable shape is covering-bucket equi-join: each interval
+    // explodes to the hour buckets it touches (map-side Generate,
+    // fan-out = interval length / bucket width), candidates meet on
+    // the bucket key, distinct collapses multi-bucket pairs, and the
+    // exact overlap predicate filters in-row — never an inequality
+    // theta-join (plan-gated: the join is a hash equi-join on the
+    // bucket). At 100 TB bucket width is tuned to the interval-length
+    // distribution (cost = fan-out x rows vs per-bucket candidate
+    // density) exactly like the band join's bucketing. The incident
+    // side's GLOBAL gaps-and-islands window is single-task by
+    // construction — acceptable only because the error sub-stream is
+    // the dimension-sized side here; a fact-sized interval source
+    // sessionizes per shard with boundary merging instead. All-integer
+    // micros arithmetic; overlap duration rides out as the measure.
+    "q_join_interval" -> ((
+      (s: SparkSession, d: String) => {
+        val H = 3600000000L // 1h covering buckets
+        val byTime = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+        val sess = graft.Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            expr("unix_micros(ts)").as("us"))
+          .withColumn("new_sess",
+            when(col("us") - lag("us", 1).over(byTime) <= 1800000000L,
+              0L).otherwise(1L))
+          .withColumn("session_id", sum("new_sess").over(byTime))
+          .groupBy("user_id", "session_id")
+          .agg(min("us").as("s_start"), max("us").as("s_end"))
+        val glob = Window.orderBy(col("us"), col("event_id"))
+        val incidents = graft.Tables.events(s, d)
+          .filter(col("event_type") === "error")
+          .select(col("event_id"), expr("unix_micros(ts)").as("us"))
+          .withColumn("ni",
+            when(col("us") - lag("us", 1).over(glob) <= 600000000L, 0L)
+              .otherwise(1L))
+          .withColumn("incident_id", sum("ni").over(glob))
+          .groupBy("incident_id")
+          .agg(min("us").as("i_start"), max("us").as("i_end"))
+        def withBuckets(df: DataFrame, a: String, b: String) =
+          df.withColumn("bucket", explode(expr(
+            s"sequence($a div ${H}L, $b div ${H}L)")))
+        withBuckets(sess, "s_start", "s_end")
+          .join(withBuckets(incidents, "i_start", "i_end"), "bucket")
+          .select("user_id", "session_id", "s_start", "s_end",
+            "incident_id", "i_start", "i_end")
+          .distinct()
+          .filter(col("s_start") <= col("i_end") &&
+            col("i_start") <= col("s_end"))
+          .select(col("user_id"), col("session_id"), col("incident_id"),
+            (least(col("s_end"), col("i_end")) -
+              greatest(col("s_start"), col("i_start"))).as("overlap_us"))
+          .orderBy("user_id", "session_id", "incident_id")
+      },
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |sf AS (SELECT *,
+        |  CASE WHEN us - lag(us) OVER w <= 1800000000 THEN 0 ELSE 1
+        |  END AS new_sess FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sg AS (SELECT *, CAST(sum(new_sess) OVER
+        |  (PARTITION BY user_id ORDER BY us, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM sf),
+        |sess AS (SELECT user_id, session_id,
+        |    min(us) AS s_start, max(us) AS s_end
+        |  FROM sg GROUP BY user_id, session_id),
+        |ef AS (SELECT *,
+        |  CASE WHEN us - lag(us) OVER v <= 600000000 THEN 0 ELSE 1
+        |  END AS ni FROM e WHERE event_type = 'error'
+        |  WINDOW v AS (ORDER BY us, event_id)),
+        |eg AS (SELECT *, CAST(sum(ni) OVER
+        |  (ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS incident_id FROM ef),
+        |inc AS (SELECT incident_id,
+        |    min(us) AS i_start, max(us) AS i_end
+        |  FROM eg GROUP BY incident_id)
+        |SELECT user_id, session_id, incident_id,
+        |  least(s_end, i_end) - greatest(s_start, i_start) AS overlap_us
+        |FROM sess JOIN inc
+        |  ON s_start <= i_end AND i_start <= s_end
+        |ORDER BY user_id, session_id, incident_id""".stripMargin)),
+
     // SCD type-2 history build — collapse the per-user event stream
     // into versioned attribute intervals: one row per run of equal
     // event_type values with [valid_from, valid_to) bounds, valid_to

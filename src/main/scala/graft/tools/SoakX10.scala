@@ -53,6 +53,10 @@ object SoakX10 {
     // document corpus; q_agg_list's per-nation supplier lists grow
     // linearly (the operator's spec — the 100 TB note in COVERAGE.md
     // caps them).
+    // Interval-overlap join: sessions AND incidents both scale with
+    // the event log; the bucket fan-out must stay bounded by interval
+    // length, never rows x rows.
+    "q_join_interval",
     "q_sessionize", "q_scd2", "q_window_ntile", "q_json_extract",
     "q_funnel", "q_retention", "q_time_ohlc", "q_shard_assign",
     "q_agg_list",

@@ -772,6 +772,22 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("partial_min"), p)
   }
 
+  test("q_join_interval meets on bucket equality, never a theta join") {
+    val p = planOf("q_join_interval")
+    // Covering buckets explode map-side (Generate) and candidates
+    // meet on a hash equi-join of the bucket key; a BNL/cartesian
+    // means the overlap inequality leaked into the join condition and
+    // the operator went all-pairs.
+    assert(p.contains("Generate explode(sequence("), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("""(BroadcastHashJoin|SortMergeJoin) \[bucket#\d+""".r
+      .findFirstIn(p).isDefined, p)
+    // The session side's window stays user-partitioned (the global
+    // incident window is the acknowledged dimension-sized exception).
+    assert("""Window \[[^\]]*\], \[user_id#\d+""".r.findFirstIn(p).isDefined, p)
+  }
+
   test("q_graph_kcore peels via semi-joins with partial degree counts") {
     // The gated entry materializes the edge state per round; gate one
     // peeling round over a materialized state (the shape every round
