@@ -1263,11 +1263,15 @@ object ExtraQueries {
     // bucket). At 100 TB bucket width is tuned to the interval-length
     // distribution (cost = fan-out x rows vs per-bucket candidate
     // density) exactly like the band join's bucketing. The incident
-    // side's GLOBAL gaps-and-islands window is single-task by
-    // construction — acceptable only because the error sub-stream is
-    // the dimension-sized side here; a fact-sized interval source
-    // sessionizes per shard with boundary merging instead. All-integer
-    // micros arithmetic; overlap duration rides out as the measure.
+    // side needs GLOBAL sessionization — done hierarchically: islands
+    // per day partition (distributed window), then one boundary-stitch
+    // window over the CONTRACTED island relation (orders of magnitude
+    // smaller than the event stream; provably equal to the one-pass
+    // global derivation because the gap rule is local — two islands in
+    // one day can never merge, and cross-boundary merges see exactly
+    // the lag(end) the global pass would). Plan-gated: no unpartitioned
+    // window ever consumes a raw event scan. All-integer micros
+    // arithmetic; overlap duration rides out as the measure.
     "q_join_interval" -> ((
       (s: SparkSession, d: String) => {
         val H = 3600000000L // 1h covering buckets
@@ -1282,16 +1286,31 @@ object ExtraQueries {
           .withColumn("session_id", sum("new_sess").over(byTime))
           .groupBy("user_id", "session_id")
           .agg(min("us").as("s_start"), max("us").as("s_end"))
-        val glob = Window.orderBy(col("us"), col("event_id"))
-        val incidents = graft.Tables.events(s, d)
+        // Hierarchical global sessionization (see the entry comment):
+        // pass 1 contracts events to per-day islands under a
+        // DAY-partitioned window; pass 2 stitches boundary-adjacent
+        // islands with one window over the contracted relation.
+        val G = 600000000L
+        val byDay = Window.partitionBy("day")
+          .orderBy(col("us"), col("event_id"))
+        val islands = graft.Tables.events(s, d)
           .filter(col("event_type") === "error")
           .select(col("event_id"), expr("unix_micros(ts)").as("us"))
+          .withColumn("day", expr("us div 86400000000"))
           .withColumn("ni",
-            when(col("us") - lag("us", 1).over(glob) <= 600000000L, 0L)
+            when(col("us") - lag("us", 1).over(byDay) <= G, 0L)
               .otherwise(1L))
-          .withColumn("incident_id", sum("ni").over(glob))
-          .groupBy("incident_id")
+          .withColumn("isl", sum("ni").over(byDay))
+          .groupBy("day", "isl")
           .agg(min("us").as("i_start"), max("us").as("i_end"))
+        val stitch = Window.orderBy(col("i_start"), col("i_end"))
+        val incidents = islands
+          .withColumn("ng",
+            when(col("i_start") - lag("i_end", 1).over(stitch) <= G, 0L)
+              .otherwise(1L))
+          .withColumn("incident_id", sum("ng").over(stitch))
+          .groupBy("incident_id")
+          .agg(min("i_start").as("i_start"), max("i_end").as("i_end"))
         def withBuckets(df: DataFrame, a: String, b: String) =
           df.withColumn("bucket", explode(expr(
             s"sequence($a div ${H}L, $b div ${H}L)")))

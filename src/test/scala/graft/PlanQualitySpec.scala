@@ -783,9 +783,22 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert("""(BroadcastHashJoin|SortMergeJoin) \[bucket#\d+""".r
       .findFirstIn(p).isDefined, p)
-    // The session side's window stays user-partitioned (the global
-    // incident window is the acknowledged dimension-sized exception).
+    // The session side's window stays user-partitioned.
     assert("""Window \[[^\]]*\], \[user_id#\d+""".r.findFirstIn(p).isDefined, p)
+    // Hierarchical sessionization: an UNPARTITIONED window may only
+    // consume a CONTRACTED relation (the per-day island aggregate) —
+    // one funneling a raw event scan through a single task is the
+    // regression this gate exists to catch.
+    val plan = SparkEntry.queries("q_join_interval")(spark, dir)
+      .queryExecution.executedPlan
+    val unpart = collectNodes(plan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.nonEmpty, "expected the island-stitch window")
+    assert(unpart.forall(w => collectNodes(w).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec])),
+      "an unpartitioned window consumes an uncontracted input")
   }
 
   test("q_graph_kcore peels via semi-joins with partial degree counts") {
