@@ -409,12 +409,20 @@ object GraphQueries {
       .select(col("a.pk").as("s"), col("b.pk").as("t"))
       .distinct()
       .filter((col("s") + col("t")) % 5 === 0)
-    // ONE edge-set materialization for the whole peel; per-round state
-    // is the NODE-sized alive set only (a first cut re-checkpointed
-    // the shrinking edge set each round — at the 100x soak that held
-    // several multi-GB edge generations in the block manager at once;
-    // the alive set is orders of magnitude smaller and the restriction
-    // re-derives from the one edge checkpoint).
+    kcoreLoop(s, canon, k, iters)
+  }
+
+  /** The peeling loop over an arbitrary canonical (s < t) edge set —
+    * exposed separately so property tests can drive it on random
+    * graphs against an imperative reference. ONE edge-set
+    * materialization for the whole peel; per-round state is the
+    * NODE-sized alive set only (a first cut re-checkpointed the
+    * shrinking edge set each round — at the 100x soak that held
+    * several multi-GB edge generations in the block manager at once;
+    * the alive set is orders of magnitude smaller and the restriction
+    * re-derives from the one edge checkpoint). */
+  private[graft] def kcoreLoop(s: SparkSession, canon: DataFrame,
+      k: Int, iters: Int): DataFrame = {
     val e = canon.unionByName(
         canon.select(col("t").as("s"), col("s").as("t")))
       .localCheckpoint()
