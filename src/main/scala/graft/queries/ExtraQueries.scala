@@ -657,6 +657,61 @@ object ExtraQueries {
         |FROM e ASOF JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
         |ORDER BY e.event_id""".stripMargin)),
 
+    // Nearest-in-time join — the symmetric completion of q_asof_join's
+    // backward match: each error matched to the same user's CLOSEST
+    // purchase within a ±2h tolerance, either direction, ties broken
+    // (distance, then purchase time, then purchase id) — a total
+    // order, so the match is deterministic even under same-timestamp
+    // purchases (where a running-window formulation needs conflicting
+    // sort directions for the backward and forward candidates). Shape:
+    // tolerance-bucket equi-join (purchases land in their
+    // tolerance-width bucket, each error probes its three covering
+    // buckets — the q_join_range protocol) and one partial+final
+    // min(struct(...)) argmin per error; no window, no theta join
+    // (plan-gated). At 100 TB the candidate fan-in per error is
+    // bounded by purchase density within the tolerance — the
+    // operator's spec, not a plan defect.
+    "q_asof_nearest" -> ((
+      (s: SparkSession, d: String) => {
+        val T = 7200000000L // ±2h tolerance = bucket width
+        val ev = graft.Tables.events(s, d)
+        val err = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"),
+            expr("unix_micros(ts)").as("us"))
+          .withColumn("bucket", explode(expr(
+            s"array(us div ${T}L - 1, us div ${T}L, us div ${T}L + 1)")))
+        val pur = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_eid"),
+            expr("unix_micros(ts)").as("p_us"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("p_cents"))
+          .withColumn("bucket", expr(s"p_us div ${T}L"))
+        err.join(pur, Seq("user_id", "bucket"))
+          .filter(abs(col("p_us") - col("us")) <= T)
+          .groupBy("event_id", "user_id")
+          .agg(min(struct(
+            abs(col("p_us") - col("us")).as("dist"),
+            col("p_us"), col("p_eid"), col("p_cents"))).as("m"))
+          .select(col("event_id"), col("user_id"),
+            col("m.p_us").as("p_us"), col("m.p_eid").as("p_eid"),
+            col("m.p_cents").as("p_cents"))
+          .orderBy("event_id")
+      },
+      """WITH e AS (SELECT event_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE event_type = 'error'),
+        |p AS (SELECT user_id, event_id AS p_eid,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS p_us,
+        |    CAST(round(value * 100) AS BIGINT) AS p_cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |cand AS (
+        |  SELECT e.event_id, e.user_id, e.us, p.p_us, p.p_eid, p.p_cents
+        |  FROM e JOIN p ON e.user_id = p.user_id
+        |    AND abs(p.p_us - e.us) <= 7200000000),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_id
+        |    ORDER BY abs(p_us - us), p_us, p_eid) AS rn FROM cand)
+        |SELECT event_id, user_id, p_us, p_eid, p_cents
+        |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin)),
+
     // GROUPING SETS — the general form of rollup/cube: exactly the
     // requested aggregation levels, one shuffle, no superfluous sets.
     "q_agg_grouping_sets" -> ((

@@ -57,6 +57,10 @@ object SoakX10 {
     // the event log; the bucket fan-out must stay bounded by interval
     // length, never rows x rows.
     "q_join_interval",
+    // Nearest-in-time join: candidate fan-in per error is bounded by
+    // purchase density within the tolerance — stays flat per-row as
+    // both sides grow.
+    "q_asof_nearest",
     "q_sessionize", "q_scd2", "q_window_ntile", "q_json_extract",
     "q_funnel", "q_retention", "q_time_ohlc", "q_shard_assign",
     "q_agg_list",

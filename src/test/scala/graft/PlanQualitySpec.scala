@@ -772,6 +772,20 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("partial_min"), p)
   }
 
+  test("q_asof_nearest meets on tolerance buckets with a struct argmin") {
+    val p = planOf("q_asof_nearest")
+    // Candidates meet on a (user_id, bucket) hash equi-join (the
+    // tolerance predicate stays an in-row filter) and the per-error
+    // argmin is a partial+final min(struct) — no window, no theta
+    // join, no cartesian.
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_min"), p)
+    assert("""(BroadcastHashJoin|SortMergeJoin) \[user_id#\d+L?, bucket#\d+""".r
+      .findFirstIn(p).isDefined, p)
+  }
+
   test("q_join_interval meets on bucket equality, never a theta join") {
     val p = planOf("q_join_interval")
     // Covering buckets explode map-side (Generate) and candidates
