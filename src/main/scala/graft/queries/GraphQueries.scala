@@ -104,19 +104,26 @@ object GraphQueries {
   def connectedComponents(s: SparkSession, d: String,
       iters: Int): DataFrame = {
     // Edge list materialized once for the fixpoint — see sssp().
-    val e = und(s, d).localCheckpoint()
+    ccLoop(s, und(s, d).localCheckpoint(), iters).orderBy("node")
+  }
+
+  /** The min-label propagation loop over an arbitrary MATERIALIZED
+    * undirected edge set (src, dst) — shared by q_graph_cc and the
+    * clustering tails (q_multimodal_cluster) so every caller gets the
+    * same loop protocol: localCheckpoint-per-round Pregel state
+    * (unconditional plan truncation — an unmaterialized loop doubles
+    * the plan per round, and a persist-chained one recomputes full
+    * lineage, see sssp's probe note), shuffles scoped to the node
+    * state, convergence early-exit. Together with the
+    * once-materialized edge list: bench 6.5 s -> ~2.0 s at sf0.1 for
+    * q_graph_cc. Returns (node, lbl), unordered. */
+  private[graft] def ccLoop(s: SparkSession, e: DataFrame,
+      iters: Int): DataFrame = {
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint()
     val nNodes = labels.count()
     withIterParts(s, nNodes) {
-      // localCheckpoint-per-round Pregel loop — same protocol and
-      // rationale as sssp(): unconditional plan truncation (an
-      // unmaterialized loop doubles the plan per round, and a
-      // persist-chained one recomputes full lineage — see sssp's
-      // probe note). Together with the convergence early-exit, the
-      // scoped loop partitions, and the once-materialized edge list:
-      // bench 6.5 s -> ~2.0 s at sf0.1.
       var round = 0
       var converged = false
       while (round < iters && !converged) {
@@ -126,7 +133,7 @@ object GraphQueries {
         round += 1
       }
     }
-    labels.orderBy("node")
+    labels
   }
 
   /** The undirected FK edge list (fresh lineage per use — see reach()
@@ -160,7 +167,7 @@ object GraphQueries {
     * deliberately-quadratic wedge stream (~6M rows at sf0.1) from
     * dominating the bench. Baskets are <= ~13 lines, so the per-basket
     * pair fan-out is bounded by sum(k_i^2), never |V|^2. */
-  private def triEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def triEdges(s: SparkSession, d: String): DataFrame = {
     val li = t(s, d, "lineitem")
       .filter(col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -399,18 +406,16 @@ object GraphQueries {
     * k-core runs (peeling needs O(rounds) passes, each a degree count +
     * a semi-join); exact coreness numbers would switch to the
     * iterative h-index algorithm on the same loop skeleton. */
-  def kcore(s: SparkSession, d: String, k: Int, iters: Int): DataFrame = {
-    val li = t(s, d, "lineitem")
-      .filter(col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val canon = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("s"), col("b.pk").as("t"))
-      .distinct()
-      .filter((col("s") + col("t")) % 5 === 0)
-    kcoreLoop(s, canon, k, iters)
-  }
+  def kcore(s: SparkSession, d: String, k: Int, iters: Int): DataFrame =
+    kcoreLoop(s, sparseCoEdges(s, d), k, iters)
+
+  /** The sparsified canonical co-purchase edge set q_graph_kcore
+    * peels — triEdges (the SAME build the triangle kernel uses; one
+    * definition, so the spec and plan gate can never drift from the
+    * operator) under the deterministic (s+t)%5 hash sparsifier that
+    * keeps the fixture's peeling non-trivial. */
+  private[graft] def sparseCoEdges(s: SparkSession, d: String): DataFrame =
+    triEdges(s, d).filter((col("s") + col("t")) % 5 === 0)
 
   /** The peeling loop over an arbitrary canonical (s < t) edge set —
     * exposed separately so property tests can drive it on random

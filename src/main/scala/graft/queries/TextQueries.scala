@@ -380,10 +380,29 @@ object TextQueries {
       interFor(multimodalNeardupCandidates(docs), byteShingleIndex(docs)),
       byteSizes(docs), threshold)
 
+  /** The multimodal near-dup derivation shared by q_multimodal_neardup
+    * and q_multimodal_cluster: write THE candidate side-file (one path,
+    * one derivation — the oracle of both gates re-verifies exactly this
+    * set), restrict the byte-shingle verify index to in-play docs, and
+    * return the verified pairs. See q_multimodal_neardup's entry
+    * comment for why candidates materialize first. */
+  private def verifiedBytePairs(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val candPath = s"/tmp/graft_cand_mmnear_${graft.Tables.dirTag(d)}"
+    multimodalNeardupCandidates(docs)
+      .write.mode("overwrite").parquet(candPath)
+    val cand = s.read.parquet(candPath)
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val inPlay = docs.join(candDocs, Seq("doc_id"), "left_semi")
+    jaccardFilter(interFor(cand, byteShingleIndex(inPlay)),
+      byteSizes(inPlay), 0.8)
+  }
+
   /** Oracle twin of the byte-shingle verify over the candidate
     * side-file (byte-4-gram analogue of verifySql). */
-  private def byteVerifySql(candPath: String, threshold: Double): String =
-    s"""WITH cand AS (SELECT DISTINCT doc_a, doc_b
+  private def byteVerifyCtes(candPath: String): String =
+    s"""cand AS (SELECT DISTINCT doc_a, doc_b
        |  FROM read_parquet('$candPath/*.parquet')),
        |hx AS (SELECT doc_id, upper(hex(encode(text))) AS h
        |  FROM documents WHERE octet_length(encode(text)) >= 4),
@@ -396,7 +415,10 @@ object TextQueries {
        |  FROM cand c
        |  JOIN sh a ON a.doc_id = c.doc_a
        |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private def byteVerifySql(candPath: String, threshold: Double): String =
+    "WITH " + byteVerifyCtes(candPath) + s"""
        |SELECT i.doc_a, i.doc_b,
        |  round(i.inter * 1.0 / (sa.n + sb.n - i.inter), 6) AS jaccard
        |FROM inter i
@@ -411,20 +433,7 @@ object TextQueries {
     * reachability walk — the dedup_cluster oracle's CC tail on the
     * byte-gram pair set. */
   private def byteClusterSql(candPath: String, threshold: Double): String =
-    s"""WITH RECURSIVE cand AS (SELECT DISTINCT doc_a, doc_b
-       |  FROM read_parquet('$candPath/*.parquet')),
-       |hx AS (SELECT doc_id, upper(hex(encode(text))) AS h
-       |  FROM documents WHERE octet_length(encode(text)) >= 4),
-       |sh AS (SELECT DISTINCT doc_id, substr(h, CAST(i AS INT), 8) AS s
-       |  FROM (SELECT doc_id, h,
-       |    unnest(generate_series(1, length(h) - 7, 2)) AS i FROM hx)),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-       |inter AS (
-       |  SELECT c.doc_a, c.doc_b, count(*) AS inter
-       |  FROM cand c
-       |  JOIN sh a ON a.doc_id = c.doc_a
-       |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
-       |  GROUP BY 1, 2),
+    "WITH RECURSIVE " + byteVerifyCtes(candPath) + s""",
        |dup AS (
        |  SELECT i.doc_a, i.doc_b FROM inter i
        |  JOIN sizes sa ON sa.doc_id = i.doc_a
@@ -2231,25 +2240,16 @@ object TextQueries {
     // reach the exchange.
     "q_multimodal_neardup" -> ((
       (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents")
-        val resPath = s"/tmp/graft_res_mmnear_${graft.Tables.dirTag(d)}"
-        // Candidates materialize FIRST (three consumers below — the
-        // side-file doubles as the oracle's verify input), then the
+        // Candidates materialize FIRST inside verifiedBytePairs (the
+        // side-file doubles as the oracle's verify input), and the
         // byte-shingle verify index is built over IN-PLAY docs only —
         // the pair-member semi-join keeps the exploded index
         // candidate-sized, not corpus-sized (the 10x soak measured the
         // full-corpus index at 1.27x per-row; with the restriction the
         // per-sync verify cost tracks the candidate count, the same
         // contract as q_dedup_minhash_inc).
-        val candPath = s"/tmp/graft_cand_mmnear_${graft.Tables.dirTag(d)}"
-        multimodalNeardupCandidates(docs)
-          .write.mode("overwrite").parquet(candPath)
-        val cand = s.read.parquet(candPath)
-        val candDocs = cand.select(col("doc_a").as("doc_id"))
-          .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
-        val inPlay = docs.join(candDocs, Seq("doc_id"), "left_semi")
-        jaccardFilter(interFor(cand, byteShingleIndex(inPlay)),
-          byteSizes(inPlay), 0.8)
+        val resPath = s"/tmp/graft_res_mmnear_${graft.Tables.dirTag(d)}"
+        verifiedBytePairs(s, d)
           .write.mode("overwrite").parquet(resPath)
         s.read.parquet(resPath).orderBy("doc_a", "doc_b")
       },
@@ -2268,32 +2268,13 @@ object TextQueries {
     // representative per cluster — this labeling is that kill list.
     "q_multimodal_cluster" -> ((
       (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents")
-        val candPath = s"/tmp/graft_cand_mmnear_${graft.Tables.dirTag(d)}"
-        multimodalNeardupCandidates(docs)
-          .write.mode("overwrite").parquet(candPath)
-        val cand = s.read.parquet(candPath)
-        val candDocs = cand.select(col("doc_a").as("doc_id"))
-          .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
-        val inPlay = docs.join(candDocs, Seq("doc_id"), "left_semi")
-        val dups = jaccardFilter(interFor(cand, byteShingleIndex(inPlay)),
-            byteSizes(inPlay), 0.8)
-          .select("doc_a", "doc_b")
+        val dups = verifiedBytePairs(s, d).select("doc_a", "doc_b")
         val e = dups.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .unionByName(
             dups.select(col("doc_b").as("src"), col("doc_a").as("dst")))
           .localCheckpoint()
-        var labels = e.select(col("src").as("node")).distinct()
-          .withColumn("lbl", col("node")).localCheckpoint()
-        var round = 0
-        var converged = false
-        while (round < 20 && !converged) {
-          val m = GraphQueries.ccRound(labels, e).localCheckpoint()
-          converged = m.filter(col("chg")).isEmpty
-          labels = m.select("node", "lbl")
-          round += 1
-        }
-        labels.select(col("node").as("doc_id"), col("lbl").as("cluster"))
+        GraphQueries.ccLoop(s, e, 20)
+          .select(col("node").as("doc_id"), col("lbl").as("cluster"))
           .orderBy("doc_id")
       },
       byteClusterSql(

@@ -21,21 +21,19 @@ class KcoreSpec extends SparkSpecBase {
   private lazy val core = SparkEntry.queries("q_graph_kcore")(spark, dir)
 
   /** The same sparsified undirected co-purchase edge list the operator
-    * peels (rebuilt here so the invariants see the true input). */
+    * peels — THE operator's own builder (sparseCoEdges), so the
+    * invariants can never silently validate a different graph. */
   private def edges = {
-    val li = Tables.t(spark, dir, "lineitem")
-      .filter(col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val canon = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("s"), col("b.pk").as("t"))
-      .distinct()
-      .filter((col("s") + col("t")) % 5 === 0)
+    val canon = graft.queries.GraphQueries.sparseCoEdges(spark, dir)
     canon.unionByName(canon.select(col("t").as("s"), col("s").as("t")))
   }
 
   test("every core node keeps degree >= k inside the core") {
+    // Non-trivial fixture first: an empty core (or a graph nothing was
+    // peeled FROM) would make every invariant below vacuously true.
+    assert(core.count() > 0, "fixture 3-core is empty — invariants vacuous")
+    assert(edges.select(col("s")).distinct().count() > core.count(),
+      "nothing was peeled — the maximality test has no subjects")
     assert(core.filter(col("deg") < 3).count() == 0)
     // And the reported degree really is the within-core degree.
     val members = core.select(col("node"))

@@ -822,14 +822,7 @@ class PlanQualitySpec extends SparkSpecBase {
     // restrictions — a cartesian/BNL means a semi-join lost its key.
     import org.apache.spark.sql.functions._
     val e = {
-      val li = Tables.t(spark, dir, "lineitem")
-        .filter(col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val canon = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("s"), col("b.pk").as("t")).distinct()
-        .filter((col("s") + col("t")) % 5 === 0)
+      val canon = graft.queries.GraphQueries.sparseCoEdges(spark, dir)
       canon.unionByName(canon.select(col("t").as("s"), col("s").as("t")))
         .localCheckpoint()
     }
