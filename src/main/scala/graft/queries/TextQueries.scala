@@ -384,19 +384,37 @@ object TextQueries {
     * and q_multimodal_cluster: write THE candidate side-file (one path,
     * one derivation — the oracle of both gates re-verifies exactly this
     * set), restrict the byte-shingle verify index to in-play docs, and
-    * return the verified pairs. See q_multimodal_neardup's entry
-    * comment for why candidates materialize first. */
+    * persist the verified pairs under the derived-artifact protocol
+    * (content-fingerprint build-once) — the TWO gates that consume
+    * this pipeline then cost ONE signature+verify pass per fixture
+    * generation, not one each (bench: the cluster gate rode a full
+    * duplicate pass at ~3 s before this). See q_multimodal_neardup's
+    * entry comment for why candidates materialize first. */
   private def verifiedBytePairs(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
-    val candPath = s"/tmp/graft_cand_mmnear_${graft.Tables.dirTag(d)}"
-    multimodalNeardupCandidates(docs)
-      .write.mode("overwrite").parquet(candPath)
-    val cand = s.read.parquet(candPath)
-    val candDocs = cand.select(col("doc_a").as("doc_id"))
-      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val inPlay = docs.join(candDocs, Seq("doc_id"), "left_semi")
-    jaccardFilter(interFor(cand, byteShingleIndex(inPlay)),
-      byteSizes(inPlay), 0.8)
+    val tag = graft.Tables.dirTag(d)
+    val resPath = s"/tmp/graft_res_mmnear_$tag"
+    val fp = graft.Tables.sourceFingerprint(
+      Seq(java.nio.file.Paths.get(d, "documents.parquet")),
+      "mmnear:bytegram4_simband_w16_j0.8_v1")
+    // Candidates live INSIDE the fingerprinted dir: they share its
+    // build-once fate, so a /tmp sweep can never strand the oracle's
+    // candidate read while the pair result survives (or vice versa).
+    graft.Tables.ensureDerived(resPath, fp) {
+      // Fresh dir per (re)build — a stale generation's files must not
+      // coexist with the new layout.
+      graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(resPath))
+      val docs = t(s, d, "documents")
+      multimodalNeardupCandidates(docs)
+        .write.mode("overwrite").parquet(s"$resPath/cand")
+      val cand = s.read.parquet(s"$resPath/cand")
+      val candDocs = cand.select(col("doc_a").as("doc_id"))
+        .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+      val inPlay = docs.join(candDocs, Seq("doc_id"), "left_semi")
+      jaccardFilter(interFor(cand, byteShingleIndex(inPlay)),
+        byteSizes(inPlay), 0.8)
+        .write.mode("overwrite").parquet(s"$resPath/pairs")
+    }
+    s.read.parquet(s"$resPath/pairs")
   }
 
   /** Oracle twin of the byte-shingle verify over the candidate
@@ -2248,13 +2266,10 @@ object TextQueries {
         // full-corpus index at 1.27x per-row; with the restriction the
         // per-sync verify cost tracks the candidate count, the same
         // contract as q_dedup_minhash_inc).
-        val resPath = s"/tmp/graft_res_mmnear_${graft.Tables.dirTag(d)}"
-        verifiedBytePairs(s, d)
-          .write.mode("overwrite").parquet(resPath)
-        s.read.parquet(resPath).orderBy("doc_a", "doc_b")
+        verifiedBytePairs(s, d).orderBy("doc_a", "doc_b")
       },
       byteVerifySql(
-        s"/tmp/graft_cand_mmnear_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}",
+        s"/tmp/graft_res_mmnear_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/cand",
         0.8))),
 
     // Multimodal dedup CLUSTERING — the binary-column twin of
@@ -2278,7 +2293,7 @@ object TextQueries {
           .orderBy("doc_id")
       },
       byteClusterSql(
-        s"/tmp/graft_cand_mmnear_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}",
+        s"/tmp/graft_res_mmnear_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/cand",
         0.8)))
   )
 }
