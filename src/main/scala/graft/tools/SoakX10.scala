@@ -61,6 +61,9 @@ object SoakX10 {
     // purchase density within the tolerance — stays flat per-row as
     // both sides grow.
     "q_asof_nearest",
+    // HLL rollup: the daily-partial build scans the 100x log once;
+    // the weekly union stays sketch-count-sized regardless of rows.
+    "q_agg_hll_union",
     "q_sessionize", "q_scd2", "q_window_ntile", "q_json_extract",
     "q_funnel", "q_retention", "q_time_ohlc", "q_shard_assign",
     "q_agg_list",

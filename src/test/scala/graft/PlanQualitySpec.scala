@@ -772,6 +772,17 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("partial_min"), p)
   }
 
+  test("q_agg_hll_union rolls up from persisted sketches, not the log") {
+    val p = planOf("q_agg_hll_union")
+    // The weekly estimate must aggregate the persisted per-day sketch
+    // parquet; the ONLY events scan in the returned plan is the exact
+    // verification side (dropped at scale) — a second one means the
+    // rollup re-scanned the log.
+    assert("events\\.parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("graft_hlldaily"), p)
+    assert(p.contains("hll_union_agg"), p)
+  }
+
   test("q_asof_nearest meets on tolerance buckets with a struct argmin") {
     val p = planOf("q_asof_nearest")
     // Candidates meet on a (user_id, bucket) hash equi-join (the
