@@ -65,7 +65,7 @@ object Bench {
           Window.partitionBy(lit(1)).orderBy(col("n").desc, col("r_name"))))
         .orderBy("rk")
         .write.format("noop").mode("overwrite").save()
-      val scratch = s"/tmp/graft_bench_warmup_${Tables.dirTag(sfDir)}"
+      val scratch = s"${graft.Tables.scratchRoot}/graft_bench_warmup_${Tables.dirTag(sfDir)}"
       nation.select(col("n_nationkey"), sha2(col("n_name"), 256).as("h"))
         .write.mode("overwrite").parquet(scratch)
       spark.read.parquet(scratch).join(nation, "n_nationkey")
@@ -160,7 +160,7 @@ object Bench {
     println(line)
     // Also land the line in a file: the driver's stdout tail-grab
     // truncated round 5's per-query map, losing the whole artifact.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_last.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"${Tables.scratchRoot}/bench_last.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}") }

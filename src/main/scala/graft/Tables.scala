@@ -28,6 +28,74 @@ object Tables {
     * dir's tag. */
   val VerifySfDir = "/root/testdata/sf0.01"
 
+  /** Root for gate scratch and derived artifacts. A co-tenant /tmp
+    * sweeper reclaimed mid-session artifacts in a past round and
+    * poisoned a bench attempt with first-touch rebuilds, so the root is
+    * configurable: `graft.scratch` system property (in-JVM tests), then
+    * `GRAFT_SCRATCH` env (forked JVMs inherit sbt's env), default
+    * `/tmp`. Every gate path, side file, soak fixture, and
+    * oracle-SQL-embedded path derives from this ONE function, so the
+    * Spark side and the DuckDB oracle always resolve the same files. */
+  def scratchRoot: String = {
+    val r = sys.props.get("graft.scratch")
+      .orElse(sys.env.get("GRAFT_SCRATCH"))
+      .filter(_.nonEmpty).getOrElse("/tmp").stripSuffix("/")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(r))
+    r
+  }
+
+  /** Fingerprint component derived from the COMPILED code of `cls`
+    * (classfile bytes' SHA-256, truncated): folded into derived-artifact
+    * fingerprints whose params tag alone would go stale when the
+    * derivation code is edited without a version-tag bump — the
+    * artifact then rebuilds on any recompile of the deriving object,
+    * which errs in the safe (rebuild) direction. Falls back to a
+    * constant when the classfile isn't resource-resolvable (never the
+    * case under sbt classes dirs or assembly jars). */
+  def codeFingerprint(cls: Class[_]): String = {
+    val res = cls.getName.replace('.', '/') + ".class"
+    val in = cls.getClassLoader.getResourceAsStream(res)
+    if (in == null) "nocode"
+    else try {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { md.update(buf, 0, n); n = in.read(buf) }
+      md.digest().map("%02x".format(_)).mkString.take(16)
+    } finally in.close()
+  }
+
+  /** Fingerprint of the ENTIRE compiled graft codebase: every classfile
+    * under this class's code-source location (relpath:size:mtime), or
+    * the enclosing jar's size:mtime. Folded into sourceFingerprint so a
+    * code edit to ANY derivation (including helper expressions in other
+    * files) invalidates cached derived artifacts without requiring a
+    * manual version-tag bump — coarser than strictly necessary, but it
+    * errs in the safe (rebuild) direction, and within one Verify/Bench
+    * run the value is stable so build-once reuse is unaffected. */
+  lazy val codebaseFingerprint: String = {
+    import java.nio.file.{Files, Paths}
+    val loc = getClass.getProtectionDomain.getCodeSource
+    if (loc == null || loc.getLocation == null) "nocodesource"
+    else {
+      val root = Paths.get(loc.getLocation.toURI)
+      val parts = scala.collection.mutable.ArrayBuffer[String]()
+      if (Files.isDirectory(root)) {
+        val stream = Files.walk(root)
+        try stream.sorted().forEach { p =>
+          if (Files.isRegularFile(p) && p.toString.endsWith(".class"))
+            parts += s"${root.relativize(p)}:${Files.size(p)}:" +
+              s"${Files.getLastModifiedTime(p).toMillis}"
+        } finally stream.close()
+      } else if (Files.exists(root))
+        parts += s"${root.getFileName}:${Files.size(root)}:" +
+          s"${Files.getLastModifiedTime(root).toMillis}"
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.digest(parts.mkString("\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+    }
+  }
+
   /** Content fingerprint of a source parquet file/dir plus a
     * caller-supplied params tag: every regular file's relative path,
     * size, and mtime. Derived-artifact freshness keys on this instead
@@ -45,7 +113,8 @@ object Tables {
   def sourceFingerprint(sources: Seq[java.nio.file.Path],
       params: String): String = {
     import java.nio.file.Files
-    val parts = scala.collection.mutable.ArrayBuffer[String](params)
+    val parts =
+      scala.collection.mutable.ArrayBuffer[String](params, codebaseFingerprint)
     sources.foreach { src =>
       if (Files.isDirectory(src)) {
         val stream = Files.walk(src)

@@ -100,14 +100,14 @@ object ExtraQueries {
       .repartition(nBuckets, col("c_custkey"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "c_custkey").sortBy("c_custkey")
-      .option("path", s"/tmp/graft_bkt_customer_$tag")
+      .option("path", s"${graft.Tables.scratchRoot}/graft_bkt_customer_$tag")
       .saveAsTable(custTbl)
     t(s, d, "orders")
       .select("o_custkey", "o_totalprice")
       .repartition(nBuckets, col("o_custkey"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "o_custkey").sortBy("o_custkey")
-      .option("path", s"/tmp/graft_bkt_orders_$tag")
+      .option("path", s"${graft.Tables.scratchRoot}/graft_bkt_orders_$tag")
       .saveAsTable(ordTbl)
     s.table(custTbl)
       .join(s.table(ordTbl), col("c_custkey") === col("o_custkey"))
@@ -167,7 +167,7 @@ object ExtraQueries {
     * maintains. Exact integer cents per row before any sum, so the
     * split MV+delta sum equals the direct sum bit-for-bit. */
   private[queries] def ensureOrdersMatview(s: SparkSession, d: String): String = {
-    val dir = s"/tmp/graft_mv_orders_${graft.Tables.dirTag(d)}_v1"
+    val dir = s"${graft.Tables.scratchRoot}/graft_mv_orders_${graft.Tables.dirTag(d)}_v1"
     val fp = graft.Tables.sourceFingerprint(
       Seq(java.nio.file.Paths.get(d, "orders.parquet")),
       "mv_custkey_v1:old_mod7ne0:cents_e2")
@@ -340,7 +340,7 @@ object ExtraQueries {
         val ev = graft.Tables.events(s, d)
           .select(col("user_id"), expr("unix_micros(ts)").as("us"))
           .withColumn("day", expr("us div 86400000000"))
-        val dailyDir = s"/tmp/graft_hlldaily_${graft.Tables.dirTag(d)}"
+        val dailyDir = s"${graft.Tables.scratchRoot}/graft_hlldaily_${graft.Tables.dirTag(d)}"
         ev.groupBy("day")
           .agg(expr("hll_sketch_agg(user_id)").as("sk"))
           .write.mode("overwrite").parquet(dailyDir)
@@ -1291,7 +1291,7 @@ object ExtraQueries {
     // deployment relies on when BOTH sides are too big to broadcast.
     "q_join_bucketed" -> ((
       (s: SparkSession, d: String) => {
-        val out = s"/tmp/graft_bkt_result_${graft.Tables.dirTag(d)}"
+        val out = s"${graft.Tables.scratchRoot}/graft_bkt_result_${graft.Tables.dirTag(d)}"
         // Materialize inside the no-broadcast conf scope — handing the
         // lazy plan past the restore would re-plan with broadcast
         // re-enabled — then hand the driver a plain result-file scan.

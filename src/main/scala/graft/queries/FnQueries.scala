@@ -17,7 +17,7 @@ object FnQueries {
     * shared path would race if verify and bench overlapped). The oracle
     * reads the copy the verify run writes at its own scale factor. */
   private def csvDir(d: String) =
-    s"/tmp/graft_csv_nation_${graft.Tables.dirTag(d)}"
+    s"${graft.Tables.scratchRoot}/graft_csv_nation_${graft.Tables.dirTag(d)}"
 
   /** Output file count for a compaction pass: ceil(on-disk data bytes /
     * target). Driver-side census of one directory's part files — at
@@ -61,7 +61,7 @@ object FnQueries {
     // capable at scale, same as parquet.
     "q_scan_orc" -> ((
       (s: SparkSession, d: String) => {
-        val dir = s"/tmp/graft_orc_supplier_${graft.Tables.dirTag(d)}"
+        val dir = s"${graft.Tables.scratchRoot}/graft_orc_supplier_${graft.Tables.dirTag(d)}"
         t(s, d, "supplier").write.mode("overwrite").orc(dir)
         s.read.orc(dir).orderBy("s_suppkey")
       },
@@ -76,7 +76,7 @@ object FnQueries {
     // and the oracle is the parquet source the dump was written from.
     "q_scan_jsonl" -> ((
       (s: SparkSession, d: String) => {
-        val dir = s"/tmp/graft_jsonl_docs_${graft.Tables.dirTag(d)}"
+        val dir = s"${graft.Tables.scratchRoot}/graft_jsonl_docs_${graft.Tables.dirTag(d)}"
         t(s, d, "documents").write.mode("overwrite").json(dir)
         val schema = StructType(Seq(
           StructField("doc_id", LongType),
@@ -97,7 +97,7 @@ object FnQueries {
     // DataFilters (row filtering after reading everything).
     "q_sink_partitioned" -> ((
       (s: SparkSession, d: String) => {
-        val dir = s"/tmp/graft_part_docs_${graft.Tables.dirTag(d)}"
+        val dir = s"${graft.Tables.scratchRoot}/graft_part_docs_${graft.Tables.dirTag(d)}"
         t(s, d, "documents").write.mode("overwrite")
           .partitionBy("lang").parquet(dir)
         s.read.parquet(dir).filter(col("lang") === "en")
@@ -126,8 +126,8 @@ object FnQueries {
     "q_compact_files" -> ((
       (s: SparkSession, d: String) => {
         val tag = graft.Tables.dirTag(d)
-        val frag = s"/tmp/graft_frag_orders_$tag"
-        val compacted = s"/tmp/graft_compact_orders_$tag"
+        val frag = s"${graft.Tables.scratchRoot}/graft_frag_orders_$tag"
+        val compacted = s"${graft.Tables.scratchRoot}/graft_compact_orders_$tag"
         t(s, d, "orders").repartition(64)
           .write.mode("overwrite").parquet(frag)
         val fragDf = s.read.parquet(frag)
@@ -163,7 +163,7 @@ object FnQueries {
     // numOutputRows; the oracle proves the answer exact.
     "q_sink_sorted" -> ((
       (s: SparkSession, d: String) => {
-        val dir = s"/tmp/graft_sorted_events_${graft.Tables.dirTag(d)}"
+        val dir = s"${graft.Tables.scratchRoot}/graft_sorted_events_${graft.Tables.dirTag(d)}"
         val ev = graft.Tables.events(s, d)
         ev.repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
           .write.mode("overwrite").parquet(dir)
@@ -198,7 +198,7 @@ object FnQueries {
     // per-file metadata work; the data read is unchanged.
     "q_schema_evolve" -> ((
       (s: SparkSession, d: String) => {
-        val base = s"/tmp/graft_schevo_${graft.Tables.dirTag(d)}"
+        val base = s"${graft.Tables.scratchRoot}/graft_schevo_${graft.Tables.dirTag(d)}"
         val docs = t(s, d, "documents")
         docs.filter(col("doc_id") % 2 === 0)
           .select(col("doc_id"), col("lang"), col("source"))

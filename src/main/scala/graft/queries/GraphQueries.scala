@@ -258,7 +258,15 @@ object GraphQueries {
     * overhead on near-empty partitions dominates iterative operators
     * at gate scale; scales back up for a genuinely large state). Both
     * shuffle.partitions AND AQE's initialPartitionNum must be scoped —
-    * the latter overrides the former while coalescing is on. */
+    * the latter overrides the former while coalescing is on.
+    *
+    * SINGLE-THREADED ASSUMPTION: this mutates session-global SQL confs
+    * for the loop's duration, which is safe only because Verify/Bench
+    * run queries sequentially on the shared session. A caller running
+    * queries concurrently must pass a cloned session (s.newSession()
+    * shares the SparkContext but isolates SQLConf) to the fixpoint
+    * loop instead — otherwise a concurrent query races on these keys
+    * and is silently replanned at 4 partitions with AQE off. */
   private def withIterParts[T](s: SparkSession, stateRows: Long)
       (body: => T): T = {
     val pKey = "spark.sql.shuffle.partitions"
@@ -636,7 +644,7 @@ object GraphQueries {
         val e = triEdges(s, d)
           .repartition(s.sparkContext.defaultParallelism, col("s"))
           .persist()
-        val out = s"/tmp/graft_tri_${graft.Tables.dirTag(d)}"
+        val out = s"${graft.Tables.scratchRoot}/graft_tri_${graft.Tables.dirTag(d)}"
         try {
           e.count()
           // Materialize the ORIENTED set too (same repartition-before-

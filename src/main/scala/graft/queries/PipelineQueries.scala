@@ -118,7 +118,7 @@ object PipelineQueries {
         val kind = model("infra_nation")
         val nationTable = Flatten.flattenNodes(nodeEnvelopes(s, d), kind, model)
         val linkTable = Flatten.flattenEdges(edgeEnvelopes(s, d))
-        val base = s"/tmp/graft_pipe_${graft.Tables.dirTag(d)}"
+        val base = s"${graft.Tables.scratchRoot}/graft_pipe_${graft.Tables.dirTag(d)}"
         val paths = TableSink.writeAll(Map(
           ModelCompiler.tableName(kind.fqn) -> nationTable,
           ModelCompiler.linkTableName("infra_region", "infra_nation") ->
@@ -142,7 +142,7 @@ object PipelineQueries {
     "q_source_search" -> ((
       (s: SparkSession, d: String) => {
         val dump =
-          s"/tmp/graft_envelopes_${graft.Tables.dirTag(d)}_v$DumpVersion"
+          s"${graft.Tables.scratchRoot}/graft_envelopes_${graft.Tables.dirTag(d)}_v$DumpVersion"
         ensureDump(d, Seq("region", "nation"), dump)(twoLevelEnvelopes(s, d))
         val env = GraphSource.readEnvelopes(s, dump)
         val search = GraphSource.parseSearch("is(graph_root) -[1:]->").get
@@ -163,7 +163,7 @@ object PipelineQueries {
     "q_source_search_depth" -> ((
       (s: SparkSession, d: String) => {
         val dump =
-          s"/tmp/graft_envelopes3_${graft.Tables.dirTag(d)}_v$DumpVersion"
+          s"${graft.Tables.scratchRoot}/graft_envelopes3_${graft.Tables.dirTag(d)}_v$DumpVersion"
         ensureDump(d, Seq("region", "nation", "customer"), dump)(
           threeLevelEnvelopes(s, d))
         val env = GraphSource.readEnvelopes(s, dump)
@@ -204,7 +204,7 @@ object PipelineQueries {
         // dir: gate queries must not depend on each other's execution
         // order.
         val dump =
-          s"/tmp/graft_envelopes_chain_${graft.Tables.dirTag(d)}_v$DumpVersion"
+          s"${graft.Tables.scratchRoot}/graft_envelopes_chain_${graft.Tables.dirTag(d)}_v$DumpVersion"
         ensureDump(d, Seq("region", "nation", "customer"), dump)(
           threeLevelEnvelopes(s, d))
         val env = GraphSource.readEnvelopes(s, dump)
@@ -231,7 +231,7 @@ object PipelineQueries {
     "q_source_search_agg" -> ((
       (s: SparkSession, d: String) => {
         val dump =
-          s"/tmp/graft_envelopes3_${graft.Tables.dirTag(d)}_v$DumpVersion"
+          s"${graft.Tables.scratchRoot}/graft_envelopes3_${graft.Tables.dirTag(d)}_v$DumpVersion"
         ensureDump(d, Seq("region", "nation", "customer"), dump)(
           threeLevelEnvelopes(s, d))
         val env = GraphSource.readEnvelopes(s, dump)

@@ -67,7 +67,7 @@ object SnapshotQueries {
       (s: SparkSession, d: String) => {
         // Base dir keyed by the sf dir name so verify (sf0.01) and bench
         // (sf0.1) runs never clobber each other's snapshots.
-        val base = s"/tmp/graft_snap_${graft.Tables.dirTag(d)}"
+        val base = s"${graft.Tables.scratchRoot}/graft_snap_${graft.Tables.dirTag(d)}"
         // First sync: stale snapshot (limited); second sync: full data.
         SnapshotSwap.write(rollup(s, d).limit(1), base, "orders_rollup")
         SnapshotSwap.writeAndRead(s, rollup(s, d), base, "orders_rollup")
@@ -91,7 +91,7 @@ object SnapshotQueries {
     // the data read is one snapshot dir either way.
     "q_snapshot_asof" -> ((
       (s: SparkSession, d: String) => {
-        val base = s"/tmp/graft_asof_${graft.Tables.dirTag(d)}"
+        val base = s"${graft.Tables.scratchRoot}/graft_asof_${graft.Tables.dirTag(d)}"
         val docs = t(s, d, "documents")
         val vOld = docs.filter(col("doc_id") % 7 =!= 0)
           .select(col("doc_id"), col("n_chars"))
@@ -150,7 +150,7 @@ object SnapshotQueries {
     // nightly sync until dropped.
     "q_snapshot_tag" -> ((
       (s: SparkSession, d: String) => {
-        val base = s"/tmp/graft_tag_${graft.Tables.dirTag(d)}"
+        val base = s"${graft.Tables.scratchRoot}/graft_tag_${graft.Tables.dirTag(d)}"
         SnapshotSwap.rm(java.nio.file.Paths.get(base))
         val docs = t(s, d, "documents")
         def gen(m: Int) = docs.filter(col("doc_id") % m =!= 0)
@@ -201,7 +201,7 @@ object SnapshotQueries {
     // coalesce (SnapshotSwap.optimizePlan, pinned there too).
     "q_optimize_snapshot" -> ((
       (s: SparkSession, d: String) => {
-        val base = s"/tmp/graft_optsnap_${graft.Tables.dirTag(d)}"
+        val base = s"${graft.Tables.scratchRoot}/graft_optsnap_${graft.Tables.dirTag(d)}"
         val live = t(s, d, "orders")
           .select(col("o_orderkey"), col("o_orderstatus"),
             round(col("o_totalprice") * 100).cast("long").as("cents"))
@@ -294,7 +294,7 @@ object SnapshotQueries {
         // repo's standard scoped-cache pattern).
         val delta = deltaOf(old, neu).persist()
         try {
-          val out = s"/tmp/graft_merge_${graft.Tables.dirTag(d)}"
+          val out = s"${graft.Tables.scratchRoot}/graft_merge_${graft.Tables.dirTag(d)}"
           mergedOf(old, delta).write.mode("overwrite").parquet(out)
           s.read.parquet(out).orderBy("doc_id")
         } finally delta.unpersist(blocking = true)
@@ -320,7 +320,7 @@ object SnapshotQueries {
     // sweep-vs-staging race are in SnapshotSwap.restoreManifested.
     "q_snapshot_restore" -> ((
       (s: SparkSession, d: String) => {
-        val base = s"/tmp/graft_restore_${graft.Tables.dirTag(d)}"
+        val base = s"${graft.Tables.scratchRoot}/graft_restore_${graft.Tables.dirTag(d)}"
         val docs = t(s, d, "documents")
         val good = docs.filter(col("doc_id") % 4 =!= 1)
           .select(col("doc_id"), col("n_chars"))

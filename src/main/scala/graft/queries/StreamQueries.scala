@@ -77,7 +77,16 @@ object StreamQueries {
     val parts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4")
     s.conf.set("spark.sql.shuffle.partitions", parts)
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    sys.env.get("SPARK_GRAFT_STREAM_STATE_PROVIDER").filter(_.nonEmpty)
+    // Provider override: sysprop (in-JVM specs — RocksDbStateSpec
+    // asserts provider-independence of gate results) before env (bench
+    // A/B). At 100 TB state the production posture IS RocksDB
+    // (larger-than-heap state, restart tolerance); the gate default
+    // stays HDFS-backed only because a finite AvailableNow gate never
+    // amortizes RocksDB's native per-store constants (measured, see
+    // scaladoc above).
+    sys.props.get("graft.stream.state.provider").filter(_.nonEmpty)
+      .orElse(sys.env.get("SPARK_GRAFT_STREAM_STATE_PROVIDER")
+        .filter(_.nonEmpty))
       .foreach(s.conf.set(providerKey, _))
     try run
     finally {
@@ -188,7 +197,7 @@ object StreamQueries {
     // -as-long or MICROS — see Tables.events, which normalizes both);
     // re-encode to a micros staging dir (the shape a real file-stream
     // source directory would have) and stream from it.
-    val srcDir = s"/tmp/graft_stream_src_${graft.Tables.dirTag(d)}_v$DumpVersion"
+    val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_src_${graft.Tables.dirTag(d)}_v$DumpVersion"
     ensureStreamDump(d, "events", srcDir)(graft.Tables.events(s, d))
     val schema = s.read.parquet(srcDir).schema
     val qn = "graft_ev_" + math.abs(d.hashCode).toString
@@ -278,7 +287,7 @@ object StreamQueries {
     // + complete mode here makes the gate deterministic.
     "q_stream_dedup" -> ((
       (s: SparkSession, d: String) => {
-        val srcDir = s"/tmp/graft_stream_docs_${graft.Tables.dirTag(d)}_v$DumpVersion"
+        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_docs_${graft.Tables.dirTag(d)}_v$DumpVersion"
         ensureStreamDump(d, "documents", srcDir)(t(s, d, "documents"))
         val schema = s.read.parquet(srcDir).schema
         val qn = "graft_docs_" + math.abs(d.hashCode).toString
@@ -311,12 +320,12 @@ object StreamQueries {
     "q_stream_dedup_inc" -> ((
       (s: SparkSession, d: String) => {
         val tag = graft.Tables.dirTag(d)
-        val srcDir = s"/tmp/graft_stream_newb_${tag}_v$DumpVersion"
+        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_newb_${tag}_v$DumpVersion"
         ensureStreamDump(d, "documents", srcDir, "batch_mod4eq3_files4")(
           t(s, d, "documents").filter(col("doc_id") % 4 === 3)
             .repartition(4))
         val baseIdx = s.read.parquet(TextQueries.ensureDigestIndex(s, d))
-        val root = s"/tmp/graft_sdinc_$tag"
+        val root = s"${graft.Tables.scratchRoot}/graft_sdinc_$tag"
         // Fresh run per gate invocation: restart semantics are the
         // spec's subject; the gate needs a deterministic end state.
         graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
@@ -364,13 +373,13 @@ object StreamQueries {
     "q_stream_ann_inc" -> ((
       (s: SparkSession, d: String) => {
         val tag = graft.Tables.dirTag(d)
-        val srcDir = s"/tmp/graft_stream_vecb_${tag}_v$DumpVersion"
+        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_vecb_${tag}_v$DumpVersion"
         ensureStreamDump(d, "embeddings", srcDir, "batch_mod4eq3_files4")(
           t(s, d, "embeddings").filter(col("vec_id") % 4 === 3)
             .repartition(4))
         val (idxDir, bits) = VectorQueries.annIndexFor(s, d)
         val baseIdx = s.read.parquet(idxDir)
-        val root = s"/tmp/graft_sann_$tag"
+        val root = s"${graft.Tables.scratchRoot}/graft_sann_$tag"
         graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
         val schema = s.read.parquet(srcDir).schema
         val stream = s.readStream.schema(schema)
@@ -388,7 +397,7 @@ object StreamQueries {
         VectorQueries.rankCandidates(s, d, cand).orderBy("qid", "rn")
       },
       VectorQueries.rankSqlFor(
-        s"/tmp/graft_sann_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/obs/*/*.parquet"))),
+        s"${graft.Tables.scratchRoot}/graft_sann_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/obs/*/*.parquet"))),
 
     // Streaming materialized-view maintenance — q_agg_incremental's
     // protocol under continuous ingest: the delta (o_orderkey % 7 = 0
@@ -403,11 +412,11 @@ object StreamQueries {
     "q_stream_agg_inc" -> ((
       (s: SparkSession, d: String) => {
         val tag = graft.Tables.dirTag(d)
-        val srcDir = s"/tmp/graft_stream_odelta_${tag}_v$DumpVersion"
+        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_odelta_${tag}_v$DumpVersion"
         ensureStreamDump(d, "orders", srcDir, "delta_mod7eq0_files4")(
           t(s, d, "orders").filter(col("o_orderkey") % 7 === 0)
             .repartition(4))
-        val root = s"/tmp/graft_smv_$tag"
+        val root = s"${graft.Tables.scratchRoot}/graft_smv_$tag"
         graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
         val schema = s.read.parquet(srcDir).schema
         val stream = s.readStream.schema(schema)
@@ -451,9 +460,9 @@ object StreamQueries {
     "q_stream_cdc" -> ((
       (s: SparkSession, d: String) => {
         val tag = graft.Tables.dirTag(d)
-        val srcDir = s"/tmp/graft_stream_src_${tag}_v$DumpVersion"
+        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_src_${tag}_v$DumpVersion"
         ensureStreamDump(d, "events", srcDir)(graft.Tables.events(s, d))
-        val root = s"/tmp/graft_scdc_$tag"
+        val root = s"${graft.Tables.scratchRoot}/graft_scdc_$tag"
         graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
         val schema = s.read.parquet(srcDir).schema
         val stream = s.readStream.schema(schema)
@@ -499,9 +508,9 @@ object StreamQueries {
     "q_stream_topk" -> ((
       (s: SparkSession, d: String) => {
         val tag = graft.Tables.dirTag(d)
-        val srcDir = s"/tmp/graft_stream_docs_${tag}_v$DumpVersion"
+        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_docs_${tag}_v$DumpVersion"
         ensureStreamDump(d, "documents", srcDir)(t(s, d, "documents"))
-        val root = s"/tmp/graft_stopk_$tag"
+        val root = s"${graft.Tables.scratchRoot}/graft_stopk_$tag"
         graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
         val schema = s.read.parquet(srcDir).schema
         val stream = s.readStream.schema(schema)
@@ -570,7 +579,7 @@ object StreamQueries {
     // and recommitted every state store for zero output rows.
     "q_stream_join" -> ((
       (s: SparkSession, d: String) => {
-        val srcDir = s"/tmp/graft_stream_src_${graft.Tables.dirTag(d)}_v$DumpVersion"
+        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_src_${graft.Tables.dirTag(d)}_v$DumpVersion"
         ensureStreamDump(d, "events", srcDir)(graft.Tables.events(s, d))
         val schema = s.read.parquet(srcDir).schema
         val ev = s.readStream.schema(schema).parquet(srcDir)
@@ -615,7 +624,7 @@ object StreamQueries {
     // Oracle: identical to the batch q_session_window.
     "q_stream_session" -> ((
       (s: SparkSession, d: String) => {
-        val srcDir = s"/tmp/graft_stream_src_${graft.Tables.dirTag(d)}_v$DumpVersion"
+        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_src_${graft.Tables.dirTag(d)}_v$DumpVersion"
         ensureStreamDump(d, "events", srcDir)(graft.Tables.events(s, d))
         val schema = s.read.parquet(srcDir).schema
         val qn = "graft_ses_" + math.abs(d.hashCode).toString
@@ -710,7 +719,7 @@ object StreamQueries {
       (s: SparkSession, d: String) => {
         import java.nio.file.{Files, Paths}
         val tag = graft.Tables.dirTag(d)
-        val srcDir = s"/tmp/graft_stream_late_${tag}_v$DumpVersion"
+        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_late_${tag}_v$DumpVersion"
         val cut1 = "2024-01-11 00:00:00"
         val cut2 = "2024-01-21 00:00:00"
         val lateEnd = "2024-01-06 00:00:00"

@@ -188,7 +188,7 @@ object TextQueries {
       .select(col("doc_id"), col("band.b").as("b"), col("band.v").as("v"))
   }
 
-  private def minhashCandidates(docs: DataFrame): DataFrame =
+  private[graft] def minhashCandidates(docs: DataFrame): DataFrame =
     bandedPairs(minhashBands(docs))
 
   /** The incremental candidate join (batch bands ⋈ persisted band
@@ -212,7 +212,7 @@ object TextQueries {
     * across syncs so new batches can be near-dup-checked without
     * re-signaturing the accumulated corpus. */
   private def ensureBandIndex(s: SparkSession, d: String): String = {
-    val dir = s"/tmp/graft_bandidx_${graft.Tables.dirTag(d)}_v1"
+    val dir = s"${graft.Tables.scratchRoot}/graft_bandidx_${graft.Tables.dirTag(d)}_v1"
     // Freshness keys on the source fingerprint (per-file size+mtime)
     // plus every signature parameter — not a bare mtime comparison
     // (r8 ADVICE: a same-tick regeneration changes size, and a
@@ -244,7 +244,7 @@ object TextQueries {
   // collisions (P[hamming <= 16 | random] ~ 1e-5) before the shingle
   // verify; true near-dups at the 0.7 jaccard bar sit well inside 16
   // differing bits.
-  private def simhashCandidates(docs: DataFrame): DataFrame =
+  private[graft] def simhashCandidates(docs: DataFrame): DataFrame =
     simhashNeighborCandidates(docShingles(docs, 3)
       .select(col("doc_id"), expr("simhash_sig(sh)").as("sig")))
 
@@ -338,7 +338,7 @@ object TextQueries {
       .distinct()
   }
 
-  private def multimodalNeardupCandidates(docs: DataFrame): DataFrame =
+  private[graft] def multimodalNeardupCandidates(docs: DataFrame): DataFrame =
     simhashNeighborCandidates(payloadOf(docs)
       .select(col("doc_id"), expr(s"simhash_sig($byteShingleExpr)").as("sig")))
 
@@ -392,7 +392,7 @@ object TextQueries {
     * entry comment for why candidates materialize first. */
   private def verifiedBytePairs(s: SparkSession, d: String): DataFrame = {
     val tag = graft.Tables.dirTag(d)
-    val resPath = s"/tmp/graft_res_mmnear_$tag"
+    val resPath = s"${graft.Tables.scratchRoot}/graft_res_mmnear_$tag"
     val fp = graft.Tables.sourceFingerprint(
       Seq(java.nio.file.Paths.get(d, "documents.parquet")),
       "mmnear:bytegram4_simband_w16_j0.8_v1")
@@ -543,7 +543,7 @@ object TextQueries {
     * as StreamQueries.ensureStreamDump); the gated incremental query
     * only ever READS it. */
   private[queries] def ensureDigestIndex(s: SparkSession, d: String): String = {
-    val dir = s"/tmp/graft_digidx_${graft.Tables.dirTag(d)}_v1"
+    val dir = s"${graft.Tables.scratchRoot}/graft_digidx_${graft.Tables.dirTag(d)}_v1"
     val fp = graft.Tables.sourceFingerprint(
       Seq(java.nio.file.Paths.get(d, "documents.parquet")),
       "sha256:base_mod4ne3")
@@ -1411,7 +1411,7 @@ object TextQueries {
     "q_text_boilerplate" -> ((
       (s: SparkSession, d: String) =>
         withShingleIndex(s, t(s, d, "documents"), 5,
-          s"/tmp/graft_res_boiler_${graft.Tables.dirTag(d)}") { idx =>
+          s"${graft.Tables.scratchRoot}/graft_res_boiler_${graft.Tables.dirTag(d)}") { idx =>
           val common = idx.groupBy("s").agg(count(lit(1)).as("df"))
             .filter(col("df") >= 3).select("s")
           val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -1446,7 +1446,7 @@ object TextQueries {
     "q_dedup_cluster" -> ((
       (s: SparkSession, d: String) =>
         withShingleIndex(s, t(s, d, "documents"), 5,
-          s"/tmp/graft_res_cluster_${graft.Tables.dirTag(d)}") { idx =>
+          s"${graft.Tables.scratchRoot}/graft_res_cluster_${graft.Tables.dirTag(d)}") { idx =>
           val a = idx.select(col("doc_id").as("doc_a"), col("s"))
           val b = idx.select(col("doc_id").as("doc_b"), col("s"))
           val pairs = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
@@ -1517,7 +1517,7 @@ object TextQueries {
             // Materialize before the caches drop — handing the lazy
             // plan up would replay the whole iterative lineage
             // uncached when withShingleIndex writes it out.
-            val outPath = s"/tmp/graft_cluster_lbl_${graft.Tables.dirTag(d)}"
+            val outPath = s"${graft.Tables.scratchRoot}/graft_cluster_lbl_${graft.Tables.dirTag(d)}"
             labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
               .write.mode("overwrite").parquet(outPath)
             s.read.parquet(outPath)
@@ -1559,7 +1559,7 @@ object TextQueries {
     "q_dedup_ngram" -> ((
       (s: SparkSession, d: String) =>
         withShingleIndex(s, t(s, d, "documents"), 5,
-          s"/tmp/graft_res_ngram_${graft.Tables.dirTag(d)}") { idx =>
+          s"${graft.Tables.scratchRoot}/graft_res_ngram_${graft.Tables.dirTag(d)}") { idx =>
           val a = idx.select(col("doc_id").as("doc_a"), col("s"))
           val b = idx.select(col("doc_id").as("doc_b"), col("s"))
           val pairs = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
@@ -1590,7 +1590,7 @@ object TextQueries {
     "q_text_containment" -> ((
       (s: SparkSession, d: String) =>
         withShingleIndex(s, t(s, d, "documents"), 5,
-          s"/tmp/graft_res_contain_${graft.Tables.dirTag(d)}") { idx =>
+          s"${graft.Tables.scratchRoot}/graft_res_contain_${graft.Tables.dirTag(d)}") { idx =>
           val a = idx.select(col("doc_id").as("doc_a"), col("s"))
           val b = idx.select(col("doc_id").as("doc_b"), col("s"))
           val pairs = a.join(b, Seq("s"))
@@ -1614,12 +1614,12 @@ object TextQueries {
     "q_dedup_minhash" -> ((
       (s: SparkSession, d: String) =>
         withShingleIndex(s, t(s, d, "documents"), 3,
-          s"/tmp/graft_res_minhash_${graft.Tables.dirTag(d)}") { idx =>
+          s"${graft.Tables.scratchRoot}/graft_res_minhash_${graft.Tables.dirTag(d)}") { idx =>
           candidateVerify(s, d, minhashCandidates(t(s, d, "documents")), idx,
             sizesOf(t(s, d, "documents"), 3),
-            s"/tmp/graft_cand_minhash_${graft.Tables.dirTag(d)}", 0.7)
+            s"${graft.Tables.scratchRoot}/graft_cand_minhash_${graft.Tables.dirTag(d)}", 0.7)
         }.orderBy("doc_a", "doc_b"),
-      verifySql(s"/tmp/graft_cand_minhash_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}", 0.7))),
+      verifySql(s"${graft.Tables.scratchRoot}/graft_cand_minhash_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}", 0.7))),
 
     // Incremental cross-snapshot NEAR-dup — the MinHash twin of
     // q_dedup_incremental, and the operator a continuously-ingesting
@@ -1639,7 +1639,7 @@ object TextQueries {
     "q_dedup_minhash_inc" -> ((
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")
-        val candPath = s"/tmp/graft_cand_minhinc_${graft.Tables.dirTag(d)}"
+        val candPath = s"${graft.Tables.scratchRoot}/graft_cand_minhinc_${graft.Tables.dirTag(d)}"
         incMinhashCandidateProbe(s, d)
           .write.mode("overwrite").parquet(candPath)
         val cand = s.read.parquet(candPath)
@@ -1647,23 +1647,23 @@ object TextQueries {
           .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
         val inPlay = docs.join(candDocs, Seq("doc_id"), "left_semi")
         withShingleIndex(s, inPlay, 3,
-          s"/tmp/graft_res_minhinc_${graft.Tables.dirTag(d)}") { idx =>
+          s"${graft.Tables.scratchRoot}/graft_res_minhinc_${graft.Tables.dirTag(d)}") { idx =>
           jaccardFilter(interFor(cand, idx), sizesOf(inPlay, 3), 0.7)
         }.orderBy("doc_a", "doc_b")
       },
-      verifySql(s"/tmp/graft_cand_minhinc_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}", 0.7))),
+      verifySql(s"${graft.Tables.scratchRoot}/graft_cand_minhinc_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}", 0.7))),
 
     // SimHash near-dup: 64-bit signature, 16-bit bands -> candidates ->
     // exact verify. Oracle re-verifies the candidates.
     "q_dedup_simhash" -> ((
       (s: SparkSession, d: String) =>
         withShingleIndex(s, t(s, d, "documents"), 3,
-          s"/tmp/graft_res_simhash_${graft.Tables.dirTag(d)}") { idx =>
+          s"${graft.Tables.scratchRoot}/graft_res_simhash_${graft.Tables.dirTag(d)}") { idx =>
           candidateVerify(s, d, simhashCandidates(t(s, d, "documents")), idx,
             sizesOf(t(s, d, "documents"), 3),
-            s"/tmp/graft_cand_simhash_${graft.Tables.dirTag(d)}", 0.7)
+            s"${graft.Tables.scratchRoot}/graft_cand_simhash_${graft.Tables.dirTag(d)}", 0.7)
         }.orderBy("doc_a", "doc_b"),
-      verifySql(s"/tmp/graft_cand_simhash_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}", 0.7))),
+      verifySql(s"${graft.Tables.scratchRoot}/graft_cand_simhash_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}", 0.7))),
 
     // Language-ID heuristic: stopword hits per language, argmax. Hit
     // counting is the codegen'd lang_hits expression — one hash-probe
@@ -1871,7 +1871,7 @@ object TextQueries {
         try {
           s1.count() // warm the cache before the pipeline fans out
           withShingleIndex(s, s1.select("doc_id", "text"), 5,
-            s"/tmp/graft_res_clean_${graft.Tables.dirTag(d)}") { idx =>
+            s"${graft.Tables.scratchRoot}/graft_res_clean_${graft.Tables.dirTag(d)}") { idx =>
             val a = idx.select(col("doc_id").as("doc_a"), col("s"))
             val b = idx.select(col("doc_id").as("doc_b"), col("s"))
             val pairs = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
@@ -2087,7 +2087,7 @@ object TextQueries {
     // first-seen-anti-join rule.
     "q_index_compact" -> ((
       (s: SparkSession, d: String) => {
-        val root = s"/tmp/graft_idxcomp_${graft.Tables.dirTag(d)}"
+        val root = s"${graft.Tables.scratchRoot}/graft_idxcomp_${graft.Tables.dirTag(d)}"
         val baseIdx = s.read.parquet(ensureDigestIndex(s, d))
         val batch = t(s, d, "documents").filter(col("doc_id") % 4 === 3)
         for (b <- 0 to 1) {
@@ -2269,7 +2269,7 @@ object TextQueries {
         verifiedBytePairs(s, d).orderBy("doc_a", "doc_b")
       },
       byteVerifySql(
-        s"/tmp/graft_res_mmnear_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/cand",
+        s"${graft.Tables.scratchRoot}/graft_res_mmnear_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/cand",
         0.8))),
 
     // Multimodal dedup CLUSTERING — the binary-column twin of
@@ -2293,7 +2293,7 @@ object TextQueries {
           .orderBy("doc_id")
       },
       byteClusterSql(
-        s"/tmp/graft_res_mmnear_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/cand",
+        s"${graft.Tables.scratchRoot}/graft_res_mmnear_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/cand",
         0.8)))
   )
 }

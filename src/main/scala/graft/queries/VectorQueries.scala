@@ -217,7 +217,7 @@ object VectorQueries {
     * bucketing of the batch uses the identical plane set. */
   private def ensureBucketIndex(s: SparkSession, d: String,
       bits: Int): String = {
-    val dir = s"/tmp/graft_vecidx_${graft.Tables.dirTag(d)}_v1"
+    val dir = s"${graft.Tables.scratchRoot}/graft_vecidx_${graft.Tables.dirTag(d)}_v1"
     val fp = graft.Tables.sourceFingerprint(
       Seq(java.nio.file.Paths.get(d, "embeddings.parquet")),
       s"lshbuckets:$numTables:bits$bits:base_mod4ne3")
@@ -608,9 +608,9 @@ object VectorQueries {
     // re-rank on candidates only. Oracle re-ranks the same candidates.
     "q_embed_ann" -> ((
       (s: SparkSession, d: String) =>
-        annResult(s, d, s"/tmp/graft_cand_ann_${graft.Tables.dirTag(d)}")
+        annResult(s, d, s"${graft.Tables.scratchRoot}/graft_cand_ann_${graft.Tables.dirTag(d)}")
           .orderBy("qid", "rn"),
-      rankSql(s"SELECT DISTINCT qid, nid FROM read_parquet('/tmp/graft_cand_ann_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/*.parquet')"))),
+      rankSql(s"SELECT DISTINCT qid, nid FROM read_parquet('${graft.Tables.scratchRoot}/graft_cand_ann_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/*.parquet')"))),
 
     // Incremental ANN — the vector twin of q_dedup_minhash_inc: a NEW
     // batch of embeddings (vec_id % 4 == 3) is similarity-probed
@@ -624,36 +624,36 @@ object VectorQueries {
     "q_embed_ann_inc" -> ((
       (s: SparkSession, d: String) => {
         val cand = maybeSideFile(s, d, incAnnCandidateProbe(s, d),
-          s"/tmp/graft_cand_anninc_${graft.Tables.dirTag(d)}")
+          s"${graft.Tables.scratchRoot}/graft_cand_anninc_${graft.Tables.dirTag(d)}")
         rankCandidates(s, d, cand).orderBy("qid", "rn")
       },
-      rankSql(s"SELECT DISTINCT qid, nid FROM read_parquet('/tmp/graft_cand_anninc_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/*.parquet')"))),
+      rankSql(s"SELECT DISTINCT qid, nid FROM read_parquet('${graft.Tables.scratchRoot}/graft_cand_anninc_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/*.parquet')"))),
 
     // IVF-style ANN: k-means-refined nearest-centroid inverted lists,
     // multi-probe, exact re-rank on the probed lists only.
     "q_embed_ivf" -> ((
       (s: SparkSession, d: String) =>
-        ivfResult(s, d, s"/tmp/graft_cand_ivf_${graft.Tables.dirTag(d)}")
+        ivfResult(s, d, s"${graft.Tables.scratchRoot}/graft_cand_ivf_${graft.Tables.dirTag(d)}")
           .orderBy("qid", "rn"),
-      rankSql(s"SELECT DISTINCT qid, nid FROM read_parquet('/tmp/graft_cand_ivf_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/*.parquet')"))),
+      rankSql(s"SELECT DISTINCT qid, nid FROM read_parquet('${graft.Tables.scratchRoot}/graft_cand_ivf_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/*.parquet')"))),
 
     // Product-quantization ANN: per-subspace codebooks, map-side
     // encoding, broadcast ADC table scoring, exact re-rank on the
     // shortlist. Oracle re-ranks the same shortlist.
     "q_embed_pq" -> ((
       (s: SparkSession, d: String) =>
-        pqResult(s, d, s"/tmp/graft_cand_pq_${graft.Tables.dirTag(d)}")
+        pqResult(s, d, s"${graft.Tables.scratchRoot}/graft_cand_pq_${graft.Tables.dirTag(d)}")
           .orderBy("qid", "rn"),
-      rankSql(s"SELECT DISTINCT qid, nid FROM read_parquet('/tmp/graft_cand_pq_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/*.parquet')"))),
+      rankSql(s"SELECT DISTINCT qid, nid FROM read_parquet('${graft.Tables.scratchRoot}/graft_cand_pq_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/*.parquet')"))),
 
     // Embedding near-duplicate pairs: LSH buckets corpus-wide, exact
     // cosine threshold on candidates. Oracle re-verifies the candidates.
     "q_embed_dup" -> ((
       (s: SparkSession, d: String) =>
-        dupResult(s, d, s"/tmp/graft_cand_embdup_${graft.Tables.dirTag(d)}")
+        dupResult(s, d, s"${graft.Tables.scratchRoot}/graft_cand_embdup_${graft.Tables.dirTag(d)}")
           .orderBy("vec_a", "vec_b"),
       s"""WITH pairs AS (SELECT DISTINCT qid, nid
-         |  FROM read_parquet('/tmp/graft_cand_embdup_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/*.parquet')),
+         |  FROM read_parquet('${graft.Tables.scratchRoot}/graft_cand_embdup_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/*.parquet')),
          |e AS (SELECT vec_id, unnest(embedding) AS x,
          |        generate_subscripts(embedding, 1) AS pos FROM embeddings),
          |norms AS (SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm

@@ -534,7 +534,12 @@ object SnapshotSwap {
       fs.mkdirs(refsDir(base, table))
       fs.commitPointer(s"${refsDir(base, table)}/$name",
         s"${refsDir(base, table)}/_tmp_$name", snap)
-      versionOf(table, snap).getOrElse(0L)
+      // Fail loud on an unparsable published dir name rather than
+      // silently reporting version 0 — matches the posture elsewhere
+      // in this file, and SnapshotSwapSpec asserts on this value.
+      versionOf(table, snap).getOrElse(sys.error(
+        s"published snapshot dir '$snap' of '$table' does not parse " +
+          "as a versioned snapshot name"))
     }
   }
 

@@ -29,9 +29,9 @@ trait GraphTransport {
 /** Live remote-graph transport (P2, remote_graph.py:59-66): POST the
   * search expression to the server's graph-search endpoint
   * (`{base}/graph/{graph}/search/graph`, the resource the reference's
-  * `ResotoClient.search_graph(search, graph)` drives), spool the
-  * ndjson envelope response to a local file, and read the spool as a
-  * normal envelope stream. The search is evaluated SERVER-side — the
+  * `ResotoClient.search_graph(search, graph)` drives), parse the
+  * ndjson response LINE-incrementally, and read the spooled chunks as
+  * a normal envelope stream. The search is evaluated SERVER-side — the
   * whole point of the remote protocol is that the filter is pushed
   * over the wire and only the selected subgraph ever crosses it — so
   * unlike [[JsonlDumpTransport]] no local re-evaluation happens here.
@@ -41,13 +41,25 @@ trait GraphTransport {
   * which a production transport would mirror — the header seam is the
   * same either way. Exercised against an in-process loopback server by
   * HttpTransportSpec (this sandbox has no network egress).
+  *
+  * Spool shape: the response body is never buffered or written whole.
+  * Lines stream through a bounded reader into GZIP chunk files rotated
+  * at `chunkBytes` of COMPRESSED output, so (a) driver memory is one
+  * line + one stream buffer regardless of response size, (b) local
+  * scratch holds a compressed fraction of the body (ndjson envelopes
+  * gzip at roughly 5-10x), never 1x of it, and (c) a multi-GB search
+  * lands as MANY chunk files, which `spark.read.json(dir)` fans out
+  * across executors — one non-splittable gzip member per chunk is
+  * fine because parallelism comes from chunk COUNT. Closes COVERAGE
+  * P2's spool-the-whole-body caveat.
   */
 final class HttpGraphTransport(baseUrl: String, graph: String,
-    psk: Option[String], spoolDir: String) extends GraphTransport {
+    psk: Option[String], spoolDir: String,
+    chunkBytes: Long = 128L << 20) extends GraphTransport {
 
   override def envelopes(spark: SparkSession,
       search: Option[String]): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths}
     val expr = search.getOrElse("is(graph_root) -[2:]->")
     val conn = new java.net.URL(
       s"$baseUrl/graph/$graph/search/graph")
@@ -64,12 +76,38 @@ final class HttpGraphTransport(baseUrl: String, graph: String,
     if (code != 200)
       sys.error(s"graph search failed: HTTP $code from $baseUrl " +
         s"(graph=$graph)")
-    Files.createDirectories(Paths.get(spoolDir))
+    // Fresh dir per (graph, search): a retried search must not mix its
+    // chunks with a previous attempt's.
     val spool = Paths.get(spoolDir,
-      s"envelopes_${Integer.toHexString((graph, expr).hashCode)}.jsonl")
-    val in = conn.getInputStream
-    try Files.copy(in, spool, StandardCopyOption.REPLACE_EXISTING)
-    finally in.close()
+      s"envelopes_${Integer.toHexString((graph, expr).hashCode)}")
+    graft.sink.SnapshotSwap.rm(spool)
+    Files.createDirectories(spool)
+    val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+      conn.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      var chunkIdx = 0
+      var chunkFile: java.io.File = null
+      var chunkOut: java.io.OutputStream = null
+      def rotate(): Unit = {
+        if (chunkOut != null) chunkOut.close()
+        chunkFile = spool.resolve(f"part-$chunkIdx%05d.jsonl.gz").toFile
+        chunkOut = new java.util.zip.GZIPOutputStream(
+          new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(chunkFile), 1 << 16))
+        chunkIdx += 1
+      }
+      rotate()
+      var line = reader.readLine()
+      while (line != null) {
+        // Rotate on the COMPRESSED size already flushed to disk — the
+        // cap bounds chunk files, not pre-compression input.
+        if (chunkFile.length() >= chunkBytes) rotate()
+        chunkOut.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        chunkOut.write('\n')
+        line = reader.readLine()
+      }
+      chunkOut.close()
+    } finally reader.close()
     GraphSource.readEnvelopes(spark, spool.toString)
   }
 }

@@ -43,7 +43,7 @@ object ConstrainedSoak {
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkEnv.session(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SOAK_DIR", "/tmp/graft_soak_x10")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SOAK_DIR", s"${graft.Tables.scratchRoot}/graft_soak_x10")
     val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val memSpill = new AtomicLong(0L)

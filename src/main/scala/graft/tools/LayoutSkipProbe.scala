@@ -26,8 +26,8 @@ object LayoutSkipProbe {
     val orders = spark.read.parquet(s"$d/orders.parquet")
       .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
     val total = orders.count()
-    val unsorted = "/tmp/graft_layout_unsorted"
-    val sorted = "/tmp/graft_layout_sorted"
+    val unsorted = s"${graft.Tables.scratchRoot}/graft_layout_unsorted"
+    val sorted = s"${graft.Tables.scratchRoot}/graft_layout_sorted"
     // Same rows, two layouts, identical file counts.
     orders.repartition(8).write.mode("overwrite").parquet(unsorted)
     orders.repartitionByRange(8, col("o_orderdate"))
@@ -59,7 +59,7 @@ object LayoutSkipProbe {
 
     // Control experiment on an integer key (isolates timestamp-specific
     // pushdown behavior from the row-group-skip machinery itself).
-    val sortedInt = "/tmp/graft_layout_sorted_int"
+    val sortedInt = s"${graft.Tables.scratchRoot}/graft_layout_sorted_int"
     orders.repartitionByRange(8, col("o_orderkey"))
       .sortWithinPartitions("o_orderkey")
       .write.mode("overwrite").parquet(sortedInt)

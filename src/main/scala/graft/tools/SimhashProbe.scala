@@ -9,7 +9,7 @@ object SimhashProbe {
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkEnv.session(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    val d = args.headOption.getOrElse("/tmp/graft_soak_x100")
+    val d = args.headOption.getOrElse(s"${graft.Tables.scratchRoot}/graft_soak_x100")
     graft.functions.SketchFunctions.register(spark)
     val docs = spark.read.parquet(s"$d/documents.parquet")
     val sigs = docs

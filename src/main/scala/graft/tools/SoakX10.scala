@@ -348,7 +348,7 @@ object SoakX10 {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val baseSf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val x = sys.env.getOrElse("SPARK_GRAFT_SOAK_X", "10").toLong
-    val dir = s"/tmp/graft_soak_x$x"
+    val dir = s"${graft.Tables.scratchRoot}/graft_soak_x$x"
     ensureSoakDir(spark, baseSf, dir, x)
     val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)

@@ -18,8 +18,8 @@ class CompactionSpec extends SparkSpecBase {
   test("compaction reduces the file census to the size-derived plan") {
     SparkEntry.queries("q_compact_files")(spark, dir).count()
     val tag = Tables.dirTag(dir)
-    val frag = s"/tmp/graft_frag_orders_$tag"
-    val compacted = s"/tmp/graft_compact_orders_$tag"
+    val frag = s"${graft.Tables.scratchRoot}/graft_frag_orders_$tag"
+    val compacted = s"${graft.Tables.scratchRoot}/graft_compact_orders_$tag"
     val nFrag = partFiles(frag).length
     val nCompact = partFiles(compacted).length
     assert(nFrag == 64)

@@ -490,7 +490,7 @@ class PlanQualitySpec extends SparkSpecBase {
     // the accumulated corpus every micro-batch).
     val batch = graft.Tables.t(spark, dir, "documents")
       .filter(col("doc_id") % 4 === 3)
-    val idxDir = "/tmp/graft_digidx_" + graft.Tables.dirTag(dir) + "_v1"
+    val idxDir = graft.Tables.scratchRoot + "/graft_digidx_" + graft.Tables.dirTag(dir) + "_v1"
     val baseIdx = {
       // ensure the index exists at this sf (the gate normally builds it)
       graft.SparkEntry.queries("q_dedup_incremental")(spark, dir)
@@ -564,7 +564,7 @@ class PlanQualitySpec extends SparkSpecBase {
     // Setup: run the gate once so the acceptance dirs exist, then
     // inspect the unmaterialized fold plan.
     SparkEntry.queries("q_index_compact")(spark, dir).count()
-    val root = s"/tmp/graft_idxcomp_${Tables.dirTag(dir)}"
+    val root = s"${graft.Tables.scratchRoot}/graft_idxcomp_${Tables.dirTag(dir)}"
     val p = graft.queries.TextQueries.indexCompactPlan(spark, dir, root)
       .queryExecution.executedPlan.toString
     assert(p.contains("graft_digidx_"), p)

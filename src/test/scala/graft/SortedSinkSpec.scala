@@ -16,7 +16,7 @@ class SortedSinkSpec extends SparkSpecBase {
   test("time slice materializes a fraction of the sorted event log") {
     // Build the sorted sink exactly as the gate does.
     SparkEntry.queries("q_sink_sorted")(spark, dir).count()
-    val sorted = s"/tmp/graft_sorted_events_${Tables.dirTag(dir)}"
+    val sorted = s"${graft.Tables.scratchRoot}/graft_sorted_events_${Tables.dirTag(dir)}"
     val total = spark.read.parquet(sorted).count()
     val ev = Tables.events(spark, dir)
     val t0 = ev.agg(min("ts")).head().getTimestamp(0).toInstant

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 class StreamAnnSpec extends SparkSpecBase {
 
   private val dir = "/root/testdata/sf0.001"
-  private def root = s"/tmp/graft_sann_${Tables.dirTag(dir)}"
+  private def root = s"${graft.Tables.scratchRoot}/graft_sann_${Tables.dirTag(dir)}"
 
   test("streamed candidate union equals the batch-mode probe") {
     // Run the gate (drives the stream end-to-end, leaves obs/idx dirs).
@@ -44,7 +44,7 @@ class StreamAnnSpec extends SparkSpecBase {
     // pinned by the test below), so reconstruct the batch rows from
     // the dump — robust to the stream's file-to-batch assignment
     // order.
-    val srcDir = s"/tmp/graft_stream_vecb_${Tables.dirTag(dir)}" +
+    val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_vecb_${Tables.dirTag(dir)}" +
       s"_v${graft.queries.StreamQueries.DumpVersion}"
     val batchIds = spark.read.parquet(s"$root/idx/batch=$id")
       .select("vec_id").distinct()

@@ -6,7 +6,7 @@ row count, column names, and cell values."""
 import json, math, subprocess, sys, os, glob
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT = "/tmp/graft_verify_out"
+OUT = os.environ.get("GRAFT_SCRATCH", "/tmp") + "/graft_verify_out"
 ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
 
 ADD_OPENS = []
