@@ -93,6 +93,53 @@ object TextStats {
     new GenericInternalRow(Array[Any](nG2, grams.size(), topCount))
   }
 
+  /** Shannon entropy (bits) over the string's Unicode code points —
+    * one JIT pass, one int-keyed histogram; log2(n) - sum(c ln c)/n /
+    * ln 2 avoids a division per distinct char. Matches DuckDB's
+    * `entropy()` aggregate over `string_split(text, '')` (both log2;
+    * fp noise is orders below the gate's 4-decimal rounding). */
+  def charEntropy(s: UTF8String): Double = {
+    val str = s.toString
+    val counts = new java.util.HashMap[Integer, Integer](64)
+    var i = 0
+    var n = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      counts.merge(cp, 1, (a, b) => a + b)
+      n += 1
+    }
+    if (n == 0) 0.0
+    else {
+      var acc = 0.0
+      val it = counts.values().iterator()
+      while (it.hasNext) { val c = it.next().doubleValue(); acc += c * Math.log(c) }
+      (Math.log(n) - acc / n) / Math.log(2.0)
+    }
+  }
+
+  /** The string plus every single-character deletion of it — the
+    * deletion-neighborhood blocking key set for edit-distance-1 joins.
+    * COMPLETE for lev <= 1: identity covers lev 0; a substitution at i
+    * makes both i-deletions equal; an insertion/deletion makes one
+    * side's deletion equal the other's identity. Not exact — e.g. a
+    * transposition (ab/ba) intersects at lev 2 — so candidates need
+    * the exact levenshtein verify, which is the join's filter anyway.
+    * Keys are generated in one JIT pass; a SQL transform(sequence(...))
+    * formulation walks an interpreted lambda per character. */
+  def delVariants(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val out = new Array[Any](str.length + 1)
+    out(0) = s.clone()
+    var i = 0
+    while (i < str.length) {
+      out(i + 1) = UTF8String.fromString(
+        str.substring(0, i) + str.substring(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val sha = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("SHA-256")
@@ -174,6 +221,14 @@ object TextStats {
     }.toArray
 }
 
+private[functions] trait StringInput { self: UnaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.sql}")
+  }
+}
+
 private[functions] trait TokenArrayInput { self: UnaryExpression =>
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -245,10 +300,49 @@ case class WinnowFingerprint(child: Expression, n: Int = 3, w: Int = 4)
     copy(child = newChild)
 }
 
+/** char_entropy(string) → double — Shannon entropy (bits) of the
+  * string's code-point distribution, the classic gibberish/compression
+  * quality signal (too-low = repeated filler, too-high = random bytes).
+  * A SQL formulation needs explode-per-character — one row per char
+  * through an exchange; this is one codegen'd histogram pass per row. */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression with StringInput {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_entropy"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextStats.charEntropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextStats.charEntropy($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
+/** del_variants(string) → array<string> — the string and its
+  * single-character deletions (edit-distance-1 blocking keys). */
+case class DelVariants(child: Expression)
+    extends UnaryExpression with StringInput {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "del_variants"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextStats.delVariants(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextStats.delVariants($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): DelVariants =
+    copy(child = newChild)
+}
+
 object TextStatFunctions {
   /** Register lang_hits (bound to the given per-language stopword
-    * sets), rep_stats, and winnow_fp (idempotent — same route as
-    * minhash_sig). */
+    * sets), rep_stats, winnow_fp, and char_entropy (idempotent — same
+    * route as minhash_sig). */
   def register(spark: SparkSession, langSets: Seq[Seq[String]]): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lang_hits", exprs => TokenSetHits(exprs.head, langSets), "built-in")
@@ -256,5 +350,9 @@ object TextStatFunctions {
       "rep_stats", exprs => RepetitionStats(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_fp", exprs => WinnowFingerprint(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_entropy", exprs => CharEntropy(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "del_variants", exprs => DelVariants(exprs.head), "built-in")
   }
 }

@@ -184,6 +184,56 @@ object SnapshotQueries {
         |  FROM documents WHERE doc_id % 5 <> 0)
         |ORDER BY ref""".stripMargin)),
 
+    // Explicit retention maintenance (Iceberg expire_snapshots) on a
+    // published table: four syncs accumulate generations, a tag pins
+    // the oldest past the automatic sweep's HEAD+parent horizon, and
+    // the maintenance op reclaims history on ITS schedule — first
+    // expire deletes exactly the parent (tag still protecting v1;
+    // HEAD untouchable), dropping the tag then lets the second expire
+    // reclaim the pinned generation, leaving exactly one physical
+    // copy. The storage-cost lever at 100 TB: every retained
+    // generation is a full table copy, and the conservative per-sync
+    // sweep alone never goes below HEAD+parent+refs. The gate emits
+    // the HEAD aggregate (oracle recomputes from documents) plus the
+    // protocol booleans the oracle pins TRUE — each TRUE is exact by
+    // construction (expireSnapshots returns the deleted version list;
+    // the remaining-generation census counts physical dirs).
+    "q_snapshot_expire" -> ((
+      (s: SparkSession, d: String) => {
+        val base = s"${graft.Tables.scratchRoot}/graft_expire_${graft.Tables.dirTag(d)}"
+        SnapshotSwap.rm(java.nio.file.Paths.get(base))
+        val docs = t(s, d, "documents")
+        def gen(m: Int) = docs.filter(col("doc_id") % m =!= 0)
+          .select(col("doc_id"), col("n_chars"))
+        SnapshotSwap.writeManifested(gen(7), base, "docs") // v1
+        SnapshotSwap.tagSnapshot(base, "docs", "pinned")
+        SnapshotSwap.writeManifested(gen(3), base, "docs") // v2
+        SnapshotSwap.writeManifested(gen(2), base, "docs") // v3
+        SnapshotSwap.writeManifested(gen(5), base, "docs") // v4 = HEAD
+        // Post-sync state: v1 (tagged), v3 (parent), v4 (HEAD); the
+        // regular sweep already reclaimed v2.
+        val expiredWhileTagged = SnapshotSwap.expireSnapshots(base, "docs")
+        SnapshotSwap.dropTag(base, "docs", "pinned")
+        val expiredAfterDrop = SnapshotSwap.expireSnapshots(base, "docs")
+        val generationsLeft = SnapshotSwap.listDirNames(base)
+          .count(_.startsWith("_snap_docs-"))
+        SnapshotSwap.readManifested(s, base, "docs")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").cast("long").as("sum_chars"),
+            sum("doc_id").cast("long").as("sum_ids"))
+          .select(col("n_docs"), col("sum_chars"), col("sum_ids"),
+            lit(expiredWhileTagged == Seq(3L)).as("expired_parent_only"),
+            lit(expiredAfterDrop == Seq(1L)).as("expired_pinned_after_drop"),
+            lit(generationsLeft == 1).as("single_generation_left"))
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  TRUE AS expired_parent_only,
+        |  TRUE AS expired_pinned_after_drop,
+        |  TRUE AS single_generation_left
+        |FROM documents WHERE doc_id % 5 <> 0""".stripMargin)),
+
     // Live OPTIMIZE under the snapshot protocol (r9 VERDICT #3) — the
     // composition of the q_compact_files kernel with the manifest CAS:
     // a PUBLISHED table accumulates small files (here: a 48-way

@@ -1726,6 +1726,26 @@ object TextQueries {
          |round(len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')), 6) AS ttr
          |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Character-entropy quality signal: Shannon bits over the
+    // code-point distribution — the classic gibberish/compression
+    // filter (too-low = repeated filler, too-high = random bytes;
+    // Gopher/RefinedWeb-family heuristic). One codegen'd histogram
+    // pass per row (char_entropy, TextStatExpressions) — the SQL
+    // formulation explodes one row PER CHARACTER through an exchange,
+    // a corpus-sized explode for a map-computable scalar.
+    "q_text_entropy" -> ((
+      (s: SparkSession, d: String) => {
+        registerTextStats(s)
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            round(expr("char_entropy(text)"), 4).as("char_entropy"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, round(entropy(c), 4) AS char_entropy
+        |FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |      FROM documents)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Token counting: whitespace tokens + a BPE-ish regex segmentation.
     "q_text_tokens" -> ((
       (s: SparkSession, d: String) =>
@@ -1752,6 +1772,53 @@ object TextQueries {
       """SELECT doc_id,
         |sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Fuzzy (edit-distance) join — entity resolution between a dirty
+    // probe set and a clean catalog. Probes are derived
+    // deterministically (one character deleted from every 40th part
+    // name, position keyed by the partkey) so both engines build the
+    // same dirty side. Candidate generation is DELETION-NEIGHBORHOOD
+    // blocking: each side explodes to its string plus all
+    // single-character deletions, and lev(a,b) <= 1 GUARANTEES the two
+    // neighborhoods intersect (del_variants, TextStatExpressions — a
+    // provably complete, slightly over-generating blocking for k=1
+    // whose false candidates the exact verify drops; k=2 composes the
+    // same keys a second time). At 100 TB this is an equi-join on short variant
+    // keys — fan-out bounded by name length, never a cross join, and
+    // the codegen'd levenshtein verify runs only on candidates. The
+    // naive formulation IS the oracle (brute-force lev over the cross
+    // product), tractable for DuckDB at the verify SF only.
+    "q_join_fuzzy" -> ((
+      (s: SparkSession, d: String) => {
+        registerTextStats(s)
+        val part = t(s, d, "part").select(col("p_partkey"), col("p_name"))
+        val probes = part.filter(col("p_partkey") % 40 === 1)
+          .select(col("p_partkey").as("probe_id"),
+            concat(
+              expr("substr(p_name, 1, cast(p_partkey % length(p_name) AS INT))"),
+              expr("substr(p_name, cast(p_partkey % length(p_name) AS INT) + 2)"))
+              .as("q_name"))
+        val catKeys = part.select(col("p_partkey"), col("p_name"),
+          explode(expr("del_variants(p_name)")).as("v"))
+        val probeKeys = probes.select(col("probe_id"), col("q_name"),
+          explode(expr("del_variants(q_name)")).as("v"))
+        probeKeys.join(catKeys, "v")
+          .select("probe_id", "q_name", "p_partkey", "p_name").distinct()
+          .filter(expr("levenshtein(q_name, p_name) <= 1"))
+          .select(col("probe_id"), col("p_partkey").as("match_key"),
+            expr("levenshtein(q_name, p_name)").cast("int").as("dist"))
+          .orderBy("probe_id", "match_key")
+      },
+      """WITH probes AS (
+        |  SELECT p_partkey AS probe_id,
+        |    substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT))
+        |      || substr(p_name, CAST(p_partkey % length(p_name) AS INT) + 2) AS q_name
+        |  FROM part WHERE p_partkey % 40 = 1)
+        |SELECT probe_id, p.p_partkey AS match_key,
+        |  CAST(levenshtein(q_name, p.p_name) AS INT) AS dist
+        |FROM probes, part p
+        |WHERE levenshtein(q_name, p.p_name) <= 1
+        |ORDER BY probe_id, match_key""".stripMargin)),
 
     // Feature hashing (the hashing trick): tokens bucketed by a digest
     // prefix into a fixed 256-dim hashed bag-of-words — the

@@ -350,6 +350,42 @@ object SnapshotSwap {
     dataDir
   }
 
+  /** Iceberg-style `expire_snapshots`: delete this table's generations
+    * beyond the newest `retainLast` distinct versions, except
+    * generations pinned by a ref (tags always win — drop the ref
+    * first to reclaim) and never the published HEAD. Returns the
+    * versions deleted, ascending. Runs under the commit lock so it
+    * cannot race a concurrent publish or tag.
+    *
+    * The automatic per-sync sweep (writeManifestedImpl) is
+    * deliberately conservative: it retains HEAD's PARENT one extra
+    * generation for in-flight readers and only runs when a sync
+    * happens. This explicit maintenance op is how a deployment
+    * reclaims history beyond that floor on its own schedule — the
+    * storage-cost lever at 100 TB, where each retained generation is
+    * a full table copy. Expiring a generation breaks AS-OF reads
+    * older than the retention horizon, exactly as in Iceberg. */
+  def expireSnapshots(base: String, table: String,
+      retainLast: Int = 1): Seq[Long] = {
+    require(retainLast >= 1, "retainLast must keep at least HEAD")
+    val fs = swapFsFor(base)
+    withCommitLock(fs, base, table) {
+      val tagged = taggedNames(fs, base, table)
+      val headName = currentSnapshot(base, table)
+      val prefix = s"_snap_$table-"
+      val versioned = fs.listNames(base)
+        .filter(_.startsWith(prefix))
+        .flatMap(n => versionOf(table, n).map(v => (v, n)))
+      val keepVersions =
+        versioned.map(_._1).distinct.sorted.takeRight(retainLast).toSet
+      val victims = versioned.filter { case (v, n) =>
+        !keepVersions.contains(v) && !tagged.contains(n) &&
+          !headName.contains(n) }
+      victims.foreach { case (_, n) => fs.deleteRecursive(s"$base/$n") }
+      victims.map(_._1).sorted
+    }
+  }
+
   /** The per-table commit critical section (shared by the manifest
     * repoint and ref commits). A crashed writer must not wedge every
     * future commit: the section is microseconds, so a lock older than

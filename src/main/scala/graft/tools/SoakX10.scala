@@ -205,7 +205,17 @@ object SoakX10 {
     // Grouped heavy hitters: groups stay fixed (3 languages) while
     // the token stream grows 100x — the pass-1 exchange must stay at
     // <=k counters per group, pass 2 at the broadcast-pruned scan.
-    "q_group_topk")
+    "q_group_topk",
+    // Round 11. Char entropy: one codegen'd map pass — cost = scan.
+    "q_text_entropy",
+    // Fuzzy join: probes scale with the parts (every 40th), catalog
+    // variants explode by name length — the variant equi-join must
+    // track candidate pairs, never the cross product.
+    "q_join_fuzzy",
+    // Retention maintenance: four publishes (linear in snapshot
+    // size) + two expires whose list/delete work is generation-count
+    // sized, O(1) in data.
+    "q_snapshot_expire")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen
@@ -284,7 +294,7 @@ object SoakX10 {
     * larger) text/vector soak fixtures already on disk. */
   private def ensureRelationalSoak(spark: SparkSession, baseSf: String,
       dir: String, x: Long): Unit = {
-    val done = java.nio.file.Paths.get(dir, "_DONE_REL_v2")
+    val done = java.nio.file.Paths.get(dir, "_DONE_REL_v3")
     if (java.nio.file.Files.exists(done)) return
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val copies = spark.range(x).select(col("id").as("copy"))
@@ -330,7 +340,26 @@ object SoakX10 {
       "l_partkey" -> nPart, "l_suppkey" -> nSupp))
     scaleTable("orders", Map("o_orderkey" -> nOrd, "o_custkey" -> nCust))
     scaleTable("customer", Map("c_custkey" -> nCust))
-    scaleTable("part", Map("p_partkey" -> nPart))
+    // part: keys offset per copy AND p_name run through the per-copy
+    // cipher (same rationale as documents.text, r10): names replicated
+    // verbatim would make every fuzzy-join probe match all copies of
+    // its neighborhood — the true answer would grow quadratically with
+    // the copy count, a fixture artifact. The cipher preserves name
+    // lengths, intra-copy similarity structure, and the deletion-
+    // neighborhood sizes exactly while decorrelating copies. Branch
+    // per copy (translate's mapping is a literal), small table.
+    (0L until x).map { c =>
+      val cols = part.columns.toSeq.map {
+        case "p_partkey" => (col("p_partkey") + lit(c * nPart)).as("p_partkey")
+        case "p_name" =>
+          translate(col("p_name"), "abcdefghijklmnopqrstuvwxyz",
+            permutedAlphabet(c)).as("p_name")
+        case other => col(other)
+      }
+      part.select(cols: _*)
+    }.reduce(_.unionByName(_))
+      .repartition(par)
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
     scaleTable("supplier", Map("s_suppkey" -> nSupp))
     Seq("nation", "region").foreach { name =>
       spark.read.parquet(s"$baseSf/$name.parquet")

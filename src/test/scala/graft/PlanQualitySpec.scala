@@ -279,6 +279,25 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("q_text_entropy is one map-only codegen pass: no explode, no join") {
+    val p = planOf("q_text_entropy")
+    // The SQL formulation explodes one row per CHARACTER through an
+    // exchange; the expression form must stay a single projected scan.
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("char_entropy"), p)
+  }
+
+  test("q_join_fuzzy equi-joins deletion variants, never a theta/cross join") {
+    val p = planOf("q_join_fuzzy")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // Exactly the two Generates (catalog + probe variant explodes) —
+    // levenshtein must filter candidates, never drive the join itself.
+    assert("(?<!Broadcast)HashJoin|SortMergeJoin".r
+      .findFirstIn(p).isDefined || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_text_bm25 takes top-20 per partition and broadcasts df") {
     val p = planOf("q_text_bm25")
     // The score ranking must be per-partition heads (TakeOrdered), not

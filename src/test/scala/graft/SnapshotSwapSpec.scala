@@ -400,6 +400,29 @@ class SnapshotSwapSpec extends SparkSpecBase {
     assert(SnapshotSwap.currentSnapshot(base, "t").isEmpty)
   }
 
+  test("expireSnapshots honors retainLast, refs, and never deletes HEAD") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_swap_expire").toString
+    def df(n: Int) = Seq.tabulate(n)(i => (i, s"v$i")).toDF("id", "v")
+    val p1 = SnapshotSwap.writeManifested(df(1), base, "t") // v1
+    SnapshotSwap.tagSnapshot(base, "t", "keep")
+    val p2 = SnapshotSwap.writeManifested(df(2), base, "t") // v2
+    val p3 = SnapshotSwap.writeManifested(df(3), base, "t") // v3 HEAD
+    // retainLast=2 keeps v2+v3; v1 survives on its ref alone.
+    assert(SnapshotSwap.expireSnapshots(base, "t", retainLast = 2) === Seq())
+    assert(Files.exists(Paths.get(p1)) && Files.exists(Paths.get(p2)))
+    // retainLast=1: v2 reclaimed, v1 still ref-pinned, HEAD untouched.
+    assert(SnapshotSwap.expireSnapshots(base, "t") === Seq(2L))
+    assert(Files.exists(Paths.get(p1)) && !Files.exists(Paths.get(p2)))
+    // ref dropped: the pinned generation is reclaimable; only HEAD is
+    // left and a further expire is a no-op.
+    SnapshotSwap.dropTag(base, "t", "keep")
+    assert(SnapshotSwap.expireSnapshots(base, "t") === Seq(1L))
+    assert(!Files.exists(Paths.get(p1)) && Files.exists(Paths.get(p3)))
+    assert(SnapshotSwap.expireSnapshots(base, "t") === Seq())
+    assert(SnapshotSwap.readManifested(spark, base, "t").count() === 3)
+  }
+
   test("stringifyNested maps complex columns to JSON text for CSV") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

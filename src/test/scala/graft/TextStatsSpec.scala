@@ -91,10 +91,60 @@ class TextStatsSpec extends SparkSpecBase {
       .withColumn("text", concat_ws(" ", lit("the"), col("id").cast("string")))
       .select(expr("lang_hits(split(text, ' '))"),
         expr("rep_stats(split(text, ' '))"),
-        expr("winnow_fp(split(text, ' '))"))
+        expr("winnow_fp(split(text, ' '))"),
+        expr("char_entropy(text)"),
+        expr("del_variants(text)"))
     // "*(1)" prefixes mark operators fused into a WholeStageCodegen stage
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project"))
     assert(df.collect().length === 10)
+  }
+
+  test("char_entropy matches the explode/log2 formulation") {
+    val df = docs("aabb", "abcd", "aaaa", "", "a",
+        "mississippi river basin")
+      .select(col("doc_id"), expr("char_entropy(text)").as("e"))
+      .orderBy("doc_id").collect().map(_.getDouble(1))
+    // explode-per-char twin: -sum(p log2 p) over the char histogram
+    val twin = docs("aabb", "abcd", "aaaa", "", "a",
+        "mississippi river basin")
+      .select(col("doc_id"), col("text")).collect().map { r =>
+        val s = r.getString(1)
+        if (s.isEmpty) 0.0
+        else {
+          val n = s.length.toDouble
+          s.groupBy(identity).values.map { g =>
+            val p = g.length / n
+            -p * math.log(p) / math.log(2.0)
+          }.sum
+        }
+      }
+    df.zip(twin).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-12, s"$got vs $want") }
+  }
+
+  test("del_variants is the complete edit-distance-1 blocking key set") {
+    val got = docs("abc")
+      .select(expr("del_variants(text)")).head().getSeq[String](0)
+    assert(got === Seq("abc", "bc", "ac", "ab"))
+    // COMPLETENESS: lev<=1 => neighborhoods intersect, checked
+    // exhaustively over short strings — the claim the fuzzy join
+    // relies on. (Not an iff: a transposition like ab/ba intersects
+    // at lev 2 — a harmless extra candidate the exact verify drops.)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def nbr(s: String): Set[String] =
+      (s +: s.indices.map(i => s.take(i) + s.drop(i + 1))).toSet
+    val alphabet = Seq("", "a", "b", "ab", "ba", "aa", "abc", "bac",
+      "abcd", "acd", "xbcd", "abyd", "zzzz")
+    for (x <- alphabet; y <- alphabet if lev(x, y) <= 1)
+      assert((nbr(x) & nbr(y)).nonEmpty,
+        s"'$x' vs '$y': lev=${lev(x, y)} but not blocked")
   }
 }

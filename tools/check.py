@@ -97,6 +97,13 @@ BOUNDARY_AUDITS = {
                * -1000000.0 AS x
         FROM c12 JOIN c1 ON string_split(c12.g, ' ')[1] = c1.w1, v)
       SELECT min(abs(x - floor(x) - 0.5)) FROM raw""",
+    "q_text_entropy": """
+      WITH h AS (
+        SELECT doc_id, entropy(c) * 10000.0 AS x
+        FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+              FROM documents)
+        GROUP BY doc_id)
+      SELECT min(abs(x - floor(x) - 0.5)) FROM h""",
 }
 
 # The audit SQL above hand-mirrors the oracle formulas. Tripwire: if a
@@ -107,6 +114,7 @@ AUDIT_MIRROR_CONSTANTS = {
     "q_text_bm25_multi": ["* 2.2", "1.2 *", "0.25 + 0.75", "+ 0.5)",
                           "10000.0"],
     "q_text_perplexity": ["+ 1.0)", "-1000000.0"],
+    "q_text_entropy": ["entropy(c)", "round(entropy(c), 4)"],
 }
 
 def boundary_audit(con, oracles):
