@@ -30,6 +30,30 @@ object ExtraQueries {
         count(lit(1)).as("n"))
   }
 
+  /** Weekly PERCENTILE_DISC from persisted per-day count-histogram
+    * partials (q_agg_quantile_rollup's second level). Takes the
+    * partial relation as a DataFrame so PlanQualitySpec can assert the
+    * gate's returned plan contains ONLY the partial scan — the event
+    * log must never be re-read by the rollup. Merge is a counts sum;
+    * the cumulative window runs over the merged histogram (one row per
+    * distinct (week, value) — domain-sized, not row-sized). */
+  private[graft] def quantileRollupPlan(daily: DataFrame): DataFrame = {
+    val weekly = daily
+      .withColumn("week", expr("day div 7"))
+      .groupBy("week", "cents").agg(sum("cnt").as("cnt"))
+    val wCum = Window.partitionBy("week").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("week")
+    weekly
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wAll))
+      .groupBy("week")
+      .agg(sum("cnt").as("n_events"),
+        min(when(col("cum") >= col("n") * 0.5, col("cents"))).as("p50_e2"),
+        min(when(col("cum") >= col("n") * 0.9, col("cents"))).as("p90_e2"))
+      .orderBy("week")
+  }
+
   /** The CDC change-log view of the events table — op derived
     * deterministically (every 11th event a DELETE, the rest UPSERTs),
     * value in integer cents, event time in micros. Shared by
@@ -366,6 +390,43 @@ object ExtraQueries {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
         |  TRUE AS in_bound
         |FROM e GROUP BY 1 ORDER BY week""".stripMargin)),
+
+    // Persisted-partial quantile rollup — the percentile twin of
+    // q_agg_hll_union: per-day partials land in parquet and the weekly
+    // report aggregates ONLY the partials, never re-scanning the event
+    // log. Spark exposes no mergeable quantile-sketch pair the way it
+    // does hll_sketch_agg/hll_union_agg, and for a bounded-domain
+    // measure none is needed: the exact count HISTOGRAM (distinct
+    // value, count) IS a mergeable quantile summary — merge = counts
+    // sum, and it hash-verifies exactly (no guarantee-bound booleans).
+    // Per-day partial size is the distinct-value count regardless of
+    // row count; the q_agg_quantile scaladoc's scale argument applies
+    // per partial. A truly unbounded-domain measure would swap the
+    // histogram for a KLL/t-digest binary column at the same seam with
+    // the same two-level shape. Integer cents pre-cast keeps both
+    // engines' histograms bit-identical.
+    "q_agg_quantile_rollup" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = graft.Tables.events(s, d)
+          .select(expr("unix_micros(ts) div 86400000000").as("day"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .filter(col("cents").isNotNull)
+        val dailyDir =
+          s"${graft.Tables.scratchRoot}/graft_qhist_${graft.Tables.dirTag(d)}"
+        ev.groupBy("day", "cents").agg(count(lit(1)).as("cnt"))
+          .write.mode("overwrite").parquet(dailyDir)
+        quantileRollupPlan(s.read.parquet(dailyDir))
+      },
+      """WITH e AS (SELECT
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT CAST(day // 7 AS BIGINT) AS week,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  quantile_disc(cents, 0.5) AS p50_e2,
+        |  quantile_disc(cents, 0.9) AS p90_e2
+        |FROM e WHERE cents IS NOT NULL
+        |GROUP BY 1 ORDER BY week""".stripMargin)),
 
     // GK/KLL-style quantile summary, hash-verifiable (r9 VERDICT #1):
     // percentile_approx's published guarantee is a RANK bound — the

@@ -215,7 +215,11 @@ object SoakX10 {
     // Retention maintenance: four publishes (linear in snapshot
     // size) + two expires whose list/delete work is generation-count
     // sized, O(1) in data.
-    "q_snapshot_expire")
+    "q_snapshot_expire",
+    // Quantile rollup: the daily-partial build scans the 100x log
+    // once; the weekly report aggregates histogram partials whose
+    // size tracks the value DOMAIN, not the rows.
+    "q_agg_quantile_rollup")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

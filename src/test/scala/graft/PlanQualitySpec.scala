@@ -279,6 +279,15 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("q_agg_quantile_rollup's report reads ONLY the persisted partials") {
+    // The gate writes the per-day histogram partials, then the weekly
+    // rollup it RETURNS must aggregate the partial scan alone — an
+    // events.parquet scan in this plan means the log got re-read.
+    val p = planOf("q_agg_quantile_rollup")
+    assert(p.contains("graft_qhist"), p)
+    assert(!p.contains("events.parquet"), p)
+  }
+
   test("q_text_entropy is one map-only codegen pass: no explode, no join") {
     val p = planOf("q_text_entropy")
     // The SQL formulation explodes one row per CHARACTER through an

@@ -85,6 +85,34 @@ class TextStatsPropSpec extends AnyFunSuite {
         row.getUTF8String(1).toString == distinct.mkString(",")
     })
   }
+
+  private val genText: Gen[String] = for {
+    n <- Gen.choose(0, 60)
+    cs <- Gen.listOfN(n, Gen.oneOf(('a' to 'e') ++ Seq(' ', '.', 'Z')))
+  } yield cs.mkString
+
+  test("charEntropy == -sum(p log2 p) over the char histogram") {
+    run(Prop.forAll(genText) { s =>
+      val got = graft.functions.TextStats.charEntropy(UTF8String.fromString(s))
+      val want = if (s.isEmpty) 0.0 else {
+        val n = s.length.toDouble
+        s.groupBy(identity).values
+          .map(g => -(g.length / n) * math.log(g.length / n) / math.log(2.0))
+          .sum
+      }
+      math.abs(got - want) < 1e-12
+    })
+  }
+
+  test("delVariants == identity + each single deletion, in position order") {
+    run(Prop.forAll(genText) { s =>
+      val got = graft.functions.TextStats
+        .delVariants(UTF8String.fromString(s))
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toList
+      got == (s :: s.indices.map(i => s.take(i) + s.drop(i + 1)).toList)
+    })
+  }
 }
 
 private object TextStatsRefs {
