@@ -98,6 +98,18 @@ object ExtraQueries {
         count(lit(1)).as("n"))
   }
 
+  /** q_topk_rollup's report side, taking the persisted per-source MG
+    * partials as a DataFrame so PlanQualitySpec can assert the
+    * candidate derivation reads the partial scan ALONE (a documents
+    * scan on this side would mean the corpus got re-read at rollup
+    * time). One mg_merge fold yields the global <=k candidate summary;
+    * the stream length N rides along as a counts sum. */
+  private[graft] def topkRollupCandidates(daily: DataFrame): DataFrame =
+    daily
+      .agg(expr("mg_merge(hh, 256, 256)").as("hh"), sum("n").as("total"))
+      .select(explode(col("hh")).as("kv"), col("total"))
+      .select(col("kv.item").as("tok"), col("total"))
+
   /** Write both q_join_bucketed sides bucketed+sorted on the join key
     * (same bucket count) and return the lazy aggregated join over the
     * bucketed tables. With broadcast disabled the sort-merge join reads
@@ -301,6 +313,52 @@ object ExtraQueries {
         |GROUP BY t.lang, t.tok, n.total
         |HAVING count(*) * 100 > n.total
         |ORDER BY lang, tok""".stripMargin)),
+
+    // Persisted-summary heavy-hitter rollup — the frequent-items
+    // member of the rollup family (distincts: q_agg_hll_union;
+    // percentiles: q_agg_quantile_rollup): per-source MG summaries
+    // over the token stream are BUILT ONCE (the per-partition partial
+    // a 100 TB deployment materializes nightly — one <=k-counter array
+    // per source, regardless of source size) and round-tripped through
+    // parquet; the global candidate set then comes from ONE mg_merge
+    // fold over the persisted summaries — the `hll_union_agg` analogue
+    // for frequent items (`functions/TopKSketch.MisraGriesMergeAgg`) —
+    // with the corpus never re-scanned at rollup time (plan-gated: the
+    // candidate side of the final join reads the partial scan alone).
+    // Pass 2 exact-counts only the candidates, making the output the
+    // exact heavy-hitter set: DELIBERATELY the same answer as
+    // q_topk_sketch's inline single-level sketch — result identity
+    // between the inline and persisted-partial routes is the point
+    // (the two-level N/(k+1) bound composes because the merge rule is
+    // associative; completeness across random partition splits pinned
+    // in EdgeCasesSpec).
+    "q_topk_rollup" -> ((
+      (s: SparkSession, d: String) => {
+        graft.functions.TopKSketch.register(s)
+        def toks = t(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        val partialDir =
+          s"${graft.Tables.scratchRoot}/graft_mgsrc_${graft.Tables.dirTag(d)}"
+        toks.groupBy("source")
+          .agg(expr("mg_topk(tok, 256, 256)").as("hh"),
+            count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(partialDir)
+        val cand = topkRollupCandidates(s.read.parquet(partialDir))
+        toks.join(broadcast(cand), Seq("tok"))
+          .groupBy("tok")
+          .agg(count(lit(1)).as("cnt"), max("total").as("total"))
+          .filter(col("cnt") * lit(100L) > col("total"))
+          .select("tok", "cnt")
+          .orderBy("tok")
+      },
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |n AS (SELECT count(*) AS total FROM tok)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        |FROM tok, n
+        |GROUP BY tok, n.total
+        |HAVING count(*) * 100 > n.total
+        |ORDER BY tok""".stripMargin)),
 
     // HLL++ distinct sketch, hash-verifiable (r9 VERDICT #1): the gate
     // emits the EXACT per-group distinct counts (what the oracle can

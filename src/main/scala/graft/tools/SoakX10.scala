@@ -219,7 +219,10 @@ object SoakX10 {
     // Quantile rollup: the daily-partial build scans the 100x log
     // once; the weekly report aggregates histogram partials whose
     // size tracks the value DOMAIN, not the rows.
-    "q_agg_quantile_rollup")
+    "q_agg_quantile_rollup",
+    // Heavy-hitter rollup: partial build + exact pass are each one
+    // corpus scan; the merge fold touches <=k counters per source.
+    "q_topk_rollup")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

@@ -132,6 +132,41 @@ class EdgeCasesSpec extends SparkSpecBase {
     }
   }
 
+  test("mg_merge of persisted per-source summaries keeps the two-level N/k bound") {
+    // q_topk_rollup's protocol: level 1 builds one <=k summary per
+    // source (mg_topk with outK=k — the FULL summary, the persisted
+    // partial), level 2 folds ONLY the summaries via mg_merge. The
+    // mergeable-summaries rule is associative, so the composed error
+    // stays <= N/(k+1) across the two levels: every item with true
+    // freq > N/(k+1) must survive into the merged candidate set with
+    // est <= true. Asserted on a stream that overflows k within every
+    // source, split across 7 sources round-robin (uncorrelated with
+    // item identity).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.TopKSketch.register(spark)
+    val heavy = (1 to 5).flatMap(h => Seq.fill(1000)(s"heavy_$h"))
+    val tail = (1 to 10000).map(i => s"tail_$i")
+    val n = heavy.size + tail.size
+    val k = 64
+    val rows = new scala.util.Random(7).shuffle(heavy ++ tail).zipWithIndex
+      .map { case (tok, i) => (s"src${i % 7}", tok) }
+    val merged = rows.toDF("source", "tok")
+      .repartition(16)
+      .groupBy("source")
+      .agg(expr(s"mg_topk(tok, $k, $k)").as("hh"))
+      .agg(expr(s"mg_merge(hh, $k, $k)").as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.est_count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (1 to 5).foreach { h =>
+      val est = merged.getOrElse(s"heavy_$h", 0L)
+      assert(est <= 1000L, s"heavy_$h overestimated: $est")
+      assert(1000L - est <= n.toLong / k,
+        s"heavy_$h est $est breaks the two-level bound")
+    }
+  }
+
   test("q_chunk_sliding covers every token with the spec'd overlap") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"

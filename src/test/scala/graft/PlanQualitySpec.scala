@@ -288,6 +288,18 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("events.parquet"), p)
   }
 
+  test("q_topk_rollup derives candidates from the persisted partials only") {
+    // The final plan joins the exact verify pass (ONE documents scan,
+    // allowed — it is the two-pass exact protocol's second pass) with
+    // the broadcast candidate side, which must read the persisted MG
+    // partial scan — a SECOND documents scan would mean the corpus got
+    // re-read at rollup time.
+    val p = planOf("q_topk_rollup")
+    assert(p.contains("graft_mgsrc"), p)
+    val scans = "documents\\.parquet".r.findAllIn(p).size
+    assert(scans == 1, s"documents scans=$scans\n$p")
+  }
+
   test("q_text_entropy is one map-only codegen pass: no explode, no join") {
     val p = planOf("q_text_entropy")
     // The SQL formulation explodes one row per CHARACTER through an
