@@ -550,7 +550,146 @@ object VectorQueries {
         .filter(col("cosraw") >= DupThreshold)
   }
 
+  // ---- Distributed Lloyd's k-means (quantized, cross-engine exact) ---
+  private val KmK = 8
+  private val KmIters = 3
+
+  /** Corpus quantized to integer milli-units: one double multiply +
+    * half-away round per component (identical in every engine), so the
+    * whole Lloyd loop runs in integer-exact arithmetic — the
+    * q_embed_centroid fixed-point discipline extended to an iterative
+    * operator (a float k-means would hash-mismatch on summation order
+    * and ulp-level assignment flips). */
+  private def qvec(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    t(s, d, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> " +
+        "CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
+  }
+
+  /** One distributed assignment pass against a k-row centroid set held
+    * as LITERALS in the plan (the BPE merge-rule pattern — k x dim
+    * integers is a bounded driver scalar at any corpus size):
+    * dist_c = v.v - 2 v.c + c.c via the codegen'd vec_dot — every
+    * operand is an integer well under 2^53, so the double dot product
+    * is exact and the cast back to long loses nothing; argmin with
+    * lowest-cid tie-break via array_position over the distance array.
+    * Map-only: no join, no exchange — the corpus streams through one
+    * codegen stage per round (plan-gated). */
+  private[graft] def kmeansAssign(e: DataFrame,
+      cents: Array[Array[Long]]): DataFrame = {
+    val withVd = e
+      .withColumn("vd", expr("transform(v, x -> CAST(x AS DOUBLE))"))
+      .withColumn("vv", expr("CAST(vec_dot(vd, vd) AS BIGINT)"))
+    val dists = cents.zipWithIndex.map { case (c, i) =>
+      val cArr = c.map(x => s"CAST($x AS DOUBLE)")
+        .mkString("array(", ",", ")")
+      val cc = c.map(x => x * x).sum
+      (col("vv") - expr(s"CAST(vec_dot(vd, $cArr) AS BIGINT)") * 2L +
+        lit(cc)).as(s"d$i")
+    }
+    withVd.select(col("vec_id") +: col("v") +: dists.toSeq: _*)
+      .withColumn("darr",
+        array(cents.indices.map(i => col(s"d$i")): _*))
+      .withColumn("dist", array_min(col("darr")))
+      .withColumn("cid",
+        (expr("array_position(darr, dist)") - 1L).cast("int"))
+      .select("vec_id", "v", "cid", "dist")
+  }
+
+  /** Round-half-up integer division (quotient at .5 rounds toward
+    * +inf), exact for any sign of `a`, b > 0 — the same pure-integer
+    * floordiv((2a+b), 2b) the oracle computes, so recomputed centroids
+    * are bit-identical across engines. */
+  private def halfUpDiv(a: Long, b: Long): Long =
+    Math.floorDiv(2L * a + b, 2L * b)
+
+  /** DuckDB twin of the Lloyd loop: KmIters unrolled
+    * assign-and-recompute CTE pairs over the same quantized vectors,
+    * same (distance, cid) tie-break, same half-up integer centroid
+    * rounding, same empty-cluster-keeps-previous rule. */
+  private[graft] val kmeansOracleSql: String = {
+    val distExpr = "list_sum(list_transform(range(1, 65), " +
+      "i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])))"
+    def assign(x: Int, prev: String): String =
+      s"""a$x AS (SELECT vec_id, v, cid, d FROM (
+         |  SELECT vec_id, v, cid, d,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |  FROM (SELECT q.vec_id, q.v, c.cid, $distExpr AS d
+         |        FROM q CROSS JOIN $prev c) raw) rk WHERE rn = 1)""".stripMargin
+    def iter(x: Int): String = {
+      val prev = if (x == 1) "c0" else s"c${x - 1}"
+      s"""${assign(x, prev)},
+         |g$x AS (SELECT cid, generate_subscripts(v, 1) AS pos,
+         |          unnest(v) AS x FROM a$x),
+         |s$x AS (SELECT cid, pos, sum(x) AS sx, count(*) AS n
+         |        FROM g$x GROUP BY 1, 2),
+         |c$x AS (SELECT p.cid, COALESCE(m.nv, p.v) AS v
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT cid, list(CAST(((2*sx + n) -
+         |        (((2*sx + n) % (2*n)) + (2*n)) % (2*n)) // (2*n)
+         |      AS BIGINT) ORDER BY pos) AS nv
+         |    FROM s$x GROUP BY cid) m ON m.cid = p.cid)""".stripMargin
+    }
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, v FROM q WHERE vec_id < $KmK),
+       |${(1 to KmIters).map(iter).mkString(",\n")},
+       |${assign(KmIters + 1, s"c$KmIters")}
+       |SELECT vec_id, CAST(cid AS INT) AS cid, CAST(d AS BIGINT) AS dist
+       |FROM a${KmIters + 1} ORDER BY vec_id""".stripMargin
+  }
+
   val entries: Map[String, (Q, String)] = Map(
+
+    // Distributed Lloyd's k-means over the embedding corpus — the
+    // clustering operator itself, complementing the protocols that
+    // only consume its output (IVF lists, PQ codebooks, per-label
+    // centroids). Roles are flipped vs FAISS-protocol training
+    // (centroids(): driver math on a bounded sample): here the
+    // ASSIGNMENT is the distributed work — one map-only codegen pass
+    // per round, centroids riding in the plan as k x dim integer
+    // literals — and only the k x dim partial sums ever reach the
+    // driver (posexplode + partial-aggregating groupBy on (cid, pos):
+    // the exchange carries one partial per partition-cid-dim, and the
+    // collect is k x dim rows regardless of corpus size — the bounded
+    // driver scalar pattern). Quantized fixed-point arithmetic end to
+    // end makes every iteration bit-identical across engines, so the
+    // final per-vector assignment hash-verifies against KmIters
+    // unrolled CTE twins in DuckDB. Init = first k vectors
+    // (deterministic); empty clusters keep their previous centroid.
+    // At 100 TB: cache the quantized corpus across rounds; the
+    // per-round shuffle stays k x dim sized.
+    "q_embed_kmeans" -> ((
+      (s: SparkSession, d: String) => {
+        val e = qvec(s, d)
+        var cents: Array[Array[Long]] = e.filter(col("vec_id") < KmK)
+          .orderBy("vec_id").collect()
+          .map(_.getSeq[Long](1).toArray)
+        for (_ <- 1 to KmIters) {
+          val sums = kmeansAssign(e, cents)
+            .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+            .groupBy("cid", "pos")
+            .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+            .collect()
+          val byCid = sums.groupBy(_.getInt(0))
+          cents = Array.tabulate(KmK) { c =>
+            byCid.get(c) match {
+              case None => cents(c)
+              case Some(rows) =>
+                val out = new Array[Long](cents(c).length)
+                rows.foreach { r =>
+                  out(r.getInt(1)) = halfUpDiv(r.getLong(2), r.getLong(3))
+                }
+                out
+            }
+          }
+        }
+        kmeansAssign(e, cents)
+          .select("vec_id", "cid", "dist").orderBy("vec_id")
+      },
+      kmeansOracleSql)),
 
     // Per-label centroid (the training side of IVF / k-means): one
     // posexplode + partial-aggregating groupBy on (label, dim) — the

@@ -222,7 +222,10 @@ object SoakX10 {
     "q_agg_quantile_rollup",
     // Heavy-hitter rollup: partial build + exact pass are each one
     // corpus scan; the merge fold touches <=k counters per source.
-    "q_topk_rollup")
+    "q_topk_rollup",
+    // K-means: KmIters+1 map-only assignment scans; per-round driver
+    // state is k x dim regardless of corpus size.
+    "q_embed_kmeans")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

@@ -1,0 +1,47 @@
+package graft
+
+/** q_embed_kmeans unit gates: the distributed assignment pass against
+  * a brute-force reference (including the lowest-cid tie-break), and
+  * end-to-end determinism of the Lloyd loop. */
+class KmeansSpec extends SparkSpecBase {
+
+  test("kmeansAssign is the exact argmin with lowest-cid tie-break") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val dim = 5
+    val rnd = new scala.util.Random(3)
+    val vecs = (0L until 40L).map(i =>
+      i -> Array.fill(dim)(rnd.nextInt(2001) - 1000L))
+    // Centroids 0 and 1 identical: every vector is equidistant to
+    // both, so the tie-break must hand the whole corpus to cid 0.
+    val cents = Array(
+      Array.fill(dim)(0L),
+      Array.fill(dim)(0L),
+      Array.fill(dim)(rnd.nextInt(1001).toLong),
+      Array.fill(dim)(-rnd.nextInt(1001).toLong))
+    val e = vecs.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "v")
+    val got = graft.queries.VectorQueries.kmeansAssign(e, cents)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+      .sortBy(_._1)
+    val want = vecs.map { case (id, v) =>
+      val ds = cents.map(c =>
+        v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+      val best = ds.min
+      (id, ds.indexOf(best), best)
+    }
+    assert(got.toSeq == want.toSeq)
+    assert(got.forall(_._2 != 1), "tie-break leaked a cid-1 assignment")
+  }
+
+  test("q_embed_kmeans is deterministic and covers the corpus") {
+    val d = "/root/testdata/sf0.001"
+    val a = SparkEntry.queries("q_embed_kmeans")(spark, d).collect()
+    val b = SparkEntry.queries("q_embed_kmeans")(spark, d).collect()
+    assert(a.toSeq == b.toSeq)
+    val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+    assert(a.length == n.toInt)
+    val cids = a.map(_.getInt(1)).distinct
+    assert(cids.forall(c => c >= 0 && c < 8), cids.toSeq.toString)
+    assert(a.forall(_.getLong(2) >= 0L))
+  }
+}

@@ -300,6 +300,17 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(scans == 1, s"documents scans=$scans\n$p")
   }
 
+  test("q_embed_kmeans assignment is map-only: centroids are plan literals") {
+    // The returned plan is the FINAL assignment pass: centroids ride
+    // as k x dim literals inside codegen'd vec_dot calls — a Join (or
+    // a centroid-side scan) here would mean the assignment shuffles
+    // the corpus against the centroid relation instead of streaming
+    // map-only.
+    val p = planOf("q_embed_kmeans")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("vec_dot"), p)
+  }
+
   test("q_text_entropy is one map-only codegen pass: no explode, no join") {
     val p = planOf("q_text_entropy")
     // The SQL formulation explodes one row per CHARACTER through an
