@@ -37,6 +37,22 @@ object ExtraQueries {
     * log must never be re-read by the rollup. Merge is a counts sum;
     * the cumulative window runs over the merged histogram (one row per
     * distinct (week, value) — domain-sized, not row-sized). */
+  /** Shared oracle of q_agg_quantile_rollup and its streaming twin
+    * q_stream_quantile: weekly exact discrete percentiles straight off
+    * the event log — both gates must reproduce it from merged
+    * histogram partials. */
+  private[graft] val QuantileRollupOracle: String =
+    """WITH e AS (SELECT
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT CAST(day // 7 AS BIGINT) AS week,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  quantile_disc(cents, 0.5) AS p50_e2,
+      |  quantile_disc(cents, 0.9) AS p90_e2
+      |FROM e WHERE cents IS NOT NULL
+      |GROUP BY 1 ORDER BY week""".stripMargin
+
   private[graft] def quantileRollupPlan(daily: DataFrame): DataFrame = {
     val weekly = daily
       .withColumn("week", expr("day div 7"))
@@ -475,16 +491,7 @@ object ExtraQueries {
           .write.mode("overwrite").parquet(dailyDir)
         quantileRollupPlan(s.read.parquet(dailyDir))
       },
-      """WITH e AS (SELECT
-        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
-        |    CAST(round(value * 100) AS BIGINT) AS cents
-        |  FROM events)
-        |SELECT CAST(day // 7 AS BIGINT) AS week,
-        |  CAST(count(*) AS BIGINT) AS n_events,
-        |  quantile_disc(cents, 0.5) AS p50_e2,
-        |  quantile_disc(cents, 0.9) AS p90_e2
-        |FROM e WHERE cents IS NOT NULL
-        |GROUP BY 1 ORDER BY week""".stripMargin)),
+      QuantileRollupOracle)),
 
     // GK/KLL-style quantile summary, hash-verifiable (r9 VERDICT #1):
     // percentile_approx's published guarantee is a RANK bound — the

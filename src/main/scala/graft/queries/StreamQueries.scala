@@ -249,6 +249,22 @@ object StreamQueries {
       .write.mode("overwrite").parquet(s"$root/sketch/batch=$batchId")
   }
 
+  /** One micro-batch of the streaming quantile sink
+    * (q_stream_quantile): fold THIS batch's events to a (day, cents)
+    * count histogram — domain-sized, never row-sized — written to a
+    * batch-id-keyed dir (idempotent overwrite, the incDedupBatch
+    * exactly-once protocol). Histogram merge is a counts sum
+    * (associative + commutative), so the report fold over per-batch
+    * partials equals the batch rollup under ANY micro-batch split. */
+  private[graft] def quantileHistBatch(batch: DataFrame, root: String,
+      batchId: Long): Unit =
+    batch
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .filter(col("cents").isNotNull)
+      .groupBy("day", "cents").agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$root/hist/batch=$batchId")
+
   /** One micro-batch of the streaming CDC compaction sink
     * (q_stream_cdc): compact THIS batch's change rows to one
     * latest-version row per entity (plus the batch's per-entity churn
@@ -487,6 +503,42 @@ object StreamQueries {
           .orderBy("user_id")
       },
       ExtraQueries.CdcSnapshotOracle)),
+
+    // Streaming quantile maintenance — the percentile rollup
+    // (q_agg_quantile_rollup) under continuous ingest: each event
+    // micro-batch folds to a (day, cents) count histogram in a
+    // batch-id-keyed dir (idempotent overwrite — the exactly-once
+    // protocol of q_stream_dedup_inc; restart/replay and
+    // split-independence in StreamQuantileSpec), and the weekly
+    // report is LITERALLY the batch rollup's plan
+    // (ExtraQueries.quantileRollupPlan) over the union of per-batch
+    // partials — histogram merge is a counts sum, so any micro-batch
+    // split reproduces the batch answer exactly, against the very
+    // same oracle. At 100 TB each batch's state through its exchange
+    // is the batch's value-domain size, the report never re-reads the
+    // event log, and per-batch dirs compact at the next full sync
+    // (the q_index_compact posture).
+    "q_stream_quantile" -> ((
+      (s: SparkSession, d: String) => {
+        val tag = graft.Tables.dirTag(d)
+        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_src_${tag}_v$DumpVersion"
+        ensureStreamDump(d, "events", srcDir)(graft.Tables.events(s, d))
+        val root = s"${graft.Tables.scratchRoot}/graft_squant_$tag"
+        graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        withStreamGateConfs(s) {
+          val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            Long) => Unit = (b, id) => quantileHistBatch(b, root, id)
+          val q = stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        ExtraQueries.quantileRollupPlan(s.read.parquet(s"$root/hist"))
+      },
+      ExtraQueries.QuantileRollupOracle)),
 
     // Streaming heavy hitters — the sketch family (q_topk_sketch)
     // under continuous ingest: the corpus streams in as four

@@ -225,7 +225,10 @@ object SoakX10 {
     "q_topk_rollup",
     // K-means: KmIters+1 map-only assignment scans; per-round driver
     // state is k x dim regardless of corpus size.
-    "q_embed_kmeans")
+    "q_embed_kmeans",
+    // Streaming quantiles: per-batch histogram folds are batch-sized;
+    // the report aggregates domain-sized partials only.
+    "q_stream_quantile")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen
