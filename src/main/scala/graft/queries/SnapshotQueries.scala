@@ -184,6 +184,65 @@ object SnapshotQueries {
         |  FROM documents WHERE doc_id % 5 <> 0)
         |ORDER BY ref""".stripMargin)),
 
+    // Writable branch + fast-forward (Iceberg branch semantics) — the
+    // experiment workflow tags can't give: two generations land on
+    // branch "exp" while main's manifest never moves (main_before
+    // must still read v1 exactly), then a fast-forward publishes the
+    // branch head onto main as ONE pointer repoint — zero data copies
+    // (main_after == branch, and the gate pins the published version
+    // with a protocol boolean the oracle fixes TRUE). Divergence
+    // refusal and CAS behavior are SnapshotSwapSpec's job. At 100 TB:
+    // a recleaning experiment writes table-copy generations only on
+    // the branch; promotion to prod is a metadata operation.
+    "q_snapshot_branch" -> ((
+      (s: SparkSession, d: String) => {
+        val base = s"${graft.Tables.scratchRoot}/graft_branch_${graft.Tables.dirTag(d)}"
+        SnapshotSwap.rm(java.nio.file.Paths.get(base))
+        val docs = t(s, d, "documents")
+        def gen(m: Int) = docs.filter(col("doc_id") % m =!= 0)
+          .select(col("doc_id"), col("n_chars"))
+        SnapshotSwap.writeManifested(gen(7), base, "docs") // main v1
+        SnapshotSwap.createBranch(base, "docs", "exp")     // exp @ v1
+        SnapshotSwap.commitToBranch(gen(3), base, "docs", "exp") // v2
+        SnapshotSwap.commitToBranch(gen(2), base, "docs", "exp") // v3
+        // readManifested/readTagged resolve their pointer EAGERLY, so
+        // these frames stay pinned to the dirs resolved here even
+        // though collection happens after the fast-forward.
+        val mainBefore = SnapshotSwap.readManifested(s, base, "docs")
+        val branchHead = SnapshotSwap.readTagged(s, base, "docs", "exp")
+        val ff = SnapshotSwap.fastForward(base, "docs", "exp")
+        val mainAfter = SnapshotSwap.readManifested(s, base, "docs")
+        Seq(("branch", branchHead), ("main_after", mainAfter),
+          ("main_before", mainBefore))
+          .map { case (ref, df) =>
+            df.select(lit(ref).as("ref"), col("doc_id"), col("n_chars")) }
+          .reduce(_ unionByName _)
+          .groupBy("ref")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").cast("long").as("sum_chars"),
+            sum("doc_id").cast("long").as("sum_ids"))
+          .withColumn("ff_to_v3", lit(ff == 3L))
+          .orderBy("ref")
+      },
+      """SELECT * FROM (
+        |  SELECT 'branch' AS ref,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |    TRUE AS ff_to_v3
+        |  FROM documents WHERE doc_id % 2 <> 0
+        |  UNION ALL
+        |  SELECT 'main_after', CAST(count(*) AS BIGINT),
+        |    CAST(sum(n_chars) AS BIGINT), CAST(sum(doc_id) AS BIGINT),
+        |    TRUE
+        |  FROM documents WHERE doc_id % 2 <> 0
+        |  UNION ALL
+        |  SELECT 'main_before', CAST(count(*) AS BIGINT),
+        |    CAST(sum(n_chars) AS BIGINT), CAST(sum(doc_id) AS BIGINT),
+        |    TRUE
+        |  FROM documents WHERE doc_id % 7 <> 0)
+        |ORDER BY ref""".stripMargin)),
+
     // Explicit retention maintenance (Iceberg expire_snapshots) on a
     // published table: four syncs accumulate generations, a tag pins
     // the oldest past the automatic sweep's HEAD+parent horizon, and

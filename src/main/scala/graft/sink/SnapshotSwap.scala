@@ -600,6 +600,116 @@ object SnapshotSwap {
     spark.read.parquet(s"$base/$snap")
   }
 
+  // ---- Writable branches (Iceberg-style) -----------------------------
+  //
+  // A branch is a ref COMMITS CAN TARGET: like a tag it is one pointer
+  // object under `_refs_<table>/` naming a snapshot dir (so the
+  // sweep's ref-aware retention protects the branch head for free),
+  // but commitToBranch ADVANCES it — each branch commit stages a fresh
+  // immutable versioned dir parented on the branch head and CASes the
+  // branch pointer, leaving the main manifest untouched. Versions stay
+  // in the table's single sequence (branch head version + 1 — the same
+  // ambiguity lost-race same-generation dirs already have, which is
+  // why dir names carry the writer-unique suffix and refs resolve by
+  // DIR, never by version). fastForward publishes the branch onto main
+  // only when main is an ANCESTOR of the branch head (bounded _PARENT
+  // walk with cycle detection) — the Iceberg fast_forward contract: a
+  // diverged main fails loudly instead of silently dropping commits.
+  // The 100 TB story: an experiment (new cleaning filter, tokenizer
+  // change) lands generations on a branch readers never resolve; a
+  // passing eval fast-forwards ONE pointer object — zero data copies.
+
+  /** Create (or repoint) a writable branch at the published HEAD; the
+    * branch is a ref, so createBranch IS tagSnapshot — writability is
+    * a property of how commitToBranch targets it, not of the pointer. */
+  def createBranch(base: String, table: String, name: String): Long =
+    tagSnapshot(base, table, name)
+
+  /** Drop a branch (alias of dropTag — both are refs; the generations
+    * it protected are reclaimed by the next sync's sweep). */
+  def dropBranch(base: String, table: String, name: String): Unit =
+    dropTag(base, table, name)
+
+  /** Commit `df` as a new snapshot generation on `branch`, advancing
+    * the branch pointer and leaving the main manifest untouched.
+    * Same optimistic protocol as writeManifested, CASed against the
+    * BRANCH pointer: stage outside the lock, re-check the branch head
+    * under it, repoint or self-clean + throw. No stale-generation
+    * sweep here — retention stays the per-sync sweep's job, and a
+    * branch commit must never reclaim main's history. */
+  def commitToBranch(df: DataFrame, base: String, table: String,
+      branch: String): String = {
+    val fs = swapFsFor(base)
+    val refP = s"${refsDir(base, table)}/$branch"
+    val prev = fs.readPointer(refP).filter(_.nonEmpty).getOrElse(
+      sys.error(s"no branch '$branch' for '$table' under $base"))
+    val version = versionOf(table, prev).getOrElse(sys.error(
+      s"branch '$branch' head '$prev' does not parse as a snapshot")) + 1
+    val uniq = java.lang.Long.toHexString(
+      System.nanoTime() ^ Thread.currentThread().getId << 48)
+    val dataName = s"_snap_$table-$version-$uniq"
+    val dataDir = s"$base/$dataName"
+    fs.stage(df, dataDir)
+    fs.commitPointer(s"$dataDir/_PARENT", s"$dataDir/_parent_tmp_$uniq",
+      prev)
+    beforeCommit()
+    withCommitLock(fs, base, table) {
+      if (!fs.readPointer(refP).filter(_.nonEmpty).contains(prev)) {
+        fs.deleteRecursive(dataDir)
+        throw new java.util.ConcurrentModificationException(
+          s"branch '$branch' of '$table' advanced past $prev during " +
+            "this commit; retry from the new branch head")
+      }
+      fs.commitPointer(refP, s"${refsDir(base, table)}/_tmp_$branch",
+        dataName)
+    }
+    dataDir
+  }
+
+  /** Publish `branch`'s head onto main — one pointer repoint, zero
+    * data movement — provided main is an ancestor of the branch head
+    * (or unborn). Returns the now-published version. A diverged main
+    * (commits it made are NOT in the branch's parent chain) fails
+    * loudly: fast-forward must never drop main history. */
+  def fastForward(base: String, table: String, branch: String): Long = {
+    val fs = swapFsFor(base)
+    withCommitLock(fs, base, table) {
+      val bHead = fs.readPointer(s"${refsDir(base, table)}/$branch")
+        .filter(_.nonEmpty).getOrElse(
+          sys.error(s"no branch '$branch' for '$table' under $base"))
+      val manifest = s"$base/$table.manifest"
+      val mHead = fs.readPointer(manifest).filter(_.nonEmpty)
+      val isAncestor = mHead.isEmpty || {
+        // Bounded _PARENT walk from the branch head. A swept
+        // intermediate generation ends the walk — its chain link is
+        // gone, so ancestry is no longer provable and the FF fails
+        // (conservative: never publish what can't be proven).
+        var cur: Option[String] = Some(bHead)
+        var seen = Set.empty[String]
+        var found = false
+        while (cur.nonEmpty && !found && !seen(cur.get) &&
+            seen.size < 10000) {
+          if (mHead.contains(cur.get)) found = true
+          else {
+            seen += cur.get
+            cur = fs.readPointer(s"$base/${cur.get}/_PARENT")
+              .filter(_.nonEmpty)
+          }
+        }
+        found
+      }
+      if (!isAncestor) sys.error(
+        s"cannot fast-forward '$table' to branch '$branch': main has " +
+          s"diverged from the branch's parent chain (main=$mHead)")
+      val uniq = java.lang.Long.toHexString(
+        System.nanoTime() ^ Thread.currentThread().getId << 48)
+      fs.commitPointer(manifest, s"$base/_manifest_tmp_${table}_$uniq",
+        bHead)
+      versionOf(table, bHead).getOrElse(sys.error(
+        s"branch head '$bHead' does not parse as a snapshot name"))
+    }
+  }
+
   /** Read the snapshot AS OF `version` through the manifest chain. */
   def readAsOf(spark: SparkSession, base: String, table: String,
       version: Long): DataFrame = {

@@ -423,6 +423,59 @@ class SnapshotSwapSpec extends SparkSpecBase {
     assert(SnapshotSwap.readManifested(spark, base, "t").count() === 3)
   }
 
+  test("branch commits isolate from main; fast-forward refuses a diverged main") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_swap_branch").toString
+    def df(n: Int) = Seq.tabulate(n)(i => (i, s"v$i")).toDF("id", "v")
+    SnapshotSwap.writeManifested(df(1), base, "t") // main v1
+    SnapshotSwap.createBranch(base, "t", "exp")
+    SnapshotSwap.commitToBranch(df(2), base, "t", "exp") // exp v2
+    SnapshotSwap.commitToBranch(df(3), base, "t", "exp") // exp v3
+    // Main never moved; the branch head reads its own generations.
+    assert(SnapshotSwap.currentVersion(base, "t") === 1L)
+    assert(SnapshotSwap.readManifested(spark, base, "t").count() === 1)
+    assert(SnapshotSwap.readTagged(spark, base, "t", "exp").count() === 3)
+    // FF of an up-to-date ancestor publishes the branch head.
+    assert(SnapshotSwap.fastForward(base, "t", "exp") === 3L)
+    assert(SnapshotSwap.currentVersion(base, "t") === 3L)
+    assert(SnapshotSwap.readManifested(spark, base, "t").count() === 3)
+    // FF when main IS the branch head is an idempotent no-op.
+    assert(SnapshotSwap.fastForward(base, "t", "exp") === 3L)
+    // Diverge: a direct main commit after more branch work — the FF
+    // must refuse rather than drop main's commit.
+    SnapshotSwap.commitToBranch(df(4), base, "t", "exp") // exp v4
+    SnapshotSwap.writeManifested(df(5), base, "t")       // main v4'
+    val e = intercept[RuntimeException] {
+      SnapshotSwap.fastForward(base, "t", "exp")
+    }
+    assert(e.getMessage.contains("diverged"), e.getMessage)
+  }
+
+  test("a branch commit that lost the branch-pointer race CAS-rejects cleanly") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_swap_branchrace").toString
+    def df(n: Int) = Seq.tabulate(n)(i => (i, s"v$i")).toDF("id", "v")
+    SnapshotSwap.writeManifested(df(1), base, "t")
+    SnapshotSwap.createBranch(base, "t", "exp")
+    // Competitor advances the branch between this writer's staging and
+    // its pointer commit (the beforeCommit seam).
+    val prevHook = SnapshotSwap.beforeCommit
+    SnapshotSwap.beforeCommit = () => {
+      SnapshotSwap.beforeCommit = prevHook
+      SnapshotSwap.commitToBranch(df(2), base, "t", "exp")
+    }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        SnapshotSwap.commitToBranch(df(3), base, "t", "exp")
+      }
+    } finally SnapshotSwap.beforeCommit = prevHook
+    // The winner's generation is intact and the loser's dir is gone.
+    assert(SnapshotSwap.readTagged(spark, base, "t", "exp").count() === 2)
+    val stray = Files.list(Paths.get(base)).toArray.map(_.toString)
+      .filter(_.contains("_snap_t-"))
+    assert(stray.length === 2, stray.mkString(",")) // v1 + winner's v2
+  }
+
   test("stringifyNested maps complex columns to JSON text for CSV") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
