@@ -1626,6 +1626,88 @@ object ExtraQueries {
         |    (PARTITION BY user_id ORDER BY version) AS valid_to
         |FROM v ORDER BY user_id, version""".stripMargin)),
 
+    // Point-in-time (PIT) join against an SCD2 dimension — the
+    // feature-store correctness join: each fact must see the dimension
+    // version VALID AT ITS TIMESTAMP, never a later one (that is
+    // training-data leakage). Dim = the q_scd2 interval build over the
+    // EVEN event slice; facts = the ODD slice, so probes genuinely
+    // cross interval boundaries (and some precede the user's first
+    // version — kept, with NULL attribution). The scalable shape is
+    // the union-window PIT join: versions and facts union into ONE
+    // user_id exchange sorted by (us, dim-first, version), and
+    // last_value(IGNORE NULLS) carries the active version onto each
+    // fact — no join node at all (plan-gated), linear per partition,
+    // and valid for UNBOUNDED version age (the bucketed band-join
+    // family needs a tolerance bound; an SCD2 version can be
+    // arbitrarily old — this is why PIT joins get their own kernel).
+    // The oracle is the DECLARATIVE twin — interval-containment LEFT
+    // JOIN on [valid_from, valid_to) — so the two formulations verify
+    // each other; the empty-interval edge (two versions sharing a
+    // valid_from) resolves identically in both (window picks the max
+    // version; the join's [t, t) interval matches nothing).
+    "q_join_scd2" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = graft.Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("unix_micros(ts)").as("us"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        val byTime = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+        val dim = ev.filter(col("event_id") % 2 === 0)
+          .withColumn("chg",
+            when(col("event_type") === lag("event_type", 1).over(byTime),
+              0L).otherwise(1L))
+          .withColumn("version", sum("chg").over(byTime))
+          .groupBy("user_id", "version")
+          .agg(first("event_type").as("dim_type"),
+            min("us").as("valid_from"))
+        val facts = ev.filter(col("event_id") % 2 === 1)
+        val unioned = dim
+          .select(col("user_id"), col("valid_from").as("us"),
+            lit(-1L).as("event_id"), col("version"), col("dim_type"),
+            lit(null).cast("bigint").as("cents"), lit(0).as("is_fact"))
+          .unionByName(facts
+            .select(col("user_id"), col("us"), col("event_id"),
+              lit(null).cast("bigint").as("version"),
+              lit(null).cast("string").as("dim_type"),
+              col("cents"), lit(1).as("is_fact")))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("is_fact"),
+            col("version").asc_nulls_first, col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        unioned
+          .withColumn("v", last("version", ignoreNulls = true).over(w))
+          .withColumn("vt", last("dim_type", ignoreNulls = true).over(w))
+          .filter(col("is_fact") === 1)
+          .select(col("user_id"), col("event_id"), col("us"),
+            col("cents"), col("v").as("version"),
+            col("vt").as("dim_type"))
+          .orderBy("user_id", "event_id")
+      },
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |de AS (SELECT * FROM e WHERE event_id % 2 = 0),
+        |f AS (SELECT *, CASE WHEN event_type = lag(event_type) OVER w
+        |    THEN 0 ELSE 1 END AS chg FROM de
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (SELECT *, CAST(sum(chg) OVER
+        |  (PARTITION BY user_id ORDER BY us, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version FROM f),
+        |dim AS (SELECT user_id, version, min(event_type) AS dim_type,
+        |          min(us) AS valid_from FROM g GROUP BY 1, 2),
+        |dim2 AS (SELECT *, lead(valid_from) OVER
+        |    (PARTITION BY user_id ORDER BY version) AS valid_to
+        |  FROM dim),
+        |facts AS (SELECT user_id, event_id, us, cents FROM e
+        |  WHERE event_id % 2 = 1)
+        |SELECT fa.user_id, fa.event_id, fa.us, fa.cents,
+        |  d.version, d.dim_type
+        |FROM facts fa LEFT JOIN dim2 d
+        |  ON d.user_id = fa.user_id AND fa.us >= d.valid_from
+        |  AND (d.valid_to IS NULL OR fa.us < d.valid_to)
+        |ORDER BY fa.user_id, fa.event_id""".stripMargin)),
+
     // CDC log replay — the batch kernel of MERGE-from-changelog: the
     // events table read as a change stream on user_id entities (op
     // derived deterministically: every 11th event a DELETE, the rest

@@ -228,7 +228,10 @@ object SoakX10 {
     "q_embed_kmeans",
     // Streaming quantiles: per-batch histogram folds are batch-sized;
     // the report aggregates domain-sized partials only.
-    "q_stream_quantile")
+    "q_stream_quantile",
+    // PIT join: one union-window pass — state per user is one carried
+    // version, never a version x fact product.
+    "q_join_scd2")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

@@ -300,6 +300,17 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(scans == 1, s"documents scans=$scans\n$p")
   }
 
+  test("q_join_scd2 attributes facts with NO join node") {
+    // The PIT attribution is the union-window form: a Join node would
+    // mean the plan regressed to an interval theta-join (quadratic per
+    // user at scale); the only hash exchanges allowed are the dim
+    // build's and the union's shared user_id partitioning.
+    val p = planOf("q_join_scd2")
+    assert(!p.contains("Join"), p)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 2, s"hash exchanges=$hashEx\n$p")
+  }
+
   test("q_embed_kmeans assignment is map-only: centroids are plan literals") {
     // The returned plan is the FINAL assignment pass: centroids ride
     // as k x dim literals inside codegen'd vec_dot calls — a Join (or
