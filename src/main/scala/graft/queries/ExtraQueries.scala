@@ -1739,6 +1739,69 @@ object ExtraQueries {
       },
       CdcSnapshotOracle)),
 
+    // Generalized MERGE INTO (the Delta/Iceberg upsert statement) —
+    // all four row fates in one instance: order activity merged into
+    // the customer dimension updates matched customers (balance +=
+    // spend, segment ACTIVE), deletes heavy ones (n >= 4 — DELETE
+    // wins over UPDATE, the first-clause-wins order), inserts a
+    // key-shifted slice as NEW rows, and carries every untouched
+    // customer through unchanged. One full-outer SMJ on the key plus
+    // row-local clause projection (sink/MergeInto.scala — scale notes
+    // and the Delta ambiguity contract there; clause semantics and
+    // the multiple-match throw pinned in MergeIntoSpec). Integer
+    // cents end to end.
+    "q_merge_into" -> ((
+      (s: SparkSession, d: String) => {
+        val target = t(s, d, "customer").select(
+          col("c_custkey"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_e2"),
+          col("c_mktsegment").as("seg"))
+        val act = t(s, d, "orders")
+          .filter(col("o_orderkey") % 7 === 0)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"),
+            expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)")
+              .as("spent_e2"))
+        val source = act
+          .select(col("o_custkey").as("c_custkey"), col("n"),
+            col("spent_e2"))
+          .unionByName(act.filter(col("o_custkey") % 5 === 0)
+            .select((col("o_custkey") + 10000000L).as("c_custkey"),
+              col("n"), col("spent_e2")))
+        graft.sink.MergeInto(target, source, "c_custkey",
+          deleteWhen = Some(col("s.n") >= 4),
+          updateSet = Map(
+            "bal_e2" -> (col("t.bal_e2") + col("s.spent_e2")),
+            "seg" -> lit("ACTIVE")),
+          insertValues = Map(
+            "bal_e2" -> col("s.spent_e2"),
+            "seg" -> lit("NEW")))
+          .orderBy("c_custkey")
+      },
+      """WITH t AS (SELECT c_custkey AS k,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_e2,
+        |    c_mktsegment AS seg FROM customer),
+        |o AS (SELECT o_custkey, count(*) AS n,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS spent_e2
+        |  FROM orders WHERE o_orderkey % 7 = 0 GROUP BY 1),
+        |s AS (SELECT o_custkey AS k, n, spent_e2 FROM o
+        |  UNION ALL
+        |  SELECT o_custkey + 10000000, n, spent_e2 FROM o
+        |  WHERE o_custkey % 5 = 0),
+        |m AS (SELECT COALESCE(t.k, s.k) AS c_custkey,
+        |    CASE WHEN t.k IS NOT NULL AND s.k IS NOT NULL
+        |           THEN t.bal_e2 + s.spent_e2
+        |         WHEN t.k IS NOT NULL THEN t.bal_e2
+        |         ELSE s.spent_e2 END AS bal_e2,
+        |    CASE WHEN t.k IS NOT NULL AND s.k IS NOT NULL THEN 'ACTIVE'
+        |         WHEN t.k IS NOT NULL THEN t.seg
+        |         ELSE 'NEW' END AS seg,
+        |    (t.k IS NOT NULL AND s.k IS NOT NULL AND s.n >= 4) AS del
+        |  FROM t FULL OUTER JOIN s ON t.k = s.k)
+        |SELECT c_custkey, bal_e2, seg FROM m WHERE NOT del
+        |ORDER BY c_custkey""".stripMargin)),
+
     // Referential-integrity audit — the cross-TABLE data-quality gate
     // (q_quality_expect covers per-row expectations): child keys with
     // no parent, per constraint, with violations injected by

@@ -231,7 +231,10 @@ object SoakX10 {
     "q_stream_quantile",
     // PIT join: one union-window pass — state per user is one carried
     // version, never a version x fact product.
-    "q_join_scd2")
+    "q_join_scd2",
+    // MERGE: one full-outer SMJ — both sides scale with the data, the
+    // clause projection is map-side.
+    "q_merge_into")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

@@ -300,6 +300,18 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(scans == 1, s"documents scans=$scans\n$p")
   }
 
+  test("q_merge_into is one full-outer SMJ plus row-local clauses") {
+    // The merge must cost exactly its key join: one SortMergeJoin
+    // FullOuter (full outers cannot broadcast), no cartesian shapes,
+    // and no second join — the clause logic is a conditional
+    // projection on the joined row.
+    val p = planOf("q_merge_into")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"), p)
+    val joins = "SortMergeJoin".r.findAllIn(p).size
+    assert(joins == 1, s"joins=$joins\n$p")
+  }
+
   test("q_join_scd2 attributes facts with NO join node") {
     // The PIT attribution is the union-window form: a Join node would
     // mean the plan regressed to an interval theta-join (quadratic per
