@@ -1739,6 +1739,85 @@ object ExtraQueries {
       },
       CdcSnapshotOracle)),
 
+    // Distribution drift monitor (PSI) — the training-pipeline
+    // monitoring op that sits between q_profile (one snapshot's
+    // stats) and q_quality_expect (declared constraints): per-feature
+    // Population Stability Index between the first 15 event-time days
+    // (reference window) and the rest (current window), over
+    // fixed-width integer-cents bins with Laplace-smoothed bin
+    // probabilities (+1 / +B — zero-count bins need no epsilon
+    // fudge). One scan + one (feature, bin) exchange builds both
+    // windows' histograms simultaneously (conditional sums, never two
+    // passes); feature totals ride a feature-partitioned window over
+    // the BINNED relation (domain-sized, not row-sized); the min-day
+    // anchor is a bounded driver scalar. PSI terms are rounded to
+    // integer e6 units pre-sum (the bm25/perplexity discipline —
+    // order-independent integer sums; check.py boundary audit covers
+    // the ln ulp divergence), and the drift verdict is an integer
+    // compare against the standard 0.1 threshold. At 100 TB the
+    // histogram build is the only data-sized stage.
+    "q_drift_psi" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = graft.Tables.events(s, d)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .filter(col("cents").isNotNull && col("cents") >= 0)
+        val md = ev.agg(min("day")).head().getLong(0)
+        val bc = ev.withColumn("bin", expr("cents div 50"))
+          .groupBy("event_type", "bin")
+          .agg(sum(when(col("day") < md + 15, 1L).otherwise(0L)).as("r"),
+            sum(when(col("day") >= md + 15, 1L).otherwise(0L)).as("c"))
+        val w = Window.partitionBy("event_type")
+        bc
+          .withColumn("nbins", count(lit(1)).over(w))
+          .withColumn("nr", sum("r").over(w))
+          .withColumn("nc", sum("c").over(w))
+          .withColumn("p", (col("r") + 1).cast("double") /
+            (col("nr") + col("nbins")).cast("double"))
+          .withColumn("q", (col("c") + 1).cast("double") /
+            (col("nc") + col("nbins")).cast("double"))
+          .withColumn("term_e6",
+            round((col("p") - col("q")) * log(col("p") / col("q")) *
+              lit(1000000.0)).cast("long"))
+          .groupBy("event_type")
+          .agg(max("nbins").as("n_bins"), max("nr").as("n_ref"),
+            max("nc").as("n_cur"), sum("term_e6").as("psi_e6"))
+          .withColumn("drifted", col("psi_e6") > 100000L)
+          .orderBy("event_type")
+      },
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |f AS (SELECT event_type, day, cents, cents // 50 AS bin
+        |  FROM e WHERE cents IS NOT NULL AND cents >= 0),
+        |md AS (SELECT min(day) AS md FROM f),
+        |bc AS (SELECT event_type, bin,
+        |    CAST(sum(CASE WHEN day < md.md + 15 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS r,
+        |    CAST(sum(CASE WHEN day >= md.md + 15 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM f, md GROUP BY 1, 2),
+        |t AS (SELECT *,
+        |    CAST(count(*) OVER w AS BIGINT) AS nbins,
+        |    CAST(sum(r) OVER w AS BIGINT) AS nr,
+        |    CAST(sum(c) OVER w AS BIGINT) AS nc
+        |  FROM bc WINDOW w AS (PARTITION BY event_type)),
+        |terms AS (SELECT event_type, nbins, nr, nc,
+        |    CAST(round((p - q) * ln(p / q) * 1000000) AS BIGINT)
+        |      AS term_e6
+        |  FROM (SELECT *,
+        |      CAST(r + 1 AS DOUBLE) / CAST(nr + nbins AS DOUBLE) AS p,
+        |      CAST(c + 1 AS DOUBLE) / CAST(nc + nbins AS DOUBLE) AS q
+        |    FROM t) x)
+        |SELECT event_type, CAST(max(nbins) AS BIGINT) AS n_bins,
+        |  CAST(max(nr) AS BIGINT) AS n_ref,
+        |  CAST(max(nc) AS BIGINT) AS n_cur,
+        |  CAST(sum(term_e6) AS BIGINT) AS psi_e6,
+        |  CAST(sum(term_e6) AS BIGINT) > 100000 AS drifted
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Generalized MERGE INTO (the Delta/Iceberg upsert statement) —
     // all four row fates in one instance: order activity merged into
     // the customer dimension updates matched customers (balance +=

@@ -234,7 +234,10 @@ object SoakX10 {
     "q_join_scd2",
     // MERGE: one full-outer SMJ — both sides scale with the data, the
     // clause projection is map-side.
-    "q_merge_into")
+    "q_merge_into",
+    // PSI drift: one conditional-sum scan; everything after the
+    // (feature, bin) exchange is domain-sized.
+    "q_drift_psi")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

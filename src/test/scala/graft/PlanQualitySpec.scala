@@ -300,6 +300,16 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(scans == 1, s"documents scans=$scans\n$p")
   }
 
+  test("q_drift_psi builds both windows' histograms in ONE scan") {
+    // Reference and current histograms come from conditional sums in
+    // a single (feature, bin) aggregation — a second events scan (or
+    // any join) would mean the windows were built in separate passes.
+    val p = planOf("q_drift_psi")
+    assert(!p.contains("Join"), p)
+    val scans = "events\\.parquet".r.findAllIn(p).size
+    assert(scans == 1, s"events scans=$scans\n$p")
+  }
+
   test("q_merge_into is one full-outer SMJ plus row-local clauses") {
     // The merge must cost exactly its key join: one SortMergeJoin
     // FullOuter (full outers cannot broadcast), no cartesian shapes,

@@ -104,6 +104,31 @@ BOUNDARY_AUDITS = {
               FROM documents)
         GROUP BY doc_id)
       SELECT min(abs(x - floor(x) - 0.5)) FROM h""",
+    "q_drift_psi": """
+      WITH e AS (SELECT event_type,
+          epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+          CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      f AS (SELECT event_type, day, cents, cents // 50 AS bin
+        FROM e WHERE cents IS NOT NULL AND cents >= 0),
+      md AS (SELECT min(day) AS md FROM f),
+      bc AS (SELECT event_type, bin,
+          CAST(sum(CASE WHEN day < md.md + 15 THEN 1 ELSE 0 END)
+            AS BIGINT) AS r,
+          CAST(sum(CASE WHEN day >= md.md + 15 THEN 1 ELSE 0 END)
+            AS BIGINT) AS c
+        FROM f, md GROUP BY 1, 2),
+      t AS (SELECT *,
+          CAST(count(*) OVER w AS BIGINT) AS nbins,
+          CAST(sum(r) OVER w AS BIGINT) AS nr,
+          CAST(sum(c) OVER w AS BIGINT) AS nc
+        FROM bc WINDOW w AS (PARTITION BY event_type)),
+      raw AS (SELECT (p - q) * ln(p / q) * 1000000.0 AS x
+        FROM (SELECT *,
+            CAST(r + 1 AS DOUBLE) / CAST(nr + nbins AS DOUBLE) AS p,
+            CAST(c + 1 AS DOUBLE) / CAST(nc + nbins AS DOUBLE) AS q
+          FROM t) s WHERE p <> q)
+      SELECT min(abs(x - floor(x) - 0.5)) FROM raw""",
 }
 
 # The audit SQL above hand-mirrors the oracle formulas. Tripwire: if a
@@ -115,6 +140,8 @@ AUDIT_MIRROR_CONSTANTS = {
                           "10000.0"],
     "q_text_perplexity": ["+ 1.0)", "-1000000.0"],
     "q_text_entropy": ["entropy(c)", "round(entropy(c), 4)"],
+    "q_drift_psi": ["cents // 50", "* 1000000", "md.md + 15",
+                    "r + 1 AS DOUBLE", "100000"],
 }
 
 def boundary_audit(con, oracles):
