@@ -293,6 +293,52 @@ object SnapshotQueries {
         |  TRUE AS single_generation_left
         |FROM documents WHERE doc_id % 5 <> 0""".stripMargin)),
 
+    // Orphan-file cleanup (Iceberg remove_orphan_files) — the third
+    // maintenance verb (OPTIMIZE = layout, expire = history, orphans =
+    // leaks): a crashed staging dir (committed by NOBODY — simulated
+    // by writing a versioned dir directly, the exact debris a writer
+    // killed before its pointer commit leaves) and a stray manifest
+    // tmp file are reclaimed, while everything REACHABLE — HEAD, its
+    // retained parent, every ref chain — is untouched. Grace-period
+    // semantics (a fresh unreferenced dir is an in-flight competitor,
+    // not an orphan) are SnapshotSwapSpec's job; the gate forces
+    // eligibility with a negative grace. Booleans pin the exact
+    // deletion list and the survivors' readability; oracle recomputes
+    // HEAD's aggregate.
+    "q_snapshot_orphans" -> ((
+      (s: SparkSession, d: String) => {
+        val base = s"${graft.Tables.scratchRoot}/graft_orph_${graft.Tables.dirTag(d)}"
+        SnapshotSwap.rm(java.nio.file.Paths.get(base))
+        val docs = t(s, d, "documents")
+        def gen(m: Int) = docs.filter(col("doc_id") % m =!= 0)
+          .select(col("doc_id"), col("n_chars"))
+        SnapshotSwap.writeManifested(gen(7), base, "docs") // v1 parent
+        SnapshotSwap.writeManifested(gen(3), base, "docs") // v2 HEAD
+        // Crash debris: a staged-but-never-committed generation dir
+        // and an abandoned pointer tmp.
+        gen(2).write.mode("overwrite")
+          .parquet(s"$base/_snap_docs-9-deadbeef")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(base, "_manifest_tmp_docs_dead"), "x")
+        val removed = SnapshotSwap.removeOrphans(base, "docs",
+          graceMs = -1L)
+        val v1Count = SnapshotSwap.readAsOf(s, base, "docs", 1L).count()
+        SnapshotSwap.readManifested(s, base, "docs")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").cast("long").as("sum_chars"),
+            sum("doc_id").cast("long").as("sum_ids"))
+          .select(col("n_docs"), col("sum_chars"), col("sum_ids"),
+            lit(removed == Seq("_manifest_tmp_docs_dead",
+              "_snap_docs-9-deadbeef")).as("removed_exactly_the_debris"),
+            lit(v1Count > 0).as("retained_parent_readable"))
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  TRUE AS removed_exactly_the_debris,
+        |  TRUE AS retained_parent_readable
+        |FROM documents WHERE doc_id % 3 <> 0""".stripMargin)),
+
     // Live OPTIMIZE under the snapshot protocol (r9 VERDICT #3) — the
     // composition of the q_compact_files kernel with the manifest CAS:
     // a PUBLISHED table accumulates small files (here: a 48-way

@@ -112,6 +112,9 @@ object SnapshotSwap {
     def breakIfAbandoned(p: String, ttlMs: Long): Unit
     def unlock(p: String): Unit
     def stage(df: DataFrame, dir: String): Unit
+    /** Last-modified millis of a path (0 if unreadable) — the orphan
+      * scan's grace-period input. */
+    def mtimeMs(p: String): Long
   }
 
   private[sink] object NioSwapFs extends SwapFs {
@@ -147,6 +150,9 @@ object SnapshotSwap {
     def unlock(p: String): Unit = Files.deleteIfExists(Paths.get(p))
     def stage(df: DataFrame, dir: String): Unit =
       stageParquet(df, Paths.get(dir))
+    def mtimeMs(p: String): Long =
+      try Files.getLastModifiedTime(Paths.get(p)).toMillis
+      catch { case _: java.io.IOException => 0L }
   }
 
   private[sink] final class HadoopSwapFs(
@@ -231,6 +237,11 @@ object SnapshotSwap {
             }
         } finally children.close()
       } finally rm(scratch)
+    }
+    def mtimeMs(p: String): Long = {
+      val (fs, hp) = fsOf(p)
+      try fs.getFileStatus(hp).getModificationTime
+      catch { case _: java.io.IOException => 0L }
     }
   }
 
@@ -383,6 +394,58 @@ object SnapshotSwap {
           !headName.contains(n) }
       victims.foreach { case (_, n) => fs.deleteRecursive(s"$base/$n") }
       victims.map(_._1).sorted
+    }
+  }
+
+  /** Iceberg-style `remove_orphan_files`: reclaim `_snap_` dirs and
+    * stray pointer tmp files reachable from NOTHING — not the
+    * published HEAD, not any ref (tag or branch), not any `_PARENT`
+    * chain of those — and older than `graceMs`. Crashed stagings and
+    * CAS losers that failed to self-clean are exactly this class;
+    * committed-but-old generations are NOT orphans (they are on a
+    * chain — `expireSnapshots` is the tool for those), and the grace
+    * period protects a competitor mid-staging, whose dir is
+    * unreferenced by construction until its pointer commit. Runs
+    * under the commit lock so reachability cannot change mid-scan.
+    * Returns the deleted names, sorted. The third maintenance verb at
+    * 100 TB (OPTIMIZE = layout, expire = history, orphans = leaks). */
+  def removeOrphans(base: String, table: String,
+      graceMs: Long = 3L * 3600 * 1000): Seq[String] = {
+    val fs = swapFsFor(base)
+    withCommitLock(fs, base, table) {
+      val prefix = s"_snap_$table-"
+      def chain(from: String): Set[String] = {
+        var cur: Option[String] = Some(from)
+        var seen = Set.empty[String]
+        while (cur.nonEmpty && !seen(cur.get) && seen.size < 10000) {
+          seen += cur.get
+          cur = fs.readPointer(s"$base/${cur.get}/_PARENT")
+            .filter(_.nonEmpty)
+        }
+        seen
+      }
+      val roots = currentSnapshot(base, table).toSet ++
+        taggedNames(fs, base, table)
+      val tracked = roots.flatMap(chain)
+      val now = System.currentTimeMillis()
+      def aged(p: String) = now - fs.mtimeMs(p) > graceMs
+      val names = fs.listNames(base)
+      val snapOrphans = names.filter(n => n.startsWith(prefix) &&
+        !tracked.contains(n) && aged(s"$base/$n")).sorted
+      val tmpOrphans = names.filter(n =>
+        n.startsWith(s"_manifest_tmp_${table}_") && aged(s"$base/$n"))
+        .sorted
+      val refTmps =
+        (try fs.listNames(refsDir(base, table))
+         catch { case _: java.nio.file.NoSuchFileException => Nil })
+          .filter(n => n.startsWith("_tmp_") &&
+            aged(s"${refsDir(base, table)}/$n")).sorted
+      snapOrphans.foreach(n => fs.deleteRecursive(s"$base/$n"))
+      tmpOrphans.foreach(n => fs.deleteRecursive(s"$base/$n"))
+      refTmps.foreach(n =>
+        fs.deleteRecursive(s"${refsDir(base, table)}/$n"))
+      (snapOrphans ++ tmpOrphans ++
+        refTmps.map(n => s"_refs_$table/$n")).sorted
     }
   }
 

@@ -476,6 +476,29 @@ class SnapshotSwapSpec extends SparkSpecBase {
     assert(stray.length === 2, stray.mkString(",")) // v1 + winner's v2
   }
 
+  test("orphan scan honors the grace period and protects every ref chain") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_swap_orphans").toString
+    def df(n: Int) = Seq.tabulate(n)(i => (i, s"v$i")).toDF("id", "v")
+    SnapshotSwap.writeManifested(df(1), base, "t") // main v1
+    SnapshotSwap.createBranch(base, "t", "exp")
+    SnapshotSwap.commitToBranch(df(2), base, "t", "exp") // exp v2
+    // Crash debris: a staged dir no pointer ever named.
+    df(3).write.parquet(s"$base/_snap_t-5-cafe")
+    // Fresh debris is an in-flight competitor under the grace period.
+    assert(SnapshotSwap.removeOrphans(base, "t",
+      graceMs = 3600 * 1000L) === Seq())
+    assert(Files.exists(Paths.get(base, "_snap_t-5-cafe")))
+    // Aged debris is reclaimed; HEAD and the branch chain survive.
+    assert(SnapshotSwap.removeOrphans(base, "t", graceMs = -1L) ===
+      Seq("_snap_t-5-cafe"))
+    assert(!Files.exists(Paths.get(base, "_snap_t-5-cafe")))
+    assert(SnapshotSwap.readManifested(spark, base, "t").count() === 1)
+    assert(SnapshotSwap.readTagged(spark, base, "t", "exp").count() === 2)
+    // Idempotent: a second scan finds nothing.
+    assert(SnapshotSwap.removeOrphans(base, "t", graceMs = -1L) === Seq())
+  }
+
   test("stringifyNested maps complex columns to JSON text for CSV") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
