@@ -237,7 +237,11 @@ object SoakX10 {
     "q_merge_into",
     // PSI drift: one conditional-sum scan; everything after the
     // (feature, bin) exchange is domain-sized.
-    "q_drift_psi")
+    "q_drift_psi",
+    // Incremental CC: base-label build scans the 10x graph once
+    // (artifact); the per-batch merge is delta + component-graph
+    // sized.
+    "q_graph_cc_inc")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

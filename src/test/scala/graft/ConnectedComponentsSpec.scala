@@ -55,4 +55,32 @@ class ConnectedComponentsSpec extends SparkSpecBase {
     assert(more.exceptAll(labels).count() == 0)
     assert(labels.exceptAll(more).count() == 0)
   }
+
+  test("incrementalCc equals full recomputation under random splits") {
+    // The composition argument (min-label over the contracted label
+    // graph == global min-label) checked structure-agnostically:
+    // random graphs, random base/delta splits — including delta-only
+    // nodes, delta chains of new nodes, and merge edges between base
+    // components. Full ccLoop on base ∪ delta is the reference.
+    import spark.implicits._
+    import graft.queries.GraphQueries.{ccLoop, incrementalCc}
+    for (seed <- Seq(7, 21, 63)) {
+      val rnd = new scala.util.Random(seed)
+      val nNodes = 60
+      val raw = Seq.fill(90)((s"n${rnd.nextInt(nNodes)}",
+        s"n${rnd.nextInt(nNodes)}")).filter(p => p._1 != p._2)
+      val (baseRaw, deltaRaw) = raw.partition(_ => rnd.nextBoolean())
+      def undDf(pairs: Seq[(String, String)]) = {
+        val e = pairs.toDF("src", "dst")
+        e.unionByName(e.select(col("dst").as("src"),
+          col("src").as("dst"))).distinct().localCheckpoint()
+      }
+      val base = ccLoop(spark, undDf(baseRaw), 30)
+      val inc = incrementalCc(spark, base, undDf(deltaRaw))
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      val full = ccLoop(spark, undDf(raw), 30)
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert(inc == full, s"seed $seed: incremental != full")
+    }
+  }
 }

@@ -300,6 +300,16 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(scans == 1, s"documents scans=$scans\n$p")
   }
 
+  test("q_graph_cc_inc never re-walks the base graph") {
+    // The incremental plan's base side must be the persisted label
+    // parquet. Supplier edges exist ONLY in the base slice, so any
+    // supplier.parquet scan here means the accumulated graph got
+    // rebuilt instead of read.
+    val p = planOf("q_graph_cc_inc")
+    assert(p.contains("graft_cclab"), p)
+    assert(!p.contains("supplier.parquet"), p)
+  }
+
   test("q_drift_psi builds both windows' histograms in ONE scan") {
     // Reference and current histograms come from conditional sums in
     // a single (feature, bin) aggregation — a second events scan (or
