@@ -104,15 +104,33 @@ object Tables {
     * derivation's parameters (band count, hash seed, dump version)
     * changes the tag, so neither can silently serve a stale artifact.
     *
-    * Contract limitation (inherited by EVERY caller): a same-SIZE,
-    * timestamp-preserving content swap of a source file is invisible —
-    * detecting that would need a content hash, i.e. a full source read
-    * per freshness check. Callers whose sources can be rewritten in
-    * place with `cp -p`-style mtime preservation must bump the params
-    * tag (or delete the derived dir) to force a rebuild. */
+    * Contract limitation (inherited by EVERY caller): by default a
+    * same-SIZE, timestamp-preserving content swap of a source file is
+    * invisible — detecting that needs a content hash, i.e. a full
+    * source read per freshness check. Callers whose sources can be
+    * rewritten in place with `cp -p`-style mtime preservation either
+    * bump the params tag (or delete the derived dir), or opt into
+    * content mode: `graft.fp.content` sysprop / `GRAFT_FP_CONTENT`
+    * env = "1" folds each regular file's SHA-256 into the
+    * fingerprint — one extra sequential read of every source per
+    * freshness check, the honest price of closing the gap. */
   def sourceFingerprint(sources: Seq[java.nio.file.Path],
       params: String): String = {
     import java.nio.file.Files
+    val contentMode = sys.props.get("graft.fp.content")
+      .orElse(sys.env.get("GRAFT_FP_CONTENT")).contains("1")
+    def fileHash(p: java.nio.file.Path): String =
+      if (!contentMode) ""
+      else {
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val in = Files.newInputStream(p)
+        try {
+          val buf = new Array[Byte](1 << 16)
+          var n = in.read(buf)
+          while (n > 0) { md.update(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+        ":" + md.digest().map("%02x".format(_)).mkString.take(16)
+      }
     val parts =
       scala.collection.mutable.ArrayBuffer[String](params, codebaseFingerprint)
     sources.foreach { src =>
@@ -121,11 +139,11 @@ object Tables {
         try stream.sorted().forEach { p =>
           if (Files.isRegularFile(p))
             parts += s"${src.relativize(p)}:${Files.size(p)}:" +
-              s"${Files.getLastModifiedTime(p).toMillis}"
+              s"${Files.getLastModifiedTime(p).toMillis}${fileHash(p)}"
         } finally stream.close()
       } else if (Files.exists(src))
         parts += s"${src.getFileName}:${Files.size(src)}:" +
-          s"${Files.getLastModifiedTime(src).toMillis}"
+          s"${Files.getLastModifiedTime(src).toMillis}${fileHash(src)}"
       else parts += s"${src.getFileName}:missing"
     }
     val md = java.security.MessageDigest.getInstance("SHA-256")

@@ -77,4 +77,30 @@ class TablesSpec extends SparkSpecBase {
     assert(Tables.dirTag("/root/testdata/sf0.01")
       .startsWith("sf0.01_"))
   }
+
+  test("content mode catches a same-size timestamp-preserving swap") {
+    // The documented contract limitation, and its paid escape hatch:
+    // default fingerprints key on path:size:mtime (a cp -p-style swap
+    // is invisible); graft.fp.content=1 folds file SHA-256s in.
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_fp_spec")
+    val f = dir.resolve("src.bin")
+    Files.write(f, "AAAA".getBytes)
+    val t0 = Files.getLastModifiedTime(f)
+    def fp() = Tables.sourceFingerprint(Seq(f), "spec")
+    val before = fp()
+    val beforeContent =
+      try { sys.props("graft.fp.content") = "1"; fp() }
+      finally sys.props.remove("graft.fp.content")
+    // Same-size swap, mtime restored.
+    Files.write(f, "BBBB".getBytes)
+    Files.setLastModifiedTime(f, t0)
+    assert(fp() == before, "default mode should NOT see the swap")
+    val afterContent =
+      try { sys.props("graft.fp.content") = "1"; fp() }
+      finally sys.props.remove("graft.fp.content")
+    assert(afterContent != beforeContent, "content mode must see it")
+    // Both modes differ from each other (a mode flip also rebuilds).
+    assert(before != beforeContent)
+  }
 }
