@@ -807,6 +807,73 @@ object TextQueries {
         |ORDER BY doc_id""".stripMargin)),
 
     // Exact-substring duplication signal (the n-gram-granular form of
+    // C4-style duplicated-span REMOVAL — the rewrite q_dedup_substr
+    // only measures: documents are cut into non-overlapping 10-token
+    // spans (a map-only slice fold — no per-token explode on the
+    // Spark side), every span whose exact text occurs in >= 2 DISTINCT
+    // documents is dropped from ALL of them (the C4 line-dedup rule,
+    // applied cross-document), and each document is reassembled from
+    // its surviving spans in order. The duplicated-span set comes from
+    // one count-distinct aggregation whose exchange carries 32-byte
+    // sha2 digests, never raw spans (the exact-dedup discipline); the
+    // reassembly is one doc_id exchange with an array_sort-by-chunk
+    // fold (collect_list order-independence handled by sorting the
+    // (cid, span) structs). Output pins the rewritten text by digest,
+    // so the oracle verifies the exact reassembled bytes. Exact-dup
+    // documents in the fixture lose all their spans; unique documents
+    // pass through bit-identical.
+    "q_dedup_spans" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val spans = docs
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(0, CAST(ceil(size(tk) / 10.0) AS INT) - 1), " +
+              "i -> array_join(slice(tk, i * 10 + 1, 10), ' '))"))
+            .as(Seq("cid", "span")))
+          .withColumn("dig", sha2(col("span"), 256))
+        val rep = spans
+          .groupBy("dig").agg(countDistinct("doc_id").as("nd"))
+          .filter(col("nd") >= 2).select("dig")
+        val kept = spans.join(rep, Seq("dig"), "left_anti")
+        val re = kept.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            expr("array_join(transform(array_sort(" +
+              "collect_list(struct(cid, span))), x -> x.span), ' ')")
+              .as("cleaned"))
+        docs
+          .select(col("doc_id"),
+            expr("CAST(ceil(size(split(text, ' ')) / 10.0) AS BIGINT)")
+              .as("n_spans"))
+          .join(re, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_spans"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            sha2(coalesce(col("cleaned"), lit("")), 256).as("cleaned_sha"))
+          .orderBy("doc_id")
+      },
+      """WITH u AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |sp AS (SELECT doc_id, CAST((pos - 1) // 10 AS INT) AS cid,
+        |    string_agg(tok, ' ' ORDER BY pos) AS span
+        |  FROM u GROUP BY 1, 2),
+        |rep AS (SELECT span FROM sp
+        |  GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+        |kept AS (SELECT doc_id, cid, span FROM sp
+        |  WHERE span NOT IN (SELECT span FROM rep)),
+        |re AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(span, ' ' ORDER BY cid) AS cleaned
+        |  FROM kept GROUP BY 1),
+        |ns AS (SELECT doc_id,
+        |    CAST(ceil(len(string_split(text, ' ')) / 10.0) AS BIGINT)
+        |      AS n_spans FROM documents)
+        |SELECT ns.doc_id, ns.n_spans,
+        |  COALESCE(re.n_kept, 0) AS n_kept,
+        |  sha256(COALESCE(re.cleaned, '')) AS cleaned_sha
+        |FROM ns LEFT JOIN re ON re.doc_id = ns.doc_id
+        |ORDER BY ns.doc_id""".stripMargin)),
+
     // Lee et al.'s ExactSubstr dedup): per document, how many tokens
     // are covered by the union of 8-token spans whose text occurs more
     // than once corpus-wide. The repeated-gram set is found by one

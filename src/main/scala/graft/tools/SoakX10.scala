@@ -241,7 +241,10 @@ object SoakX10 {
     // Incremental CC: base-label build scans the 10x graph once
     // (artifact); the per-batch merge is delta + component-graph
     // sized.
-    "q_graph_cc_inc")
+    "q_graph_cc_inc",
+    // Span rewrite: digest-keyed span exchange + one doc_id
+    // reassembly exchange, both linear in tokens.
+    "q_dedup_spans")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen
