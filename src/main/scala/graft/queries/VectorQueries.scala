@@ -641,6 +641,69 @@ object VectorQueries {
        |FROM a${KmIters + 1} ORDER BY vec_id""".stripMargin
   }
 
+  /** The unrolled-Lloyd CTE chain alone (everything up to and
+    * including the final assignment `aF`) — the shared prefix for the
+    * oracles of every operator that CONSUMES the k-means clustering
+    * (q_embed_prototype, q_embed_semdedup): they extend the chain
+    * instead of duplicating it, so the clustering the consumers verify
+    * against is definitionally the one q_embed_kmeans verifies. */
+  private[graft] val kmeansFinalCte: String = "a" + (KmIters + 1)
+  private[graft] val kmeansCtes: String = {
+    val full = kmeansOracleSql
+    full.substring(0, full.lastIndexOf("SELECT vec_id,")).trim.stripSuffix("\n")
+  }
+
+  /** Final Lloyd centroids, built ONCE per (source, code) fingerprint
+    * under the derived-artifact protocol: the KmIters collect-cycle
+    * loop (each collect k x dim rows — a bounded driver scalar) runs
+    * only when embeddings.parquet or the compiled code changes; every
+    * consumer gate (q_embed_kmeans, q_embed_prototype,
+    * q_embed_semdedup) then starts from the k x dim integer table and
+    * its returned plan is assignment-only — scan + literal-centroid
+    * projects — with no training lineage. At 100 TB this is exactly
+    * the shape you want: train once, persist the (tiny) model,
+    * assign many times. */
+  private[graft] def kmeansCentroids(s: SparkSession,
+      d: String): Array[Array[Long]] = {
+    val dir = s"${graft.Tables.scratchRoot}/graft_kmcent_${graft.Tables.dirTag(d)}"
+    val fp = graft.Tables.sourceFingerprint(
+      Seq(java.nio.file.Paths.get(d, "embeddings.parquet")),
+      s"kmcent_v1:k$KmK:i$KmIters")
+    graft.Tables.ensureDerived(dir, fp) {
+      val e = qvec(s, d)
+      var cents: Array[Array[Long]] = e.filter(col("vec_id") < KmK)
+        .orderBy("vec_id").collect()
+        .map(_.getSeq[Long](1).toArray)
+      for (_ <- 1 to KmIters) {
+        val sums = kmeansAssign(e, cents)
+          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos")
+          .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+          .collect()
+        val byCid = sums.groupBy(_.getInt(0))
+        cents = Array.tabulate(KmK) { c =>
+          byCid.get(c) match {
+            case None => cents(c)
+            case Some(rows) =>
+              val out = new Array[Long](cents(c).length)
+              rows.foreach { r =>
+                out(r.getInt(1)) = halfUpDiv(r.getLong(2), r.getLong(3))
+              }
+              out
+          }
+        }
+      }
+      val rows = cents.zipWithIndex.flatMap { case (c, i) =>
+        c.zipWithIndex.map { case (x, p) => (i, p, x) }
+      }.toSeq
+      s.createDataFrame(rows).toDF("cid", "pos", "x")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+    s.read.parquet(dir).collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getLong(2)))
+  }
+
   val entries: Map[String, (Q, String)] = Map(
 
     // Distributed Lloyd's k-means over the embedding corpus — the
@@ -662,34 +725,108 @@ object VectorQueries {
     // At 100 TB: cache the quantized corpus across rounds; the
     // per-round shuffle stays k x dim sized.
     "q_embed_kmeans" -> ((
-      (s: SparkSession, d: String) => {
-        val e = qvec(s, d)
-        var cents: Array[Array[Long]] = e.filter(col("vec_id") < KmK)
-          .orderBy("vec_id").collect()
-          .map(_.getSeq[Long](1).toArray)
-        for (_ <- 1 to KmIters) {
-          val sums = kmeansAssign(e, cents)
-            .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-            .groupBy("cid", "pos")
-            .agg(sum("x").as("sx"), count(lit(1)).as("n"))
-            .collect()
-          val byCid = sums.groupBy(_.getInt(0))
-          cents = Array.tabulate(KmK) { c =>
-            byCid.get(c) match {
-              case None => cents(c)
-              case Some(rows) =>
-                val out = new Array[Long](cents(c).length)
-                rows.foreach { r =>
-                  out(r.getInt(1)) = halfUpDiv(r.getLong(2), r.getLong(3))
-                }
-                out
-            }
-          }
-        }
-        kmeansAssign(e, cents)
-          .select("vec_id", "cid", "dist").orderBy("vec_id")
-      },
+      (s: SparkSession, d: String) =>
+        kmeansAssign(qvec(s, d), kmeansCentroids(s, d))
+          .select("vec_id", "cid", "dist").orderBy("vec_id"),
       kmeansOracleSql)),
+
+    // Prototypicality-based data pruning (the "beyond neural scaling
+    // laws" recipe, Sorscher et al. 2022): rank every vector within
+    // its k-means cluster by distance to the centroid and bucket —
+    // the closest 20% are 'proto' (prototypical, prunable as
+    // redundant), the farthest 10% are 'outlier' (prunable as noise),
+    // the middle keeps. Consumes the SHARED persisted centroids
+    // (kmeansCentroids — train once, assign many), so the returned
+    // plan is the map-only literal-centroid assignment plus exactly
+    // ONE hash exchange on cid feeding both the per-cluster
+    // row_number and the cluster-size count (same Window partition →
+    // one Exchange, plan-gated). Bucket edges are pure integer
+    // comparisons (rn*5 <= n, (n-rn)*10 < n) on exact integer
+    // distances — bit-identical cross-engine, no percentile floats.
+    // At 100 TB: k scales with the corpus (k ~ N/target_cluster_size)
+    // so per-cid partitions stay bounded; the ranking never sees more
+    // than one cluster per task.
+    "q_embed_prototype" -> ((
+      (s: SparkSession, d: String) => {
+        val a = kmeansAssign(qvec(s, d), kmeansCentroids(s, d))
+        val wr = Window.partitionBy("cid").orderBy(col("dist"), col("vec_id"))
+        val wc = Window.partitionBy("cid")
+        a.withColumn("rnk", row_number().over(wr).cast("long"))
+          .withColumn("n", count(lit(1)).over(wc))
+          .select(col("vec_id"), col("cid"), col("dist"), col("rnk"),
+            when(col("rnk") * 5 <= col("n"), lit("proto"))
+              .when((col("n") - col("rnk")) * 10 < col("n"), lit("outlier"))
+              .otherwise(lit("keep")).as("bucket"))
+          .orderBy("vec_id")
+      },
+      s"""$kmeansCtes,
+         |rk AS (SELECT vec_id, cid, d,
+         |    row_number() OVER (PARTITION BY cid ORDER BY d, vec_id) AS rn,
+         |    count(*) OVER (PARTITION BY cid) AS n
+         |  FROM $kmeansFinalCte)
+         |SELECT vec_id, CAST(cid AS INT) AS cid, CAST(d AS BIGINT) AS dist,
+         |  CAST(rn AS BIGINT) AS rnk,
+         |  CASE WHEN rn * 5 <= n THEN 'proto'
+         |       WHEN (n - rn) * 10 < n THEN 'outlier'
+         |       ELSE 'keep' END AS bucket
+         |FROM rk ORDER BY vec_id""".stripMargin)),
+
+    // SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning
+    // scoped BY CLUSTER — pairwise cosine runs only inside a k-means
+    // cell, never corpus-wide, which is the entire scale contract (k
+    // grows with the corpus so cell sizes stay bounded; cost is
+    // sum(|cell|^2), not N^2). A vector is pruned when a same-cluster
+    // vector with a SMALLER id is cosine-similar above T=0.35 — the
+    // deterministic keep-lowest-id representative rule. All math is
+    // exact integer: quantized vectors (x1000), and cos >= T tested as
+    // dot > 0 AND 10000*dot^2 >= 1225*|a|^2*|b|^2 (T^2 = 0.1225) —
+    // every operand bounded by 64*580^2 so the products stay under
+    // 2^63 in both engines; no float threshold can flip cross-engine.
+    // Plan: both pair sides are the same literal-centroid assignment
+    // (map-only), equi-joined on cid — a hash join, no
+    // CartesianProduct anywhere (plan-gated); the dup count folds
+    // partial+final on the kept-side id.
+    "q_embed_semdedup" -> ((
+      (s: SparkSession, d: String) => {
+        val cents = kmeansCentroids(s, d)
+        def side(p: String): DataFrame =
+          kmeansAssign(qvec(s, d), cents)
+            .withColumn("vd", expr("transform(v, x -> CAST(x AS DOUBLE))"))
+            .select(col("vec_id").as(s"${p}id"), col("cid"),
+              col("vd").as(s"${p}v"),
+              expr("CAST(vec_dot(vd, vd) AS BIGINT)").as(s"${p}n"))
+        val pairs = side("a").join(side("b"), Seq("cid"))
+          .filter(col("aid") < col("bid"))
+          .withColumn("dt", expr("CAST(vec_dot(av, bv) AS BIGINT)"))
+          .filter(col("dt") > 0 &&
+            lit(10000L) * col("dt") * col("dt") >=
+              lit(1225L) * col("an") * col("bn"))
+        val ns = pairs.groupBy(col("bid")).agg(count(lit(1)).as("ns"))
+        val a = kmeansAssign(qvec(s, d), cents).select("vec_id", "cid")
+        a.join(ns, a("vec_id") === ns("bid"), "left")
+          .select(col("vec_id"), col("cid"),
+            coalesce(col("ns"), lit(0L)).as("n_dup"),
+            when(col("bid").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+          .orderBy("vec_id")
+      },
+      s"""$kmeansCtes,
+         |pd AS (SELECT l.vec_id AS a, r.vec_id AS b,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      i -> l.v[i] * r.v[i])) AS BIGINT) AS dt,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      i -> l.v[i] * l.v[i])) AS BIGINT) AS na,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      i -> r.v[i] * r.v[i])) AS BIGINT) AS nb
+         |  FROM $kmeansFinalCte l JOIN $kmeansFinalCte r
+         |    ON l.cid = r.cid AND l.vec_id < r.vec_id),
+         |pr AS (SELECT b, CAST(count(*) AS BIGINT) AS ns FROM pd
+         |  WHERE dt > 0 AND 10000 * dt * dt >= 1225 * na * nb
+         |  GROUP BY b)
+         |SELECT f.vec_id, CAST(f.cid AS INT) AS cid,
+         |  CAST(COALESCE(pr.ns, 0) AS BIGINT) AS n_dup,
+         |  CASE WHEN pr.b IS NULL THEN 1 ELSE 0 END AS kept
+         |FROM $kmeansFinalCte f LEFT JOIN pr ON pr.b = f.vec_id
+         |ORDER BY f.vec_id""".stripMargin)),
 
     // Per-label centroid (the training side of IVF / k-means): one
     // posexplode + partial-aggregating groupBy on (label, dim) — the

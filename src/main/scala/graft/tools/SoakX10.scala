@@ -244,7 +244,16 @@ object SoakX10 {
     "q_graph_cc_inc",
     // Span rewrite: digest-keyed span exchange + one doc_id
     // reassembly exchange, both linear in tokens.
-    "q_dedup_spans")
+    "q_dedup_spans",
+    // Prototypicality pruning: one assignment scan + one cid-keyed
+    // window — per-cluster partitions grow with the corpus here
+    // (fixed k in the gate); in production k scales to bound them.
+    "q_embed_prototype",
+    // SemDeDup: pair work is sum(|cell|^2) — with fixed k the soak
+    // cells grow 10x so pair counts grow ~100x BY DESIGN; the honest
+    // scale metric is per-pair cost staying flat (production bounds
+    // cells by scaling k with the corpus).
+    "q_embed_semdedup")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

@@ -354,6 +354,30 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("vec_dot"), p)
   }
 
+  test("q_embed_prototype ranks within cluster through ONE hash exchange, assignment map-only") {
+    // Same literal-centroid assignment as q_embed_kmeans (no Join),
+    // then both the per-cluster row_number and the cluster-size count
+    // share the cid Window partition — a second hash exchange would
+    // mean the two window specs diverged and the corpus shuffles
+    // twice.
+    val p = planOf("q_embed_prototype")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("vec_dot"), p)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"hash exchanges=$hashEx\n$p")
+  }
+
+  test("q_embed_semdedup pairs only inside a cluster: equi-join on cid, never cartesian") {
+    // The SemDeDup contract: pairwise cosine is scoped by the k-means
+    // cell, so the pair generator must be an equality join on cid — a
+    // CartesianProduct or BroadcastNestedLoopJoin here is the N^2
+    // corpus-wide scan the technique exists to avoid.
+    val p = planOf("q_embed_semdedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("vec_dot"), p)
+  }
+
   test("q_text_entropy is one map-only codegen pass: no explode, no join") {
     val p = planOf("q_text_entropy")
     // The SQL formulation explodes one row per CHARACTER through an
