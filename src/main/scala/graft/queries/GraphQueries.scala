@@ -136,6 +136,47 @@ object GraphQueries {
     labels
   }
 
+  /** One synchronous label-propagation round over a MATERIALIZED
+    * undirected edge set: every node adopts the most frequent label
+    * among its neighbors, ties broken toward the smallest label — the
+    * deterministic variant of Raghavan et al.'s LPA (the async
+    * random-order original is irreproducible by construction; fixing
+    * the order makes the community assignment hash-verifiable). The
+    * vote is two partial+final aggregations — count per (node, label),
+    * then a min(struct(-count, label)) argmax whose exchange carries
+    * one candidate struct per partition-node — never a window over the
+    * neighbor stream. Same per-round shape as ccRound: one equality
+    * join on the edge key, shuffles scoped to the label state. */
+  private[graft] def lpRound(labels: DataFrame, e: DataFrame): DataFrame =
+    e.join(labels.withColumnRenamed("node", "src"), "src")
+      .groupBy(col("dst"), col("lbl"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("dst"))
+      .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+      .select(col("dst").as("node"), col("m").getField("l").as("lbl"))
+
+  /** Community detection by `iters` SYNCHRONOUS label-propagation
+    * rounds (fixed round count — majority dynamics need not reach a
+    * fixpoint, so an early-exit would be a different operator; the
+    * oracle unrolls exactly the same rounds). Loop protocol shared
+    * with ccLoop: edges materialized once, localCheckpoint-per-round
+    * state, iteration-scoped shuffle partitions. At 100 TB: bucket
+    * the edge list by src so rounds co-locate; labels are one row per
+    * node — the state never outgrows the node set. */
+  def labelPropagation(s: SparkSession, d: String,
+      iters: Int): DataFrame = {
+    val e = und(s, d).localCheckpoint()
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    val nNodes = labels.count()
+    withIterParts(s, nNodes) {
+      for (_ <- 1 to iters)
+        labels = lpRound(labels, e).localCheckpoint()
+    }
+    labels.orderBy("node")
+  }
+
   /** The undirected FK edge list (fresh lineage per use — see reach()
     * on self-join ambiguity). */
   private def und(s: SparkSession, d: String): DataFrame =
@@ -605,6 +646,32 @@ object GraphQueries {
         |         CAST(150000 + (85 * coalesce(c.cs, 0)) // 100 AS BIGINT) AS rank
         |       FROM nodes n LEFT JOIN c3 c USING (node))
         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin)),
+
+    // Deterministic synchronous LPA over the undirected FK graph (4
+    // rounds — see labelPropagation()). The oracle unrolls the same 4
+    // rounds with a row_number argmax per node (count DESC, label ASC
+    // — the min(struct(-c, l)) twin), so every vote's count AND
+    // tie-break must agree bit-for-bit across engines.
+    "q_graph_label_prop" -> ((
+      (s: SparkSession, d: String) => labelPropagation(s, d, 4),
+      {
+        def round(x: Int): String =
+          s"""l$x AS (SELECT dst AS node, lbl FROM (
+             |  SELECT e.dst, l.lbl, count(*) AS c,
+             |    row_number() OVER (PARTITION BY e.dst
+             |      ORDER BY count(*) DESC, l.lbl) AS rn
+             |  FROM e JOIN l${x - 1} l ON l.node = e.src
+             |  GROUP BY e.dst, l.lbl) x WHERE rn = 1)"""
+        s"""WITH b AS (
+           |  SELECT 'R' || n_regionkey AS src, 'N' || n_nationkey AS dst FROM nation
+           |  UNION ALL SELECT 'N' || c_nationkey, 'C' || c_custkey FROM customer
+           |  UNION ALL SELECT 'N' || s_nationkey, 'S' || s_suppkey FROM supplier),
+           |e AS (SELECT src, dst FROM b
+           |      UNION ALL SELECT dst AS src, src AS dst FROM b),
+           |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+           |${(1 to 4).map(round).mkString(",\n")}
+           |SELECT node, lbl FROM l4 ORDER BY node""".stripMargin
+      })),
 
     "q_graph_reach" -> ((
       (s: SparkSession, d: String) => reach(s, d, 3),

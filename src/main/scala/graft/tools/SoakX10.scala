@@ -253,7 +253,11 @@ object SoakX10 {
     // cells grow 10x so pair counts grow ~100x BY DESIGN; the honest
     // scale metric is per-pair cost staying flat (production bounds
     // cells by scaling k with the corpus).
-    "q_embed_semdedup")
+    "q_embed_semdedup",
+    // LPA community detection: same loop law as q_graph_cc — per
+    // round one equality join over the materialized edges + two
+    // partial+final aggs over the (growing) label state.
+    "q_graph_label_prop")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

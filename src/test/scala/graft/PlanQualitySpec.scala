@@ -868,6 +868,30 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("partial_min"), p)
   }
 
+  test("q_graph_label_prop votes via equality joins with partial counts") {
+    // Same materialized-state round gate as q_graph_cc: each LPA round
+    // must be one equality join on the edge key plus TWO partial+final
+    // aggregations (count per (node, label), then the min-struct
+    // argmax) — a cartesian/BNL means the label join lost its key, and
+    // a Window here would mean the argmax sorts the whole neighbor
+    // stream instead of pre-combining map-side.
+    val st = SparkEntry.queries("q_graph_cc")(spark, dir).localCheckpoint()
+    val e = {
+      import org.apache.spark.sql.functions._
+      val n = Tables.t(spark, dir, "nation").select(
+        concat(lit("R"), col("n_regionkey")).as("src"),
+        concat(lit("N"), col("n_nationkey")).as("dst"))
+      n.unionByName(n.select(col("dst").as("src"), col("src").as("dst")))
+    }
+    val p = graft.queries.GraphQueries.lpRound(st, e)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q_graph_sssp relaxes via equality joins with min pre-combine") {
     // The gated entry materializes state every round (see sssp()), so
     // its returned plan is only the final state scan; gate the exposed
