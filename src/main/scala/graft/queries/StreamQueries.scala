@@ -835,6 +835,56 @@ object StreamQueries {
         |     SELECT DISTINCT date_trunc('hour', ts), event_type FROM e
         |     WHERE ts < TIMESTAMP '2024-01-06 00:00:00'))
         |    AS late_groups_dropped
-        |FROM e GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin))
+        |FROM e GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
+
+    // Sliding (overlapping) windows under readStream — the window
+    // shape the tumbling gates can't express: window(ts, 2h, 1h)
+    // assigns every event to TWO open windows, so the state store
+    // holds window_count = length/slide concurrent aggregates per key
+    // and each arrival updates all of them. Spark expands the overlap
+    // map-side (the window() Expand — 2 rows/event BEFORE the
+    // exchange, partial-aggregated, so the shuffle carries per-
+    // (partition, window, type) partials, not the doubled event
+    // stream). Finite AvailableNow source + complete mode = the
+    // deterministic gate contract; at scale this runs append-mode
+    // with a watermark ≥ slide so closed windows evict. Aggregates
+    // are integer-only (count + id extrema) — no float sums to wobble
+    // the oracle. Oracle: each event contributes to the two
+    // hour-aligned starts {trunc_h(ts), trunc_h(ts)-1h} — the
+    // epoch-aligned window-assignment rule, cross-joined in DuckDB.
+    "q_stream_sliding" -> ((
+      (s: SparkSession, d: String) => {
+        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_src_${graft.Tables.dirTag(d)}_v$DumpVersion"
+        ensureStreamDump(d, "events", srcDir)(graft.Tables.events(s, d))
+        val schema = s.read.parquet(srcDir).schema
+        val qn = "graft_slide_" + math.abs(d.hashCode).toString
+        val stream = s.readStream.schema(schema).parquet(srcDir)
+          .groupBy(window(col("ts"), "2 hours", "1 hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), min("event_id").as("min_ev"),
+            max("event_id").as("max_ev"))
+        withStreamGateConfs(s) {
+          val q = stream.writeStream.format("memory").queryName(qn)
+            .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        s.table(qn)
+          .select(unix_micros(col("window.start")).as("win_start_us"),
+            unix_micros(col("window.end")).as("win_end_us"),
+            col("event_type"), col("n"), col("min_ev"), col("max_ev"))
+          .orderBy("win_start_us", "event_type")
+      },
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |             event_id FROM events),
+        |x AS (SELECT date_trunc('hour', ts)
+        |        - k.k * INTERVAL 1 HOUR AS ws, event_type, event_id
+        |      FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k) k)
+        |SELECT epoch_us(ws) AS win_start_us,
+        |  epoch_us(ws + INTERVAL 2 HOUR) AS win_end_us,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(event_id) AS BIGINT) AS min_ev,
+        |  CAST(max(event_id) AS BIGINT) AS max_ev
+        |FROM x GROUP BY 1, 2, 3
+        |ORDER BY win_start_us, event_type""".stripMargin))
   )
 }

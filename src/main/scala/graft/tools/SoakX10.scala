@@ -257,7 +257,11 @@ object SoakX10 {
     // LPA community detection: same loop law as q_graph_cc — per
     // round one equality join over the materialized edges + two
     // partial+final aggs over the (growing) label state.
-    "q_graph_label_prop")
+    "q_graph_label_prop",
+    // Sliding windows: the Expand doubles rows map-side but partial
+    // aggregation collapses them before the exchange — state (and
+    // shuffle) must track distinct (window, type) groups, not rows.
+    "q_stream_sliding")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen
