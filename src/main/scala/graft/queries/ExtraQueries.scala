@@ -1032,6 +1032,66 @@ object ExtraQueries {
         |WHERE (cum - w) // stride < cum // stride
         |ORDER BY doc_id""".stripMargin)),
 
+    // Skyline (Pareto frontier) over (minimize price, maximize size)
+    // — the multi-objective selection operator (Börzsönyi et al.'s
+    // SKYLINE OF). The naive form is an O(n²) dominance theta-join;
+    // the distributed form here is the 2-D sort-based reduction:
+    // dominance collapses to "strictly-cheaper prefix max", computed
+    // with the q_pack_sequences two-pass protocol — per-price max
+    // (one hash exchange, partial+final), monotone price-range
+    // buckets, per-bucket maxima collected ONCE (bounded by the
+    // bucket count, ~parallelism) and broadcast back as exclusive
+    // prefix offsets, then a bucket-PARTITIONED running max over
+    // distinct prices (never a single-task global window,
+    // plan-gated). A row is skyline iff it beats every strictly
+    // cheaper price's best size AND is its own price's best. The
+    // oracle is the definitionally-independent O(n²) NOT-EXISTS
+    // dominance scan — the two computations share nothing but the
+    // dominance relation. Emitted as a per-row 0/1 flag so both
+    // classes hash-verify. All-integer math (exact cents).
+    "q_skyline" -> ((
+      (s: SparkSession, d: String) => {
+        val W = 1000L // cents per bucket; production: domain/parallelism
+        val p = t(s, d, "part").select(col("p_partkey"),
+          round(col("p_retailprice") * 100).cast("long").as("price_cents"),
+          col("p_size"))
+        val perPrice = p.groupBy("price_cents")
+          .agg(max(col("p_size").cast("long")).as("m"))
+          .withColumn("bucket", expr(s"price_cents div ${W}L"))
+        var run = -1L // sentinel below the size domain (sizes >= 1)
+        val offs: Map[Long, Long] = perPrice.groupBy("bucket")
+          .agg(max("m").as("bm")).orderBy("bucket").collect()
+          .map { r =>
+            val k = r.getLong(0); val o = run
+            run = math.max(run, r.getLong(1))
+            k -> o
+          }.toMap
+        val wnd = Window.partitionBy("bucket").orderBy("price_cents")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val pref = perPrice
+          .withColumn("mprev", greatest(
+            coalesce(max("m").over(wnd), lit(-1L)),
+            coalesce(element_at(typedLit(offs), col("bucket")), lit(-1L))))
+          .select(col("price_cents"), col("m"), col("mprev"))
+        p.join(pref, "price_cents")
+          .select(col("p_partkey"), col("price_cents"), col("p_size"),
+            when(col("p_size").cast("long") > col("mprev") &&
+              col("p_size").cast("long") === col("m"), lit(1L))
+              .otherwise(lit(0L)).as("sky"))
+          .orderBy("p_partkey")
+      },
+      """WITH p AS (SELECT p_partkey,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+        |    p_size
+        |  FROM part)
+        |SELECT b.p_partkey, b.price_cents, b.p_size,
+        |  CASE WHEN EXISTS (SELECT 1 FROM p a
+        |    WHERE a.price_cents <= b.price_cents
+        |      AND a.p_size >= b.p_size
+        |      AND (a.price_cents < b.price_cents OR a.p_size > b.p_size))
+        |  THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS sky
+        |FROM p b ORDER BY p_partkey""".stripMargin)),
+
     // Corpus mixture rebalancing — domain mixing for a training run:
     // each source gets a target share (weights derived here from the
     // source name; a real run feeds its mixture config), the quota is

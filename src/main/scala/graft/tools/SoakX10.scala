@@ -261,7 +261,11 @@ object SoakX10 {
     // Sliding windows: the Expand doubles rows map-side but partial
     // aggregation collapses them before the exchange — state (and
     // shuffle) must track distinct (window, type) groups, not rows.
-    "q_stream_sliding")
+    "q_stream_sliding",
+    // Skyline: per-price max + bucket-partitioned prefix windows are
+    // all linear passes; the collected bucket summary stays
+    // bucket-count-sized as rows grow.
+    "q_skyline")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

@@ -174,6 +174,19 @@ class PlanQualitySpec extends SparkSpecBase {
     assert("""Window \[[^\]]*\], \[bucket#\d+""".r.findFirstIn(p).isDefined, p)
   }
 
+  test("q_skyline prefix-max stays bucket-partitioned; dominance never a theta join") {
+    val df = SparkEntry.queries("q_skyline")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // The O(n²) dominance formulation would appear as a cartesian or
+    // BNL self-join; the sort-based reduction must instead carry ONE
+    // bucket-partitioned running-max window (the two-pass prefix
+    // protocol) and equi-join the price summary back on price_cents.
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Window \\[".r.findAllIn(p).length == 1, p)
+    assert("""Window \[[^\]]*\], \[bucket#\d+""".r.findFirstIn(p).isDefined, p)
+  }
+
   test("q_sessionize and q_scd2 shuffle once on user_id, windows stay partitioned") {
     for (q <- Seq("q_sessionize", "q_scd2")) {
       val df = SparkEntry.queries(q)(spark, dir)
