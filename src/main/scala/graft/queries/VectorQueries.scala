@@ -962,6 +962,71 @@ object VectorQueries {
     // head — the fusion stage is unchanged. Determinism: ranks are
     // integers; 1.0/(60.0 + rank) is one exact-input IEEE division and
     // the two-term sum has fixed textual order in both engines.
+    // Grid-cell radius join — the 2-D spatial neighborhood join (the
+    // planar member of the bounded-candidate join family: band join =
+    // 1-D, interval join = ranges, this = points within distance r).
+    // Points land in r-sized grid cells; the probe side explodes each
+    // point to its 3x3 cell neighborhood MAP-SIDE (one Generate, 9
+    // rows/point) and equi-joins the home-cell side on (cx, cy) — a
+    // hash join whose fan-in per cell is bounded by local point
+    // density, never an all-pairs theta join (plan-gated). A candidate
+    // (a, b) arises exactly once (b's home cell is unique among a's 9
+    // probes), so no dedup pass is needed; the exact L2 test is an
+    // in-row integer filter (quantized coords, r² compare — the
+    // established round(x*1000) discipline both engines share).
+    // Oracle: the definitionally-independent O(n²) distance scan.
+    // At 100 TB: cells partition the plane, the exchange carries 9x
+    // the points, and skewed (dense) cells AQE-split — the same
+    // posture as the LSH bucket joins.
+    "q_join_grid" -> ((
+      (s: SparkSession, d: String) => {
+        val R = 50L // radius in integer milli-units; cell edge = R
+        def pts: DataFrame = t(s, d, "embeddings").select(col("vec_id"),
+          expr("CAST(round(CAST(embedding[0] AS DOUBLE) * 1000) AS BIGINT)")
+            .as("x"),
+          expr("CAST(round(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)")
+            .as("y"))
+        def withCells(df: DataFrame): DataFrame = df
+          .withColumn("cx",
+            expr(s"CAST(floor(x / $R.0) AS BIGINT)"))
+          .withColumn("cy",
+            expr(s"CAST(floor(y / $R.0) AS BIGINT)"))
+        val offsets = array((for { dx <- -1 to 1; dy <- -1 to 1 }
+          yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
+        val probe = withCells(pts)
+          .select(col("vec_id").as("aid"), col("x").as("ax"),
+            col("y").as("ay"), col("cx"), col("cy"))
+          .withColumn("o", explode(offsets))
+          .select(col("aid"), col("ax"), col("ay"),
+            (col("cx") + col("o.dx")).as("jx"),
+            (col("cy") + col("o.dy")).as("jy"))
+        val home = withCells(pts)
+          .select(col("vec_id").as("bid"), col("x").as("bx"),
+            col("y").as("by"), col("cx").as("jx"), col("cy").as("jy"))
+        val nbr = probe.join(home, Seq("jx", "jy"))
+          .filter(col("aid") =!= col("bid") &&
+            (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+              (col("ay") - col("by")) * (col("ay") - col("by")) <= R * R)
+          .groupBy(col("aid")).agg(count(lit(1)).as("c"))
+        val p0 = pts
+        p0.join(nbr, p0("vec_id") === nbr("aid"), "left")
+          .select(col("vec_id"), col("x"), col("y"),
+            coalesce(col("c"), lit(0L)).as("n_nbr"))
+          .orderBy("vec_id")
+      },
+      """WITH p AS (SELECT vec_id,
+        |    CAST(round(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS x,
+        |    CAST(round(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT) AS y
+        |  FROM embeddings),
+        |n AS (SELECT a.vec_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM p a JOIN p b ON b.vec_id <> a.vec_id
+        |    AND (a.x - b.x) * (a.x - b.x)
+        |      + (a.y - b.y) * (a.y - b.y) <= 2500
+        |  GROUP BY 1)
+        |SELECT p.vec_id, p.x, p.y,
+        |  CAST(COALESCE(n.c, 0) AS BIGINT) AS n_nbr
+        |FROM p LEFT JOIN n USING (vec_id) ORDER BY vec_id""".stripMargin)),
+
     "q_rank_fusion" -> ((
       (s: SparkSession, d: String) => {
         // Lexical leg scores query 1 of the SAME workload relation the

@@ -265,7 +265,12 @@ object SoakX10 {
     // Skyline: per-price max + bucket-partitioned prefix windows are
     // all linear passes; the collected bucket summary stays
     // bucket-count-sized as rows grow.
-    "q_skyline")
+    "q_skyline",
+    // Grid radius join: the 9-cell probe explode is map-side; the
+    // cell equi-join's fan-in is bounded by local density (the soak's
+    // shifted copies densify the plane, so candidates grow with true
+    // neighbor counts, never rows²).
+    "q_join_grid")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

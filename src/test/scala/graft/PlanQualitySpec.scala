@@ -187,6 +187,18 @@ class PlanQualitySpec extends SparkSpecBase {
     assert("""Window \[[^\]]*\], \[bucket#\d+""".r.findFirstIn(p).isDefined, p)
   }
 
+  test("q_join_grid equi-joins on cells with one map-side neighborhood explode") {
+    val df = SparkEntry.queries("q_join_grid")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // The candidate generator must be an equality hash join on the
+    // (cx, cy) cell keys fed by ONE Generate (the 3x3 probe explode)
+    // — a CartesianProduct/BNL means the radius predicate drove the
+    // join itself and the operator went all-pairs.
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Generate explode".r.findAllIn(p).length == 1, p)
+  }
+
   test("q_sessionize and q_scd2 shuffle once on user_id, windows stay partitioned") {
     for (q <- Seq("q_sessionize", "q_scd2")) {
       val df = SparkEntry.queries(q)(spark, dir)
