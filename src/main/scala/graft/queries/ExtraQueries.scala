@@ -2233,6 +2233,82 @@ object ExtraQueries {
         |  last_value(closing IGNORE NULLS) OVER (PARTITION BY user_id
         |    ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_type
-        |FROM j ORDER BY user_id, day""".stripMargin))
+        |FROM j ORDER BY user_id, day""".stripMargin)),
+
+    // Market-basket association mining (frequent item PAIRS with
+    // support / confidence / lift) — the co-occurrence-mining member
+    // of the bounded-candidate family (reference has no mining ops;
+    // this is the A-Priori/SON shape a recommendation or
+    // data-curation pipeline runs over 100 TB of baskets). The naive
+    // form is an all-pairs self-join; the distributed form here rides
+    // ONE basket exchange: lineitem groups to sorted distinct-item
+    // baskets (l_orderkey → sort_array(collect_set)), pairs explode
+    // MAP-SIDE from each basket array (fan-out bounded by basket
+    // size² — baskets are small by the domain's contract, the same
+    // bound every SON implementation leans on; a hub basket would be
+    // capped like the LSH buckets), and both the pair-support and the
+    // per-item support aggregates are domain-sized, never
+    // corpus-sized. Item supports broadcast back onto the frequent
+    // pairs; the basket total N is a bounded one-row driver read
+    // (q_mix_rebalance's pattern). All metric math is exact integer
+    // e4 units (lift = co·N·10⁴ div ca·cb, confidence = co·10⁴ div
+    // ca) so both engines land bit-identical — no float ratios. The
+    // oracle is the definitionally-independent all-pairs self-join.
+    "q_assoc_pairs" -> ((
+      (s: SparkSession, d: String) => {
+        val items = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val baskets = items
+          .groupBy("l_orderkey")
+          .agg(sort_array(collect_set(col("l_partkey"))).as("its"))
+        val nBaskets = baskets.count() // one-row driver scalar
+        val pairs = baskets.select(explode(expr(
+          """flatten(transform(its, (x, i) ->
+            |  transform(slice(its, i + 2, size(its)),
+            |    y -> named_struct('a', x, 'b', y))))""".stripMargin))
+          .as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+        val co = pairs.groupBy("a", "b")
+          .agg(count(lit(1)).as("co"))
+          .filter(col("co") >= 2)
+        // Item supports are item-domain-sized: materialize ONCE
+        // (localCheckpoint) so the two broadcast lookups share one
+        // aggregation pass instead of re-scanning the corpus per side.
+        val itemCnt = items
+          .groupBy("l_partkey")
+          .agg(countDistinct("l_orderkey").as("cnt"))
+          .localCheckpoint()
+        co
+          .join(broadcast(itemCnt.select(col("l_partkey").as("a"),
+            col("cnt").as("ca"))), "a")
+          .join(broadcast(itemCnt.select(col("l_partkey").as("b"),
+            col("cnt").as("cb"))), "b")
+          .select(col("a"), col("b"), col("co"), col("ca"), col("cb"),
+            expr(s"co * ${nBaskets}L * 10000L div (ca * cb)")
+              .as("lift_e4"),
+            expr("co * 10000L div ca").as("conf_ab_e4"),
+            expr("co * 10000L div cb").as("conf_ba_e4"))
+          .orderBy("a", "b")
+      },
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nb
+        |      FROM items),
+        |ic AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM items GROUP BY 1),
+        |co AS (SELECT x.l_partkey AS a, y.l_partkey AS b,
+        |    CAST(count(*) AS BIGINT) AS co
+        |  FROM items x JOIN items y
+        |    ON x.l_orderkey = y.l_orderkey
+        |   AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT co.a, co.b, co.co, ia.cnt AS ca, ib.cnt AS cb,
+        |  CAST(co.co * n.nb * 10000 // (ia.cnt * ib.cnt) AS BIGINT)
+        |    AS lift_e4,
+        |  CAST(co.co * 10000 // ia.cnt AS BIGINT) AS conf_ab_e4,
+        |  CAST(co.co * 10000 // ib.cnt AS BIGINT) AS conf_ba_e4
+        |FROM co JOIN ic ia ON ia.l_partkey = co.a
+        |JOIN ic ib ON ib.l_partkey = co.b CROSS JOIN n
+        |ORDER BY a, b""".stripMargin))
   )
 }

@@ -270,7 +270,11 @@ object SoakX10 {
     // cell equi-join's fan-in is bounded by local density (the soak's
     // shifted copies densify the plane, so candidates grow with true
     // neighbor counts, never rows²).
-    "q_join_grid")
+    "q_join_grid",
+    // Association mining: pair fan-out is basket-size-bounded and
+    // map-side; the pair/item aggregates are domain-sized, so cost
+    // tracks basket count, never pairs across baskets.
+    "q_assoc_pairs")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

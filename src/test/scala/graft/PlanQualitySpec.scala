@@ -199,6 +199,25 @@ class PlanQualitySpec extends SparkSpecBase {
     assert("Generate explode".r.findAllIn(p).length == 1, p)
   }
 
+  test("q_assoc_pairs explodes pairs map-side off one basket exchange, never a self-join") {
+    val df = SparkEntry.queries("q_assoc_pairs")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // The naive all-pairs form is an items self-join on l_orderkey;
+    // the SON shape instead rides ONE basket exchange (the collect_set
+    // groupBy) and generates pairs with a map-side explode — the only
+    // joins allowed are the two broadcast item-support lookups.
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("Exchange hashpartitioning\\(l_orderkey".r.findAllIn(p).length == 1, p)
+    assert("Generate explode".r.findAllIn(p).length == 1, p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2, p)
+    // The item-support relation is checkpointed — both broadcast sides
+    // read the materialized RDD, so the returned plan scans the corpus
+    // exactly once (the basket/pair branch).
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+  }
+
   test("q_sessionize and q_scd2 shuffle once on user_id, windows stay partitioned") {
     for (q <- Seq("q_sessionize", "q_scd2")) {
       val df = SparkEntry.queries(q)(spark, dir)
