@@ -206,7 +206,7 @@ object ExtraQueries {
     * classic shift-or-mask cascade (0x00FF00FF / 0x0F0F0F0F /
     * 0x33333333 / 0x55555555) — pure integer arithmetic, stays inside
     * whole-stage codegen, bit-identical in any engine. */
-  private def spread16(c: org.apache.spark.sql.Column) = {
+  private[queries] def spread16(c: org.apache.spark.sql.Column) = {
     val x0 = c.bitwiseAND(lit(65535L))
     val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(16711935L))
     val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(252645135L))

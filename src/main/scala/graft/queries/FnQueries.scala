@@ -149,6 +149,114 @@ object FnQueries {
         |CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // Manifest-stats file skipping over a z-order-clustered layout —
+    // the Delta/Iceberg data-skipping story, and the third member of
+    // the pruning family: q_sink_partitioned prunes at DIRECTORY
+    // granularity (partition values in paths), q_sink_sorted prunes
+    // ROW GROUPS inside files (parquet footer min/max), this one
+    // prunes whole FILES from a PERSISTED stats table consulted
+    // before the scan is even planned — at 100 TB the manifest is the
+    // only thing small enough to consult per query (opening 10⁶
+    // footers to plan a scan is itself a full metadata pass). Build
+    // (derived-artifact protocol, build-once per source+code
+    // fingerprint): events clustered by a z-order key interleaving
+    // user_id with day-of-epoch (the multi-dimensional clustering
+    // that keeps BOTH user slices and time slices file-local), one
+    // file per z-bucket, then a stats manifest of per-FILE min/max
+    // user_id + row count derived from the written files themselves
+    // (input_file_name groupBy — exactly what a transaction log
+    // records at commit time). Query: the predicate consults the
+    // manifest (zone-count-sized driver read — the manifest IS
+    // bounded by file count), reads ONLY intersecting files, and
+    // filters in-row for exactness. The emitted n_files_total /
+    // n_files_read / pruned columns make the SKIPPING itself
+    // hash-verified: one file per z-bucket means file stats equal
+    // zone stats, so the DuckDB oracle reproduces the pruning census
+    // from the same z-value derivation without ever seeing the files.
+    "q_zonemap_prune" -> ((
+      (s: SparkSession, d: String) => {
+        val tag = graft.Tables.dirTag(d)
+        val root = s"${graft.Tables.scratchRoot}/graft_zonemap_$tag"
+        val dataDir = s"$root/data"
+        val statsDir = s"$root/stats"
+        val fp = graft.Tables.sourceFingerprint(
+          Seq(java.nio.file.Paths.get(s"$d/events.parquet")),
+          "zonemap_v1:z24:d64")
+        graft.Tables.ensureDerived(root, fp) {
+          val ev = graft.Tables.events(s, d).select(
+            col("event_id"), col("user_id"), col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          val zv = shiftleft(ExtraQueries.spread16(col("user_id")), 1)
+            .bitwiseOR(ExtraQueries.spread16(expr("day % 64")))
+          val withZ = ev.withColumn("zv", zv.cast("long"))
+          // Bounded one-row driver scalar (the avgdl protocol): the
+          // z-domain max sizes ~24 buckets at any sf.
+          val zmax = withZ.agg(max("zv")).head().getLong(0)
+          val dv = math.max(1L, (zmax + 1L) / 24L)
+          withZ.withColumn("zb", expr(s"zv div ${dv}L"))
+            .repartition(col("zb"))
+            .write.mode("overwrite").partitionBy("zb").parquet(dataDir)
+          s.read.parquet(dataDir)
+            .groupBy(input_file_name().as("file"))
+            .agg(min("user_id").as("u_min"), max("user_id").as("u_max"),
+              count(lit(1)).as("n_rows"))
+            .write.mode("overwrite").parquet(statsDir)
+        }
+        // The manifest consult: file-count-sized driver read.
+        val stats = s.read.parquet(statsDir).collect()
+        val uMax = stats.map(_.getAs[Long]("u_max")).max
+        val hi = uMax / 8L
+        val selected = stats.filter(_.getAs[Long]("u_min") <= hi)
+          .map(_.getAs[String]("file")).toSeq.sorted
+        val pruned = if (selected.length < stats.length) 1L else 0L
+        s.read.parquet(selected: _*)
+          .filter(col("user_id") <= hi)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), sum("cents").as("cents"))
+          .withColumn("n_files_total", lit(stats.length.toLong))
+          .withColumn("n_files_read", lit(selected.length.toLong))
+          .withColumn("pruned", lit(pruned))
+          .orderBy("event_type")
+      },
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events),
+        |sp AS (SELECT *,
+        |    user_id & 65535 AS x0,
+        |    (x0 | (x0 << 8)) & 16711935 AS x1,
+        |    (x1 | (x1 << 4)) & 252645135 AS x2,
+        |    (x2 | (x2 << 2)) & 858993459 AS x3,
+        |    (x3 | (x3 << 1)) & 1431655765 AS x4,
+        |    (day % 64) AS y0,
+        |    (y0 | (y0 << 8)) & 16711935 AS y1,
+        |    (y1 | (y1 << 4)) & 252645135 AS y2,
+        |    (y2 | (y2 << 2)) & 858993459 AS y3,
+        |    (y3 | (y3 << 1)) & 1431655765 AS y4
+        |  FROM e),
+        |z AS (SELECT event_id, user_id, event_type, cents,
+        |    CAST((x4 << 1) | y4 AS BIGINT) AS zv FROM sp),
+        |dv AS (SELECT greatest(1, (max(zv) + 1) // 24) AS dv FROM z),
+        |zb AS (SELECT z.*, zv // dv.dv AS zb FROM z, dv),
+        |zones AS (SELECT zb, min(user_id) AS u_min FROM zb GROUP BY 1),
+        |hi AS (SELECT max(user_id) // 8 AS hi FROM e),
+        |census AS (SELECT
+        |    CAST(count(*) AS BIGINT) AS n_files_total,
+        |    CAST(count(*) FILTER (u_min <= (SELECT hi FROM hi))
+        |      AS BIGINT) AS n_files_read
+        |  FROM zones)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  census.n_files_total, census.n_files_read,
+        |  CAST(CASE WHEN census.n_files_read < census.n_files_total
+        |    THEN 1 ELSE 0 END AS BIGINT) AS pruned
+        |FROM zb, census
+        |WHERE user_id <= (SELECT hi FROM hi)
+        |GROUP BY event_type, census.n_files_total, census.n_files_read
+        |ORDER BY event_type""".stripMargin)),
+
     // Time-sorted sink + statistics-pruned slice read-back — the
     // read-side twin of q_sink_partitioned, and the gate that the
     // INT96 finding (PLANS.md / SparkEnv outputTimestampType) makes

@@ -274,7 +274,11 @@ object SoakX10 {
     // Association mining: pair fan-out is basket-size-bounded and
     // map-side; the pair/item aggregates are domain-sized, so cost
     // tracks basket count, never pairs across baskets.
-    "q_assoc_pairs")
+    "q_assoc_pairs",
+    // Zone-map skipping: build cost is one clustered write + a stats
+    // pass (linear); the query side reads only intersecting files, so
+    // its cost tracks the SLICE, not the corpus.
+    "q_zonemap_prune")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

@@ -218,6 +218,23 @@ class PlanQualitySpec extends SparkSpecBase {
     assert("Scan parquet".r.findAllIn(p).length == 1, p)
   }
 
+  test("q_zonemap_prune scans only manifest-selected files, never the source log") {
+    val df = SparkEntry.queries("q_zonemap_prune")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // The gate's returned plan must read the pruned file subset of the
+    // derived z-clustered layout — the manifest consult happens before
+    // planning, so the scan's file index holds exactly n_files_read
+    // paths and the source events.parquet never appears.
+    assert(!p.contains("events.parquet"), p)
+    val row = df.collect().head
+    val total = row.getAs[Long]("n_files_total")
+    val read = row.getAs[Long]("n_files_read")
+    val paths = """InMemoryFileIndex\((\d+) paths\)""".r
+      .findFirstMatchIn(p).map(_.group(1).toLong)
+    assert(paths.contains(read), s"paths=$paths read=$read\n$p")
+    assert(read <= total, p)
+  }
+
   test("q_sessionize and q_scd2 shuffle once on user_id, windows stay partitioned") {
     for (q <- Seq("q_sessionize", "q_scd2")) {
       val df = SparkEntry.queries(q)(spark, dir)
