@@ -790,6 +790,92 @@ object GraphQueries {
     // coefficient denominator), computed from the degree relation, not
     // by materializing wedges. Every join is an equality join on keys
     // (plan-gated: no cartesian anywhere).
+    // Link prediction over the co-purchase graph — the similarity-
+    // mining member of the graph family (Liben-Nowell & Kleinberg's
+    // common-neighbors / Jaccard predictors): score part pairs by
+    // neighborhood overlap in the hub-suppressed subgraph. Hub
+    // suppression (drop nodes with degree > 64 BEFORE wedge
+    // generation) is the standard scale bound for distributed
+    // similarity mining (a celebrity middle contributes d² wedges and
+    // no signal — the same bound DISCO/WHIMP-style systems apply);
+    // within the kept subgraph scores are EXACT and the oracle
+    // replicates the same subgraph definitionally. The wedge
+    // self-join on the middle node is fan-out-bounded by cap² per
+    // middle, never |V|²; every relation the returned plan touches is
+    // a checkpointed materialization (edge set, kept adjacency,
+    // subgraph degrees), so the gate plan contains ZERO parquet scans
+    // (plan-gated) and the corpus is read once. Exact integer Jaccard
+    // (e4 units); `linked` flags already-adjacent pairs — the
+    // predictor's new-link candidates are the linked=0 rows.
+    "q_graph_linkpred" -> ((
+      (s: SparkSession, d: String) => {
+        val cap = 64L
+        val e = t(s, d, "lineitem")
+          .filter(col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_partkey"))
+          .groupBy("l_orderkey")
+          .agg(sort_array(collect_set(col("l_partkey"))).as("its"))
+          .select(explode(expr(
+            """flatten(transform(its, (x, i) ->
+              |  transform(slice(its, i + 2, size(its)),
+              |    y -> named_struct('s', x, 't', y))))""".stripMargin))
+            .as("p"))
+          .select(col("p.s").as("s"), col("p.t").as("t"))
+          .distinct()
+          .localCheckpoint()
+        val und = e.select(col("s").as("n"), col("t").as("nb"))
+          .unionByName(e.select(col("t").as("n"), col("s").as("nb")))
+        val keep = und.groupBy("n").agg(count(lit(1)).as("dg"))
+          .filter(col("dg") <= cap).select("n")
+        val su = und
+          .join(broadcast(keep), "n")
+          .join(broadcast(keep.withColumnRenamed("n", "nb")), "nb")
+          .select("n", "nb")
+          .localCheckpoint()
+        val sdeg = su.groupBy("n").agg(count(lit(1)).as("dg"))
+          .localCheckpoint()
+        val co = su.as("a").join(su.as("b"),
+            col("a.n") === col("b.n") && col("a.nb") < col("b.nb"))
+          .select(col("a.nb").as("x"), col("b.nb").as("y"))
+          .groupBy("x", "y").agg(count(lit(1)).as("co"))
+          .filter(col("co") >= 2)
+        co
+          .join(broadcast(sdeg.select(col("n").as("x"),
+            col("dg").as("dx"))), "x")
+          .join(broadcast(sdeg.select(col("n").as("y"),
+            col("dg").as("dy"))), "y")
+          .join(e.select(col("s").as("x"), col("t").as("y"),
+            lit(1L).as("lk")), Seq("x", "y"), "left")
+          .select(col("x"), col("y"), col("co"), col("dx"), col("dy"),
+            expr("co * 10000L div (dx + dy - co)").as("jac_e4"),
+            coalesce(col("lk"), lit(0L)).as("linked"))
+          .orderBy("x", "y")
+      },
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem
+        |            WHERE l_shipdate < TIMESTAMP '1996-07-01'),
+        |e AS (SELECT DISTINCT a.pk AS s, b.pk AS t
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |und AS (SELECT s AS n, t AS nb FROM e
+        |        UNION ALL SELECT t, s FROM e),
+        |deg AS (SELECT n, count(*) AS dg FROM und GROUP BY 1),
+        |keep AS (SELECT n FROM deg WHERE dg <= 64),
+        |su AS (SELECT u.n, u.nb FROM und u
+        |       JOIN keep k ON u.n = k.n JOIN keep k2 ON u.nb = k2.n),
+        |sdeg AS (SELECT n, CAST(count(*) AS BIGINT) AS dg
+        |         FROM su GROUP BY 1),
+        |w AS (SELECT a.nb AS x, b.nb AS y, CAST(count(*) AS BIGINT) AS co
+        |      FROM su a JOIN su b ON a.n = b.n AND a.nb < b.nb
+        |      GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT w.x, w.y, w.co, dx.dg AS dx, dy.dg AS dy,
+        |  CAST(w.co * 10000 // (dx.dg + dy.dg - w.co) AS BIGINT)
+        |    AS jac_e4,
+        |  CAST(CASE WHEN ex.s IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |    AS linked
+        |FROM w JOIN sdeg dx ON w.x = dx.n JOIN sdeg dy ON w.y = dy.n
+        |LEFT JOIN e ex ON ex.s = w.x AND ex.t = w.y
+        |ORDER BY x, y""".stripMargin)),
+
     "q_graph_triangle" -> ((
       (s: SparkSession, d: String) => {
         // The edge set feeds five scans (count, degree twice, both

@@ -278,7 +278,11 @@ object SoakX10 {
     // Zone-map skipping: build cost is one clustered write + a stats
     // pass (linear); the query side reads only intersecting files, so
     // its cost tracks the SLICE, not the corpus.
-    "q_zonemap_prune")
+    "q_zonemap_prune",
+    // Link prediction: wedge fan-out is cap²-bounded per middle node;
+    // the soak's key-offset copies grow nodes AND edges linearly, so
+    // wedge volume tracks Σd², never |V|².
+    "q_graph_linkpred")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

@@ -218,6 +218,20 @@ class PlanQualitySpec extends SparkSpecBase {
     assert("Scan parquet".r.findAllIn(p).length == 1, p)
   }
 
+  test("q_graph_linkpred wedges equi-join on the middle node over checkpointed state") {
+    val df = SparkEntry.queries("q_graph_linkpred")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // The wedge generator must be an equality join on the middle node
+    // over the hub-capped adjacency — a CartesianProduct/BNL means the
+    // pair predicate drove the join and the operator went all-pairs.
+    // Every input relation is a checkpointed materialization, so the
+    // returned plan re-reads NO parquet (corpus scanned once, at
+    // artifact build).
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Scan parquet".r.findAllIn(p).length == 0, p)
+  }
+
   test("q_zonemap_prune scans only manifest-selected files, never the source log") {
     val df = SparkEntry.queries("q_zonemap_prune")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
