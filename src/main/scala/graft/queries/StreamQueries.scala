@@ -288,6 +288,67 @@ object StreamQueries {
       .write.mode("overwrite").parquet(s"$root/delta/batch=$batchId")
   }
 
+  /** One micro-batch of the streaming MERGE (q_stream_upsert): compact
+    * THIS batch to its latest op per entity, then MERGE it into the
+    * PUBLISHED state snapshot under the timestamp guard — every field
+    * moves only when the source op is strictly newer by the total
+    * (us, event_id) order, and deletes are SOFT (a tombstone column),
+    * because under arbitrary batch slices a hard delete is unsound: a
+    * later-arriving OLDER op would resurrect the row, while a retained
+    * tombstone beats it on the guard. That makes the per-batch fold
+    * commutative across batch boundaries AND idempotent under
+    * foreachBatch replay (a replayed op ties on (us, event_id) and the
+    * strict guard carries the target), so the final state equals the
+    * batch-equivalent LWW snapshot under ANY micro-batch split — no
+    * batch-id bookkeeping needed, the algebra is the exactly-once
+    * protocol. Each commit lands as a new snapshot generation
+    * (writeManifested), so the maintained table keeps AS-OF history
+    * per micro-batch for free. Tombstones compact away once an
+    * out-of-orderness bound passes — q_snapshot_expire's analogue. */
+  private[graft] def upsertBatch(s: SparkSession, batch: DataFrame,
+      base: String, table: String): Unit = {
+    graft.sink.SnapshotSwap.writeManifested(
+      upsertMerged(s, batch, base, table), base, table)
+    ()
+  }
+
+  /** The unexecuted per-batch merge — exposed so PlanQualitySpec can
+    * pin its shape (one full-outer SMJ on the key, no cartesian). */
+  private[graft] def upsertMerged(s: SparkSession, batch: DataFrame,
+      base: String, table: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").desc, col("event_id").desc)
+    val src = ExtraQueries.cdcLog(batch)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "us", "event_id", "val_e2", "op")
+    val stateSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("us", LongType),
+      StructField("event_id", LongType), StructField("val_e2", LongType),
+      StructField("deleted", BooleanType)))
+    val tgt =
+      if (graft.sink.SnapshotSwap.currentVersion(base, table) == 0L)
+        s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+      else graft.sink.SnapshotSwap.readManifested(s, base, table)
+    val newer = col("s.us") > col("t.us") ||
+      (col("s.us") === col("t.us") && col("s.event_id") > col("t.event_id"))
+    def pick(c: String, v: org.apache.spark.sql.Column) =
+      when(newer, v).otherwise(col(s"t.$c"))
+    val merged = graft.sink.MergeInto(tgt, src, "user_id",
+      updateSet = Map(
+        "us" -> pick("us", col("s.us")),
+        "event_id" -> pick("event_id", col("s.event_id")),
+        "val_e2" -> pick("val_e2", col("s.val_e2")),
+        "deleted" -> pick("deleted", col("s.op") === "D")),
+      insertValues = Map(
+        "us" -> col("s.us"), "event_id" -> col("s.event_id"),
+        "val_e2" -> col("s.val_e2"),
+        "deleted" -> (col("s.op") === "D")))
+    merged
+  }
+
   val entries: Map[String, (Q, String)] = Map(
     "q_stream_batch" -> ((
       (s: SparkSession, d: String) => streamCounts(s, d),
@@ -503,6 +564,59 @@ object StreamQueries {
           .orderBy("user_id")
       },
       ExtraQueries.CdcSnapshotOracle)),
+
+    // Streaming MERGE INTO — the read-modify-write twin of
+    // q_stream_cdc's log-structured fold, and what a Delta/Iceberg
+    // `foreachBatch { merge }` pipeline actually runs: each event
+    // micro-batch compacts to its latest op per entity and MERGEs into
+    // the PUBLISHED state table (the MergeInto kernel under the
+    // snapshot protocol — one new manifested generation per batch, so
+    // the maintained table is AS-OF queryable at every micro-batch
+    // boundary). The timestamp-guarded update + SOFT delete make the
+    // fold commutative and replay-idempotent — see upsertBatch — so
+    // the final state equals the batch LWW snapshot under any split
+    // (pinned with replay/out-of-order cases in StreamUpsertSpec).
+    // Trade-off vs q_stream_cdc, stated: per-batch cost here is
+    // state-table-sized (the full-outer merge), per-READ cost is one
+    // snapshot scan; the log-structured fold is delta-sized per batch
+    // but pays the fold at read time — 100 TB pipelines pick by
+    // read/write ratio, this gate proves both produce the identical
+    // snapshot against one shared-derivation oracle.
+    "q_stream_upsert" -> ((
+      (s: SparkSession, d: String) => {
+        val tag = graft.Tables.dirTag(d)
+        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_src_${tag}_v$DumpVersion"
+        ensureStreamDump(d, "events", srcDir)(graft.Tables.events(s, d))
+        val base = s"${graft.Tables.scratchRoot}/graft_supsert_$tag"
+        graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(base))
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        withStreamGateConfs(s) {
+          val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            Long) => Unit = (b, _) => upsertBatch(s, b, base, "state")
+          val q = stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", s"$base/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        graft.sink.SnapshotSwap.readManifested(s, base, "state")
+          .filter(!col("deleted"))
+          .select(col("user_id"), col("us").as("last_us"), col("val_e2"))
+          .orderBy("user_id")
+      },
+      """WITH log AS (
+        |  SELECT event_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS val_e2,
+        |    CASE WHEN event_id % 11 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM log)
+        |SELECT user_id, us AS last_us, val_e2
+        |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin)),
 
     // Streaming quantile maintenance — the percentile rollup
     // (q_agg_quantile_rollup) under continuous ingest: each event

@@ -282,7 +282,11 @@ object SoakX10 {
     // Link prediction: wedge fan-out is cap²-bounded per middle node;
     // the soak's key-offset copies grow nodes AND edges linearly, so
     // wedge volume tracks Σd², never |V|².
-    "q_graph_linkpred")
+    "q_graph_linkpred",
+    // Streaming MERGE: per-batch cost is state-table-sized (the
+    // full-outer merge); state cardinality scales with the soak's
+    // user-id offsets, so the fold must stay linear in state ∪ batch.
+    "q_stream_upsert")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

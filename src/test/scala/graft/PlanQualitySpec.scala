@@ -697,6 +697,25 @@ class PlanQualitySpec extends SparkSpecBase {
     assert("documents\\.parquet".r.findAllIn(p).size == 1, p)
   }
 
+  test("q_stream_upsert micro-batch merges with one full-outer SMJ on the key") {
+    import org.apache.spark.sql.functions._
+    // The per-micro-batch plan is the MergeInto shape: exactly one
+    // full-outer sort-merge join on user_id (full outers cannot
+    // broadcast) plus row-local clause projections — a second join or
+    // a cartesian would mean per-batch cost stopped being one pass
+    // over state ∪ batch.
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_supsert_plan").toString
+    val batch = graft.Tables.events(spark, dir).limit(200)
+    graft.queries.StreamQueries.upsertBatch(spark, batch, base, "state")
+    val p = graft.queries.StreamQueries
+      .upsertMerged(spark, batch, base, "state")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert("SortMergeJoin.*FullOuter".r.findAllIn(p).length == 1, p)
+    assert("SortMergeJoin".r.findAllIn(p).length == 1, p)
+  }
+
   test("q_snapshot_asof diffs two snapshot scans without a cartesian") {
     val p = planOf("q_snapshot_asof")
     // Both sides of the AS-OF diff are plain parquet scans of published
