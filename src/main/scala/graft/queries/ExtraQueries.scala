@@ -2309,6 +2309,88 @@ object ExtraQueries {
         |  CAST(co.co * 10000 // ib.cnt AS BIGINT) AS conf_ba_e4
         |FROM co JOIN ic ia ON ia.l_partkey = co.a
         |JOIN ic ib ON ib.l_partkey = co.b CROSS JOIN n
-        |ORDER BY a, b""".stripMargin))
+        |ORDER BY a, b""".stripMargin)),
+
+    // Exact global order statistics over an UNBOUNDED domain — the
+    // Selection kernel's gate (see queries/Selection.scala): exact
+    // median and p99 of microsecond-grain event instants (tie-broken
+    // by event_id — a ~2^51 value domain no count-histogram can
+    // enumerate, which is exactly what separates this from
+    // q_agg_quantile / q_agg_quantile_rollup's bounded-domain
+    // histograms). log_B(domain) refinement passes, each ONE scan of
+    // the surviving interval + a 2^16-row exchange + a bounded driver
+    // read; each pass's interval maps back to PUSHED ts bounds so the
+    // scan prunes at the parquet source (plan-gated), not in-row —
+    // the 100 TB difference between re-scanning the log per pass and
+    // touching only the surviving slice. Ranks are defined identically
+    // on both sides (k = (n+1) div 2, ceil(0.99 n)), so the answers
+    // hash-verify exactly.
+    "q_quantile_select" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = graft.Tables.events(s, d)
+          .select(col("ts"), col("event_id"))
+          .withColumn("v", expr("unix_micros(ts) * 1000L + event_id % 1000"))
+        val n = ev.count()
+        val pushed: (Long, Long) => org.apache.spark.sql.Column =
+          (l, h) => col("ts") >= timestamp_micros(lit(l / 1000L)) &&
+            col("ts") <= timestamp_micros(lit((h - 1L) / 1000L))
+        val p50 = Selection.kthSmallest(ev, "v", (n + 1L) / 2L,
+          pushed = Some(pushed))
+        val p99 = Selection.kthSmallest(ev, "v", (n * 99L + 99L) / 100L,
+          pushed = Some(pushed))
+        s.range(1).select(lit(n).as("n_rows"),
+          lit(p50).as("p50_v"), lit(p99).as("p99_v"))
+      },
+      """WITH v AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) * 1000
+        |    + event_id % 1000 AS v FROM events),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
+        |SELECT n.n AS n_rows,
+        |  (SELECT v FROM r, n WHERE rn = (n + 1) // 2) AS p50_v,
+        |  (SELECT v FROM r, n WHERE rn = (n * 99 + 99) // 100) AS p99_v
+        |FROM n""".stripMargin)),
+
+    // Robust outlier detection via MAD (median absolute deviation) —
+    // the robust twin of q_anomaly_zscore, and the second consumer of
+    // the Selection kernel: med = exact median of the measure, MAD =
+    // exact median of |x − med| (a second selection over a DERIVED
+    // domain — only an unbounded-domain selection can do this without
+    // assuming the deviation range), flag x iff 0.6745·|x − med| ≥
+    // 3·MAD in exact integer cross-multiplied form (dv·6745 ≥
+    // mad·30000). An injected fault slice (event_id % 97 → +100000
+    // cents, the q_fk_check injection pattern) proves robustness:
+    // mean/σ would be dragged by the injected mass, the medians are
+    // not, and exactly the injected rows flag.
+    "q_outlier_mad" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = graft.Tables.events(s, d)
+          .select(col("event_id"),
+            expr("""CAST(round(value * 100) AS BIGINT)
+              + IF(event_id % 97 = 0, 100000L, 0L)""").as("v"))
+        val n = ev.count()
+        val med = Selection.kthSmallest(ev, "v", (n + 1L) / 2L)
+        val dev = ev.withColumn("dv", abs(col("v") - med))
+        val mad = Selection.kthSmallest(dev, "dv", (n + 1L) / 2L)
+        dev.filter(col("dv") * 6745L >= mad * 30000L)
+          .select(col("event_id"), col("v"), col("dv"),
+            lit(med).as("med"), lit(mad).as("mad"))
+          .orderBy("event_id")
+      },
+      """WITH e AS (SELECT event_id,
+        |    CAST(round(value * 100) AS BIGINT)
+        |      + CASE WHEN event_id % 97 = 0 THEN 100000 ELSE 0 END AS v
+        |  FROM events),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM e),
+        |med AS (SELECT v AS med FROM r, n WHERE rn = (n + 1) // 2),
+        |dv AS (SELECT e.event_id, e.v, abs(e.v - med.med) AS dv
+        |       FROM e, med),
+        |rd AS (SELECT dv, row_number() OVER (ORDER BY dv) AS rn FROM dv),
+        |mad AS (SELECT dv AS mad FROM rd, n WHERE rn = (n + 1) // 2)
+        |SELECT event_id, v, CAST(dv AS BIGINT) AS dv,
+        |  med.med AS med, mad.mad AS mad
+        |FROM dv, med, mad
+        |WHERE dv * 6745 >= mad * 30000
+        |ORDER BY event_id""".stripMargin))
   )
 }

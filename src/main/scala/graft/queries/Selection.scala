@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact distributed order statistics WITHOUT a global sort — the
+  * iterative histogram-refinement selection kernel (the classic
+  * distributed k-th-element algorithm; BigQuery/Presto-style exact
+  * percentiles use the same shape). A global sort of 100 TB to read
+  * one element is the anti-pattern; this kernel finds the exact k-th
+  * smallest in log_B(domain) passes, each pass being ONE scan of the
+  * surviving interval + a B-row bucket-count exchange + a B-sized
+  * driver read:
+  *
+  *   pass: count B equal-width buckets of [lo, hi) -> walk the counts
+  *   to the bucket containing the k-th -> narrow [lo, hi) to it and
+  *   subtract the preceding mass from k -> repeat until the interval
+  *   fits one bucket width, then resolve by an exact per-value count
+  *   walk (≤B distinct values).
+  *
+  * With B = 2^16 a 2^63 domain resolves in ≤4 passes. Driver state is
+  * B counts per pass — bounded, never data-sized. Callers supply an
+  * optional `pushed` predicate builder mapping the interval to a
+  * filter on a PHYSICAL column (e.g. a derived value's ts bounds) so
+  * every pass's scan prunes at the source (PushedFilters /
+  * row-group stats), not in-row — the difference between re-scanning
+  * 100 TB per pass and touching only the surviving slice.
+  */
+object Selection {
+
+  /** The one-pass bucket-count relation — exposed unexecuted so
+    * PlanQualitySpec can pin its shape (source-pushed interval filter,
+    * one partial+final aggregate on the bucket key). */
+  private[graft] def passCounts(df: DataFrame, c: String, lo: Long,
+      hi: Long, width: Long,
+      pushed: Option[(Long, Long) => Column]): DataFrame = {
+    val base = df.filter(col(c) >= lo && col(c) < hi)
+    val scoped = pushed.map(p => base.filter(p(lo, hi))).getOrElse(base)
+    scoped.groupBy(expr(s"($c - ${lo}L) div ${width}L").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Exact k-th smallest (1-based) value of long column `c`. */
+  def kthSmallest(df: DataFrame, c: String, k: Long,
+      buckets: Int = 1 << 16,
+      pushed: Option[(Long, Long) => Column] = None): Long = {
+    require(k >= 1, s"k must be 1-based positive, got $k")
+    val mm = df.agg(min(col(c)).as("mn"), max(col(c)).as("mx")).head()
+    var lo = mm.getLong(0)
+    var hi = mm.getLong(1) + 1L
+    var kk = k
+    def narrow(counts: Array[(Long, Long)], width: Long): Unit = {
+      var acc = 0L
+      var i = 0
+      while (i < counts.length && acc + counts(i)._2 < kk) {
+        acc += counts(i)._2; i += 1
+      }
+      require(i < counts.length,
+        s"rank $k exceeds the population of [$lo, $hi)")
+      kk -= acc
+      val b = counts(i)._1
+      val nlo = lo + b * width
+      hi = math.min(hi, nlo + width)
+      lo = nlo
+    }
+    while (hi - lo > buckets) {
+      val width = (hi - lo + buckets - 1) / buckets
+      val cnts = passCounts(df, c, lo, hi, width, pushed)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      narrow(cnts, width)
+    }
+    // Exact resolution: ≤`buckets` distinct values left.
+    val vals = passCounts(df, c, lo, hi, 1L, pushed)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    var i = 0
+    while (i < vals.length && acc + vals(i)._2 < kk) {
+      acc += vals(i)._2; i += 1
+    }
+    require(i < vals.length, s"rank $k exceeds the population")
+    lo + vals(i)._1
+  }
+}

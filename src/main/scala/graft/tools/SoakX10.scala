@@ -286,7 +286,11 @@ object SoakX10 {
     // Streaming MERGE: per-batch cost is state-table-sized (the
     // full-outer merge); state cardinality scales with the soak's
     // user-id offsets, so the fold must stay linear in state ∪ batch.
-    "q_stream_upsert")
+    "q_stream_upsert",
+    // Selection kernel: pass count is log_B(domain) — CONSTANT in
+    // rows — and each pass is one pruned scan + a B-row exchange, so
+    // wall tracks scan cost, never sort cost.
+    "q_quantile_select", "q_outlier_mad")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

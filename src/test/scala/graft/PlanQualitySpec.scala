@@ -232,6 +232,27 @@ class PlanQualitySpec extends SparkSpecBase {
     assert("Scan parquet".r.findAllIn(p).length == 0, p)
   }
 
+  test("q_quantile_select passes push interval bounds to the source scan") {
+    import org.apache.spark.sql.functions._
+    // One refinement pass = a bucket-count aggregate whose interval
+    // filter reaches the parquet scan THROUGH the physical ts column
+    // (the derived value's bounds mapped back) — PushedFilters must
+    // carry the ts range, or every pass re-reads the whole log.
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("ts"), col("event_id"))
+      .withColumn("v", expr("unix_micros(ts) * 1000L + event_id % 1000"))
+    val lo = 800000000000000000L
+    val hi = 990000000000000000L
+    val pushed: (Long, Long) => org.apache.spark.sql.Column =
+      (l, h) => col("ts") >= timestamp_micros(lit(l / 1000L)) &&
+        col("ts") <= timestamp_micros(lit((h - 1L) / 1000L))
+    val p = graft.queries.Selection
+      .passCounts(ev, "v", lo, hi, 1L << 40, Some(pushed))
+      .queryExecution.executedPlan.toString
+    assert("""PushedFilters: \[[^\]]*ts""".r.findFirstIn(p).isDefined, p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial+final
+  }
+
   test("q_zonemap_prune scans only manifest-selected files, never the source log") {
     val df = SparkEntry.queries("q_zonemap_prune")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
