@@ -2350,6 +2350,100 @@ object ExtraQueries {
         |  (SELECT v FROM r, n WHERE rn = (n * 99 + 99) // 100) AS p99_v
         |FROM n""".stripMargin)),
 
+    // Sequential pattern mining — the ORDERED twin of q_assoc_pairs
+    // (and the generalization of q_funnel's fixed pattern): the
+    // first-order Markov transition matrix of user behavior. Adjacent
+    // event-type bigrams within each user's (us, event_id)-ordered
+    // stream via ONE user_id exchange + a lag window (per-user linear
+    // scans, plan-gated partitioned); bigram counts and the per-source
+    // row totals are domain-sized aggregates (|types|² rows), and the
+    // transition probability is exact integer e4 (cnt·10⁴ div
+    // out-degree). At 100 TB this is the canonical next-event-model /
+    // session-recommendation feature build: the only corpus-sized
+    // exchange is the per-user one every sessionization already pays.
+    "q_freq_seq" -> ((
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+        val bi = graft.Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            expr("unix_micros(ts)").as("us"), col("event_type"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+        val cnt = bi.groupBy(col("prev").as("a"),
+            col("event_type").as("b"))
+          .agg(count(lit(1)).as("cnt"))
+        val outd = Window.partitionBy("a")
+        cnt
+          .withColumn("out_total", sum("cnt").over(outd))
+          .select(col("a"), col("b"), col("cnt"), col("out_total"),
+            expr("cnt * 10000L div out_total").as("p_e4"))
+          .orderBy("a", "b")
+      },
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+        |  FROM events),
+        |bi AS (SELECT user_id, event_type AS b,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS a
+        |  FROM e),
+        |c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM bi WHERE a IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT a, CAST(sum(cnt) AS BIGINT) AS out_total
+        |      FROM c GROUP BY 1)
+        |SELECT c.a, c.b, c.cnt, t.out_total,
+        |  CAST(c.cnt * 10000 // t.out_total AS BIGINT) AS p_e4
+        |FROM c JOIN t USING (a) ORDER BY a, b""".stripMargin)),
+
+    // Export-shard manifest with content checksums — the delivery
+    // half of the training-data pipeline (q_shard_assign balances,
+    // this one PROVES what landed): documents hash-sharded and
+    // physically written one dir per shard, then the manifest is
+    // computed FROM THE WRITTEN FILES — per shard the doc count, char
+    // mass, and an order-independent XOR fold of per-doc sha256-head
+    // checksums (XOR is commutative/associative, so the checksum is
+    // stable under any partition order or file split — the property a
+    // distributed writer needs). The oracle recomputes the manifest
+    // from the SOURCE table, so a hash match proves the export
+    // round-trip preserved every row bit-for-bit and assigned every
+    // doc to its correct shard — the consumer-side integrity check a
+    // 100 TB data delivery runs before training starts. Plan-gated:
+    // the returned manifest plan reads only the exported shards.
+    "q_shard_manifest" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = s"${graft.Tables.scratchRoot}/graft_shardout_${graft.Tables.dirTag(d)}"
+        t(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("n_chars"),
+            expr("pmod(CAST(conv(substring(sha2(concat('shard:', " +
+              "CAST(doc_id AS STRING)), 256), 1, 15), 16, 10) AS BIGINT)" +
+              ", 8)").as("shard"))
+          .write.mode("overwrite").partitionBy("shard").parquet(dir)
+        s.read.parquet(dir)
+          .withColumn("cksum",
+            expr("CAST(conv(substring(sha2(text, 256), 1, 15), 16, 10) AS BIGINT)"))
+          .groupBy(col("shard").cast("long").as("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("chars"),
+            expr("bit_xor(cksum)").as("checksum_xor"))
+          .orderBy("shard")
+      },
+      """WITH m AS (SELECT doc_id, n_chars,
+        |    list_reduce(list_transform(range(1, 16),
+        |      i -> (strpos('0123456789abcdef',
+        |        substr(sha256('shard:' || CAST(doc_id AS VARCHAR)), i, 1))
+        |        - 1)::HUGEINT),
+        |      (a, x) -> a * 16 + x) AS sh,
+        |    list_reduce(list_transform(range(1, 16),
+        |      i -> (strpos('0123456789abcdef',
+        |        substr(sha256(text), i, 1)) - 1)::HUGEINT),
+        |      (a, x) -> a * 16 + x) AS ck
+        |  FROM documents)
+        |SELECT CAST(sh % 8 AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(bit_xor(CAST(ck AS BIGINT)) AS BIGINT) AS checksum_xor
+        |FROM m GROUP BY 1 ORDER BY shard""".stripMargin)),
+
     // Robust outlier detection via MAD (median absolute deviation) —
     // the robust twin of q_anomaly_zscore, and the second consumer of
     // the Selection kernel: med = exact median of the measure, MAD =

@@ -290,7 +290,13 @@ object SoakX10 {
     // Selection kernel: pass count is log_B(domain) — CONSTANT in
     // rows — and each pass is one pruned scan + a B-row exchange, so
     // wall tracks scan cost, never sort cost.
-    "q_quantile_select", "q_outlier_mad")
+    "q_quantile_select", "q_outlier_mad",
+    // Transition mining rides the per-user exchange; the bigram
+    // relation stays |types|²-sized at any corpus scale.
+    "q_freq_seq",
+    // Shard manifest: one partitioned write + one aggregate read-back,
+    // both linear; the XOR fold is per-row constant work.
+    "q_shard_manifest")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

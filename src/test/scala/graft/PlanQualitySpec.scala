@@ -232,6 +232,27 @@ class PlanQualitySpec extends SparkSpecBase {
     assert("Scan parquet".r.findAllIn(p).length == 0, p)
   }
 
+  test("q_freq_seq rides one user exchange; both windows stay partitioned") {
+    val df = SparkEntry.queries("q_freq_seq")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // The lag window is per-user (the one corpus exchange); the
+    // out-degree window runs over the domain-sized bigram relation.
+    // An unpartitioned window would serialize the event log.
+    assert(!"""Window \[[^\]]*\], \[\]""".r.findFirstIn(p).isDefined, p)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_shard_manifest reads only the exported shards, one partial+final agg") {
+    val df = SparkEntry.queries("q_shard_manifest")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // The manifest must be computed from the WRITTEN shard files (the
+    // integrity contract), not re-derived from the source table.
+    assert(p.contains("graft_shardout_"), p)
+    assert(!p.contains("documents.parquet"), p)
+    assert("HashAggregate".r.findAllIn(p).length == 2, p)
+  }
+
   test("q_quantile_select passes push interval bounds to the source scan") {
     import org.apache.spark.sql.functions._
     // One refinement pass = a bucket-count aggregate whose interval
