@@ -376,6 +376,58 @@ object ExtraQueries {
         |HAVING count(*) * 100 > n.total
         |ORDER BY tok""".stripMargin)),
 
+    // Exact-distinct rollup from persisted per-day ID-SET partials —
+    // the EXACT member of the rollup family (approx distincts:
+    // q_agg_hll_union; percentiles: q_agg_quantile_rollup; heavy
+    // hitters: q_topk_rollup), i.e. the roaring-bitmap protocol
+    // Druid/ClickHouse groupBitmap runs: per-day distinct user sets
+    // materialized ONCE as sorted arrays (set union is associative +
+    // idempotent, so partials merge across any partition or day
+    // split; a real deployment swaps the array<long> for a roaring
+    // bitmap binary at this exact seam — same plan, compressed
+    // state), and the weekly report unions ONLY the partials — cost
+    // tracks Σ per-day cardinality, never the event-row count, and
+    // the log is never re-scanned (plan-gated). Emits the per-week
+    // partial census (n_days, day_card_sum) next to the exact
+    // distinct so the dedup factor itself is hash-verified.
+    "q_agg_bitmap_rollup" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = graft.Tables.events(s, d)
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+        val dailyDir = s"${graft.Tables.scratchRoot}/graft_bmdaily_${graft.Tables.dirTag(d)}"
+        ev.groupBy("day")
+          .agg(sort_array(collect_set(col("user_id"))).as("users"))
+          .write.mode("overwrite").parquet(dailyDir)
+        val daily = s.read.parquet(dailyDir)
+          .withColumn("week", expr("day div 7"))
+        val census = daily.groupBy("week")
+          .agg(count(lit(1)).as("n_days"),
+            sum(size(col("users")).cast("long")).as("day_card_sum"))
+        val exact = daily
+          .select(col("week"), explode(col("users")).as("u"))
+          .groupBy("week")
+          .agg(countDistinct("u").as("exact_users"))
+        census.join(exact, "week")
+          .select("week", "n_days", "day_card_sum", "exact_users")
+          .orderBy("week")
+      },
+      """WITH e AS (SELECT DISTINCT
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    user_id
+        |  FROM events),
+        |d AS (SELECT day, CAST(count(*) AS BIGINT) AS card
+        |      FROM e GROUP BY 1),
+        |census AS (SELECT CAST(day // 7 AS BIGINT) AS week,
+        |    CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(card) AS BIGINT) AS day_card_sum
+        |  FROM d GROUP BY 1),
+        |x AS (SELECT CAST(day // 7 AS BIGINT) AS week,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+        |  FROM e GROUP BY 1)
+        |SELECT census.week, n_days, day_card_sum, exact_users
+        |FROM census JOIN x USING (week) ORDER BY week""".stripMargin)),
+
     // HLL++ distinct sketch, hash-verifiable (r9 VERDICT #1): the gate
     // emits the EXACT per-group distinct counts (what the oracle can
     // recompute) plus guarantee-derived booleans asserting the sketch

@@ -296,7 +296,11 @@ object SoakX10 {
     "q_freq_seq",
     // Shard manifest: one partitioned write + one aggregate read-back,
     // both linear; the XOR fold is per-row constant work.
-    "q_shard_manifest")
+    "q_shard_manifest",
+    // Bitmap rollup: partial build is one pass; the report's cost
+    // tracks Σ per-day distinct cardinality (soak grows user ids
+    // 10x), never the event-row count.
+    "q_agg_bitmap_rollup")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

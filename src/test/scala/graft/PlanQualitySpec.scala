@@ -243,6 +243,15 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_agg_bitmap_rollup report reads only the persisted day partials") {
+    val df = SparkEntry.queries("q_agg_bitmap_rollup")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // The weekly report folds the persisted ID-set partials — the
+    // event log must never be re-scanned at rollup time.
+    assert(p.contains("graft_bmdaily_"), p)
+    assert(!p.contains("events.parquet"), p)
+  }
+
   test("q_shard_manifest reads only the exported shards, one partial+final agg") {
     val df = SparkEntry.queries("q_shard_manifest")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
