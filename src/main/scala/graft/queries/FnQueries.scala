@@ -257,6 +257,85 @@ object FnQueries {
         |GROUP BY event_type, census.n_files_total, census.n_files_read
         |ORDER BY event_type""".stripMargin)),
 
+    // Persisted per-file BLOOM index + point-lookup file skipping —
+    // the fourth member of the skipping family, covering the case the
+    // other three cannot: a HIGH-CARDINALITY key scattered across
+    // every file (here customer keys inside a date-clustered layout),
+    // where directory pruning (q_sink_partitioned), row-group min/max
+    // (q_sink_sorted) and zone-map ranges (q_zonemap_prune) all
+    // degenerate — every file's key range spans the domain. A bloom
+    // per file answers "might this file contain k?" in O(1) from the
+    // index alone; no false negatives, so the pruned read is EXACT by
+    // construction and false positives only cost extra file opens.
+    // Build (derived-artifact protocol): date-clustered layout, per-
+    // file blooms via the registered bloom_agg grouped on input_file_name —
+    // bit-OR inserts commute, so the persisted bits are deterministic
+    // under any row order; bloom sized from the measured per-file key
+    // census (the q_decontaminate_large discipline), never a magic
+    // constant. The gate hash-verifies the ANSWER (bloom decisions
+    // are engine-specific, so the skip factor is pinned in
+    // BloomIndexSpec instead, the SortedSinkSpec split).
+    "q_point_lookup" -> ((
+      (s: SparkSession, d: String) => {
+        val root = s"${graft.Tables.scratchRoot}/graft_bloomidx_${graft.Tables.dirTag(d)}"
+        val dataDir = s"$root/data"
+        val idxDir = s"$root/idx"
+        val fp = graft.Tables.sourceFingerprint(
+          Seq(java.nio.file.Paths.get(s"$d/orders.parquet")),
+          "bloomidx_v1:f16")
+        graft.functions.BloomFunctions.register(s)
+        graft.Tables.ensureDerived(root, fp) {
+          val o = t(s, d, "orders").select(col("o_orderkey"),
+            col("o_custkey"), col("o_orderdate"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+          o.repartition(16, col("o_orderdate"))
+            .write.mode("overwrite").parquet(dataDir)
+          // Bloom sized from the measured per-file census: ~16 bits
+          // per expected key (FP ~0.4%), floored for tiny fixtures.
+          val n = o.count()
+          val items = math.max(64L, n / 16L)
+          s.read.parquet(dataDir)
+            .groupBy(input_file_name().as("file"))
+            .agg(expr(s"bloom_agg(xxhash64(o_custkey), " +
+              s"${items}L, ${items * 16L}L)").as("bf"),
+              count(lit(1)).as("n_rows"))
+            .write.mode("overwrite").parquet(idxDir)
+        }
+        val key = t(s, d, "orders").agg(max("o_custkey")).head()
+          .getLong(0) / 3L
+        // The index consult: file-count-sized driver read (the zonemap
+        // manifest pattern); decisions use the same sketch impl + hash
+        // the bloom_might_contain expression evaluates.
+        val hashed = s.range(1).select(expr(s"xxhash64(${key}L)"))
+          .head().getLong(0)
+        val selected = s.read.parquet(idxDir).select("file", "bf")
+          .collect()
+          .filter { r =>
+            org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bf")))
+              .mightContainLong(hashed)
+          }
+          .map(_.getString(0)).toSeq.sorted
+        if (selected.isEmpty)
+          s.range(1).select(lit(key).as("custkey"),
+            lit(0L).as("n_orders"), lit(0L).as("cents"))
+        else
+          s.read.parquet(selected: _*)
+            .filter(col("o_custkey") === key)
+            .agg(count(lit(1)).as("n_orders"),
+              coalesce(sum("cents"), lit(0L)).as("cents"))
+            .select(lit(key).as("custkey"), col("n_orders"), col("cents"))
+      },
+      """WITH k AS (SELECT CAST(max(o_custkey) // 3 AS BIGINT) AS k
+        |           FROM orders)
+        |SELECT k.k AS custkey,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders, k
+        |   WHERE o_custkey = k.k) AS n_orders,
+        |  (SELECT CAST(coalesce(sum(
+        |      CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS BIGINT)
+        |   FROM orders, k WHERE o_custkey = k.k) AS cents
+        |FROM k""".stripMargin)),
+
     // Time-sorted sink + statistics-pruned slice read-back — the
     // read-side twin of q_sink_partitioned, and the gate that the
     // INT96 finding (PLANS.md / SparkEnv outputTimestampType) makes

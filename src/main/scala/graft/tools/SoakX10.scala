@@ -300,7 +300,11 @@ object SoakX10 {
     // Bitmap rollup: partial build is one pass; the report's cost
     // tracks Σ per-day distinct cardinality (soak grows user ids
     // 10x), never the event-row count.
-    "q_agg_bitmap_rollup")
+    "q_agg_bitmap_rollup",
+    // Bloom point lookup: the query side reads only might-contain
+    // files, so its cost tracks the key's file footprint + FP rate,
+    // never corpus bytes.
+    "q_point_lookup")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

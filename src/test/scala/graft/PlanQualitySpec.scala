@@ -283,6 +283,16 @@ class PlanQualitySpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial+final
   }
 
+  test("q_point_lookup scans only bloom-selected files, never the source table") {
+    val df = SparkEntry.queries("q_point_lookup")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // The lookup's returned plan reads the bloom-selected subset of
+    // the derived layout — the index consult happens before planning,
+    // and the source orders.parquet never appears.
+    assert(!p.contains("orders.parquet"), p)
+    assert(p.contains("graft_bloomidx_") || p.contains("Scan OneRowRelation"), p)
+  }
+
   test("q_zonemap_prune scans only manifest-selected files, never the source log") {
     val df = SparkEntry.queries("q_zonemap_prune")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
