@@ -60,11 +60,18 @@ object Selection {
       kk -= acc
       val b = counts(i)._1
       val nlo = lo + b * width
-      hi = math.min(hi, nlo + width)
+      // Saturating upper bound: nlo ≤ max (b is an occupied bucket),
+      // but nlo + width can overflow when the domain touches
+      // Long.MaxValue.
+      hi = if (nlo > Long.MaxValue - width) hi
+        else math.min(hi, nlo + width)
       lo = nlo
     }
     while (hi - lo > buckets) {
-      val width = (hi - lo + buckets - 1) / buckets
+      // Overflow-safe ceil: span + buckets - 1 wraps when the span is
+      // near Long.MaxValue (full-domain inputs), (span - 1)/B + 1
+      // cannot.
+      val width = (hi - lo - 1L) / buckets + 1L
       val cnts = passCounts(df, c, lo, hi, width, pushed)
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       narrow(cnts, width)

@@ -473,6 +473,70 @@ object SnapshotQueries {
     // (AS OF v_bad still reads the corrupted generation — audit
     // readability survives the restore). Restore mechanics + the
     // sweep-vs-staging race are in SnapshotSwap.restoreManifested.
+    // Row-level DELETE via deletion vectors (merge-on-read) — the
+    // lakehouse delete protocol (Delta/Iceberg DVs) and the missing
+    // verb between MERGE (rewrites matched rows) and OPTIMIZE
+    // (rewrites layout): a DELETE over a multi-TB table must not
+    // rewrite every touched file, so the delete lands as a SIDECAR of
+    // (file, row-position) marks and readers anti-join it at scan
+    // time. Build once per fingerprint: a key-sorted 16-file layout
+    // (positions are deterministic because rows are sorted within
+    // files). The DELETE derives positions from the files themselves
+    // (input_file_name + a file-partitioned row_number — plan-gated
+    // partitioned), writes the DV sidecar, and TOUCHES NO DATA FILE —
+    // the gate folds that guarantee into the hashed output
+    // (`files_untouched`: every data part's (size, mtime) identical
+    // across the delete; the oracle pins TRUE). The read path applies
+    // the DV with one anti-join (broadcast — deletion sets are small
+    // next to data; a real impl swaps a roaring bitmap per file at
+    // the same seam); purge-equivalence (merge-on-read read ==
+    // copy-on-write rewrite) is pinned in DeleteVectorSpec.
+    "q_delete_vectors" -> ((
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val root = s"${graft.Tables.scratchRoot}/graft_dv_${graft.Tables.dirTag(d)}"
+        val dataDir = s"$root/data"
+        val dvDir = s"$root/dv"
+        val fp = graft.Tables.sourceFingerprint(
+          Seq(java.nio.file.Paths.get(s"$d/orders.parquet")), "dv_v1:f16")
+        graft.Tables.ensureDerived(root, fp) {
+          t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+            .repartitionByRange(16, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey")
+            .write.mode("overwrite").parquet(dataDir)
+        }
+        def posed = s.read.parquet(dataDir)
+          .withColumn("file", input_file_name())
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("file").orderBy("o_orderkey")))
+        def census(): Map[String, (Long, Long)] =
+          new java.io.File(dataDir).listFiles()
+            .filter(f => f.isFile && f.getName.startsWith("part-"))
+            .map(f => f.getName -> (f.length, f.lastModified)).toMap
+        val before = census()
+        val deleted = col("o_orderstatus") === "F" &&
+          col("o_orderkey") % 13 === 0
+        posed.filter(deleted).select("file", "pos")
+          .write.mode("overwrite").parquet(dvDir)
+        val untouched = census() == before
+        posed
+          .join(broadcast(s.read.parquet(dvDir)), Seq("file", "pos"),
+            "left_anti")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"), sum("cents").as("cents"))
+          .withColumn("files_untouched", lit(untouched))
+          .orderBy("o_orderstatus")
+      },
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  TRUE AS files_untouched
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 13 = 0)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     "q_snapshot_restore" -> ((
       (s: SparkSession, d: String) => {
         val base = s"${graft.Tables.scratchRoot}/graft_restore_${graft.Tables.dirTag(d)}"

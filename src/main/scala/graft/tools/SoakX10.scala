@@ -304,7 +304,11 @@ object SoakX10 {
     // Bloom point lookup: the query side reads only might-contain
     // files, so its cost tracks the key's file footprint + FP rate,
     // never corpus bytes.
-    "q_point_lookup")
+    "q_point_lookup",
+    // Deletion vectors: the DV write tracks deleted-row count, the
+    // read pays one position window + a broadcast anti-join — linear
+    // passes, no rewrite amplification.
+    "q_delete_vectors")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

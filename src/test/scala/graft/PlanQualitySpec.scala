@@ -283,6 +283,19 @@ class PlanQualitySpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial+final
   }
 
+  test("q_delete_vectors applies the DV as one anti-join over the layout alone") {
+    val df = SparkEntry.queries("q_delete_vectors")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // Merge-on-read: the layout scan + the sidecar scan + ONE
+    // anti-join; position derivation stays file-partitioned (an
+    // unpartitioned row_number would serialize the table), and the
+    // source orders.parquet never appears.
+    assert(!p.contains("orders.parquet"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!"""Window \[[^\]]*\], \[\]""".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_point_lookup scans only bloom-selected files, never the source table") {
     val df = SparkEntry.queries("q_point_lookup")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
