@@ -111,6 +111,61 @@ object FnQueries {
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Partition restatement via DYNAMIC partition overwrite — the
+    // replaceWhere/INSERT OVERWRITE PARTITION semantic every
+    // partitioned 100 TB table needs for backfills: a restatement
+    // batch must replace ONLY the partitions it carries rows for,
+    // leaving every other partition's files physically untouched
+    // (static overwrite mode would drop the whole table first — the
+    // classic data-loss footgun this mode exists to close). The gate
+    // loads the corpus partitioned by lang, restates just the 'en'
+    // slice (chars + 1) under partitionOverwriteMode=dynamic, and
+    // folds the untouched-partitions guarantee into the hashed output
+    // (`others_untouched`: every non-en part file's (size, mtime)
+    // identical across the restatement — oracle pins TRUE); the
+    // read-back must show restated en next to original other langs.
+    "q_replace_where" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = s"${graft.Tables.scratchRoot}/graft_rw_docs_${graft.Tables.dirTag(d)}"
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+        def census(): Map[String, (Long, Long)] = {
+          val root = new java.io.File(dir)
+          Option(root.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isDirectory && f.getName.startsWith("lang=") &&
+              f.getName != "lang=en")
+            .flatMap(p => Option(p.listFiles()).getOrElse(Array.empty)
+              .filter(_.getName.startsWith("part-"))
+              .map(f => s"${p.getName}/${f.getName}" ->
+                (f.length, f.lastModified)))
+            .toMap
+        }
+        val before = census()
+        val batch = docs.filter(col("lang") === "en")
+          .withColumn("n_chars", col("n_chars") + 1L)
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "dynamic")
+        try batch.write.mode("overwrite").partitionBy("lang").parquet(dir)
+        finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+        val untouched = census() == before
+        s.read.parquet(dir)
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+          .withColumn("others_untouched", lit(untouched))
+          .orderBy("lang", "source")
+      },
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN n_chars + 1
+        |    ELSE n_chars END) AS BIGINT) AS chars,
+        |  TRUE AS others_untouched
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin)),
+
     // Small-file compaction — the OPTIMIZE kernel every long-running
     // sink needs: a streaming/append pipeline accumulates thousands of
     // KB-sized files per partition, and scan parallelism/throughput

@@ -308,7 +308,10 @@ object SoakX10 {
     // Deletion vectors: the DV write tracks deleted-row count, the
     // read pays one position window + a broadcast anti-join — linear
     // passes, no rewrite amplification.
-    "q_delete_vectors")
+    "q_delete_vectors",
+    // Dynamic partition overwrite: cost = full load + the restated
+    // partition's rewrite; the untouched partitions cost nothing.
+    "q_replace_where")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen
