@@ -111,6 +111,68 @@ object FnQueries {
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Corrupt-record quarantine on JSONL ingest — the PERMISSIVE-mode
+    // / badRecordsPath contract every web-scale scrape ingest needs:
+    // dirty lines must neither kill the job (FAILFAST) nor silently
+    // vanish (DROPMALFORMED) — they land in a quarantine sink with
+    // the clean rows unaffected, and the quarantine CENSUS is part of
+    // the pipeline's output (a jump in the quarantine rate is the
+    // first signal a producer broke). The fixture dump (derived-
+    // artifact protocol) writes every 251st document as a truncated
+    // JSON line — deterministic corruption the oracle replicates from
+    // the clean table; the gate reads with an explicit schema +
+    // _corrupt_record (never inferred — inference is an extra corpus
+    // pass AND would type-flip on the dirty rows), quarantines the
+    // corrupt lines to a side sink, and emits per-source clean stats
+    // with the quarantine count folded into the hashed output.
+    "q_ingest_quarantine" -> ((
+      (s: SparkSession, d: String) => {
+        val dumpDir = s"${graft.Tables.scratchRoot}/graft_qtn_src_${graft.Tables.dirTag(d)}"
+        val qDir = s"${graft.Tables.scratchRoot}/graft_qtn_bad_${graft.Tables.dirTag(d)}"
+        val fp = graft.Tables.sourceFingerprint(
+          Seq(java.nio.file.Paths.get(s"$d/documents.parquet")),
+          "quarantine_v1:m251")
+        graft.Tables.ensureDerived(dumpDir, fp) {
+          val docs = t(s, d, "documents")
+          docs.filter(col("doc_id") % 251 =!= 0)
+            .write.mode("overwrite").json(dumpDir)
+          docs.filter(col("doc_id") % 251 === 0)
+            .select(concat(lit("{\"doc_id\": "), col("doc_id"),
+              lit(", \"text\": \"truncated")).as("value"))
+            .write.mode("append").text(dumpDir)
+        }
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType),
+          StructField("lang", StringType),
+          StructField("source", StringType),
+          StructField("n_chars", LongType),
+          StructField("_corrupt_record", StringType)))
+        val raw = s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(dumpDir)
+        // The whole raw row goes to quarantine (Spark disallows
+        // referencing ONLY the corrupt column — and the full line is
+        // what a triage pass wants anyway).
+        raw.filter(col("_corrupt_record").isNotNull)
+          .write.mode("overwrite").json(qDir)
+        val nBad = s.read.text(qDir).count()
+        raw.filter(col("_corrupt_record").isNull)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+          .withColumn("n_quarantined", lit(nBad))
+          .orderBy("source")
+      },
+      """WITH bad AS (SELECT CAST(count(*) AS BIGINT) AS n
+        |             FROM documents WHERE doc_id % 251 = 0)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  bad.n AS n_quarantined
+        |FROM documents, bad
+        |WHERE doc_id % 251 <> 0
+        |GROUP BY source, bad.n ORDER BY source""".stripMargin)),
+
     // Partition restatement via DYNAMIC partition overwrite — the
     // replaceWhere/INSERT OVERWRITE PARTITION semantic every
     // partitioned 100 TB table needs for backfills: a restatement

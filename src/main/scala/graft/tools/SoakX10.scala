@@ -311,7 +311,10 @@ object SoakX10 {
     "q_delete_vectors",
     // Dynamic partition overwrite: cost = full load + the restated
     // partition's rewrite; the untouched partitions cost nothing.
-    "q_replace_where")
+    "q_replace_where",
+    // Quarantine ingest: PERMISSIVE parse is one linear pass; the
+    // quarantine sink tracks the (fixed-rate) corrupt slice.
+    "q_ingest_quarantine")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen
