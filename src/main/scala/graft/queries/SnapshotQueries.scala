@@ -473,6 +473,58 @@ object SnapshotQueries {
     // (AS OF v_bad still reads the corrupted generation — audit
     // readability survives the restore). Restore mechanics + the
     // sweep-vs-staging race are in SnapshotSwap.restoreManifested.
+    // Snapshot history as a queryable METADATA TABLE — Iceberg's
+    // `table$history` / Delta's DESCRIBE HISTORY: the protocol's
+    // introspection surface, composed purely from public reads (HEAD,
+    // the _PARENT walk via AS-OF, named refs) — no reaching into dir
+    // internals. Three generations land (the oldest tagged FIRST so
+    // the retention sweep can't reclaim it — exactly the audit-trail
+    // posture a production table uses: tag what you must be able to
+    // explain later); the history rows carry each version's row
+    // count, how it is reachable (head / parent-chain / tag), and the
+    // is_head flag. Row counts per generation are slice-deterministic
+    // so the whole audit trail hash-verifies against the oracle's
+    // derivation of the same three slices.
+    "q_snapshot_history" -> ((
+      (s: SparkSession, d: String) => {
+        val base = s"${graft.Tables.scratchRoot}/graft_hist_${graft.Tables.dirTag(d)}"
+        SnapshotSwap.rm(java.nio.file.Paths.get(base))
+        val docs = t(s, d, "documents")
+        def gen(m: Int) = docs.filter(col("doc_id") % m =!= 0)
+          .select(col("doc_id"), col("n_chars"))
+        SnapshotSwap.writeManifested(gen(2), base, "docs")
+        SnapshotSwap.tagSnapshot(base, "docs", "v1-audit")
+        SnapshotSwap.writeManifested(gen(3), base, "docs")
+        SnapshotSwap.writeManifested(gen(5), base, "docs")
+        val head = SnapshotSwap.currentVersion(base, "docs")
+        val rows = (1L to head).map { v =>
+          val via =
+            if (v == head) "head"
+            else if (v == head - 1) "parent"
+            else "tag:v1-audit"
+          val df =
+            if (v <= head - 2) SnapshotSwap.readTagged(s, base, "docs",
+              "v1-audit")
+            else SnapshotSwap.readAsOf(s, base, "docs", v)
+          (v, df.count(), via, v == head)
+        }
+        import s.implicits._
+        rows.toDF("version", "n_rows", "via", "is_head")
+          .orderBy("version")
+      },
+      """SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS version,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |     WHERE doc_id % 2 <> 0) AS n_rows,
+        |    'tag:v1-audit' AS via, FALSE AS is_head
+        |  UNION ALL
+        |  SELECT 2, (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |             WHERE doc_id % 3 <> 0), 'parent', FALSE
+        |  UNION ALL
+        |  SELECT 3, (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |             WHERE doc_id % 5 <> 0), 'head', TRUE)
+        |ORDER BY version""".stripMargin)),
+
     // Row-level DELETE via deletion vectors (merge-on-read) — the
     // lakehouse delete protocol (Delta/Iceberg DVs) and the missing
     // verb between MERGE (rewrites matched rows) and OPTIMIZE

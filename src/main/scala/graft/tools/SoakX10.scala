@@ -314,7 +314,10 @@ object SoakX10 {
     "q_replace_where",
     // Quarantine ingest: PERMISSIVE parse is one linear pass; the
     // quarantine sink tracks the (fixed-rate) corrupt slice.
-    "q_ingest_quarantine")
+    "q_ingest_quarantine",
+    // History introspection: three publishes (linear in snapshot
+    // size) + three metadata reads — the walk itself is O(versions).
+    "q_snapshot_history")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen
