@@ -349,6 +349,27 @@ object StreamQueries {
     merged
   }
 
+  /** One micro-batch of the streaming zone-map maintenance
+    * (q_stream_zonemap): the batch's rows land in a batch-id-keyed
+    * data dir and its min/max/count stats land in a batch-id-keyed
+    * manifest dir — BOTH idempotent overwrites (the incDedupBatch
+    * exactly-once protocol), so a foreachBatch replay rewrites the
+    * same two dirs with the same content. This is the transaction-log
+    * shape under continuous ingest: every commit carries its file
+    * stats, and readers consult the accumulated manifest instead of
+    * opening data files. */
+  private[graft] def zonemapBatch(batch: DataFrame, root: String,
+      batchId: Long): Unit = {
+    val b = batch.withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .select("event_id", "us", "user_id", "event_type", "cents")
+    b.write.mode("overwrite").parquet(s"$root/data/batch=$batchId")
+    b.agg(min("us").as("us_min"), max("us").as("us_max"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite").parquet(s"$root/manifest/batch=$batchId")
+  }
+
   val entries: Map[String, (Q, String)] = Map(
     "q_stream_batch" -> ((
       (s: SparkSession, d: String) => streamCounts(s, d),
@@ -617,6 +638,68 @@ object StreamQueries {
         |  FROM log)
         |SELECT user_id, us AS last_us, val_e2
         |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin)),
+
+    // Streaming ingest with data-skipping manifest maintenance — the
+    // transaction-log story under continuous ingest (what
+    // q_zonemap_prune builds in batch, maintained per micro-batch):
+    // each event micro-batch commits its rows to a batch-id-keyed
+    // data dir AND its min/max/count stats to a batch-id-keyed
+    // manifest entry (both idempotent overwrites — the exactly-once
+    // protocol), so the skipping index is always current without a
+    // rebuild pass. The replayed log is TIME-ORDERED (a real stream's
+    // arrival order; tsorted dump variant), so batch time ranges are
+    // disjoint and a time-slice query consults the manifest
+    // (batch-count-sized driver read) and scans ONLY intersecting
+    // batch dirs. Batch composition is engine-internal, so the gate
+    // hash-verifies the ANSWER; the skip factor, replay idempotence,
+    // and pruned==full equality are pinned in StreamZonemapSpec.
+    "q_stream_zonemap" -> ((
+      (s: SparkSession, d: String) => {
+        val tag = graft.Tables.dirTag(d)
+        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_tsrc_${tag}_v$DumpVersion"
+        ensureStreamDump(d, "events", srcDir, variant = "tsorted")(
+          graft.Tables.events(s, d)
+            .repartitionByRange(4, col("ts"))
+            .sortWithinPartitions("ts"))
+        val root = s"${graft.Tables.scratchRoot}/graft_szone_$tag"
+        graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        withStreamGateConfs(s) {
+          val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            Long) => Unit = (b, id) => zonemapBatch(b, root, id)
+          val q = stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        val manifest = s.read.parquet(s"$root/manifest").collect()
+        val t0 = manifest.map(_.getAs[Long]("us_min")).min
+        val lo = t0 + 7L * 86400000000L
+        val hi = t0 + 10L * 86400000000L
+        val selected = manifest
+          .filter(r => r.getAs[Long]("us_max") >= lo &&
+            r.getAs[Long]("us_min") < hi)
+          .map(r => s"$root/data/batch=${r.getAs[Long]("batch")}")
+          .toSeq.sorted
+        s.read.parquet(selected: _*)
+          .filter(col("us") >= lo && col("us") < hi)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), sum("cents").as("cents"))
+          .orderBy("event_type")
+      },
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (SELECT min(us) AS t0 FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM e, b
+        |WHERE us >= t0 + 7 * 86400000000
+        |  AND us < t0 + 10 * 86400000000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // Streaming quantile maintenance — the percentile rollup
     // (q_agg_quantile_rollup) under continuous ingest: each event

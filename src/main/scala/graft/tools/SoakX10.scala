@@ -317,7 +317,11 @@ object SoakX10 {
     "q_ingest_quarantine",
     // History introspection: three publishes (linear in snapshot
     // size) + three metadata reads — the walk itself is O(versions).
-    "q_snapshot_history")
+    "q_snapshot_history",
+    // Streaming zone-map maintenance: per-batch cost is batch-sized
+    // (data + one stats row); the slice query reads only intersecting
+    // batch dirs, so read cost tracks the slice.
+    "q_stream_zonemap")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen
