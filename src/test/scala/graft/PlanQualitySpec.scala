@@ -203,19 +203,17 @@ class PlanQualitySpec extends SparkSpecBase {
     val df = SparkEntry.queries("q_assoc_pairs")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
     // The naive all-pairs form is an items self-join on l_orderkey;
-    // the SON shape instead rides ONE basket exchange (the collect_set
-    // groupBy) and generates pairs with a map-side explode — the only
-    // joins allowed are the two broadcast item-support lookups.
+    // the SON shape instead explodes pairs map-side off the ONE
+    // materialized basket relation — the only joins allowed are the
+    // two broadcast item-support lookups, and the returned plan
+    // re-reads NO parquet (the corpus was scanned once, into the
+    // basket checkpoint).
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
-    assert("Exchange hashpartitioning\\(l_orderkey".r.findAllIn(p).length == 1, p)
     assert("Generate explode".r.findAllIn(p).length == 1, p)
     assert("BroadcastHashJoin".r.findAllIn(p).length == 2, p)
-    // The item-support relation is checkpointed — both broadcast sides
-    // read the materialized RDD, so the returned plan scans the corpus
-    // exactly once (the basket/pair branch).
-    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert("Scan parquet".r.findAllIn(p).length == 0, p)
   }
 
   test("q_graph_linkpred wedges equi-join on the middle node over checkpointed state") {
