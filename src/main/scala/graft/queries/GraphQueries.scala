@@ -790,6 +790,101 @@ object GraphQueries {
     // coefficient denominator), computed from the degree relation, not
     // by materializing wedges. Every join is an equality join on keys
     // (plan-gated: no cartesian anywhere).
+    // Deterministic random walks — node2vec/DeepWalk's sampling pass
+    // (the training-data generator for graph embeddings), made
+    // reproducible: the t-th hop of walk (start, w) at node cur picks
+    // neighbor index sha256(start:w:t:cur) mod deg(cur) — a
+    // hash-seeded choice both engines compute identically, so entire
+    // walk corpora are bit-reproducible (the property a re-run of a
+    // 100 TB embedding pipeline needs; true RNG walks are
+    // irreproducible by construction). Adjacency is materialized ONCE
+    // with a per-node neighbor index + degree (localCheckpoint; the
+    // at-scale posture is the same relation bucketed by node so every
+    // hop co-locates); each hop is one equi-join on the current node
+    // with the index match filtered in-row — fan-in bounded by
+    // degree, L hops = L joins, no loop state. Start set is a node
+    // slice (pk % 5) with 2 walks per start; walks can legally
+    // revisit nodes. The oracle unrolls the identical three hops over
+    // a row_number adjacency.
+    "q_graph_walks" -> ((
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val wAdj = Window.partitionBy("n").orderBy("nb")
+        val e = t(s, d, "lineitem")
+          .filter(col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_partkey"))
+          .groupBy("l_orderkey")
+          .agg(sort_array(collect_set(col("l_partkey"))).as("its"))
+          .select(explode(expr(
+            """flatten(transform(its, (x, i) ->
+              |  transform(slice(its, i + 2, size(its)),
+              |    y -> named_struct('s', x, 't', y))))""".stripMargin))
+            .as("p"))
+          .select(col("p.s").as("s"), col("p.t").as("t"))
+          .distinct()
+        val adj = e.select(col("s").as("n"), col("t").as("nb"))
+          .unionByName(e.select(col("t").as("n"), col("s").as("nb")))
+          .withColumn("idx", row_number().over(wAdj).cast("long") - 1L)
+          .withColumn("deg",
+            count(lit(1)).over(Window.partitionBy("n")).cast("long"))
+          .localCheckpoint()
+        val starts = adj.select(col("n")).distinct()
+          .filter(col("n") % 5 === 0)
+          .select(col("n").as("start"),
+            explode(expr("array(0L, 1L)")).as("w"))
+        def hop(cur: DataFrame, curCol: String, t: Int): DataFrame = {
+          val pick = expr(
+            s"CAST(conv(substring(sha2(concat_ws(':', start, w, " +
+              s"'$t', $curCol), 256), 1, 15), 16, 10) AS BIGINT)")
+          cur.join(adj, cur(curCol) === adj("n") &&
+              adj("idx") === pick % adj("deg"))
+            .drop("n", "idx", "deg")
+            .withColumnRenamed("nb", s"n$t")
+        }
+        val w0 = starts.withColumn("n0", col("start"))
+        val walk = hop(hop(hop(w0, "n0", 1), "n1", 2), "n2", 3)
+        walk.select("start", "w", "n0", "n1", "n2", "n3")
+          .orderBy("start", "w")
+      },
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem
+        |            WHERE l_shipdate < TIMESTAMP '1996-07-01'),
+        |e AS (SELECT DISTINCT a.pk AS s, b.pk AS t
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |und AS (SELECT s AS n, t AS nb FROM e
+        |        UNION ALL SELECT t, s FROM e),
+        |adj AS (SELECT n, nb,
+        |    row_number() OVER (PARTITION BY n ORDER BY nb) - 1 AS idx,
+        |    count(*) OVER (PARTITION BY n) AS deg
+        |  FROM und),
+        |s0 AS (SELECT DISTINCT n AS start FROM adj WHERE n % 5 = 0),
+        |starts AS (SELECT start, unnest([CAST(0 AS BIGINT),
+        |           CAST(1 AS BIGINT)]) AS w FROM s0),
+        |h AS (SELECT start, w, CAST(start AS BIGINT) AS n0 FROM starts),
+        |s1 AS (SELECT h.start, h.w, h.n0, a.nb AS n1
+        |  FROM h JOIN adj a ON a.n = h.n0 AND a.idx =
+        |    list_reduce(list_transform(range(1, 16),
+        |      i -> (strpos('0123456789abcdef', substr(sha256(
+        |        h.start || ':' || h.w || ':1:' || h.n0), i, 1))
+        |        - 1)::HUGEINT),
+        |      (x, y) -> x * 16 + y) % a.deg),
+        |s2 AS (SELECT s1.*, a.nb AS n2
+        |  FROM s1 JOIN adj a ON a.n = s1.n1 AND a.idx =
+        |    list_reduce(list_transform(range(1, 16),
+        |      i -> (strpos('0123456789abcdef', substr(sha256(
+        |        s1.start || ':' || s1.w || ':2:' || s1.n1), i, 1))
+        |        - 1)::HUGEINT),
+        |      (x, y) -> x * 16 + y) % a.deg),
+        |s3 AS (SELECT s2.*, a.nb AS n3
+        |  FROM s2 JOIN adj a ON a.n = s2.n2 AND a.idx =
+        |    list_reduce(list_transform(range(1, 16),
+        |      i -> (strpos('0123456789abcdef', substr(sha256(
+        |        s2.start || ':' || s2.w || ':3:' || s2.n2), i, 1))
+        |        - 1)::HUGEINT),
+        |      (x, y) -> x * 16 + y) % a.deg)
+        |SELECT start, w, n0, n1, n2, n3 FROM s3
+        |ORDER BY start, w""".stripMargin)),
+
     // Link prediction over the co-purchase graph — the similarity-
     // mining member of the graph family (Liben-Nowell & Kleinberg's
     // common-neighbors / Jaccard predictors): score part pairs by

@@ -321,7 +321,10 @@ object SoakX10 {
     // Streaming zone-map maintenance: per-batch cost is batch-sized
     // (data + one stats row); the slice query reads only intersecting
     // batch dirs, so read cost tracks the slice.
-    "q_stream_zonemap")
+    "q_stream_zonemap",
+    // Deterministic walks: hop cost is degree-bounded per walk; the
+    // start set and adjacency grow linearly with the soak copies.
+    "q_graph_walks")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

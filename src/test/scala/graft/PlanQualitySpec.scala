@@ -216,6 +216,18 @@ class PlanQualitySpec extends SparkSpecBase {
     assert("Scan parquet".r.findAllIn(p).length == 0, p)
   }
 
+  test("q_graph_walks hops are node equi-joins over the one materialized adjacency") {
+    val df = SparkEntry.queries("q_graph_walks")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // Each hop joins the walk state to the checkpointed adjacency on
+    // the current node (the index pick is an in-row filter) — a
+    // cartesian/BNL would mean the hash pick drove the join; the
+    // returned plan re-reads no parquet.
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Scan parquet".r.findAllIn(p).length == 0, p)
+  }
+
   test("q_graph_linkpred wedges equi-join on the middle node over checkpointed state") {
     val df = SparkEntry.queries("q_graph_linkpred")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
