@@ -676,6 +676,76 @@ object ExtraQueries {
         |   FROM orders i WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // Quantified-comparison subqueries (> ALL / >= ANY) — the second
+    // decorrelation shape (q_subquery_corr covers the correlated
+    // scalar aggregate): "price beats ALL same-brand peers" and
+    // "price beats ANY larger-size peer". Spark CAN decorrelate the
+    // declarative correlated form — but its domain-join rewrite plans
+    // a BroadcastNestedLoopJoin of the outer key domain against the
+    // inner relation for each non-equality correlation
+    // (O(|domain|·|inner|) comparisons — measured on this exact
+    // query, and fatal at 100 TB where both are corpus-sized). The
+    // gate therefore ships the extrema-decomposed form: exclude-self
+    // ALL via per-brand (max, count-at-max, second-max) — peer max =
+    // mx2 only when the row is the UNIQUE max; range-correlated ANY
+    // via a suffix-min window over the (brand, size) DOMAIN relation
+    // (strictly-larger sizes = preceding rows in size-desc order).
+    // Everything is domain-sized aggregates + broadcast joins + one
+    // domain window (plan-gated: no BNLJ/cartesian). The declarative
+    // correlated SQL is kept as the ORACLE, so the two formulations
+    // verify each other — the q_join_scd2 pattern.
+    "q_subquery_all" -> ((
+      (s: SparkSession, d: String) => {
+        val p = t(s, d, "part").select(col("p_partkey"),
+          col("p_brand"), col("p_size").cast("long").as("p_size"),
+          expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("cents"))
+        // (brand, price) and (brand, size) domain relations.
+        val pdom = p.groupBy("p_brand", "cents")
+          .agg(count(lit(1)).as("cnt"))
+        val mx1 = pdom.groupBy("p_brand").agg(max("cents").as("mx"))
+        val bstats = pdom.join(broadcast(mx1), "p_brand")
+          .groupBy("p_brand")
+          .agg(max("mx").as("mx"),
+            sum(when(col("cents") === col("mx"), col("cnt"))
+              .otherwise(lit(0L))).as("n_at_mx"),
+            max(when(col("cents") < col("mx"), col("cents"))).as("mx2"))
+        val sw = org.apache.spark.sql.expressions.Window
+          .partitionBy("p_brand").orderBy(col("p_size").desc)
+          .rowsBetween(Long.MinValue, -1)
+        val sdom = p.groupBy("p_brand", "p_size")
+          .agg(min("cents").as("mn"))
+          .withColumn("sfx_min", min("mn").over(sw))
+          .select("p_brand", "p_size", "sfx_min")
+        p.join(broadcast(bstats), "p_brand")
+          .join(broadcast(sdom), Seq("p_brand", "p_size"))
+          .select(col("p_partkey"), col("cents"),
+            (col("cents") > coalesce(
+              when(col("cents") === col("mx") && col("n_at_mx") === 1L,
+                coalesce(col("mx2"), lit(-1L)))
+                .otherwise(col("mx")), lit(-1L)))
+              .as("beats_all_peers"),
+            (col("cents") >= coalesce(col("sfx_min"),
+              lit(Long.MaxValue))).as("beats_any_larger"))
+          .orderBy("p_partkey")
+      },
+      """SELECT p_partkey,
+        |  CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+        |  CAST(round(p_retailprice * 100) AS BIGINT) >
+        |    coalesce((SELECT max(CAST(round(i.p_retailprice * 100)
+        |        AS BIGINT))
+        |      FROM part i
+        |      WHERE i.p_brand = p.p_brand
+        |        AND i.p_partkey <> p.p_partkey), -1)
+        |    AS beats_all_peers,
+        |  CAST(round(p_retailprice * 100) AS BIGINT) >=
+        |    coalesce((SELECT min(CAST(round(i.p_retailprice * 100)
+        |        AS BIGINT))
+        |      FROM part i
+        |      WHERE i.p_brand = p.p_brand
+        |        AND i.p_size > p.p_size), 9223372036854775807)
+        |    AS beats_any_larger
+        |FROM part p ORDER BY p_partkey""".stripMargin)),
+
     // Z-order (Morton-curve) layout clustering — the Delta/Iceberg
     // OPTIMIZE ZORDER kernel: interleave the bits of two cluster keys
     // into one curve position so that sorting by it co-locates rows
@@ -2409,6 +2479,57 @@ object ExtraQueries {
         |  (SELECT v FROM r, n WHERE rn = (n + 1) // 2) AS p50_v,
         |  (SELECT v FROM r, n WHERE rn = (n * 99 + 99) // 100) AS p99_v
         |FROM n""".stripMargin)),
+
+    // M4 time-series downsampling — the error-free visualization
+    // aggregation (Jugel et al., VLDB 2014): per (series, pixel
+    // column) emit min, max, first, last — the four points that make
+    // a width-W rendering of the downsampled series pixel-identical
+    // to rendering all N rows, which is how a monitoring UI draws a
+    // 100 TB metric without shipping it. One partial+final aggregate
+    // per (series, pixel) — first/last are min/max of (us, event_id,
+    // value) structs, so the whole reduction is mergeable and rides
+    // ONE exchange; pixel assignment is exact integer interpolation
+    // off two bounded driver scalars (the avgdl protocol). The oracle
+    // recomputes first/last with row_number twins.
+    "q_time_m4" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = graft.Tables.events(s, d)
+          .select(col("event_type"), col("event_id"),
+            expr("unix_micros(ts)").as("us"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        val b = ev.agg(min("us"), max("us")).head()
+        val (t0, t1) = (b.getLong(0), b.getLong(1))
+        ev.withColumn("px",
+            expr(s"(us - ${t0}L) * 100L div ${t1 - t0 + 1}L"))
+          .groupBy("event_type", "px")
+          .agg(count(lit(1)).as("n"),
+            min("cents").as("v_min"), max("cents").as("v_max"),
+            min(struct(col("us"), col("event_id"), col("cents")))
+              .getField("cents").as("v_first"),
+            max(struct(col("us"), col("event_id"), col("cents")))
+              .getField("cents").as("v_last"))
+          .orderBy("event_type", "px")
+      },
+      """WITH e AS (SELECT event_type, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (SELECT min(us) AS t0, max(us) AS t1 FROM e),
+        |px AS (SELECT e.*,
+        |    CAST((us - t0) * 100 // (t1 - t0 + 1) AS BIGINT) AS px
+        |  FROM e, b),
+        |w AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, px
+        |      ORDER BY us, event_id) AS rf,
+        |    row_number() OVER (PARTITION BY event_type, px
+        |      ORDER BY us DESC, event_id DESC) AS rl
+        |  FROM px)
+        |SELECT event_type, px, CAST(count(*) AS BIGINT) AS n,
+        |  min(cents) AS v_min, max(cents) AS v_max,
+        |  max(CASE WHEN rf = 1 THEN cents END) AS v_first,
+        |  max(CASE WHEN rl = 1 THEN cents END) AS v_last
+        |FROM w GROUP BY event_type, px
+        |ORDER BY event_type, px""".stripMargin)),
 
     // Sequential pattern mining — the ORDERED twin of q_assoc_pairs
     // (and the generalization of q_funnel's fixed pattern): the

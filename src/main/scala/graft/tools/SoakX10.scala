@@ -324,7 +324,13 @@ object SoakX10 {
     "q_stream_zonemap",
     // Deterministic walks: hop cost is degree-bounded per walk; the
     // start set and adjacency grow linearly with the soak copies.
-    "q_graph_walks")
+    "q_graph_walks",
+    // M4: one mergeable aggregate per pixel — per-row cost constant,
+    // output fixed at series x 100 pixels at any scale.
+    "q_time_m4",
+    // Quantifier decomposition: domain aggregates + broadcast joins —
+    // must stay linear in rows, domain-sized in state.
+    "q_subquery_all")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

@@ -242,6 +242,31 @@ class PlanQualitySpec extends SparkSpecBase {
     assert("Scan parquet".r.findAllIn(p).length == 0, p)
   }
 
+  test("q_subquery_all stays domain-sized: no BNLJ, one partitioned window") {
+    val df = SparkEntry.queries("q_subquery_all")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // Catalyst's own domain-join decorrelation of this query's
+    // declarative form plans a BNLJ of the outer key domain against
+    // the inner relation per non-equi correlation (measured) — the
+    // shipped extrema decomposition must never regress to it: only
+    // hash/broadcast joins, and the ANY-quantifier's suffix-min
+    // window stays brand-partitioned over the size DOMAIN.
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!"""Window \[[^\]]*\], \[\]""".r.findFirstIn(p).isDefined, p)
+    assert("Window \\[".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q_time_m4 reduces to one partial+final aggregate per pixel") {
+    val df = SparkEntry.queries("q_time_m4")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // first/last ride min/max(struct) — mergeable, so the whole M4
+    // reduction is ONE partial+final pair on (series, pixel); a
+    // row_number formulation would shuffle every row into a window.
+    assert(!p.contains("Window"), p)
+    assert("Exchange hashpartitioning\\(event_type".r.findAllIn(p).length == 1, p)
+  }
+
   test("q_freq_seq rides one user exchange; both windows stay partitioned") {
     val df = SparkEntry.queries("q_freq_seq")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
