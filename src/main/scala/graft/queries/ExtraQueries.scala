@@ -2480,6 +2480,118 @@ object ExtraQueries {
         |  (SELECT v FROM r, n WHERE rn = (n * 99 + 99) // 100) AS p99_v
         |FROM n""".stripMargin)),
 
+    // Join-key skew census — the diagnostic that decides between the
+    // repo's own join strategies (broadcast / salted / AQE skew
+    // split): per candidate key, its cardinality profile in exact
+    // integers — row count, distinct keys, the heaviest key's share
+    // (e4), and the p99 key frequency via the exact domain histogram.
+    // The census itself must be cheap at 100 TB: ONE partial+final
+    // count per key domain (key-domain-sized exchanges), extrema via
+    // mergeable max(struct), the p99 from a count-of-counts relation
+    // that is frequency-domain-sized. This is the operator a pipeline
+    // runs BEFORE choosing q_join_salted over q_join_link — the
+    // heavy-key share is exactly the salting decision input.
+    "q_skew_census" -> ((
+      (s: SparkSession, d: String) => {
+        def censusOf(df: DataFrame, key: String,
+            label: String): DataFrame = {
+          val freq = df.groupBy(col(key).as("k"))
+            .agg(count(lit(1)).as("f"))
+          val cc = freq.groupBy("f").agg(count(lit(1)).as("nk"))
+          val w = Window.orderBy(col("f").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          // cc is frequency-domain-sized (tiny), so the running sum
+          // over it is safe despite the unpartitioned window.
+          val p99 = cc
+            .withColumn("cum", sum("nk").over(w))
+            .withColumn("tot", sum("nk").over(
+              Window.rowsBetween(Window.unboundedPreceding,
+                Window.unboundedFollowing)))
+            .filter(col("cum") * 100L >= col("tot"))
+            .agg(max("f").as("p99_f"))
+          val base = freq.agg(
+            sum("f").as("n_rows"),
+            count(lit(1)).as("n_keys"),
+            max(struct(col("f"), col("k"))).getField("f")
+              .as("max_f"))
+          base.crossJoin(p99)
+            .select(lit(label).as("key"), col("n_rows"), col("n_keys"),
+              expr("max_f * 10000L div n_rows").as("top_share_e4"),
+              col("p99_f"))
+        }
+        censusOf(t(s, d, "lineitem"), "l_orderkey", "l_orderkey")
+          .unionByName(censusOf(t(s, d, "lineitem"), "l_partkey",
+            "l_partkey"))
+          .unionByName(censusOf(graft.Tables.events(s, d), "user_id",
+            "user_id"))
+          .orderBy("key")
+      },
+      """WITH c AS (
+        |  SELECT 'l_orderkey' AS key, l_orderkey AS k FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_partkey', l_partkey FROM lineitem
+        |  UNION ALL
+        |  SELECT 'user_id', user_id FROM events),
+        |f AS (SELECT key, k, CAST(count(*) AS BIGINT) AS f
+        |      FROM c GROUP BY 1, 2),
+        |cc AS (SELECT key, f, CAST(count(*) AS BIGINT) AS nk
+        |       FROM f GROUP BY 1, 2),
+        |p AS (SELECT key, max(f) AS p99_f FROM (
+        |    SELECT key, f,
+        |      sum(nk) OVER (PARTITION BY key ORDER BY f DESC
+        |        ROWS UNBOUNDED PRECEDING) AS cum,
+        |      sum(nk) OVER (PARTITION BY key) AS tot
+        |    FROM cc)
+        |  WHERE cum * 100 >= tot GROUP BY key)
+        |SELECT f.key, CAST(sum(f) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(max(f) * 10000 // sum(f) AS BIGINT) AS top_share_e4,
+        |  p.p99_f
+        |FROM f JOIN p USING (key)
+        |GROUP BY f.key, p.p99_f ORDER BY key""".stripMargin)),
+
+    // Weighted exact median from the value-domain histogram — the
+    // mixture-balancing statistic (e.g. "median value weighted by
+    // quantity"): wmedian = the smallest v whose cumulative weight
+    // reaches half the total. One (domain-sized) histogram exchange —
+    // sum of weights per distinct value — then the cumulative walk
+    // runs over the DOMAIN relation, never the rows; exact integer
+    // weights end to end. The unweighted median is the same operator
+    // with weight 1 (q_agg_quantile's family); the weighted form is
+    // what sample reweighting actually needs.
+    "q_agg_weighted_median" -> ((
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem").select(
+          col("l_returnflag").as("grp"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
+          expr("CAST(l_quantity AS BIGINT)").as("wt"))
+        val hist = li.groupBy("grp", "v").agg(sum("wt").as("w"))
+        val cw = Window.partitionBy("grp").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        hist
+          .withColumn("cum", sum("w").over(cw))
+          .withColumn("tot", sum("w").over(Window.partitionBy("grp")))
+          .filter(col("cum") * 2L >= col("tot"))
+          .groupBy("grp")
+          .agg(min("v").as("wmedian_e2"), max("tot").as("total_wt"))
+          .orderBy("grp")
+      },
+      """WITH li AS (SELECT l_returnflag AS grp,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |    CAST(l_quantity AS BIGINT) AS wt
+        |  FROM lineitem),
+        |h AS (SELECT grp, v, CAST(sum(wt) AS BIGINT) AS w
+        |      FROM li GROUP BY 1, 2),
+        |c AS (SELECT grp, v, w,
+        |    sum(w) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(w) OVER (PARTITION BY grp) AS tot
+        |  FROM h)
+        |SELECT grp, CAST(min(v) AS BIGINT) AS wmedian_e2,
+        |  CAST(max(tot) AS BIGINT) AS total_wt
+        |FROM c WHERE cum * 2 >= tot
+        |GROUP BY grp ORDER BY grp""".stripMargin)),
+
     // M4 time-series downsampling — the error-free visualization
     // aggregation (Jugel et al., VLDB 2014): per (series, pixel
     // column) emit min, max, first, last — the four points that make

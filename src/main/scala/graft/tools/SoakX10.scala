@@ -330,7 +330,11 @@ object SoakX10 {
     "q_time_m4",
     // Quantifier decomposition: domain aggregates + broadcast joins —
     // must stay linear in rows, domain-sized in state.
-    "q_subquery_all")
+    "q_subquery_all",
+    // Skew census: key-domain-sized exchanges + a frequency-domain
+    // walk; weighted median: one domain histogram + partitioned
+    // cumulative walk — both must stay linear-scan, domain-state.
+    "q_skew_census", "q_agg_weighted_median")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen
