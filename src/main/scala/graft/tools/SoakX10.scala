@@ -334,7 +334,11 @@ object SoakX10 {
     // Skew census: key-domain-sized exchanges + a frequency-domain
     // walk; weighted median: one domain histogram + partitioned
     // cumulative walk — both must stay linear-scan, domain-state.
-    "q_skew_census", "q_agg_weighted_median")
+    "q_skew_census", "q_agg_weighted_median",
+    // Matryoshka census: probes x corpus brute force by design (the
+    // baseline metric pass); probe fraction fixed, so cost is linear
+    // in corpus with a constant probe factor.
+    "q_embed_matryoshka")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen
