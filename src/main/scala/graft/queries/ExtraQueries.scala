@@ -2480,6 +2480,60 @@ object ExtraQueries {
         |  (SELECT v FROM r, n WHERE rn = (n * 99 + 99) // 100) AS p99_v
         |FROM n""".stripMargin)),
 
+    // Audience-overlap matrix — pairwise segment intersection sizes +
+    // exact Jaccard between behavioral segments (users per event
+    // type): the q_assoc_pairs shape applied to SEGMENTS — one
+    // user-keyed exchange builds each user's deduped segment set,
+    // pairs explode map-side (fan-out bounded by segment count², a
+    // domain constant), and both the pair-intersection and per-segment
+    // cardinalities are segment-domain-sized. The exact answer at any
+    // scale costs one user exchange — the same query over raw events
+    // would pay a self-join of the log on user_id; sketch-only systems
+    // approximate this (HLL cannot intersect), the ID-set route is
+    // exact. All-integer Jaccard e4.
+    "q_audience_overlap" -> ((
+      (s: SparkSession, d: String) => {
+        val sets = graft.Tables.events(s, d)
+          .select(col("user_id"), col("event_type"))
+          .groupBy("user_id")
+          .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+          .localCheckpoint()
+        val co = sets.select(explode(expr(
+          """flatten(transform(ts, (x, i) ->
+            |  transform(slice(ts, i + 2, size(ts)),
+            |    y -> named_struct('a', x, 'b', y))))""".stripMargin))
+          .as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n_both"))
+        val card = sets.select(explode(col("ts")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("n"))
+          .localCheckpoint()
+        co
+          .join(broadcast(card.select(col("t").as("a"),
+            col("n").as("n_a"))), "a")
+          .join(broadcast(card.select(col("t").as("b"),
+            col("n").as("n_b"))), "b")
+          .select(col("a"), col("b"), col("n_a"), col("n_b"),
+            col("n_both"),
+            expr("n_both * 10000L div (n_a + n_b - n_both)")
+              .as("jaccard_e4"))
+          .orderBy("a", "b")
+      },
+      """WITH su AS (SELECT DISTINCT event_type, user_id FROM events),
+        |card AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |         FROM su GROUP BY 1),
+        |co AS (SELECT x.event_type AS a, y.event_type AS b,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM su x JOIN su y ON x.user_id = y.user_id
+        |   AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT co.a, co.b, ca.n AS n_a, cb.n AS n_b, co.n_both,
+        |  CAST(co.n_both * 10000 // (ca.n + cb.n - co.n_both)
+        |    AS BIGINT) AS jaccard_e4
+        |FROM co JOIN card ca ON ca.event_type = co.a
+        |JOIN card cb ON cb.event_type = co.b
+        |ORDER BY a, b""".stripMargin)),
+
     // Join-key skew census — the diagnostic that decides between the
     // repo's own join strategies (broadcast / salted / AQE skew
     // split): per candidate key, its cardinality profile in exact

@@ -34,6 +34,49 @@ object VectorQueries {
   private val NQ = 5 // query vectors: vec_id < NQ
   private val DupThreshold = 0.45
 
+  private val CoresetK = 8
+
+  /** q_sample_coreset's oracle: the k-center greedy chain unrolled to
+    * CoresetK levels, GENERATED from the same k as the Spark loop so
+    * the two can never drift on depth (the kcore short-unroll lesson).
+    * Each level folds the newest pick into the running min-distance
+    * and selects the farthest remaining point (ties to smaller id). */
+  private[graft] val CoresetOracle: String = {
+    def d2(a: String, b: String) =
+      s"CAST(list_inner_product($a, $a) + list_inner_product($b, $b)" +
+        s" - 2 * list_inner_product($a, $b) AS BIGINT)"
+    def selIds(upTo: Int) =
+      (Seq("SELECT vec_id FROM s0") ++
+        (1 to upTo).map(i => s"SELECT vec_id FROM p$i"))
+        .mkString(" UNION ALL ")
+    val sb = new StringBuilder
+    sb.append("WITH w AS (SELECT vec_id, list_transform(embedding, " +
+      "x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v " +
+      "FROM embeddings),\n")
+    sb.append("s0 AS (SELECT vec_id, v FROM w ORDER BY vec_id LIMIT 1),\n")
+    sb.append(s"l1 AS MATERIALIZED (SELECT w.vec_id, w.v, " +
+      s"${d2("w.v", "s.v")} AS dmin FROM w, s0 s),\n")
+    for (i <- 1 until CoresetK) {
+      sb.append(s"p$i AS MATERIALIZED (SELECT vec_id, v, dmin FROM l$i WHERE " +
+        s"vec_id NOT IN (${selIds(i - 1)}) " +
+        "ORDER BY dmin DESC, vec_id LIMIT 1),\n")
+      sb.append(s"l${i + 1} AS MATERIALIZED (SELECT l.vec_id, l.v, least(l.dmin, " +
+        s"${d2("l.v", "p.v")}) AS dmin FROM l$i l, p$i p),\n")
+    }
+    sb.append("sels AS (SELECT CAST(0 AS BIGINT) AS sel_order, " +
+      "vec_id, CAST(0 AS BIGINT) AS d2 FROM s0")
+    for (i <- 1 until CoresetK)
+      sb.append(s" UNION ALL SELECT $i, vec_id, dmin FROM p$i")
+    sb.append("),\n")
+    sb.append(s"r AS (SELECT max(dmin) AS radius FROM l$CoresetK " +
+      s"WHERE vec_id NOT IN (${selIds(CoresetK - 1)}))\n")
+    sb.append("SELECT CAST(sel_order AS BIGINT) AS sel_order, vec_id, " +
+      "CAST(d2 AS BIGINT) AS d2_at_selection, " +
+      "CAST(r.radius AS BIGINT) AS radius FROM sels, r " +
+      "ORDER BY sel_order")
+    sb.toString
+  }
+
   /** embeddings with double-cast vector and L2 norm (codegen'd dot). */
   private def emb(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
@@ -866,6 +909,68 @@ object VectorQueries {
         |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin)),
 
     // Brute-force exact cosine top-k (baseline).
+    // k-center greedy coreset (farthest-point traversal — Gonzalez
+    // 1985; the diversity-sampling recipe coreset/active-learning
+    // pipelines run over embedding corpora): seed with the smallest
+    // id, then k−1 times select the point FARTHEST from the selected
+    // set (max running min-distance, ties to the smaller id) — a
+    // 2-approximation of the k-center optimum, and the anti-SemDeDup:
+    // semdedup prunes what is too close, the coreset keeps what
+    // spans. Each round is ONE map-only corpus pass — the running
+    // dmin column folds in the newest center as a PLAN LITERAL (the
+    // kmeans/BPE one-row-broadcast discipline; the selected set is a
+    // bounded k×dim driver scalar at any corpus size) and the argmax
+    // is a one-row mergeable aggregate; state is localCheckpointed
+    // per round. Exact integer L2 end to end (the matryoshka
+    // discipline), so selection order, distances, and the final
+    // coverage radius (max dmin after the last pick — the k-center
+    // objective value, emitted on every row) hash-verify against an
+    // unrolled CTE chain generated from the same k.
+    "q_sample_coreset" -> ((
+      (s: SparkSession, d: String) => {
+        graft.functions.VectorFunctions.register(s)
+        val k = CoresetK
+        val qv = t(s, d, "embeddings").select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(CAST(round(" +
+            "CAST(x AS DOUBLE) * 1000) AS BIGINT) AS DOUBLE))").as("v"))
+        val seed = qv.orderBy("vec_id").limit(1).head()
+        val seedId = seed.getLong(0)
+        def lits(vec: Seq[Double]) =
+          vec.map(x => s"${x.toLong}D").mkString("array(", ", ", ")")
+        var sel = Vector((seedId, 0L,
+          seed.getSeq[Double](1).toSeq))
+        var state = qv.withColumn("dmin",
+          expr(s"CAST(vec_dot(v, v) + vec_dot(${lits(sel.head._3)}, " +
+            s"${lits(sel.head._3)}) - 2 * vec_dot(v, " +
+            s"${lits(sel.head._3)}) AS BIGINT)"))
+          .localCheckpoint()
+        for (_ <- 1 until k) {
+          val far = state.filter(!col("vec_id").isInCollection(
+              sel.map(_._1)))
+            .agg(max(struct(col("dmin"), (-col("vec_id")).as("nid"))))
+            .head().getStruct(0)
+          val fid = -far.getLong(1)
+          val fd = far.getLong(0)
+          val fvec = qv.filter(col("vec_id") === fid).head()
+            .getSeq[Double](1).toSeq
+          sel = sel :+ ((fid, fd, fvec))
+          val cl = lits(fvec)
+          state = state.withColumn("dmin",
+            least(col("dmin"), expr(s"CAST(vec_dot(v, v) + " +
+              s"vec_dot($cl, $cl) - 2 * vec_dot(v, $cl) AS BIGINT)")))
+            .localCheckpoint()
+        }
+        val radius = state.filter(!col("vec_id").isInCollection(
+            sel.map(_._1)))
+          .agg(max("dmin")).head().getLong(0)
+        import s.implicits._
+        sel.zipWithIndex
+          .map { case ((id, d2, _), i) => (i.toLong, id, d2, radius) }
+          .toDF("sel_order", "vec_id", "d2_at_selection", "radius")
+          .orderBy("sel_order")
+      },
+      CoresetOracle)),
+
     // Matryoshka prefix-dimension evaluation (Kusupati et al. 2022) —
     // the operator behind "can we search the first 16 dims and keep
     // the index 4x smaller": for a probe slice, the exact nearest

@@ -338,7 +338,10 @@ object SoakX10 {
     // Matryoshka census: probes x corpus brute force by design (the
     // baseline metric pass); probe fraction fixed, so cost is linear
     // in corpus with a constant probe factor.
-    "q_embed_matryoshka")
+    "q_embed_matryoshka",
+    // Segment overlap rides one user exchange; coreset rounds are
+    // k map-only passes + one-row aggregates — both linear.
+    "q_audience_overlap", "q_sample_coreset")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen
