@@ -909,6 +909,48 @@ object VectorQueries {
         |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin)),
 
     // Brute-force exact cosine top-k (baseline).
+    // Embedding hygiene census — the quality gate an embedding corpus
+    // passes BEFORE any ANN/index build spends compute on it (the
+    // vector twin of q_quality_expect's row expectations): per label,
+    // the count, zero-norm vectors (degenerate — cosine undefined),
+    // wrong-dimension vectors (a schema break no typed column
+    // catches), and the exact integer norm² extrema + mass. One
+    // mergeable aggregate pass over the milli-quantized corpus —
+    // every check is row-local, so the census fuses into ONE scan's
+    // partial+final aggregate (plan-gated shape shared with
+    // q_quality_expect).
+    "q_embed_quality" -> ((
+      (s: SparkSession, d: String) => {
+        graft.functions.VectorFunctions.register(s)
+        t(s, d, "embeddings").select(col("label"),
+            expr("transform(embedding, x -> CAST(CAST(round(" +
+              "CAST(x AS DOUBLE) * 1000) AS BIGINT) AS DOUBLE))")
+              .as("v"))
+          .withColumn("n2", expr("CAST(vec_dot(v, v) AS BIGINT)"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("n2") === 0L, 1L).otherwise(0L)).as("n_zero"),
+            sum(when(size(col("v")) =!= 64, 1L).otherwise(0L))
+              .as("n_bad_dim"),
+            min("n2").as("min_n2"), max("n2").as("max_n2"),
+            sum("n2").as("sum_n2"))
+          .orderBy("label")
+      },
+      """WITH q AS (SELECT label,
+        |    list_transform(embedding, x ->
+        |      CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |w AS (SELECT label,
+        |    CAST(list_inner_product(v, v) AS BIGINT) AS n2,
+        |    len(v) AS dim
+        |  FROM q)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(count(*) FILTER (n2 = 0) AS BIGINT) AS n_zero,
+        |  CAST(count(*) FILTER (dim <> 64) AS BIGINT) AS n_bad_dim,
+        |  min(n2) AS min_n2, max(n2) AS max_n2,
+        |  CAST(sum(n2) AS BIGINT) AS sum_n2
+        |FROM w GROUP BY label ORDER BY label""".stripMargin)),
+
     // k-center greedy coreset (farthest-point traversal — Gonzalez
     // 1985; the diversity-sampling recipe coreset/active-learning
     // pipelines run over embedding corpora): seed with the smallest

@@ -341,7 +341,9 @@ object SoakX10 {
     "q_embed_matryoshka",
     // Segment overlap rides one user exchange; coreset rounds are
     // k map-only passes + one-row aggregates — both linear.
-    "q_audience_overlap", "q_sample_coreset")
+    "q_audience_overlap", "q_sample_coreset",
+    // Hygiene census: one fused row-local aggregate pass — linear.
+    "q_embed_quality")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen
