@@ -286,6 +286,60 @@ object GraphQueries {
     * deliberately-quadratic wedge stream (~6M rows at sf0.1) from
     * dominating the bench. Baskets are <= ~13 lines, so the per-basket
     * pair fan-out is bounded by sum(k_i^2), never |V|^2. */
+  /** Canonical (s < t) co-purchase edge set over a shipdate slice via
+    * the basket-explode shape (ONE orderkey exchange, pairs generated
+    * map-side — the q_assoc_pairs discipline; triEdges keeps the
+    * self-join form for the triangle gate's historical plan audit).
+    * Shared by q_graph_linkpred / q_graph_walks / q_graph_diameter. */
+  private[graft] def copurchaseEdges(s: SparkSession, d: String,
+      cutoff: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") < lit(cutoff).cast("timestamp"))
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("its"))
+      .select(explode(expr(
+        """flatten(transform(its, (x, i) ->
+          |  transform(slice(its, i + 2, size(its)),
+          |    y -> named_struct('s', x, 't', y))))""".stripMargin))
+        .as("p"))
+      .select(col("p.s").as("s"), col("p.t").as("t"))
+      .distinct()
+
+  /** Frontier BFS over a MATERIALIZED undirected adjacency (n, nb):
+    * per round one equi-join + distinct + anti-join against the
+    * settled set (only NEW nodes stay on the frontier — min-dist by
+    * construction since all frontier rows share the round's level);
+    * state localCheckpointed per round (the ccLoop protocol), drains
+    * at the eccentricity. Returns (node, d). */
+  private[graft] def bfsFrom(s: SparkSession, adj: DataFrame,
+      src: Long): DataFrame = {
+    var dist = s.range(1).select(lit(src).as("node"), lit(0L).as("d"))
+      .localCheckpoint()
+    var frontier = dist
+    var round = 1L
+    var drained = false
+    while (!drained) {
+      val cand = frontier.join(adj, frontier("node") === adj("n"))
+        .select(col("nb").as("node"), lit(round).as("d"))
+        .distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .localCheckpoint()
+      drained = cand.isEmpty
+      if (!drained) {
+        // The settled set stays a LAZY union of already-materialized
+        // frontiers — every leaf is a checkpointed RDD, so the
+        // anti-join re-reads cheap scans and the per-round
+        // re-materialization job is saved (one checkpoint per round,
+        // not two).
+        dist = dist.unionByName(cand)
+        frontier = cand
+        round += 1
+      }
+    }
+    dist
+  }
+
   private[graft] def triEdges(s: SparkSession, d: String): DataFrame = {
     val li = t(s, d, "lineitem")
       .filter(col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
@@ -806,6 +860,78 @@ object GraphQueries {
     // slice (pk % 5) with 2 walks per start; walks can legally
     // revisit nodes. The oracle unrolls the identical three hops over
     // a row_number adjacency.
+    // Graph diameter lower bound by DOUBLE-SWEEP BFS (Magnien/Latapy/
+    // Habib's classic heuristic, exact on trees and near-exact in
+    // practice): BFS from the minimum-id node, take its farthest node
+    // (ties to the smaller id), BFS again from there — the second
+    // eccentricity is a certified diameter LOWER bound, at 2 BFS
+    // passes instead of the all-pairs O(n·BFS) exact diameter (the
+    // honest 100 TB trade, stated: the exact diameter is not a
+    // distributed-friendly quantity; the double sweep is what
+    // network-analysis practice runs). Each BFS is the frontier
+    // protocol (one equi-join + distinct + settled anti-join per
+    // round, checkpointed state, drains at the eccentricity) over the
+    // once-materialized co-purchase adjacency — only the unsettled
+    // frontier moves. The oracle replays both sweeps as bounded
+    // recursive CTEs with min-level dedup. BFS stays inside the seed
+    // node's component (n_reached reports its size).
+    "q_graph_diameter" -> ((
+      (s: SparkSession, d: String) => {
+        val e = copurchaseEdges(s, d, "1997-07-01")
+        val adj = e.select(col("s").as("n"), col("t").as("nb"))
+          .unionByName(e.select(col("t").as("n"), col("s").as("nb")))
+          .localCheckpoint()
+        val mm = adj.agg(min("n"), count(lit(1))).head()
+        val s0 = mm.getLong(0)
+        val nAdj = mm.getLong(1)
+        def sweep(src: Long): (Long, Long, Long) = {
+          val dist = bfsFrom(s, adj, src)
+          val m = dist.agg(max(struct(col("d"),
+            (-col("node")).as("ni"))), count(lit(1))).head()
+          val st = m.getStruct(0)
+          (st.getLong(0), -st.getLong(1), m.getLong(1))
+        }
+        // Loop shuffles sized to the node-state (the ccLoop protocol),
+        // not the session default — a BFS round's relations are
+        // frontier/settled-sized.
+        val (ecc1, far1, nReached, diamLb, far2) =
+          withIterParts(s, nAdj) {
+            val (e1, f1, n1) = sweep(s0)
+            val (e2, f2, _) = sweep(f1)
+            (e1, f1, n1, e2, f2)
+          }
+        s.range(1).select(lit(s0).as("src_node"),
+          lit(ecc1).as("ecc_src"), lit(far1).as("far1"),
+          lit(diamLb).as("diameter_lb"), lit(far2).as("far2"),
+          lit(nReached).as("n_reached"))
+      },
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok,
+        |    l_partkey AS pk FROM lineitem
+        |    WHERE l_shipdate < TIMESTAMP '1997-07-01'),
+        |e AS (SELECT DISTINCT a.pk AS s, b.pk AS t
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |und AS (SELECT s AS n, t AS nb FROM e
+        |        UNION ALL SELECT t, s FROM e),
+        |mn AS (SELECT min(n) AS s0 FROM und),
+        |b1(n, d) AS (SELECT s0, 0 FROM mn
+        |  UNION
+        |  SELECT a.nb, b.d + 1 FROM b1 b JOIN und a ON a.n = b.n
+        |  WHERE b.d < 64),
+        |d1 AS (SELECT n, CAST(min(d) AS BIGINT) AS d
+        |       FROM b1 GROUP BY 1),
+        |f1 AS (SELECT n, d FROM d1 ORDER BY d DESC, n LIMIT 1),
+        |b2(n, d) AS (SELECT n, 0 FROM f1
+        |  UNION
+        |  SELECT a.nb, b.d + 1 FROM b2 b JOIN und a ON a.n = b.n
+        |  WHERE b.d < 64),
+        |d2 AS (SELECT n, CAST(min(d) AS BIGINT) AS d
+        |       FROM b2 GROUP BY 1),
+        |f2 AS (SELECT n, d FROM d2 ORDER BY d DESC, n LIMIT 1)
+        |SELECT mn.s0 AS src_node, f1.d AS ecc_src, f1.n AS far1,
+        |  f2.d AS diameter_lb, f2.n AS far2,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM d1) AS n_reached
+        |FROM mn, f1, f2""".stripMargin)),
+
     "q_graph_walks" -> ((
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.expressions.Window

@@ -343,7 +343,12 @@ object SoakX10 {
     // k map-only passes + one-row aggregates — both linear.
     "q_audience_overlap", "q_sample_coreset",
     // Hygiene census: one fused row-local aggregate pass — linear.
-    "q_embed_quality")
+    "q_embed_quality",
+    // Double-sweep BFS: two frontier traversals; per-round work is
+    // frontier-sized and the soak's disconnected copies keep the
+    // seed component constant — cost tracks the component, not the
+    // corpus.
+    "q_graph_diameter")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen
