@@ -2480,6 +2480,153 @@ object ExtraQueries {
         |  (SELECT v FROM r, n WHERE rn = (n * 99 + 99) // 100) AS p99_v
         |FROM n""".stripMargin)),
 
+    // Change-point detection by exact CUSUM (Page 1954) — the
+    // monitoring op that answers WHEN a series shifted (q_drift_psi
+    // answers whether two windows differ): per series the day
+    // maximizing |Σ_{d≤t}(x_d − μ)|, computed in EXACT integers by
+    // scaling deviations by the day count (dev_d = x_d·D − S — no
+    // mean division, no floats); the corpus collapses to a per-day
+    // rollup in ONE exchange and everything after runs on the
+    // (series, day) DOMAIN relation (per-series totals, the
+    // cumulative walk, the argmax) — domain-sized at any log scale.
+    // Ties break toward the earliest day via min(struct).
+    "q_time_changepoint" -> ((
+      (s: SparkSession, d: String) => {
+        val daily = graft.Tables.events(s, d)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .groupBy("event_type", "day")
+          .agg(sum("cents").as("x"))
+        val tot = Window.partitionBy("event_type")
+        val cum = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily
+          .withColumn("dcnt", count(lit(1)).over(tot))
+          .withColumn("sx", sum("x").over(tot))
+          .withColumn("cusum",
+            sum(col("x") * col("dcnt") - col("sx")).over(cum))
+          .groupBy("event_type")
+          .agg(max("dcnt").as("n_days"),
+            min(struct(((-abs(col("cusum")))).as("na"),
+              col("day").as("dy"))).as("m"))
+          .select(col("event_type"), col("n_days"),
+            col("m").getField("dy").as("cp_day"),
+            (-col("m").getField("na")).as("cusum_abs"))
+          .orderBy("event_type")
+      },
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, x,
+        |    count(*) OVER (PARTITION BY event_type) AS dcnt,
+        |    sum(x) OVER (PARTITION BY event_type) AS sx
+        |  FROM daily),
+        |c AS (SELECT event_type, day, dcnt,
+        |    sum(x * dcnt - sx) OVER (PARTITION BY event_type
+        |      ORDER BY day ROWS UNBOUNDED PRECEDING) AS cusum
+        |  FROM w),
+        |r AS (SELECT event_type, day, dcnt, abs(cusum) AS a,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(cusum) DESC, day) AS rn
+        |  FROM c)
+        |SELECT event_type, CAST(dcnt AS BIGINT) AS n_days,
+        |  CAST(day AS BIGINT) AS cp_day, CAST(a AS BIGINT) AS cusum_abs
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
+    // Pairwise-preference aggregation (Bradley-Terry via two fixed MM
+    // iterations — Hunter 2004) — the RLHF-data operator: a
+    // preference log (here: adjacent-event transitions read as
+    // "later beats earlier", the q_freq_seq derivation) reduces to
+    // per-item strength scores. The distributed work is the LOG
+    // aggregation — one user exchange + domain-sized win/game counts
+    // (at 100 TB the preference log is corpus-sized, the item matrix
+    // is k², tiny); the MM solver then runs on the driver over the
+    // bounded matrix (the kmeans-centroid discipline) in EXACT
+    // integer e6 arithmetic — s_i' = W_i·10⁶ div Σ_j(n_ij·10⁶ div
+    // (s_i+s_j)) with floor division at exactly the same points in
+    // both engines, so two iterations are bit-reproducible and the
+    // scores hash-verify (a float MM would drift by summation order).
+    "q_eval_winrate" -> ((
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+        val bi = graft.Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            expr("unix_micros(ts)").as("us"), col("event_type"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull &&
+            col("prev") =!= col("event_type"))
+          .select(col("prev").as("loser"),
+            col("event_type").as("winner"))
+        val g = bi.groupBy("winner", "loser")
+          .agg(count(lit(1)).as("c")).collect()
+          .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+          .toMap // k² driver scalar
+        val types = g.keys.flatMap(k => Seq(k._1, k._2)).toSeq
+          .distinct.sorted
+        val wins = types.map(t =>
+          t -> g.filter(_._1._1 == t).values.sum).toMap
+        val games = (for (i <- types; j <- types if i != j) yield
+          (i, j) -> (g.getOrElse((i, j), 0L) +
+            g.getOrElse((j, i), 0L))).toMap
+        def mm(sc: Map[String, Long]): Map[String, Long] =
+          types.map { i =>
+            val denom = types.filter(_ != i).map { j =>
+              games((i, j)) * 1000000L / (sc(i) + sc(j))
+            }.sum
+            i -> (if (denom == 0L) 1000000L
+              else wins(i) * 1000000L / denom)
+          }.toMap
+        val s2 = mm(mm(types.map(_ -> 1000000L).toMap))
+        import s.implicits._
+        types.map(t => (t, wins(t),
+            types.filter(_ != t).map(j => games((t, j))).sum,
+            s2(t)))
+          .toDF("event_type", "wins", "games", "bt_e6")
+          .orderBy("event_type")
+      },
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+        |  FROM events),
+        |bi AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS loser,
+        |    event_type AS winner FROM e),
+        |gd AS (SELECT winner, loser, CAST(count(*) AS BIGINT) AS c
+        |  FROM bi WHERE loser IS NOT NULL AND loser <> winner
+        |  GROUP BY 1, 2),
+        |types AS (SELECT DISTINCT winner AS t FROM gd
+        |          UNION SELECT DISTINCT loser FROM gd),
+        |wn AS (SELECT t, CAST(coalesce(sum(c), 0) AS BIGINT) AS w
+        |  FROM types LEFT JOIN gd ON gd.winner = t GROUP BY t),
+        |pg AS (SELECT a.t AS i, b.t AS j,
+        |    CAST(coalesce((SELECT c FROM gd WHERE winner = a.t
+        |        AND loser = b.t), 0) +
+        |      coalesce((SELECT c FROM gd WHERE winner = b.t
+        |        AND loser = a.t), 0) AS BIGINT) AS g
+        |  FROM types a JOIN types b ON a.t <> b.t),
+        |s1 AS (SELECT i,
+        |    CASE WHEN sum(g * 1000000 // 2000000) = 0 THEN 1000000
+        |      ELSE CAST((SELECT w FROM wn WHERE t = i) * 1000000
+        |        // sum(g * 1000000 // 2000000) AS BIGINT) END AS sc
+        |  FROM pg GROUP BY i),
+        |s2 AS (SELECT pg.i,
+        |    CASE WHEN sum(pg.g * 1000000 // (si.sc + sj.sc)) = 0
+        |      THEN 1000000
+        |      ELSE CAST((SELECT w FROM wn WHERE t = pg.i) * 1000000
+        |        // sum(pg.g * 1000000 // (si.sc + sj.sc)) AS BIGINT)
+        |      END AS sc
+        |  FROM pg JOIN s1 si ON si.i = pg.i JOIN s1 sj ON sj.i = pg.j
+        |  GROUP BY pg.i)
+        |SELECT wn.t AS event_type, wn.w AS wins,
+        |  (SELECT CAST(sum(g) AS BIGINT) FROM pg WHERE pg.i = wn.t)
+        |    AS games,
+        |  s2.sc AS bt_e6
+        |FROM wn JOIN s2 ON s2.i = wn.t
+        |ORDER BY event_type""".stripMargin)),
+
     // Audience-overlap matrix — pairwise segment intersection sizes +
     // exact Jaccard between behavioral segments (users per event
     // type): the q_assoc_pairs shape applied to SEGMENTS — one

@@ -348,7 +348,10 @@ object SoakX10 {
     // frontier-sized and the soak's disconnected copies keep the
     // seed component constant — cost tracks the component, not the
     // corpus.
-    "q_graph_diameter")
+    "q_graph_diameter",
+    // Preference aggregation: one user exchange + a k² driver solve;
+    // CUSUM: one daily rollup exchange + domain-relation walks.
+    "q_eval_winrate", "q_time_changepoint")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen
