@@ -370,6 +370,28 @@ object StreamQueries {
       .write.mode("overwrite").parquet(s"$root/manifest/batch=$batchId")
   }
 
+  /** One micro-batch of the streaming pair-count maintenance
+    * (q_stream_assoc): the batch's baskets explode to pairs map-side
+    * (the q_assoc_pairs shape) and collapse to a per-batch pair-count
+    * partial in a batch-id-keyed dir — idempotent overwrite, the
+    * exactly-once protocol. Counts-sum is associative, so the folded
+    * report equals the batch computation under ANY basket-preserving
+    * split. */
+  private[graft] def assocBatch(batch: DataFrame, root: String,
+      batchId: Long): Unit = {
+    batch
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("its"))
+      .select(explode(expr(
+        """flatten(transform(its, (x, i) ->
+          |  transform(slice(its, i + 2, size(its)),
+          |    y -> named_struct('a', x, 'b', y))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(s"$root/pairs/batch=$batchId")
+  }
+
   val entries: Map[String, (Q, String)] = Map(
     "q_stream_batch" -> ((
       (s: SparkSession, d: String) => streamCounts(s, d),
@@ -700,6 +722,58 @@ object StreamQueries {
         |WHERE us >= t0 + 7 * 86400000000
         |  AND us < t0 + 10 * 86400000000
         |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Streaming frequent-pair maintenance — q_assoc_pairs under
+    // continuous ingest (the mining member of the incremental
+    // family): each micro-batch of complete BASKETS explodes to pairs
+    // map-side and lands a per-batch pair-count partial in a
+    // batch-id-keyed dir (idempotent overwrite — the exactly-once
+    // protocol); the report is one counts-sum fold over the partials
+    // — associative, so any basket-preserving split reproduces the
+    // batch answer against the batch gate's own oracle derivation.
+    // The ingest is basket-keyed (the dump partitions on l_orderkey —
+    // a transactional source emits complete baskets; a row-split
+    // basket would under-count its pairs, which is a SOURCE contract,
+    // not a fold property). Per-batch state is batch-sized; the
+    // report never re-reads the log.
+    "q_stream_assoc" -> ((
+      (s: SparkSession, d: String) => {
+        val tag = graft.Tables.dirTag(d)
+        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_lisrc_${tag}_v$DumpVersion"
+        ensureStreamDump(d, "lineitem", srcDir,
+          variant = "basketkeyed97")(
+          t(s, d, "lineitem")
+            .filter(col("l_shipdate") <
+              lit("1997-07-01").cast("timestamp"))
+            .select("l_orderkey", "l_partkey")
+            .repartition(4, col("l_orderkey")))
+        val root = s"${graft.Tables.scratchRoot}/graft_sassoc_$tag"
+        graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        withStreamGateConfs(s) {
+          val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            Long) => Unit = (b, id) => assocBatch(b, root, id)
+          val q = stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        s.read.parquet(s"$root/pairs")
+          .groupBy("a", "b").agg(sum("c").as("co"))
+          .filter(col("co") >= 2)
+          .orderBy("a", "b")
+      },
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_shipdate < TIMESTAMP '1997-07-01')
+        |SELECT x.l_partkey AS a, y.l_partkey AS b,
+        |  CAST(count(*) AS BIGINT) AS co
+        |FROM items x JOIN items y
+        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY a, b""".stripMargin)),
 
     // Streaming quantile maintenance — the percentile rollup
     // (q_agg_quantile_rollup) under continuous ingest: each event

@@ -351,7 +351,10 @@ object SoakX10 {
     "q_graph_diameter",
     // Preference aggregation: one user exchange + a k² driver solve;
     // CUSUM: one daily rollup exchange + domain-relation walks.
-    "q_eval_winrate", "q_time_changepoint")
+    "q_eval_winrate", "q_time_changepoint",
+    // Streaming pair maintenance: per-batch partials are batch-sized,
+    // the report folds pair-domain partials only.
+    "q_stream_assoc")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen
