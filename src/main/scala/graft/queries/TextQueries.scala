@@ -2238,6 +2238,70 @@ object TextQueries {
       """SELECT DISTINCT sha256(text) AS digest
         |FROM documents ORDER BY digest""".stripMargin)),
 
+    // Contrastive pair curation (CLIP-style) — the step that turns an
+    // asset table and a caption table into a TRAINING PAIR table:
+    // candidate captions join on the pairing key, per-asset BEST
+    // caption selection (longest, ties to the smaller id — a real
+    // pipeline swaps an alignment score at the same argmax seam),
+    // row-local quality gates on both sides (caption length band,
+    // non-trivial payload), and exact payload-digest dedup (repeated
+    // images keep ONE pair — the smallest asset id — so a duplicated
+    // asset cannot dominate the contrastive batch distribution). The
+    // pairing join is key-equi (never similarity-driven here — that's
+    // the retrieval family's job); the dedup is one digest-domain
+    // aggregate + semi-join; everything else is row-local. Fixture:
+    // even docs are assets (payload = text bytes), every doc is a
+    // caption candidate keyed by doc_id div 2 (so each asset sees ~2
+    // candidates and selection is real); digests use the sha256
+    // derivation the whole multimodal family shares.
+    "q_multimodal_pair" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val assets = docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("asset_id"),
+            sha2(col("text"), 256).as("digest"),
+            length(col("text")).cast("long").as("n_bytes"))
+          .filter(col("n_bytes") >= 30L)
+        val caps = docs.select(col("doc_id").as("cap_id"),
+            expr("doc_id div 2").as("pair_key"),
+            col("n_chars").as("cap_len"))
+          .filter(col("cap_len").between(30L, 4000L))
+        val best = assets
+          .join(caps, expr("asset_id div 2") === caps("pair_key"))
+          .groupBy("asset_id", "digest", "n_bytes")
+          .agg(max(struct(col("cap_len"),
+            (-col("cap_id")).as("nc"))).as("m"))
+          .select(col("asset_id"), col("digest"), col("n_bytes"),
+            (-col("m").getField("nc")).as("cap_id"),
+            col("m").getField("cap_len").as("cap_len"))
+        val keep = best.groupBy("digest")
+          .agg(min("asset_id").as("asset_id"))
+        best.join(keep, Seq("digest", "asset_id"), "left_semi")
+          .select("asset_id", "cap_id", "n_bytes", "cap_len")
+          .orderBy("asset_id")
+      },
+      """WITH assets AS (SELECT doc_id AS asset_id,
+        |    sha256(text) AS digest,
+        |    CAST(length(text) AS BIGINT) AS n_bytes
+        |  FROM documents WHERE doc_id % 2 = 0
+        |    AND length(text) >= 30),
+        |caps AS (SELECT doc_id AS cap_id, doc_id // 2 AS pair_key,
+        |    CAST(n_chars AS BIGINT) AS cap_len
+        |  FROM documents WHERE n_chars BETWEEN 30 AND 4000),
+        |best AS (SELECT asset_id, digest, n_bytes, cap_id, cap_len
+        |  FROM (SELECT a.asset_id, a.digest, a.n_bytes, c.cap_id,
+        |      c.cap_len,
+        |      row_number() OVER (PARTITION BY a.asset_id
+        |        ORDER BY c.cap_len DESC, c.cap_id) AS rn
+        |    FROM assets a JOIN caps c ON a.asset_id // 2 = c.pair_key)
+        |  WHERE rn = 1),
+        |keep AS (SELECT digest, min(asset_id) AS asset_id
+        |         FROM best GROUP BY 1)
+        |SELECT b.asset_id, b.cap_id, b.n_bytes, b.cap_len
+        |FROM best b JOIN keep k
+        |  ON k.digest = b.digest AND k.asset_id = b.asset_id
+        |ORDER BY b.asset_id""".stripMargin)),
+
     // Multimodal plumbing: opaque binary payload column + typed metadata.
     // The real decode would be a per-partition codec (see
     // graft.multimodal); here the Spark-side schema/typing contract is

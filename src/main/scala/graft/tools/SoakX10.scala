@@ -354,7 +354,9 @@ object SoakX10 {
     "q_eval_winrate", "q_time_changepoint",
     // Streaming pair maintenance: per-batch partials are batch-sized,
     // the report folds pair-domain partials only.
-    "q_stream_assoc")
+    "q_stream_assoc",
+    // Pair curation: one key-equi join + digest-domain dedup — linear.
+    "q_multimodal_pair")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen
