@@ -2238,6 +2238,85 @@ object TextQueries {
       """SELECT DISTINCT sha256(text) AS digest
         |FROM documents ORDER BY digest""".stripMargin)),
 
+    // Corpus-driven stopword discovery — the lexicon induction step
+    // cleaning pipelines run before tokenization choices are frozen
+    // (hand lists don't transfer across domains): a token is a
+    // stopword CANDIDATE when its document frequency exceeds 60% of
+    // the corpus. One inverted pass — per-document distinct tokens
+    // map-side (explode + distinct inside the doc), then ONE
+    // token-keyed partial+final count; the corpus size is a one-row
+    // driver scalar. Exact integer df share (e4). The df threshold is
+    // the same vocabulary-pruning idea the bm25/decontamination
+    // family leans on — this gate emits the lexicon itself.
+    "q_text_stopwords" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val n = docs.count()
+        docs.select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+          .filter(col("df") * 10000L >= lit(n) * 6000L)
+          .select(col("tok"), col("df"),
+            expr(s"df * 10000L div ${n}L").as("df_share_e4"))
+          .orderBy("tok")
+      },
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n
+        |           FROM documents),
+        |tok AS (SELECT doc_id, unnest(list_distinct(
+        |    string_split(text, ' '))) AS tok FROM documents),
+        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+        |  FROM tok WHERE tok <> '' GROUP BY 1)
+        |SELECT tok, df,
+        |  CAST(df * 10000 // n.n AS BIGINT) AS df_share_e4
+        |FROM df, n WHERE df * 10000 >= n.n * 6000
+        |ORDER BY tok""".stripMargin)),
+
+    // Per-source corpus report card — the one-page deliverable a data
+    // vendor hands over with a corpus drop, composed from the
+    // families' own primitives: per source the doc count, exact-dup
+    // share (digest-domain aggregate — the q_dedup_exact derivation),
+    // char mass, and length extrema; dup share in exact integer e4.
+    // One corpus scan feeds both the digest aggregate and the
+    // row-local stats; everything after is source/digest-domain
+    // sized.
+    "q_source_report" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+          .select(col("source"), col("n_chars"),
+            sha2(col("text"), 256).as("digest"))
+        val dig = docs.groupBy("source", "digest")
+          .agg(count(lit(1)).as("c"))
+        val dups = dig.groupBy("source")
+          .agg(sum(col("c") - 1L).as("n_dups"),
+            count(lit(1)).as("n_distinct"))
+        val base = docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
+            min("n_chars").as("min_len"), max("n_chars").as("max_len"))
+        base.join(dups, "source")
+          .select(col("source"), col("n_docs"), col("n_distinct"),
+            col("n_dups"),
+            expr("n_dups * 10000L div n_docs").as("dup_share_e4"),
+            col("chars"), col("min_len"), col("max_len"))
+          .orderBy("source")
+      },
+      """WITH dg AS (SELECT source, sha256(text) AS digest,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |du AS (SELECT source, CAST(sum(c - 1) AS BIGINT) AS n_dups,
+        |    CAST(count(*) AS BIGINT) AS n_distinct
+        |  FROM dg GROUP BY 1),
+        |b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars,
+        |    CAST(min(n_chars) AS BIGINT) AS min_len,
+        |    CAST(max(n_chars) AS BIGINT) AS max_len
+        |  FROM documents GROUP BY 1)
+        |SELECT b.source, n_docs, n_distinct, n_dups,
+        |  CAST(n_dups * 10000 // n_docs AS BIGINT) AS dup_share_e4,
+        |  chars, min_len, max_len
+        |FROM b JOIN du ON du.source = b.source
+        |ORDER BY b.source""".stripMargin)),
+
     // Contrastive pair curation (CLIP-style) — the step that turns an
     // asset table and a caption table into a TRAINING PAIR table:
     // candidate captions join on the pairing key, per-asset BEST

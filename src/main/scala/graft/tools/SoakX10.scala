@@ -356,7 +356,10 @@ object SoakX10 {
     // the report folds pair-domain partials only.
     "q_stream_assoc",
     // Pair curation: one key-equi join + digest-domain dedup — linear.
-    "q_multimodal_pair")
+    "q_multimodal_pair",
+    // Stopword discovery: one token-keyed count; report card: one
+    // scan feeding digest- and source-domain aggregates — linear.
+    "q_text_stopwords", "q_source_report")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen
