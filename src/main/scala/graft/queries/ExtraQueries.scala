@@ -2461,9 +2461,13 @@ object ExtraQueries {
           .select(col("ts"), col("event_id"))
           .withColumn("v", expr("unix_micros(ts) * 1000L + event_id % 1000"))
         val n = ev.count()
+        // Inclusive [l, h] v-bounds map to ts bounds via floorDiv so
+        // negative intervals round DOWN (plain / truncates toward zero
+        // and would exclude surviving rows).
         val pushed: (Long, Long) => org.apache.spark.sql.Column =
-          (l, h) => col("ts") >= timestamp_micros(lit(l / 1000L)) &&
-            col("ts") <= timestamp_micros(lit((h - 1L) / 1000L))
+          (l, h) =>
+            col("ts") >= timestamp_micros(lit(Math.floorDiv(l, 1000L))) &&
+            col("ts") <= timestamp_micros(lit(Math.floorDiv(h, 1000L)))
         val p50 = Selection.kthSmallest(ev, "v", (n + 1L) / 2L,
           pushed = Some(pushed))
         val p99 = Selection.kthSmallest(ev, "v", (n * 99L + 99L) / 100L,

@@ -12,43 +12,65 @@ import org.apache.spark.sql.functions._
   * surviving interval + a B-row bucket-count exchange + a B-sized
   * driver read:
   *
-  *   pass: count B equal-width buckets of [lo, hi) -> walk the counts
-  *   to the bucket containing the k-th -> narrow [lo, hi) to it and
+  *   pass: count B equal-width buckets of [lo, hi] -> walk the counts
+  *   to the bucket containing the k-th -> narrow [lo, hi] to it and
   *   subtract the preceding mass from k -> repeat until the interval
   *   fits one bucket width, then resolve by an exact per-value count
   *   walk (≤B distinct values).
   *
   * With B = 2^16 a 2^63 domain resolves in ≤4 passes. Driver state is
   * B counts per pass — bounded, never data-sized. Callers supply an
-  * optional `pushed` predicate builder mapping the interval to a
-  * filter on a PHYSICAL column (e.g. a derived value's ts bounds) so
-  * every pass's scan prunes at the source (PushedFilters /
-  * row-group stats), not in-row — the difference between re-scanning
+  * optional `pushed` predicate builder mapping the INCLUSIVE interval
+  * [lo, hi] to a filter on a PHYSICAL column (e.g. a derived value's
+  * ts bounds) so every pass's scan prunes at the source (PushedFilters
+  * / row-group stats), not in-row — the difference between re-scanning
   * 100 TB per pass and touching only the surviving slice.
+  *
+  * Full signed-Long domains are supported for real: intervals are
+  * INCLUSIVE (no `max + 1` that wraps at Long.MaxValue), and an
+  * interval spanning the sign boundary — whose width exceeds a signed
+  * Long, wrapping both the span and the `(c - lo)` bucket id — is
+  * first split by ONE sign-counting pass, after which every interval
+  * is same-sign and all arithmetic provably fits in a signed Long.
   */
 object Selection {
 
-  /** The one-pass bucket-count relation — exposed unexecuted so
-    * PlanQualitySpec can pin its shape (source-pushed interval filter,
-    * one partial+final aggregate on the bucket key). */
+  /** The one-pass bucket-count relation over the INCLUSIVE interval
+    * [lo, hiIncl] — exposed unexecuted so PlanQualitySpec can pin its
+    * shape (source-pushed interval filter, one partial+final aggregate
+    * on the bucket key). Requires lo and hiIncl on the same sign so
+    * `c - lo` cannot wrap. */
   private[graft] def passCounts(df: DataFrame, c: String, lo: Long,
-      hi: Long, width: Long,
+      hiIncl: Long, width: Long,
       pushed: Option[(Long, Long) => Column]): DataFrame = {
-    val base = df.filter(col(c) >= lo && col(c) < hi)
-    val scoped = pushed.map(p => base.filter(p(lo, hi))).getOrElse(base)
+    val base = df.filter(col(c) >= lo && col(c) <= hiIncl)
+    val scoped = pushed.map(p => base.filter(p(lo, hiIncl))).getOrElse(base)
     scoped.groupBy(expr(s"($c - ${lo}L) div ${width}L").as("b"))
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** Exact k-th smallest (1-based) value of long column `c`. */
+  /** Exact k-th smallest (1-based) value of long column `c`. Handles
+    * the full signed-Long domain (values may include Long.MinValue and
+    * Long.MaxValue together). */
   def kthSmallest(df: DataFrame, c: String, k: Long,
       buckets: Int = 1 << 16,
       pushed: Option[(Long, Long) => Column] = None): Long = {
     require(k >= 1, s"k must be 1-based positive, got $k")
     val mm = df.agg(min(col(c)).as("mn"), max(col(c)).as("mx")).head()
     var lo = mm.getLong(0)
-    var hi = mm.getLong(1) + 1L
+    var hi = mm.getLong(1) // inclusive
     var kk = k
+    // Sign split: when [lo, hi] straddles 0 its width can exceed
+    // Long.MaxValue and both the span and (c - lo) wrap. One counting
+    // pass on the negative half fixes the regime — every interval
+    // below is same-sign, so hi - lo ≤ Long.MaxValue and
+    // (c - lo) ∈ [0, hi - lo] always fit.
+    if (lo < 0 && hi >= 0) {
+      val negBase = df.filter(col(c) >= lo && col(c) <= -1L)
+      val negs = pushed.map(p => negBase.filter(p(lo, -1L)))
+        .getOrElse(negBase).count()
+      if (kk <= negs) hi = -1L else { lo = 0L; kk -= negs }
+    }
     def narrow(counts: Array[(Long, Long)], width: Long): Unit = {
       var acc = 0L
       var i = 0
@@ -56,22 +78,21 @@ object Selection {
         acc += counts(i)._2; i += 1
       }
       require(i < counts.length,
-        s"rank $k exceeds the population of [$lo, $hi)")
+        s"rank $k exceeds the population of [$lo, $hi]")
       kk -= acc
       val b = counts(i)._1
+      // b ≤ (hi-lo)/width so b*width ≤ hi-lo and nlo ≤ hi: no wrap.
       val nlo = lo + b * width
-      // Saturating upper bound: nlo ≤ max (b is an occupied bucket),
-      // but nlo + width can overflow when the domain touches
-      // Long.MaxValue.
-      hi = if (nlo > Long.MaxValue - width) hi
-        else math.min(hi, nlo + width)
+      // Saturating inclusive top: nlo + (width-1) can pass hi (and
+      // even Long.MaxValue) on the last bucket.
+      if (width - 1L <= hi - nlo) hi = nlo + (width - 1L)
       lo = nlo
     }
-    while (hi - lo > buckets) {
-      // Overflow-safe ceil: span + buckets - 1 wraps when the span is
-      // near Long.MaxValue (full-domain inputs), (span - 1)/B + 1
-      // cannot.
-      val width = (hi - lo - 1L) / buckets + 1L
+    // span > buckets ⟺ hi - lo ≥ buckets (span = hi - lo + 1 may
+    // itself be unrepresentable when the region is the full half-line).
+    while (hi - lo >= buckets) {
+      // ceil(span/B) without materializing span: floor((hi-lo)/B) + 1.
+      val width = (hi - lo) / buckets + 1L
       val cnts = passCounts(df, c, lo, hi, width, pushed)
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       narrow(cnts, width)

@@ -45,18 +45,27 @@ object MergeInto {
       s"ambiguous MERGE: source has multiple rows for $key=" +
         s"${dup(0).get(0)} — deduplicate the source first")
     val targetSchema = target.schema
-    val j = target.alias("t")
-      .join(source.alias("s"), col(s"t.$key") === col(s"s.$key"),
-        "full_outer")
-    val matched = col(s"t.$key").isNotNull && col(s"s.$key").isNotNull
-    j.filter(!(matched && deleteWhen.getOrElse(lit(false))))
+    // Side presence is a MARKER column, not a key null-check: a target
+    // row with a NULL merge key never joins (SQL null semantics) but is
+    // still PRESENT on the t side and must carry over unchanged — a key
+    // null-check would misroute it into the insert branch.
+    val j = target.withColumn("__t_side", lit(true)).alias("t")
+      .join(source.withColumn("__s_side", lit(true)).alias("s"),
+        col(s"t.$key") === col(s"s.$key"), "full_outer")
+    val tPresent = coalesce(col("t.__t_side"), lit(false))
+    val matched = tPresent && coalesce(col("s.__s_side"), lit(false))
+    // A clause condition that evaluates to NULL is NOT satisfied (the
+    // SQL/Delta MERGE rule) — null-safe-compare against true so a NULL
+    // deleteWhen falls through to UPDATE instead of silently deleting.
+    val del = deleteWhen.getOrElse(lit(false)) <=> lit(true)
+    j.filter(!(matched && del))
       .select(targetSchema.fields.toSeq.map { f =>
         val c = f.name
         val carried =
           if (c == key) coalesce(col(s"t.$key"), col(s"s.$key"))
           else col(s"t.$c")
         when(matched, updateSet.getOrElse(c, carried))
-          .when(col(s"t.$key").isNotNull, carried)
+          .when(tPresent, carried)
           .otherwise(
             if (c == key) col(s"s.$key")
             else insertValues.getOrElse(c, lit(null).cast(f.dataType)))

@@ -151,8 +151,12 @@ object SnapshotSwap {
     def stage(df: DataFrame, dir: String): Unit =
       stageParquet(df, Paths.get(dir))
     def mtimeMs(p: String): Long =
+      // Fail SAFE on stat errors: an unreadable path must look brand
+      // new (retained by the orphan grace window), never infinitely
+      // old — 0L would let a transient stat failure reclaim an
+      // in-flight competitor's staging dir.
       try Files.getLastModifiedTime(Paths.get(p)).toMillis
-      catch { case _: java.io.IOException => 0L }
+      catch { case _: java.io.IOException => Long.MaxValue }
   }
 
   private[sink] final class HadoopSwapFs(
@@ -239,9 +243,10 @@ object SnapshotSwap {
       } finally rm(scratch)
     }
     def mtimeMs(p: String): Long = {
+      // Fail safe (see the nio impl): unreadable ⇒ retained, not aged.
       val (fs, hp) = fsOf(p)
       try fs.getFileStatus(hp).getModificationTime
-      catch { case _: java.io.IOException => 0L }
+      catch { case _: java.io.IOException => Long.MaxValue }
     }
   }
 

@@ -55,15 +55,51 @@ trait GraphTransport {
   */
 final class HttpGraphTransport(baseUrl: String, graph: String,
     psk: Option[String], spoolDir: String,
-    chunkBytes: Long = 128L << 20) extends GraphTransport {
+    chunkBytes: Long = 128L << 20,
+    connectTimeoutMs: Int = 30000,
+    readTimeoutMs: Int = 300000,
+    retries: Int = 1) extends GraphTransport {
 
   override def envelopes(spark: SparkSession,
       search: Option[String]): DataFrame = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.Paths
     val expr = search.getOrElse("is(graph_root) -[2:]->")
+    // Fresh dir per (graph, search): a retried search must not mix its
+    // chunks with a previous attempt's — fetchToSpool wipes it first,
+    // which is what makes the retry idempotent.
+    val spool = Paths.get(spoolDir,
+      s"envelopes_${Integer.toHexString((graph, expr).hashCode)}")
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try { fetchToSpool(expr, spool); done = true }
+      catch {
+        // Bounded retry for TRANSPORT failures only (connect/read
+        // timeouts, mid-stream drops). Server-reported errors (non-200)
+        // raise RuntimeException and fail loudly without retry — the
+        // server already answered. A truncated stream never survives:
+        // either the retry rebuilds the spool from scratch or the
+        // exception propagates.
+        case e: java.io.IOException if attempt < retries => attempt += 1
+      }
+    }
+    GraphSource.readEnvelopes(spark, spool.toString)
+  }
+
+  /** One full search → spool attempt. Throws IOException on any
+    * transport failure; leaves no open handles behind (the in-progress
+    * gzip chunk is closed on the error path too). */
+  private def fetchToSpool(expr: String,
+      spool: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
     val conn = new java.net.URL(
       s"$baseUrl/graph/$graph/search/graph")
       .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    // A hung server must not block the caller forever mid-connect or
+    // mid-readLine: bound both phases (read timeout also covers
+    // waiting for the status line).
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
     conn.setRequestMethod("POST")
     conn.setDoOutput(true)
     conn.setRequestProperty("Content-Type", "text/plain")
@@ -76,18 +112,14 @@ final class HttpGraphTransport(baseUrl: String, graph: String,
     if (code != 200)
       sys.error(s"graph search failed: HTTP $code from $baseUrl " +
         s"(graph=$graph)")
-    // Fresh dir per (graph, search): a retried search must not mix its
-    // chunks with a previous attempt's.
-    val spool = Paths.get(spoolDir,
-      s"envelopes_${Integer.toHexString((graph, expr).hashCode)}")
     graft.sink.SnapshotSwap.rm(spool)
     Files.createDirectories(spool)
     val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
       conn.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+    var chunkOut: java.io.OutputStream = null
     try {
       var chunkIdx = 0
       var chunkFile: java.io.File = null
-      var chunkOut: java.io.OutputStream = null
       def rotate(): Unit = {
         if (chunkOut != null) chunkOut.close()
         chunkFile = spool.resolve(f"part-$chunkIdx%05d.jsonl.gz").toFile
@@ -100,15 +132,23 @@ final class HttpGraphTransport(baseUrl: String, graph: String,
       var line = reader.readLine()
       while (line != null) {
         // Rotate on the COMPRESSED size already flushed to disk — the
-        // cap bounds chunk files, not pre-compression input.
+        // cap bounds chunk files, not pre-compression input (stream
+        // buffers lag it, so chunks may overshoot slightly; the cap's
+        // intent is bounded files, not an exact ceiling).
         if (chunkFile.length() >= chunkBytes) rotate()
         chunkOut.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         chunkOut.write('\n')
         line = reader.readLine()
       }
       chunkOut.close()
-    } finally reader.close()
-    GraphSource.readEnvelopes(spark, spool.toString)
+      chunkOut = null
+    } finally {
+      // Error path: close the in-progress chunk too, or its handle
+      // (and gzip buffer) leaks on every failed attempt.
+      if (chunkOut != null)
+        try chunkOut.close() catch { case _: java.io.IOException => () }
+      reader.close()
+    }
   }
 }
 

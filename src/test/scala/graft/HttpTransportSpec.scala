@@ -141,6 +141,104 @@ class HttpTransportSpec extends SparkSpecBase {
     } finally server.stop(0)
   }
 
+  test("a stalling server times out and fails loudly — no indefinite hang") {
+    // Accepts the connection, never sends a status line: the read
+    // timeout must bound BOTH attempts (original + one retry) and
+    // surface as an exception, not a hung thread.
+    val server = new java.net.ServerSocket(
+      0, 4, InetAddress.getLoopbackAddress)
+    val accepter = new Thread(() => {
+      try while (true) { server.accept() } // hold sockets open, say nothing
+      catch { case _: java.io.IOException => () }
+    })
+    accepter.setDaemon(true); accepter.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getLocalPort}"
+      val spool = java.nio.file.Files.createTempDirectory("graft_http_stall")
+      val t0 = System.nanoTime()
+      intercept[java.io.IOException] {
+        new HttpGraphTransport(url, "resoto", None, spool.toString,
+          connectTimeoutMs = 1000, readTimeoutMs = 500)
+          .envelopes(spark, None)
+      }
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(elapsedMs < 30000, s"took ${elapsedMs}ms — timeout not applied")
+    } finally server.close()
+  }
+
+  test("a mid-stream drop is retried once with a fresh spool and succeeds") {
+    // First connection advertises the full Content-Length but closes
+    // after half the body (premature EOF -> IOException mid-read);
+    // the second serves it whole. The transport must retry into a
+    // WIPED spool — the final graph has every envelope exactly once,
+    // never a truncated or doubled mix.
+    val body = lines.mkString("\n") + "\n"
+    val bodyBytes = body.getBytes(UTF_8)
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = new java.net.ServerSocket(
+      0, 4, InetAddress.getLoopbackAddress)
+    val accepter = new Thread(() => {
+      try while (true) {
+        val sock = server.accept()
+        val n = attempts.incrementAndGet()
+        try {
+          val in = sock.getInputStream
+          // Drain the request: headers, then Content-Length body bytes.
+          val headers = new StringBuilder
+          var prev = 0
+          var done = false
+          while (!done) {
+            val b = in.read()
+            if (b < 0) done = true
+            else {
+              headers.append(b.toChar)
+              if (b == '\n' && prev == '\n') done = true
+              if (b != '\r') prev = b
+            }
+          }
+          val clen = """(?i)content-length:\s*(\d+)""".r
+            .findFirstMatchIn(headers).map(_.group(1).toInt).getOrElse(0)
+          var read = 0
+          while (read < clen && in.read() >= 0) read += 1
+          val outStream = sock.getOutputStream
+          if (n == 1) {
+            // Chunked response that dies after half the body WITHOUT
+            // the terminal 0-chunk: unambiguous premature EOF — the
+            // client cannot mistake it for a complete stream.
+            val half = bodyBytes.length / 2
+            outStream.write(
+              ("HTTP/1.1 200 OK\r\n" +
+                "Content-Type: application/x-ndjson\r\n" +
+                "Transfer-Encoding: chunked\r\n\r\n" +
+                half.toHexString + "\r\n").getBytes(UTF_8))
+            outStream.write(bodyBytes, 0, half)
+            outStream.write("\r\n".getBytes(UTF_8))
+          } else {
+            outStream.write(
+              ("HTTP/1.1 200 OK\r\n" +
+                "Content-Type: application/x-ndjson\r\n" +
+                s"Content-Length: ${bodyBytes.length}\r\n" +
+                "Connection: close\r\n\r\n").getBytes(UTF_8))
+            outStream.write(bodyBytes)
+          }
+          outStream.flush()
+        } finally sock.close()
+      } catch { case _: java.io.IOException => () }
+    })
+    accepter.setDaemon(true); accepter.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getLocalPort}"
+      val spool = java.nio.file.Files.createTempDirectory("graft_http_drop")
+      val env = new HttpGraphTransport(url, "resoto", None, spool.toString,
+        connectTimeoutMs = 2000, readTimeoutMs = 2000)
+        .envelopes(spark, None)
+      assert(attempts.get() == 2, s"expected 1 retry, saw ${attempts.get()} attempts")
+      assert(env.count() == 5)
+      assert(GraphSource.nodes(env).count() == 3)
+      assert(GraphSource.edges(env).count() == 2)
+    } finally server.close()
+  }
+
   test("a non-200 response fails loudly, not with a truncated graph") {
     withServer(500) { (url, _) =>
       val spool = java.nio.file.Files.createTempDirectory("graft_http")

@@ -309,8 +309,9 @@ class PlanQualitySpec extends SparkSpecBase {
     val lo = 800000000000000000L
     val hi = 990000000000000000L
     val pushed: (Long, Long) => org.apache.spark.sql.Column =
-      (l, h) => col("ts") >= timestamp_micros(lit(l / 1000L)) &&
-        col("ts") <= timestamp_micros(lit((h - 1L) / 1000L))
+      (l, h) =>
+        col("ts") >= timestamp_micros(lit(Math.floorDiv(l, 1000L))) &&
+        col("ts") <= timestamp_micros(lit(Math.floorDiv(h, 1000L)))
     val p = graft.queries.Selection
       .passCounts(ev, "v", lo, hi, 1L << 40, Some(pushed))
       .queryExecution.executedPlan.toString

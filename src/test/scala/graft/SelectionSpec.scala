@@ -32,14 +32,35 @@ class SelectionSpec extends SparkSpecBase {
         buckets = 4) == sorted(k - 1), s"k=$k")
   }
 
+  test("full signed domain: MinValue..MaxValue together stays exact") {
+    // The sign-straddling span exceeds a signed Long — the sign-split
+    // pass must fix the regime before any bucket arithmetic runs.
+    val xs = Seq(Long.MinValue, Long.MinValue + 1, -7L, -1L, 0L, 3L,
+      Long.MaxValue - 1, Long.MaxValue)
+    val sorted = xs.sorted
+    for (k <- 1 to xs.length)
+      assert(Selection.kthSmallest(df(xs), "v", k.toLong,
+        buckets = 4) == sorted(k - 1), s"k=$k")
+  }
+
+  test("all-negative domain narrows without wrap") {
+    val xs = Seq(-1000000007L, -5L, -5L, -1L, Long.MinValue / 2)
+    val sorted = xs.sorted
+    for (k <- 1 to xs.length)
+      assert(Selection.kthSmallest(df(xs), "v", k.toLong,
+        buckets = 4) == sorted(k - 1), s"k=$k")
+  }
+
   test("property: sampled ranks of random multisets are exact") {
     val rnd = new Random(42)
     (1 to 8).foreach { trial =>
       val n = 1 + rnd.nextInt(60)
       // Mix huge-spread values with deliberate duplicates.
-      val xs = Seq.fill(n)(
-        if (rnd.nextBoolean()) rnd.nextLong(1L << 40)
-        else (rnd.nextInt(4) * 1000L))
+      val xs = Seq.fill(n)(rnd.nextInt(3) match {
+        case 0 => rnd.nextLong(1L << 40)
+        case 1 => (rnd.nextInt(4) * 1000L)
+        case _ => -rnd.nextLong(1L << 40) // sign-straddling mixes
+      })
       val sorted = xs.sorted
       val d = df(xs)
       Seq(1, (n + 1) / 2, n).distinct.foreach { k =>
