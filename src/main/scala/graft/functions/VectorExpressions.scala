@@ -71,12 +71,121 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact k-means assignment against a plan-embedded centroid matrix:
+  * argmin_c Σ_i (v_i - c_i)² over quantized integer vectors (lowest
+  * cid wins ties), returning struct<cid:int, dist:bigint> from ONE
+  * tight primitive loop.
+  *
+  * Why an expression and not k distance columns: the k-per-column
+  * formulation pays plan costs LINEAR IN K — k parsed/analyzed/
+  * codegen'd 64-literal array expressions, then array_min +
+  * array_position over a k-wide array per row — which is exactly what
+  * breaks once kmeansK derives k from the corpus (the 10× soak
+  * measured the k=80 assignment at ~10× the k=8 per-row cost from
+  * plan shape alone). Here the centroid matrix rides as one codegen
+  * reference object (long[][]): per-row cost is the irreducible k×dim
+  * integer multiply-adds, plan size is constant in k, and the whole
+  * pass stays inside whole-stage codegen. All arithmetic is exact
+  * integer (quantized milli-unit inputs), so assignments stay
+  * bit-identical to the unrolled-CTE DuckDB twin. */
+case class KMeansAssignExpr(child: Expression, cents: Array[Array[Long]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"km_assign expects array<bigint>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cid", IntegerType, nullable = false),
+    StructField("dist", LongType, nullable = false)))
+
+  override def prettyName: String = "km_assign"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    var best = Long.MaxValue
+    var bi = 0
+    var c = 0
+    while (c < cents.length) {
+      val cc = cents(c)
+      var d = 0L
+      val n = math.min(xs.numElements(), cc.length)
+      var i = 0
+      while (i < n) {
+        val t = xs.getLong(i) - cc(i)
+        d += t * t
+        i += 1
+      }
+      if (d < best) { best = d; bi = c }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bi, best))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cRef = ctx.addReferenceObj("kmCents", cents, "long[][]")
+      val best = ctx.freshName("best")
+      val bi = ctx.freshName("bi")
+      val c = ctx.freshName("c")
+      val cc = ctx.freshName("cc")
+      val d = ctx.freshName("d")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val t = ctx.freshName("t")
+      s"""
+         |long $best = java.lang.Long.MAX_VALUE;
+         |int $bi = 0;
+         |for (int $c = 0; $c < $cRef.length; $c++) {
+         |  long[] $cc = $cRef[$c];
+         |  long $d = 0L;
+         |  int $n = java.lang.Math.min($a.numElements(), $cc.length);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $t = $a.getLong($i) - $cc[$i];
+         |    $d += $t * $t;
+         |  }
+         |  if ($d < $best) { $best = $d; $bi = $c; }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{ $bi, $best });
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): KMeansAssignExpr = copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Register `vec_dot` in the session's function registry so it is
     * usable from SQL/expr strings (idempotent; the
     * SparkSessionExtensions.injectFunction route is equivalent for
     * cluster-wide installs). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    // km_assign(v, <array<array<bigint>> literal>): the centroid
+    // matrix must be foldable — it is unpacked ONCE at plan build into
+    // the expression's long[][] reference object (typedlit produces
+    // exactly this Literal; kmeansAssign is the only caller).
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "km_assign", exprs => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.LongType
+        val cents = exprs(1) match {
+          case Literal(v: ArrayData, ArrayType(ArrayType(LongType, _), _)) =>
+            v.toObjectArray(ArrayType(LongType, containsNull = false))
+              .map(_.asInstanceOf[ArrayData].toLongArray())
+          case other => sys.error(
+            s"km_assign centroids must be an array<array<bigint>> literal, got $other")
+        }
+        KMeansAssignExpr(exprs.head, cents)
+      }, "built-in")
+  }
 }

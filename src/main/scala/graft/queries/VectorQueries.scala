@@ -597,6 +597,28 @@ object VectorQueries {
   private val KmK = 8
   private val KmIters = 3
 
+  /** SemDeDup's scale contract (Abbas et al. 2023: "k scales with N to
+    * bound cells") as a derivation, not prose: k = clamp(⌈N/KmCell⌉,
+    * KmK, KmMaxK), so cells hold ~KmCell vectors at any corpus size
+    * and the k-means-cell family's pair work — sum(|cell|²) ≈ N·KmCell
+    * — stays LINEAR in N instead of quadratic at fixed k (the same
+    * discipline as the LSH family's log₂N bit count). KmCell = 250
+    * makes the derivation exact at the verify fixtures (sf0.01: 500
+    * vectors → floor 8; sf0.1: 2000 → 2000/250 = 8), so every oracle
+    * of the family (kmeans/prototype/semdedup share the unrolled k=8
+    * CTE chain) is unchanged where the driver compares it, while a
+    * grown corpus (the 10× soak: 20000 → k=80) gets bounded cells
+    * automatically through the shared centroid artifact. KmMaxK caps
+    * the literal-centroid assignment plan (k×dim literals); past it a
+    * production deployment swaps kmeansAssign for a broadcast-join
+    * assignment at the same seam — the cap is a plan-size bound, not
+    * an algorithmic one. */
+  private val KmCell = 250L
+  private val KmMaxK = 1024
+  private[graft] def kmeansK(n: Long): Int =
+    math.min(math.max(KmK.toLong, (n + KmCell - 1L) / KmCell),
+      KmMaxK.toLong).toInt
+
   /** Corpus quantized to integer milli-units: one double multiply +
     * half-away round per component (identical in every engine), so the
     * whole Lloyd loop runs in integer-exact arithmetic — the
@@ -610,34 +632,25 @@ object VectorQueries {
         "CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
   }
 
-  /** One distributed assignment pass against a k-row centroid set held
-    * as LITERALS in the plan (the BPE merge-rule pattern — k x dim
-    * integers is a bounded driver scalar at any corpus size):
-    * dist_c = v.v - 2 v.c + c.c via the codegen'd vec_dot — every
-    * operand is an integer well under 2^53, so the double dot product
-    * is exact and the cast back to long loses nothing; argmin with
-    * lowest-cid tie-break via array_position over the distance array.
-    * Map-only: no join, no exchange — the corpus streams through one
-    * codegen stage per round (plan-gated). */
+  /** One distributed assignment pass against a centroid matrix held in
+    * the plan (the BPE merge-rule pattern — k x dim integers is a
+    * bounded driver scalar at any corpus size): the codegen'd
+    * km_assign expression ([[graft.functions.KMeansAssignExpr]])
+    * computes argmin_c Σ(v_i - c_i)² with lowest-cid tie-break in one
+    * tight integer loop per row, the matrix riding as a single
+    * reference object so plan size and per-row overhead stay CONSTANT
+    * in k — load-bearing now that kmeansK derives k from the corpus
+    * (the previous k-distance-columns formulation paid parse/codegen
+    * and per-row array traversal linear in k). Map-only: no join, no
+    * exchange — the corpus streams through one codegen stage per
+    * round (plan-gated). */
   private[graft] def kmeansAssign(e: DataFrame,
       cents: Array[Array[Long]]): DataFrame = {
-    val withVd = e
-      .withColumn("vd", expr("transform(v, x -> CAST(x AS DOUBLE))"))
-      .withColumn("vv", expr("CAST(vec_dot(vd, vd) AS BIGINT)"))
-    val dists = cents.zipWithIndex.map { case (c, i) =>
-      val cArr = c.map(x => s"CAST($x AS DOUBLE)")
-        .mkString("array(", ",", ")")
-      val cc = c.map(x => x * x).sum
-      (col("vv") - expr(s"CAST(vec_dot(vd, $cArr) AS BIGINT)") * 2L +
-        lit(cc)).as(s"d$i")
-    }
-    withVd.select(col("vec_id") +: col("v") +: dists.toSeq: _*)
-      .withColumn("darr",
-        array(cents.indices.map(i => col(s"d$i")): _*))
-      .withColumn("dist", array_min(col("darr")))
-      .withColumn("cid",
-        (expr("array_position(darr, dist)") - 1L).cast("int"))
-      .select("vec_id", "v", "cid", "dist")
+    VectorFunctions.register(e.sparkSession)
+    e.withColumn("__a", call_function("km_assign", col("v"),
+        typedlit(cents.map(_.toSeq).toSeq)))
+      .select(col("vec_id"), col("v"),
+        col("__a.cid").as("cid"), col("__a.dist").as("dist"))
   }
 
   /** Round-half-up integer division (quotient at .5 rounds toward
@@ -650,7 +663,11 @@ object VectorQueries {
   /** DuckDB twin of the Lloyd loop: KmIters unrolled
     * assign-and-recompute CTE pairs over the same quantized vectors,
     * same (distance, cid) tie-break, same half-up integer centroid
-    * rounding, same empty-cluster-keeps-previous rule. */
+    * rounding, same empty-cluster-keeps-previous rule. The twin pins
+    * k = KmK, which equals the derived kmeansK(N) at every fixture
+    * the driver compares on (sf0.001/0.01: 500 rows, sf0.1: 2000) —
+    * grown corpora derive more clusters and are covered by the soak +
+    * KmeansSpec, not this SQL. */
   private[graft] val kmeansOracleSql: String = {
     val distExpr = "list_sum(list_transform(range(1, 65), " +
       "i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])))"
@@ -708,13 +725,18 @@ object VectorQueries {
     * assign many times. */
   private[graft] def kmeansCentroids(s: SparkSession,
       d: String): Array[Array[Long]] = {
+    // k is DERIVED from the corpus (kmeansK): the artifact fingerprint
+    // folds it in, so a corpus that grows past the next cell boundary
+    // retrains with more clusters automatically — consumers only ever
+    // see cents.length.
+    val k = kmeansK(corpusRows(s, d))
     val dir = s"${graft.Tables.scratchRoot}/graft_kmcent_${graft.Tables.dirTag(d)}"
     val fp = graft.Tables.sourceFingerprint(
       Seq(java.nio.file.Paths.get(d, "embeddings.parquet")),
-      s"kmcent_v1:k$KmK:i$KmIters")
+      s"kmcent_v2:k$k:i$KmIters")
     graft.Tables.ensureDerived(dir, fp) {
       val e = qvec(s, d)
-      var cents: Array[Array[Long]] = e.filter(col("vec_id") < KmK)
+      var cents: Array[Array[Long]] = e.filter(col("vec_id") < k)
         .orderBy("vec_id").collect()
         .map(_.getSeq[Long](1).toArray)
       for (_ <- 1 to KmIters) {
@@ -724,7 +746,7 @@ object VectorQueries {
           .agg(sum("x").as("sx"), count(lit(1)).as("n"))
           .collect()
         val byCid = sums.groupBy(_.getInt(0))
-        cents = Array.tabulate(KmK) { c =>
+        cents = Array.tabulate(k) { c =>
           byCid.get(c) match {
             case None => cents(c)
             case Some(rows) =>

@@ -246,13 +246,13 @@ object SoakX10 {
     // reassembly exchange, both linear in tokens.
     "q_dedup_spans",
     // Prototypicality pruning: one assignment scan + one cid-keyed
-    // window — per-cluster partitions grow with the corpus here
-    // (fixed k in the gate); in production k scales to bound them.
+    // window — kmeansK derives k from the corpus, so per-cluster
+    // partitions stay ~KmCell-sized as the soak grows.
     "q_embed_prototype",
-    // SemDeDup: pair work is sum(|cell|^2) — with fixed k the soak
-    // cells grow 10x so pair counts grow ~100x BY DESIGN; the honest
-    // scale metric is per-pair cost staying flat (production bounds
-    // cells by scaling k with the corpus).
+    // SemDeDup: pair work is sum(|cell|^2); kmeansK scales k with the
+    // corpus (soak: 20000 vectors -> k=80) so cells stay ~250 and pair
+    // counts grow LINEARLY — the per-row ratio is the scale metric
+    // now, not per-pair (r11 VERDICT #1).
     "q_embed_semdedup",
     // LPA community detection: same loop law as q_graph_cc — per
     // round one equality join over the materialized edges + two

@@ -33,6 +33,22 @@ class KmeansSpec extends SparkSpecBase {
     assert(got.forall(_._2 != 1), "tie-break leaked a cid-1 assignment")
   }
 
+  test("kmeansK scales k with the corpus to bound cells (SemDeDup contract)") {
+    import graft.queries.VectorQueries.kmeansK
+    // Verify fixtures stay at the oracle's k=8...
+    assert(kmeansK(500) == 8)   // sf0.01 / sf0.001
+    assert(kmeansK(2000) == 8)  // sf0.1: 2000/250 exactly
+    // ...while a grown corpus derives more clusters: cells stay ~250.
+    assert(kmeansK(20000) == 80)   // the 10x soak fixture
+    assert(kmeansK(200000) == 800) // 100x
+    assert(kmeansK(1) == 8)        // floor
+    assert(kmeansK(10000000) == 1024) // literal-plan cap
+    // Monotone: a bigger corpus never derives fewer clusters.
+    val ks = Seq(1L, 500L, 2000L, 5000L, 20000L, 100000L, 10000000L)
+      .map(kmeansK(_).toLong)
+    assert(ks == ks.sorted)
+  }
+
   test("q_embed_kmeans is deterministic and covers the corpus") {
     val d = "/root/testdata/sf0.001"
     val a = SparkEntry.queries("q_embed_kmeans")(spark, d).collect()

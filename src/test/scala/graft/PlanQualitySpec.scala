@@ -529,14 +529,14 @@ class PlanQualitySpec extends SparkSpecBase {
   }
 
   test("q_embed_kmeans assignment is map-only: centroids are plan literals") {
-    // The returned plan is the FINAL assignment pass: centroids ride
-    // as k x dim literals inside codegen'd vec_dot calls — a Join (or
-    // a centroid-side scan) here would mean the assignment shuffles
-    // the corpus against the centroid relation instead of streaming
-    // map-only.
+    // The returned plan is the FINAL assignment pass: the centroid
+    // matrix rides as ONE reference object inside the codegen'd
+    // km_assign expression — a Join (or a centroid-side scan) here
+    // would mean the assignment shuffles the corpus against the
+    // centroid relation instead of streaming map-only.
     val p = planOf("q_embed_kmeans")
     assert(!p.contains("Join"), p)
-    assert(p.contains("vec_dot"), p)
+    assert(p.contains("km_assign"), p)
   }
 
   test("q_embed_prototype ranks within cluster through ONE hash exchange, assignment map-only") {
@@ -547,7 +547,7 @@ class PlanQualitySpec extends SparkSpecBase {
     // twice.
     val p = planOf("q_embed_prototype")
     assert(!p.contains("Join"), p)
-    assert(p.contains("vec_dot"), p)
+    assert(p.contains("km_assign"), p)
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(hashEx == 1, s"hash exchanges=$hashEx\n$p")
   }
@@ -560,7 +560,8 @@ class PlanQualitySpec extends SparkSpecBase {
     val p = planOf("q_embed_semdedup")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("vec_dot"), p)
+    assert(p.contains("km_assign"), p)
+    assert(p.contains("vec_dot"), p) // the pair-verify dot products
   }
 
   test("q_text_entropy is one map-only codegen pass: no explode, no join") {
