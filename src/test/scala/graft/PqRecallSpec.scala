@@ -28,9 +28,55 @@ class PqRecallSpec extends SparkSpecBase {
 
     val hits = exTop.map { case (q, ex) => (pqTop(q) & ex).size }.sum
     val recall = hits.toDouble / exTop.values.map(_.size).sum
-    // 4 subspaces × 16 codes is a coarse quantizer; the 32-wide
-    // shortlist plus exact re-rank must still recover at least half
-    // of the true neighbors (empirically ~0.8 on this fixture).
-    assert(recall >= 0.5, f"PQ recall@5 collapsed: $recall%.2f")
+    // PQ8x4 (8 subspaces × 16 codes) + the 128-wide shortlist and
+    // exact re-rank measures ~0.93 across Lloyd inits on this fixture;
+    // 0.6 is the regression floor.
+    assert(recall >= 0.6, f"PQ recall@5 collapsed: $recall%.2f")
+  }
+
+  test("IVF top-k recall vs exact brute force (probes=4/16) holds a floor") {
+    // The IVF protocol shares the hash-rank sample + spread-init Lloyd
+    // training with PQ; this pins its recall the same way (it had no
+    // floor before r12). 4-of-16 probes on this fixture measures ~0.8
+    // (2 probes measured 0.52 — the dial that motivated nprobe=4).
+    val ivf = SparkEntry.queries("q_embed_ivf")(spark, dir).collect()
+    val exact = SparkEntry.queries("q_embed_cosine")(spark, dir).collect()
+    val ivfTop = ivf.groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("nid")).toSet).toMap
+    val exTop = exact.groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("nid")).toSet).toMap
+    assert(ivfTop.keySet == exTop.keySet, "query sets differ")
+    val hits = exTop.map { case (q, ex) =>
+      (ivfTop.getOrElse(q, Set.empty) & ex).size }.sum
+    val recall = hits.toDouble / exTop.values.map(_.size).sum
+    assert(recall >= 0.6, f"IVF recall@5 collapsed: $recall%.2f")
+  }
+
+  test("PQ recall floor holds on an id-SKEWED corpus (hash-rank training sample)") {
+    // Re-key vec_id so ids encode content (sorted by label, the way a
+    // real corpus's ids encode source/time): a head-of-corpus training
+    // sample would see only the first labels and train biased
+    // codebooks. The hash-rank sample (r11 VERDICT #4) must keep the
+    // recall floor on exactly this shape.
+    import org.apache.spark.sql.functions._
+    val skewDir = java.nio.file.Files
+      .createTempDirectory("graft_pq_skew").toString
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("label"), col("vec_id"))
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("vec_id", row_number().over(w).cast("long") - 1L)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$skewDir/embeddings.parquet")
+    val pq = SparkEntry.queries("q_embed_pq")(spark, skewDir).collect()
+    val exact = SparkEntry.queries("q_embed_cosine")(spark, skewDir).collect()
+    val pqTop = pq.groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("nid")).toSet).toMap
+    val exTop = exact.groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("nid")).toSet).toMap
+    assert(pqTop.keySet == exTop.keySet, "query sets differ")
+    val hits = exTop.map { case (q, ex) =>
+      (pqTop.getOrElse(q, Set.empty) & ex).size }.sum
+    val recall = hits.toDouble / exTop.values.map(_.size).sum
+    assert(recall >= 0.6, f"PQ recall@5 collapsed on id-skewed corpus: $recall%.2f")
   }
 }
