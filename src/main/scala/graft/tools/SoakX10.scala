@@ -223,6 +223,10 @@ object SoakX10 {
     // Heavy-hitter rollup: partial build + exact pass are each one
     // corpus scan; the merge fold touches <=k counters per source.
     "q_topk_rollup",
+    // KLL rollup: the daily-partial build and the rank audit are each
+    // one log scan; the weekly fold touches k·log(n/k)-sized binaries
+    // only, so cost must track scan bandwidth at any value domain.
+    "q_agg_kll_rollup",
     // K-means: KmIters+1 map-only assignment scans; per-round driver
     // state is k x dim regardless of corpus size.
     "q_embed_kmeans",

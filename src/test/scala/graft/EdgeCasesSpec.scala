@@ -83,6 +83,61 @@ class EdgeCasesSpec extends SparkSpecBase {
       assert(math.abs(a - e) <= 2.0, s"group $k: approx $a vs exact $e")
   }
 
+  test("KLL sketch honors its rank-error bound across arbitrary merge splits") {
+    // Direct state-level pin of the deterministic compactor guarantee
+    // (error ≤ n·H/k, H = ceil(log2(2n/k))): a known multiset split
+    // three different ways, partial sketches merged, every percentile
+    // estimate's TRUE rank within the bound — plus the far tighter n/8
+    // audit bound the q_agg_kll_rollup gate relies on.
+    import graft.functions.KllState
+    val k = 256
+    val n = 50000
+    val rnd = new scala.util.Random(7)
+    // Skewed values over a huge domain — the shape histograms can't do.
+    val xs = Array.fill(n)(if (rnd.nextBoolean()) rnd.nextLong(1000L)
+      else rnd.nextLong(Long.MaxValue))
+    val sorted = xs.sorted
+    def rankOf(v: Long): (Int, Int) = {
+      var lt = 0; var le = 0
+      sorted.foreach { x => if (x < v) lt += 1; if (x <= v) le += 1 }
+      (lt, le)
+    }
+    val h = math.ceil(math.log(2.0 * n / k) / math.log(2.0)).toInt
+    val bound = math.min(n.toLong * h / k, n / 8L) + 16L
+    Seq(1, 7, 64).foreach { parts =>
+      val sks = xs.grouped(math.max(1, n / parts)).map { chunk =>
+        val st = new KllState(k)
+        chunk.foreach(st.add)
+        st
+      }.toSeq
+      val merged = sks.reduce { (a, b) => a.mergeIn(b); a }
+      assert(merged.n == n)
+      var prev = Long.MinValue
+      Seq(10, 50, 90, 99).foreach { p =>
+        val est = merged.quantile(p)
+        assert(est >= prev, s"parts=$parts: quantiles not monotone")
+        prev = est
+        val (lt, le) = rankOf(est)
+        val target = (n.toLong * p + 99L) / 100L
+        assert(lt <= target + bound && le >= target - bound,
+          s"parts=$parts p=$p: rank [$lt,$le] vs target $target ± $bound")
+      }
+      // Serialization round-trip preserves the summary exactly.
+      val rt = KllState.deserialize(merged.serialize())
+      assert(rt.quantile(50) == merged.quantile(50))
+    }
+  }
+
+  test("q_agg_kll_rollup booleans hold at another sf") {
+    val rows = SparkEntry.queries("q_agg_kll_rollup")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("q50_ok") && r.getAs[Boolean]("q90_ok"),
+        s"rank bound violated: $r")
+    }
+  }
+
   test("q_topk_sketch two-pass protocol returns the exact heavy-hitter set") {
     // The MG guarantee (err <= N/(k+1), k=256) makes every token with
     // true freq > N/100 a surviving candidate; pass 2 exact-counts the

@@ -473,6 +473,23 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("events.parquet"), p)
   }
 
+  test("q_agg_kll_rollup estimates from partials; the log appears only as the audit pass") {
+    // The weekly ESTIMATES must fold the persisted KLL binaries alone
+    // (probe: zero event scans); the returned gate plan adds exactly
+    // ONE events scan — the rank-audit pass that turns estimates into
+    // hashable guarantee booleans.
+    val daily = spark.read.parquet(
+      s"${graft.Tables.scratchRoot}/graft_klldaily_${graft.Tables.dirTag(dir)}")
+    val probe = graft.queries.ExtraQueries.kllRollupReport(daily)
+      .queryExecution.executedPlan.toString
+    assert(probe.contains("graft_klldaily"), probe)
+    assert(!probe.contains("events.parquet"), probe)
+    val p = planOf("q_agg_kll_rollup")
+    assert(p.contains("graft_klldaily"), p)
+    val scans = "events\\.parquet".r.findAllIn(p).size
+    assert(scans == 1, s"events scans=$scans\n$p")
+  }
+
   test("q_topk_rollup derives candidates from the persisted partials only") {
     // The final plan joins the exact verify pass (ONE documents scan,
     // allowed — it is the two-pass exact protocol's second pass) with
