@@ -68,6 +68,53 @@ object ExtraQueries {
         expr("kll_quantile(sk, 90)").as("est90"))
   }
 
+  /** The KLL rank-audit pass shared by q_agg_kll_rollup and its
+    * streaming twin q_stream_kll: join the (tiny) weekly estimate
+    * frame back onto the log, count strictly-below/at-or-below ranks,
+    * and emit the guarantee booleans (err = n div 8 + 16 ≥ the
+    * deterministic compactor's worst case at k=256 — KllSketch
+    * scaladoc). Broadcast probe: map-side at 100 TB. */
+  private[graft] def kllAudit(ev: DataFrame, report: DataFrame): DataFrame = {
+    def ltc(c: String) =
+      sum(when(col("cents") < col(c), 1L).otherwise(0L))
+    def lec(c: String) =
+      sum(when(col("cents") <= col(c), 1L).otherwise(0L))
+    def okc(p: Int, lt: String, le: String) = {
+      val target = expr(s"n_events * $p div 100")
+      val err = expr("n_events div 8 + 16")
+      (col(lt) <= target + err) && (col(le) >= target - err)
+    }
+    ev.withColumn("week", expr("day div 7"))
+      .join(broadcast(report), "week")
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_events"),
+        ltc("est50").as("lt50"), lec("est50").as("le50"),
+        ltc("est90").as("lt90"), lec("est90").as("le90"))
+      .select(col("week"), col("n_events"),
+        okc(50, "lt50", "le50").as("q50_ok"),
+        okc(90, "lt90", "le90").as("q90_ok"))
+      .orderBy("week")
+  }
+
+  /** The (day, cents) event view both KLL gates audit against. */
+  private[graft] def kllEventView(s: SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .filter(col("cents").isNotNull)
+
+  /** Shared oracle of q_agg_kll_rollup and q_stream_kll. */
+  private[graft] val KllRollupOracle: String =
+    """WITH e AS (SELECT
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT CAST(day // 7 AS BIGINT) AS week,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  TRUE AS q50_ok, TRUE AS q90_ok
+      |FROM e WHERE cents IS NOT NULL
+      |GROUP BY 1 ORDER BY week""".stripMargin
+
   private[graft] def quantileRollupPlan(daily: DataFrame): DataFrame = {
     val weekly = daily
       .withColumn("week", expr("day div 7"))
@@ -578,44 +625,14 @@ object ExtraQueries {
     "q_agg_kll_rollup" -> ((
       (s: SparkSession, d: String) => {
         graft.functions.KllSketch.register(s)
-        val ev = graft.Tables.events(s, d)
-          .select(expr("unix_micros(ts) div 86400000000").as("day"),
-            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-          .filter(col("cents").isNotNull)
+        val ev = kllEventView(s, d)
         val dailyDir =
           s"${graft.Tables.scratchRoot}/graft_klldaily_${graft.Tables.dirTag(d)}"
         ev.groupBy("day").agg(expr("kll_agg(cents, 256)").as("sk"))
           .write.mode("overwrite").parquet(dailyDir)
-        val report = kllRollupReport(s.read.parquet(dailyDir))
-        def ltc(c: String) =
-          sum(when(col("cents") < col(c), 1L).otherwise(0L))
-        def lec(c: String) =
-          sum(when(col("cents") <= col(c), 1L).otherwise(0L))
-        def okc(p: Int, lt: String, le: String) = {
-          val target = expr(s"n_events * $p div 100")
-          val err = expr("n_events div 8 + 16")
-          (col(lt) <= target + err) && (col(le) >= target - err)
-        }
-        ev.withColumn("week", expr("day div 7"))
-          .join(broadcast(report), "week")
-          .groupBy("week")
-          .agg(count(lit(1)).as("n_events"),
-            ltc("est50").as("lt50"), lec("est50").as("le50"),
-            ltc("est90").as("lt90"), lec("est90").as("le90"))
-          .select(col("week"), col("n_events"),
-            okc(50, "lt50", "le50").as("q50_ok"),
-            okc(90, "lt90", "le90").as("q90_ok"))
-          .orderBy("week")
+        kllAudit(ev, kllRollupReport(s.read.parquet(dailyDir)))
       },
-      """WITH e AS (SELECT
-        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
-        |    CAST(round(value * 100) AS BIGINT) AS cents
-        |  FROM events)
-        |SELECT CAST(day // 7 AS BIGINT) AS week,
-        |  CAST(count(*) AS BIGINT) AS n_events,
-        |  TRUE AS q50_ok, TRUE AS q90_ok
-        |FROM e WHERE cents IS NOT NULL
-        |GROUP BY 1 ORDER BY week""".stripMargin)),
+      KllRollupOracle)),
 
     // GK/KLL-style quantile summary, hash-verifiable (r9 VERDICT #1):
     // percentile_approx's published guarantee is a RANK bound — the

@@ -265,6 +265,25 @@ object StreamQueries {
       .groupBy("day", "cents").agg(count(lit(1)).as("cnt"))
       .write.mode("overwrite").parquet(s"$root/hist/batch=$batchId")
 
+  /** One micro-batch of the streaming KLL sink (q_stream_kll): fold
+    * THIS batch's events to per-day KLL binaries — k·log(n/k)-sized
+    * regardless of the value domain (the unbounded-domain case
+    * quantileHistBatch's count histogram can't cover) — written to a
+    * batch-id-keyed dir (idempotent overwrite, the incDedupBatch
+    * exactly-once protocol). KLL merge is associative over arbitrary
+    * merge trees, so the report fold over per-(batch, day) partials
+    * honors the same rank guarantee under ANY micro-batch split. */
+  private[graft] def kllBatch(batch: DataFrame, root: String,
+      batchId: Long): Unit = {
+    graft.functions.KllSketch.register(batch.sparkSession)
+    batch
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .filter(col("cents").isNotNull)
+      .groupBy("day").agg(expr("kll_agg(cents, 256)").as("sk"))
+      .write.mode("overwrite").parquet(s"$root/kll/batch=$batchId")
+  }
+
   /** One micro-batch of the streaming CDC compaction sink
     * (q_stream_cdc): compact THIS batch's change rows to one
     * latest-version row per entity (plus the batch's per-entity churn
@@ -810,6 +829,44 @@ object StreamQueries {
         ExtraQueries.quantileRollupPlan(s.read.parquet(s"$root/hist"))
       },
       ExtraQueries.QuantileRollupOracle)),
+
+    // Streaming KLL quantile maintenance — q_agg_kll_rollup under
+    // continuous ingest (and the unbounded-domain twin of
+    // q_stream_quantile): each event micro-batch folds to per-day KLL
+    // binaries in a batch-id-keyed dir (idempotent overwrite —
+    // exactly-once under foreachBatch replay), the weekly estimates
+    // fold the per-batch partials alone through the SAME report plan
+    // as the batch gate (kllRollupReport), and the same rank-audit
+    // pass turns them into hashable guarantee booleans — valid under
+    // any micro-batch split because KLL merge is associative and the
+    // bound is worst-case over every merge tree. At 100 TB each
+    // batch's state through its exchange is k·log(batch/k) values per
+    // day, the report never re-reads the log, and per-batch dirs
+    // compact at the next full sync (the q_index_compact posture).
+    "q_stream_kll" -> ((
+      (s: SparkSession, d: String) => {
+        graft.functions.KllSketch.register(s)
+        val tag = graft.Tables.dirTag(d)
+        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_src_${tag}_v$DumpVersion"
+        ensureStreamDump(d, "events", srcDir)(graft.Tables.events(s, d))
+        val root = s"${graft.Tables.scratchRoot}/graft_skll_$tag"
+        graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        withStreamGateConfs(s) {
+          val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            Long) => Unit = (b, id) => kllBatch(b, root, id)
+          val q = stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        ExtraQueries.kllAudit(
+          ExtraQueries.kllEventView(s, d),
+          ExtraQueries.kllRollupReport(s.read.parquet(s"$root/kll")))
+      },
+      ExtraQueries.KllRollupOracle)),
 
     // Streaming heavy hitters — the sketch family (q_topk_sketch)
     // under continuous ingest: the corpus streams in as four

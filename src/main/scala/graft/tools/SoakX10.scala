@@ -227,6 +227,9 @@ object SoakX10 {
     // one log scan; the weekly fold touches k·log(n/k)-sized binaries
     // only, so cost must track scan bandwidth at any value domain.
     "q_agg_kll_rollup",
+    // Its streaming twin: per-batch partials are batch-sized sketch
+    // folds; the report cost tracks partial count, never log rows.
+    "q_stream_kll",
     // K-means: KmIters+1 map-only assignment scans; per-round driver
     // state is k x dim regardless of corpus size.
     "q_embed_kmeans",

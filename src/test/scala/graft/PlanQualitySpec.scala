@@ -490,6 +490,16 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(scans == 1, s"events scans=$scans\n$p")
   }
 
+  test("q_stream_kll estimates from per-batch partials; one audit log scan") {
+    // Same contract as the batch gate: weekly estimates fold the
+    // batch-id-keyed KLL binaries alone; the returned plan's only
+    // events read is the rank-audit pass.
+    val p = planOf("q_stream_kll")
+    assert(p.contains("graft_skll"), p)
+    val scans = "events\\.parquet".r.findAllIn(p).size
+    assert(scans == 1, s"events scans=$scans\n$p")
+  }
+
   test("q_topk_rollup derives candidates from the persisted partials only") {
     // The final plan joins the exact verify pass (ONE documents scan,
     // allowed — it is the two-pass exact protocol's second pass) with
