@@ -2774,6 +2774,105 @@ object ExtraQueries {
         |JOIN card cb ON cb.event_type = co.b
         |ORDER BY a, b""".stripMargin)),
 
+    // Theta/KMV-sketch segment overlap — the SKETCH twin of
+    // q_audience_overlap, covering the set operation HLL cannot do:
+    // INTERSECTION estimates from mergeable per-segment summaries
+    // (the DataSketches theta protocol Druid/Pinot run). A KMV
+    // summary — the k SMALLEST xxhash64 values of the segment's id
+    // set — is a pure function of the set: deterministic under any
+    // partition/merge order (unlike KLL/MG there is no compaction
+    // path dependence), so per-segment sketches persisted by
+    // independent jobs can be combined pairwise forever. Estimators
+    // (Beyer et al. 2007): with θ = the smaller k-th-min mapped to a
+    // hash-space fraction f, |A∩B| ≈ |{shared mins < θ}|/f and
+    // |A∪B| ≈ (|k-mins of union < θ|−1)/f. Spark-first build: NO
+    // custom aggregate — distinct (segment, hash) pairs, per-segment
+    // k-min via a rank window that compiles to WindowGroupLimit (each
+    // partition pre-prunes to its k smallest BEFORE the exchange, so
+    // the shuffle carries ≤ k·partitions rows per segment, never the
+    // id domain), then segment-pair math over broadcast k-arrays
+    // (segments² is a domain constant). The exact sides ride the
+    // q_audience_overlap exchange as the AUDIT (at 100 TB the exact
+    // side is dropped — the sketch is the operator); estimates are
+    // deterministic but engine-specific (xxhash64), so the gate hashes
+    // exact counts + 3σ-bound booleans (σ ≈ |A∪B|/√k, k=256), the
+    // q_agg_approx_quantile discipline.
+    "q_agg_theta_overlap" -> ((
+      (s: SparkSession, d: String) => {
+        val k = 256
+        val su = graft.Tables.events(s, d)
+          .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+          .distinct()
+        val wr = Window.partitionBy("event_type").orderBy("h")
+        // k smallest DISTINCT hashes per segment (WindowGroupLimit
+        // pre-prunes map-side); kept as one sorted array per segment.
+        val kmv = su.withColumn("rn", row_number().over(wr))
+          .filter(col("rn") <= k)
+          .groupBy("event_type")
+          .agg(sort_array(collect_list(col("h"))).as("mins"),
+            count(lit(1)).as("m")) // m < k ⟺ the sketch is EXACT
+        val pairs = kmv.select(col("event_type").as("a"),
+            col("mins").as("ma"), col("m").as("cnt_a"))
+          .join(broadcast(kmv.select(col("event_type").as("b"),
+            col("mins").as("mb"), col("m").as("cnt_b"))),
+            col("a") < col("b"))
+          // θ = min of the two k-th mins; hash-space fraction via the
+          // unsigned map f = (θ − MIN_LONG)/2^64, in double (exact
+          // enough: estimates carry √k-scale error anyway).
+          .withColumn("theta",
+            least(element_at(col("ma"), -1), element_at(col("mb"), -1)))
+          .withColumn("f",
+            (col("theta").cast("double") - lit(Long.MinValue.toDouble)) /
+              lit(math.pow(2.0, 64)))
+          .withColumn("shared", expr(
+            "size(filter(array_intersect(ma, mb), x -> x <= theta))"))
+          .withColumn("inter_est",
+            when(col("cnt_a") < k && col("cnt_b") < k,
+              col("shared").cast("double")) // both exact: est is exact
+              .otherwise(col("shared") / col("f")))
+        // Exact audit sides (the q_audience_overlap exchange).
+        val sets = graft.Tables.events(s, d)
+          .select(col("user_id"), col("event_type"))
+          .groupBy("user_id")
+          .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+          .localCheckpoint()
+        val co = sets.select(explode(expr(
+          """flatten(transform(ts, (x, i) ->
+            |  transform(slice(ts, i + 2, size(ts)),
+            |    y -> named_struct('a', x, 'b', y))))""".stripMargin))
+          .as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n_both"))
+        val card = sets.select(explode(col("ts")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("n"))
+        co
+          .join(broadcast(card.select(col("t").as("a"), col("n").as("n_a"))), "a")
+          .join(broadcast(card.select(col("t").as("b"), col("n").as("n_b"))), "b")
+          .join(broadcast(pairs.select(col("a"), col("b"),
+            col("inter_est"))), Seq("a", "b"))
+          .select(col("a"), col("b"), col("n_a"), col("n_b"),
+            col("n_both"),
+            // 3σ bound, σ ≈ |A∪B|/√k; integer floor absorbs tiny sets.
+            (abs(col("inter_est") - col("n_both")) * lit(16.0) <=
+              greatest(lit(256.0),
+                (col("n_a") + col("n_b") - col("n_both")) * lit(3.0)))
+              .as("inter_in_bound"))
+          .orderBy("a", "b")
+      },
+      """WITH su AS (SELECT DISTINCT event_type, user_id FROM events),
+        |card AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |         FROM su GROUP BY 1),
+        |co AS (SELECT x.event_type AS a, y.event_type AS b,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM su x JOIN su y ON x.user_id = y.user_id
+        |   AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT co.a, co.b, ca.n AS n_a, cb.n AS n_b, co.n_both,
+        |  TRUE AS inter_in_bound
+        |FROM co JOIN card ca ON ca.event_type = co.a
+        |JOIN card cb ON cb.event_type = co.b
+        |ORDER BY a, b""".stripMargin)),
+
     // Join-key skew census — the diagnostic that decides between the
     // repo's own join strategies (broadcast / salted / AQE skew
     // split): per candidate key, its cardinality profile in exact

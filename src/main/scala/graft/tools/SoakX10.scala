@@ -349,6 +349,11 @@ object SoakX10 {
     // Segment overlap rides one user exchange; coreset rounds are
     // k map-only passes + one-row aggregates — both linear.
     "q_audience_overlap", "q_sample_coreset",
+    // Theta/KMV overlap: the distinct + WindowGroupLimit exchanges
+    // carry <= k*partitions hashes per segment at any id cardinality;
+    // pair math is segments²-sized. The exact audit side dominates —
+    // the sketch path's cost must stay flat per-row.
+    "q_agg_theta_overlap",
     // Hygiene census: one fused row-local aggregate pass — linear.
     "q_embed_quality",
     // Double-sweep BFS: two frontier traversals; per-round work is

@@ -490,6 +490,15 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(scans == 1, s"events scans=$scans\n$p")
   }
 
+  test("q_agg_theta_overlap pre-prunes k-mins map-side (WindowGroupLimit)") {
+    // The KMV build must compile to a WindowGroupLimit — each
+    // partition keeps only its k smallest hashes BEFORE the segment
+    // exchange; a plain rank-then-filter would shuffle the whole
+    // distinct id domain per segment.
+    val p = planOf("q_agg_theta_overlap")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q_stream_kll estimates from per-batch partials; one audit log scan") {
     // Same contract as the batch gate: weekly estimates fold the
     // batch-id-keyed KLL binaries alone; the returned plan's only
