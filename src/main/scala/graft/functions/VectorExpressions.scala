@@ -162,6 +162,96 @@ case class KMeansAssignExpr(child: Expression, cents: Array[Array[Long]])
       newChild: Expression): KMeansAssignExpr = copy(child = newChild)
 }
 
+/** The broadcast-backed twin of [[KMeansAssignExpr]] for k past the
+  * literal-plan regime: the centroid matrix rides a TorrentBroadcast —
+  * shipped once per EXECUTOR and reused by every task — instead of a
+  * plan reference object serialized into every task binary. Same exact
+  * integer argmin, same struct<cid, dist> result (identity pinned in
+  * KmeansSpec); codegen caches `bc.value()` in a mutable member so the
+  * per-row loop touches only the resolved long[][]. This is the seam
+  * kmeansAssign flips past KmLiteralMax, which is what lets kmeansK
+  * derive thousands of clusters at 100 TB without plan bloat. */
+case class KMeansAssignBcastExpr(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Array[Array[Long]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"km_assign_bc expects array<bigint>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cid", IntegerType, nullable = false),
+    StructField("dist", LongType, nullable = false)))
+
+  override def prettyName: String = "km_assign_bc"
+
+  @transient private lazy val cents: Array[Array[Long]] = bc.value
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    var best = Long.MaxValue
+    var bi = 0
+    var c = 0
+    while (c < cents.length) {
+      val cc = cents(c)
+      var d = 0L
+      val n = math.min(xs.numElements(), cc.length)
+      var i = 0
+      while (i < n) {
+        val t = xs.getLong(i) - cc(i)
+        d += t * t
+        i += 1
+      }
+      if (d < best) { best = d; bi = c }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bi, best))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val bcRef = ctx.addReferenceObj("kmBcast", bc,
+        "org.apache.spark.broadcast.Broadcast")
+      // Resolve the broadcast ONCE per codegen object, not per row.
+      val mat = ctx.addMutableState("long[][]", "kmBcCents",
+        v => s"$v = (long[][]) $bcRef.value();")
+      val best = ctx.freshName("best")
+      val bi = ctx.freshName("bi")
+      val c = ctx.freshName("c")
+      val cc = ctx.freshName("cc")
+      val d = ctx.freshName("d")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val t = ctx.freshName("t")
+      s"""
+         |long $best = java.lang.Long.MAX_VALUE;
+         |int $bi = 0;
+         |for (int $c = 0; $c < $mat.length; $c++) {
+         |  long[] $cc = $mat[$c];
+         |  long $d = 0L;
+         |  int $n = java.lang.Math.min($a.numElements(), $cc.length);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $t = $a.getLong($i) - $cc[$i];
+         |    $d += $t * $t;
+         |  }
+         |  if ($d < $best) { $best = $d; $bi = $c; }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{ $bi, $best });
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): KMeansAssignBcastExpr = copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Register `vec_dot` in the session's function registry so it is
     * usable from SQL/expr strings (idempotent; the

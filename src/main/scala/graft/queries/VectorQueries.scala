@@ -673,13 +673,16 @@ object VectorQueries {
     * of the family (kmeans/prototype/semdedup share the unrolled k=8
     * CTE chain) is unchanged where the driver compares it, while a
     * grown corpus (the 10× soak: 20000 → k=80) gets bounded cells
-    * automatically through the shared centroid artifact. KmMaxK caps
-    * the literal-centroid assignment plan (k×dim literals); past it a
-    * production deployment swaps kmeansAssign for a broadcast-join
-    * assignment at the same seam — the cap is a plan-size bound, not
-    * an algorithmic one. */
+    * automatically through the shared centroid artifact. Up to
+    * KmLiteralMax the matrix rides the plan (km_assign reference
+    * object); past it kmeansAssign flips to the broadcast-backed
+    * km_assign_bc — shipped once per executor — so plan size never
+    * grows with k (identity between the two paths pinned in
+    * KmeansSpec). KmMaxK then only bounds DRIVER state: the training
+    * loop's k×dim partial collect stays ≤ 64k×64 longs (32 MB). */
   private val KmCell = 250L
-  private val KmMaxK = 1024
+  private[graft] val KmLiteralMax = 128
+  private val KmMaxK = 65536
   private[graft] def kmeansK(n: Long): Int =
     math.min(math.max(KmK.toLong, (n + KmCell - 1L) / KmCell),
       KmMaxK.toLong).toInt
@@ -711,9 +714,25 @@ object VectorQueries {
     * round (plan-gated). */
   private[graft] def kmeansAssign(e: DataFrame,
       cents: Array[Array[Long]]): DataFrame = {
-    VectorFunctions.register(e.sparkSession)
-    e.withColumn("__a", call_function("km_assign", col("v"),
-        typedlit(cents.map(_.toSeq).toSeq)))
+    val s = e.sparkSession
+    VectorFunctions.register(s)
+    val assign =
+      if (cents.length <= KmLiteralMax)
+        call_function("km_assign", col("v"),
+          typedlit(cents.map(_.toSeq).toSeq))
+      else {
+        // Past the literal regime the matrix ships as a broadcast —
+        // once per executor, not once per task binary (KmMaxK
+        // scaladoc). Builder registered per call so the closure
+        // captures THIS broadcast; gates run sequentially.
+        val bc = s.sparkContext.broadcast(cents)
+        s.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "km_assign_bc",
+          exprs => graft.functions.KMeansAssignBcastExpr(exprs.head, bc),
+          "built-in")
+        call_function("km_assign_bc", col("v"))
+      }
+    e.withColumn("__a", assign)
       .select(col("vec_id"), col("v"),
         col("__a.cid").as("cid"), col("__a.dist").as("dist"))
   }

@@ -42,11 +42,38 @@ class KmeansSpec extends SparkSpecBase {
     assert(kmeansK(20000) == 80)   // the 10x soak fixture
     assert(kmeansK(200000) == 800) // 100x
     assert(kmeansK(1) == 8)        // floor
-    assert(kmeansK(10000000) == 1024) // literal-plan cap
+    assert(kmeansK(10000000) == 40000) // past KmLiteralMax: broadcast path
+    assert(kmeansK(Long.MaxValue / 2) == 65536) // driver-state cap
     // Monotone: a bigger corpus never derives fewer clusters.
     val ks = Seq(1L, 500L, 2000L, 5000L, 20000L, 100000L, 10000000L)
       .map(kmeansK(_).toLong)
     assert(ks == ks.sorted)
+  }
+
+  test("broadcast assignment path is identical to the literal path") {
+    // k > KmLiteralMax flips kmeansAssign to the broadcast-backed
+    // expression; same matrix through both paths must assign
+    // identically (the plan-size seam must be invisible to results).
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorFunctions.register(spark)
+    val dim = 8
+    val rnd = new scala.util.Random(11)
+    val k = graft.queries.VectorQueries.KmLiteralMax + 2
+    val cents = Array.fill(k)(Array.fill(dim)(rnd.nextInt(2001) - 1000L))
+    val e = (0L until 500L)
+      .map(i => (i, Seq.fill(dim)(rnd.nextInt(2001) - 1000L)))
+      .toDF("vec_id", "v")
+    // Literal path, invoked directly (kmeansAssign would dispatch away).
+    val viaLiteral = e.withColumn("__a",
+        call_function("km_assign", col("v"),
+          typedlit(cents.map(_.toSeq).toSeq)))
+      .select(col("vec_id"), col("__a.cid"), col("__a.dist"))
+      .collect().map(_.toString).sorted.toSeq
+    val viaBcast = graft.queries.VectorQueries.kmeansAssign(e, cents)
+      .select("vec_id", "cid", "dist")
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaLiteral == viaBcast)
   }
 
   test("q_embed_kmeans is deterministic and covers the corpus") {
