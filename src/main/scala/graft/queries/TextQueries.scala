@@ -1793,6 +1793,69 @@ object TextQueries {
          |round(len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')), 6) AS ttr
          |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Gopher quality-rule filter (Rae et al. 2021, Appendix A1.1 — the
+    // rule set C4/RefinedWeb-family pipelines actually apply before
+    // training): word-count window, mean-word-length window,
+    // alphabetic-word fraction, symbol-to-word ratio, and the
+    // ≥2-distinct-stopwords test, each emitted as its own boolean next
+    // to the composite keep. Every threshold is evaluated in INTEGER
+    // cross-multiplied form (3·n ≤ chars ≤ 10·n, 5·alpha ≥ 4·n,
+    // 10·sym ≤ n) so no float ratio can flip cross-engine. One
+    // map-only projected scan — the whole filter is row-local.
+    "q_text_gopher" -> ((
+      (s: SparkSession, d: String) => {
+        val words = split(col("text"), " ")
+        val nWords = size(words).cast("long")
+        val alphaChars =
+          length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
+        val alphaWords =
+          expr("size(filter(split(text, ' '), w -> w rlike '[a-z]'))")
+            .cast("long")
+        val symbols =
+          size(expr("regexp_extract_all(text, '#|\\\\.\\\\.\\\\.', 0)"))
+            .cast("long")
+        // Gopher's list is (the, be, to, of, and, that, have, with);
+        // this corpus's English lexicon (stopEn) is the fixture
+        // equivalent — the rule's SHAPE (≥2 distinct stopwords
+        // present) is what transfers.
+        val stopsPresent = size(array_intersect(array_distinct(words),
+          array(stopEn.map(lit): _*))).cast("long")
+        t(s, d, "documents")
+          .select(col("doc_id"), nWords.as("n_words"),
+            (nWords >= 50L && nWords <= 100000L).as("r_wordcount"),
+            (alphaChars >= nWords * 3L && alphaChars <= nWords * 10L)
+              .as("r_meanlen"),
+            (alphaWords * 5L >= nWords * 4L).as("r_alphafrac"),
+            (symbols * 10L <= nWords).as("r_symbols"),
+            (stopsPresent >= 2L).as("r_stopwords"))
+          .withColumn("keep",
+            col("r_wordcount") && col("r_meanlen") && col("r_alphafrac") &&
+              col("r_symbols") && col("r_stopwords"))
+          .orderBy("doc_id")
+      },
+      """WITH g AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))
+        |      AS BIGINT) AS ac,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS aw,
+        |    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT)
+        |      AS sym,
+        |    CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |      ['the','and','of','to','a','in','is']))
+        |      AS BIGINT) AS sp
+        |  FROM documents)
+        |SELECT doc_id, n AS n_words,
+        |  n >= 50 AND n <= 100000 AS r_wordcount,
+        |  ac >= n * 3 AND ac <= n * 10 AS r_meanlen,
+        |  aw * 5 >= n * 4 AS r_alphafrac,
+        |  sym * 10 <= n AS r_symbols,
+        |  sp >= 2 AS r_stopwords,
+        |  (n >= 50 AND n <= 100000) AND (ac >= n * 3 AND ac <= n * 10)
+        |    AND (aw * 5 >= n * 4) AND (sym * 10 <= n) AND (sp >= 2)
+        |    AS keep
+        |FROM g ORDER BY doc_id""".stripMargin)),
+
     // Character-entropy quality signal: Shannon bits over the
     // code-point distribution — the classic gibberish/compression
     // filter (too-low = repeated filler, too-high = random bytes;

@@ -208,6 +208,8 @@ object SoakX10 {
     "q_group_topk",
     // Round 11. Char entropy: one codegen'd map pass — cost = scan.
     "q_text_entropy",
+    // Gopher rules: row-local integer predicates — cost = scan.
+    "q_text_gopher",
     // Fuzzy join: probes scale with the parts (every 40th), catalog
     // variants explode by name length — the variant equi-join must
     // track candidate pairs, never the cross product.

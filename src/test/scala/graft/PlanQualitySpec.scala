@@ -600,6 +600,13 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("vec_dot"), p) // the pair-verify dot products
   }
 
+  test("q_text_gopher is one map-only projected scan: no explode, no join, no hash shuffle") {
+    val p = planOf("q_text_gopher")
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("q_text_entropy is one map-only codegen pass: no explode, no join") {
     val p = planOf("q_text_entropy")
     // The SQL formulation explodes one row per CHARACTER through an
