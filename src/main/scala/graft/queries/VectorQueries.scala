@@ -737,6 +737,54 @@ object VectorQueries {
         col("__a.cid").as("cid"), col("__a.dist").as("dist"))
   }
 
+  /** Cyclic Jacobi eigensolver for a small dense symmetric matrix —
+    * driver math on the dim×dim scatter (the codebook discipline:
+    * deterministic sweep order, sequential IEEE doubles, bit-stable
+    * across runs). Returns (eigenvalues, eigenvector matrix with
+    * vectors in COLUMNS). 16 fixed sweeps drive off-diagonal mass to
+    * ~1e-14 of trace at dim 64 — convergence asserted by PcaSpec's
+    * residual check, not assumed. */
+  private[graft] def jacobiEig(
+      a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 1 to 16; p <- 0 until n - 1; q <- p + 1 until n) {
+      val apq = a(p)(q)
+      if (math.abs(apq) > 1e-300) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+        val t =
+          if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+          else -1.0 / (-theta + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        // A <- Jᵀ A J, columns p/q then rows p/q.
+        var k0 = 0
+        while (k0 < n) {
+          val akp = a(k0)(p); val akq = a(k0)(q)
+          a(k0)(p) = c * akp - s * akq
+          a(k0)(q) = s * akp + c * akq
+          k0 += 1
+        }
+        k0 = 0
+        while (k0 < n) {
+          val apk = a(p)(k0); val aqk = a(q)(k0)
+          a(p)(k0) = c * apk - s * aqk
+          a(q)(k0) = s * apk + c * aqk
+          k0 += 1
+        }
+        k0 = 0
+        while (k0 < n) {
+          val vkp = v(k0)(p); val vkq = v(k0)(q)
+          v(k0)(p) = c * vkp - s * vkq
+          v(k0)(q) = s * vkp + c * vkq
+          k0 += 1
+        }
+      }
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
   /** Round-half-up integer division (quotient at .5 rounds toward
     * +inf), exact for any sign of `a`, b > 0 — the same pure-integer
     * floordiv((2a+b), 2b) the oracle computes, so recomputed centroids
@@ -1136,6 +1184,87 @@ object VectorQueries {
     // the full metric is the ANN family, and the prefix metric rides
     // the same buckets with shorter vectors). Ties break toward the
     // smaller vec_id, so agreement is deterministic.
+    // Distributed PCA — the embedding-pipeline op that feeds
+    // whitening/OPQ/dim-reduction: ONE pass of the exact integer
+    // centered-Gram aggregate (GramAgg — dim²/2 longs of state through
+    // every exchange, never N·dim² exploded rows), a deterministic
+    // cyclic-Jacobi eigensolve on the 64×64 scatter at the driver (the
+    // codebook discipline: sequential double math, bit-stable), then
+    // one map-only projection pass with the top-2 eigenvectors as
+    // integer-e6 plan literals — p = Σ xq_i·ve_i − Σ μq_i·ve_i, every
+    // product an integer < 2^31 so the double dot is EXACT and the
+    // DuckDB twin (reading the eigenvector side-file, the PQ-candidate
+    // protocol) reproduces it bit-for-bit. Sign fixed by
+    // largest-|component|-positive so the eigenbasis is unique.
+    // At 100 TB: Gram pass = 2080 madds/row map-side; projections
+    // map-only; driver state dim² regardless of corpus.
+    "q_embed_pca" -> ((
+      (s: SparkSession, d: String) => {
+        VectorFunctions.register(s)
+        graft.functions.GramAgg.register(s)
+        val e = qvec(s, d)
+        val n = corpusRows(s, d)
+        val mu: Array[Long] = e
+          .select(posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("pos").agg(sum("x").as("sx")).collect()
+          .sortBy(_.getInt(0)).map(r => halfUpDiv(r.getLong(1), n))
+        val tri = e.agg(call_function("gram_agg", col("v"),
+          typedlit(mu.toSeq)).as("g")).head().getSeq[Long](0).toArray
+        val k = mu.length
+        val cm = Array.ofDim[Double](k, k)
+        var idx = 0
+        for (i <- 0 until k; j <- i until k) {
+          cm(i)(j) = tri(idx).toDouble; cm(j)(i) = tri(idx).toDouble
+          idx += 1
+        }
+        val (vals, vecs) = jacobiEig(cm)
+        val order = vals.zipWithIndex.sortBy(-_._1).map(_._2)
+        def evecQ(r: Int): Array[Long] = {
+          val c = Array.tabulate(k)(i => vecs(i)(order(r)))
+          val m = c.indices.maxBy(i => (math.abs(c(i)), -i))
+          val sgn = if (c(m) < 0) -1.0 else 1.0
+          c.map(x => math.round(x * sgn * 1e6))
+        }
+        val e1 = evecQ(0)
+        val e2 = evecQ(1)
+        val side = s"${graft.Tables.scratchRoot}/graft_pca_${graft.Tables.dirTag(d)}"
+        val rows = e1.zipWithIndex.map { case (x, p) => (0, p, x, mu(p)) } ++
+          e2.zipWithIndex.map { case (x, p) => (1, p, x, mu(p)) }
+        s.createDataFrame(rows.toSeq).toDF("pc", "pos", "ve", "mu")
+          .coalesce(1).write.mode("overwrite").parquet(side)
+        val c1 = e1.zip(mu).map { case (a, b) => a * b }.sum
+        val c2 = e2.zip(mu).map { case (a, b) => a * b }.sum
+        def arrLit(a: Array[Long]) =
+          a.map(x => s"CAST($x AS DOUBLE)").mkString("array(", ",", ")")
+        e.withColumn("vd", expr("transform(v, x -> CAST(x AS DOUBLE))"))
+          .select(col("vec_id"),
+            (expr(s"CAST(vec_dot(vd, ${arrLit(e1)}) AS BIGINT)") - lit(c1))
+              .as("p1_q"),
+            (expr(s"CAST(vec_dot(vd, ${arrLit(e2)}) AS BIGINT)") - lit(c2))
+              .as("p2_q"))
+          .orderBy("vec_id")
+      },
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |side AS (SELECT * FROM read_parquet(
+         |  '${graft.Tables.scratchRoot}/graft_pca_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/*.parquet')),
+         |e1 AS (SELECT list(ve ORDER BY pos) AS ev,
+         |         list(mu ORDER BY pos) AS m FROM side WHERE pc = 0),
+         |e2 AS (SELECT list(ve ORDER BY pos) AS ev,
+         |         list(mu ORDER BY pos) AS m FROM side WHERE pc = 1),
+         |c AS (SELECT
+         |  (SELECT CAST(list_sum(list_transform(range(1, 65),
+         |     i -> m[i] * ev[i])) AS BIGINT) FROM e1) AS c1,
+         |  (SELECT CAST(list_sum(list_transform(range(1, 65),
+         |     i -> m[i] * ev[i])) AS BIGINT) FROM e2) AS c2)
+         |SELECT q.vec_id,
+         |  CAST(list_sum(list_transform(range(1, 65),
+         |    i -> q.v[i] * e1.ev[i])) - c.c1 AS BIGINT) AS p1_q,
+         |  CAST(list_sum(list_transform(range(1, 65),
+         |    i -> q.v[i] * e2.ev[i])) - c.c2 AS BIGINT) AS p2_q
+         |FROM q, e1, e2, c ORDER BY vec_id""".stripMargin)),
+
     "q_embed_matryoshka" -> ((
       (s: SparkSession, d: String) => {
         graft.functions.VectorFunctions.register(s)

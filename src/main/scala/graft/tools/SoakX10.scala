@@ -351,6 +351,10 @@ object SoakX10 {
     // Segment overlap rides one user exchange; coreset rounds are
     // k map-only passes + one-row aggregates — both linear.
     "q_audience_overlap", "q_sample_coreset",
+    // PCA: one Gram pass (fixed dim²/2 state per partition) + one
+    // map-only projection — cost must track scan bandwidth; the
+    // eigensolve is dim³ driver math, corpus-independent.
+    "q_embed_pca",
     // Theta/KMV overlap: the distinct + WindowGroupLimit exchanges
     // carry <= k*partitions hashes per segment at any id cardinality;
     // pair math is segments²-sized. The exact audit side dominates —

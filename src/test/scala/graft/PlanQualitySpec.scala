@@ -490,6 +490,15 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(scans == 1, s"events scans=$scans\n$p")
   }
 
+  test("q_embed_pca projection pass is map-only with literal eigenvectors") {
+    // Training (Gram + Jacobi) happens before the returned plan; what
+    // comes back is ONE projected scan — eigenvectors as literals
+    // inside codegen'd vec_dot, no join, no centroid-side scan.
+    val p = planOf("q_embed_pca")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("vec_dot"), p)
+  }
+
   test("q_agg_theta_overlap pre-prunes k-mins map-side (WindowGroupLimit)") {
     // The KMV build must compile to a WindowGroupLimit — each
     // partition keeps only its k smallest hashes BEFORE the segment
