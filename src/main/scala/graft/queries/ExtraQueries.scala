@@ -2342,6 +2342,52 @@ object ExtraQueries {
     // partial+final agg collapses each grain. One hash exchange total;
     // the downsampled output is |grains| rows, the point of the
     // operator at 100 TB telemetry volumes.
+    // Exponentially-weighted moving average per user series — the
+    // smoothing primitive every metrics/anomaly pipeline runs before
+    // thresholding. EWMA's recurrence (e_t = x_t/2 + e_{t-1}/2 at
+    // α = 1/2) is sequential, so the distributed form is the
+    // 16-lag truncation (residual weight past lag 16 is 2^-16 — below
+    // cents resolution): ONE user-keyed window collects the trailing
+    // frame and a row-local fold over the reversed frame computes
+    // num = Σ x_{t-j}·2^(n-1-j) EXACTLY in integers (weights are
+    // powers of two, den = 2^n − 1), so ewma = num div den is
+    // bit-identical cross-engine — no float decay products anywhere.
+    // Scale shape: one hash exchange on user_id shared by the window;
+    // the fold is 16 integer madds per row, map-side after it.
+    "q_time_ewma" -> ((
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+          .rowsBetween(-15, Window.currentRow)
+        graft.Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            expr("unix_micros(ts)").as("us"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .filter(col("cents").isNotNull && col("cents") >= 0L)
+          .withColumn("ws", collect_list("cents").over(w))
+          .select(col("user_id"), col("event_id"), col("cents"),
+            expr("""CAST(aggregate(reverse(ws), 0L, (a, x) -> a * 2L + x)
+                    div (shiftleft(1L, size(ws)) - 1L) AS BIGINT)""")
+              .as("ewma_e2"))
+          .orderBy("user_id", "event_id")
+      },
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE value IS NOT NULL AND round(value * 100) >= 0),
+        |r AS (SELECT *, row_number() OVER
+        |    (PARTITION BY user_id ORDER BY us, event_id) AS rn FROM e)
+        |SELECT i.user_id, i.event_id, i.cents,
+        |  CAST(sum(j.cents * CAST(power(2,
+        |      LEAST(i.rn, 16) - 1 - (i.rn - j.rn)) AS BIGINT))
+        |    // (CAST(power(2, LEAST(i.rn, 16)) AS BIGINT) - 1)
+        |    AS BIGINT) AS ewma_e2
+        |FROM r i JOIN r j ON j.user_id = i.user_id
+        |  AND i.rn - j.rn BETWEEN 0 AND 15
+        |GROUP BY i.user_id, i.event_id, i.cents, i.rn
+        |ORDER BY i.user_id, i.event_id""".stripMargin)),
+
     "q_time_ohlc" -> ((
       (s: SparkSession, d: String) => {
         val grain = Window.partitionBy("user_id", "hour")

@@ -241,6 +241,9 @@ object SoakX10 {
     // PIT join: one union-window pass — state per user is one carried
     // version, never a version x fact product.
     "q_join_scd2",
+    // EWMA: one user exchange + a 16-madd row-local fold — cost must
+    // track the window exchange, never a lag self-join.
+    "q_time_ewma",
     // MERGE: one full-outer SMJ — both sides scale with the data, the
     // clause projection is map-side.
     "q_merge_into",

@@ -490,6 +490,16 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(scans == 1, s"events scans=$scans\n$p")
   }
 
+  test("q_time_ewma rides ONE user exchange; the fold is row-local") {
+    // One hash exchange (the user-series window); the power-of-two
+    // fold must be a projection over the collected frame, never a
+    // join or a second shuffle.
+    val p = planOf("q_time_ewma")
+    assert(!p.contains("Join"), p)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"hash exchanges=$hashEx\n$p")
+  }
+
   test("q_embed_pca projection pass is map-only with literal eigenvectors") {
     // Training (Gram + Jacobi) happens before the returned plan; what
     // comes back is ONE projected scan — eigenvectors as literals
