@@ -108,16 +108,25 @@ case class KMeansAssignExpr(child: Expression, cents: Array[Array[Long]])
 
   override protected def nullSafeEval(a: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
+    // Copy the vector ONCE: the k×dim inner loop then runs over plain
+    // long[] (JIT-vectorizable) instead of paying an ArrayData.getLong
+    // per element per centroid — at derived k that accessor cost
+    // dominated the whole pass (measured ~15 s for one 200k-row
+    // assignment at k=800 before this).
+    val nv = xs.numElements()
+    val vv = new Array[Long](nv)
+    var vi = 0
+    while (vi < nv) { vv(vi) = xs.getLong(vi); vi += 1 }
     var best = Long.MaxValue
     var bi = 0
     var c = 0
     while (c < cents.length) {
       val cc = cents(c)
       var d = 0L
-      val n = math.min(xs.numElements(), cc.length)
+      val n = math.min(nv, cc.length)
       var i = 0
       while (i < n) {
-        val t = xs.getLong(i) - cc(i)
+        val t = vv(i) - cc(i)
         d += t * t
         i += 1
       }
@@ -139,15 +148,21 @@ case class KMeansAssignExpr(child: Expression, cents: Array[Array[Long]])
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val t = ctx.freshName("t")
+      val nv = ctx.freshName("nv")
+      val vv = ctx.freshName("vv")
+      val vi = ctx.freshName("vi")
       s"""
+         |int $nv = $a.numElements();
+         |long[] $vv = new long[$nv];
+         |for (int $vi = 0; $vi < $nv; $vi++) $vv[$vi] = $a.getLong($vi);
          |long $best = java.lang.Long.MAX_VALUE;
          |int $bi = 0;
          |for (int $c = 0; $c < $cRef.length; $c++) {
          |  long[] $cc = $cRef[$c];
          |  long $d = 0L;
-         |  int $n = java.lang.Math.min($a.numElements(), $cc.length);
+         |  int $n = java.lang.Math.min($nv, $cc.length);
          |  for (int $i = 0; $i < $n; $i++) {
-         |    long $t = $a.getLong($i) - $cc[$i];
+         |    long $t = $vv[$i] - $cc[$i];
          |    $d += $t * $t;
          |  }
          |  if ($d < $best) { $best = $d; $bi = $c; }
@@ -194,16 +209,25 @@ case class KMeansAssignBcastExpr(child: Expression,
 
   override protected def nullSafeEval(a: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
+    // Copy the vector ONCE: the k×dim inner loop then runs over plain
+    // long[] (JIT-vectorizable) instead of paying an ArrayData.getLong
+    // per element per centroid — at derived k that accessor cost
+    // dominated the whole pass (measured ~15 s for one 200k-row
+    // assignment at k=800 before this).
+    val nv = xs.numElements()
+    val vv = new Array[Long](nv)
+    var vi = 0
+    while (vi < nv) { vv(vi) = xs.getLong(vi); vi += 1 }
     var best = Long.MaxValue
     var bi = 0
     var c = 0
     while (c < cents.length) {
       val cc = cents(c)
       var d = 0L
-      val n = math.min(xs.numElements(), cc.length)
+      val n = math.min(nv, cc.length)
       var i = 0
       while (i < n) {
-        val t = xs.getLong(i) - cc(i)
+        val t = vv(i) - cc(i)
         d += t * t
         i += 1
       }
@@ -229,15 +253,21 @@ case class KMeansAssignBcastExpr(child: Expression,
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val t = ctx.freshName("t")
+      val nv = ctx.freshName("nv")
+      val vv = ctx.freshName("vv")
+      val vi = ctx.freshName("vi")
       s"""
+         |int $nv = $a.numElements();
+         |long[] $vv = new long[$nv];
+         |for (int $vi = 0; $vi < $nv; $vi++) $vv[$vi] = $a.getLong($vi);
          |long $best = java.lang.Long.MAX_VALUE;
          |int $bi = 0;
          |for (int $c = 0; $c < $mat.length; $c++) {
          |  long[] $cc = $mat[$c];
          |  long $d = 0L;
-         |  int $n = java.lang.Math.min($a.numElements(), $cc.length);
+         |  int $n = java.lang.Math.min($nv, $cc.length);
          |  for (int $i = 0; $i < $n; $i++) {
-         |    long $t = $a.getLong($i) - $cc[$i];
+         |    long $t = $vv[$i] - $cc[$i];
          |    $d += $t * $t;
          |  }
          |  if ($d < $best) { $best = $d; $bi = $c; }

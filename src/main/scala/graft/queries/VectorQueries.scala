@@ -826,7 +826,10 @@ object VectorQueries {
     s"""WITH q AS (SELECT vec_id, list_transform(embedding,
        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
        |  FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, v FROM q WHERE vec_id < $KmK),
+       |c0 AS (SELECT CAST(rn - 1 AS BIGINT) AS cid, v FROM (
+       |    SELECT v, row_number() OVER (ORDER BY
+       |      sha256('kmtrain:' || CAST(vec_id AS VARCHAR)), vec_id)
+       |      AS rn FROM q) WHERE rn <= $KmK),
        |${(1 to KmIters).map(iter).mkString(",\n")},
        |${assign(KmIters + 1, s"c$KmIters")}
        |SELECT vec_id, CAST(cid AS INT) AS cid, CAST(d AS BIGINT) AS dist
@@ -865,11 +868,20 @@ object VectorQueries {
     val dir = s"${graft.Tables.scratchRoot}/graft_kmcent_${graft.Tables.dirTag(d)}"
     val fp = graft.Tables.sourceFingerprint(
       Seq(java.nio.file.Paths.get(d, "embeddings.parquet")),
-      s"kmcent_v2:k$k:i$KmIters")
+      s"kmcent_v3:k$k:i$KmIters")
     graft.Tables.ensureDerived(dir, fp) {
       val e = qvec(s, d)
-      var cents: Array[Array[Long]] = e.filter(col("vec_id") < k)
-        .orderBy("vec_id").collect()
+      // Hash-rank inits (cid = hash rank), NOT `vec_id < k`: on a
+      // corpus whose ids encode source/time an id-head init seeds
+      // every cluster inside one source — the 100x soak measured
+      // semdedup pair work 2x superlinear from exactly that (inits
+      // all in copy 0 left the other copies in giant cells). The
+      // sha256 rank is uniform, reproducible, and expressible in the
+      // oracle's c0 CTE verbatim; distributed top-k, never a sort.
+      var cents: Array[Array[Long]] = e
+        .orderBy(sha2(concat(lit("kmtrain:"),
+          col("vec_id").cast("string")), 256), col("vec_id"))
+        .limit(k).collect()
         .map(_.getSeq[Long](1).toArray)
       for (_ <- 1 to KmIters) {
         val sums = kmeansAssign(e, cents)

@@ -407,7 +407,7 @@ object SoakX10 {
   def ensureSoakDir(spark: SparkSession, baseSf: String, dir: String,
       x: Long): Unit = {
     ensureRelationalSoak(spark, baseSf, dir, x)
-    val done = java.nio.file.Paths.get(dir, "_DONE_v3")
+    val done = java.nio.file.Paths.get(dir, "_DONE_v4")
     if (java.nio.file.Files.exists(done)) return
     val docs = spark.read.parquet(s"$baseSf/documents.parquet")
     val nDocs = docs.agg(max("doc_id")).head().getLong(0) + 1
@@ -424,7 +424,14 @@ object SoakX10 {
     val copies = spark.range(x).select(col("id").as("copy"))
     val emb = spark.read.parquet(s"$baseSf/embeddings.parquet")
     val nVec = emb.agg(max("vec_id")).head().getLong(0) + 1
-    emb.crossJoin(copies)
+    // Repartition the SMALL base before the multiplying crossJoin
+    // (same rationale as scaleTable): the narrow crossJoin inherits
+    // the base's 1-2 input splits, and a 100x vector corpus written
+    // as one ~100 MB file runs every downstream map pass — including
+    // the k-means assignment — in a SINGLE task (measured: one
+    // 200k-row assignment at k=800 took 17 s singly-tasked).
+    emb.repartition(spark.sparkContext.defaultParallelism)
+      .crossJoin(copies)
       .select(
         (col("vec_id") + col("copy") * nVec).as("vec_id"),
         expr("concat(slice(embedding, cast(copy % size(embedding) as int) + 1, " +
