@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables.t
@@ -2918,6 +2918,115 @@ object ExtraQueries {
         |FROM co JOIN card ca ON ca.event_type = co.a
         |JOIN card cb ON cb.event_type = co.b
         |ORDER BY a, b""".stripMargin)),
+
+    // Table profile — the ANALYZE TABLE / data-catalog operator: per
+    // column, row count, null count, exact distinct count, and
+    // canonical-integer min/max (ids as-is, money in cents, timestamps
+    // in micros; strings profile nulls/distincts only — no collation
+    // games cross-engine), all from ONE aggregate pass over the table.
+    // The multi-column exact distincts plan through one Expand (×cols)
+    // — the honest census cost; at 100 TB a wide-table profile swaps
+    // countDistinct for approx_count_distinct at this exact seam
+    // (fixed-size HLL state per column instead of the Expand fan-out)
+    // and keeps the same output shape. The one-row aggregate explodes
+    // to column-grain rows driver-free.
+    "q_profile_table" -> ((
+      (s: SparkSession, d: String) => {
+        val cols: Seq[(String, Column)] = Seq(
+          "l_orderkey" -> col("l_orderkey"),
+          "l_partkey" -> col("l_partkey"),
+          "l_suppkey" -> col("l_suppkey"),
+          "l_linenumber" -> col("l_linenumber").cast("long"),
+          "l_quantity" -> expr("CAST(round(l_quantity * 100) AS BIGINT)"),
+          "l_extendedprice" ->
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
+          "l_discount" -> expr("CAST(round(l_discount * 100) AS BIGINT)"),
+          "l_tax" -> expr("CAST(round(l_tax * 100) AS BIGINT)"),
+          "l_shipdate" -> expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))"))
+        val strCols = Seq("l_returnflag", "l_linestatus")
+        val aggs = cols.flatMap { case (nm, c) => Seq(
+          count(c).as(s"nn_$nm"), countDistinct(c).as(s"nd_$nm"),
+          min(c).as(s"mn_$nm"), max(c).as(s"mx_$nm"))
+        } ++ strCols.flatMap { nm => Seq(
+          count(col(nm)).as(s"nn_$nm"), countDistinct(col(nm)).as(s"nd_$nm"))
+        } :+ count(lit(1)).as("n_rows")
+        val one = t(s, d, "lineitem").agg(aggs.head, aggs.tail: _*)
+        val entriesCol = array(
+          (cols.map { case (nm, _) =>
+            struct(lit(nm).as("col_name"),
+              (col("n_rows") - col(s"nn_$nm")).as("n_null"),
+              col(s"nd_$nm").as("n_distinct"),
+              col(s"mn_$nm").as("min_v"), col(s"mx_$nm").as("max_v"))
+          } ++ strCols.map { nm =>
+            struct(lit(nm).as("col_name"),
+              (col("n_rows") - col(s"nn_$nm")).as("n_null"),
+              col(s"nd_$nm").as("n_distinct"),
+              lit(null).cast("long").as("min_v"),
+              lit(null).cast("long").as("max_v"))
+          }): _*)
+        one.select(col("n_rows"), explode(entriesCol).as("e"))
+          .select(col("e.col_name"), col("n_rows"), col("e.n_null"),
+            col("e.n_distinct"), col("e.min_v"), col("e.max_v"))
+          .orderBy("col_name")
+      },
+      """WITH l AS (SELECT l_orderkey, l_partkey, l_suppkey,
+        |    CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS l_quantity,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS l_extendedprice,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS l_discount,
+        |    CAST(round(l_tax * 100) AS BIGINT) AS l_tax,
+        |    epoch_us(CAST(l_shipdate AS TIMESTAMP)) AS l_shipdate,
+        |    l_returnflag, l_linestatus
+        |  FROM lineitem),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM l)
+        |SELECT p.col_name, n.n_rows, p.n_null, p.n_distinct,
+        |       p.min_v, p.max_v
+        |FROM n, (
+        |  SELECT 'l_orderkey' AS col_name,
+        |    CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_null,
+        |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+        |    min(l_orderkey) AS min_v, max(l_orderkey) AS max_v FROM l
+        |  UNION ALL SELECT 'l_partkey',
+        |    CAST(count(*) - count(l_partkey) AS BIGINT),
+        |    CAST(count(DISTINCT l_partkey) AS BIGINT),
+        |    min(l_partkey), max(l_partkey) FROM l
+        |  UNION ALL SELECT 'l_suppkey',
+        |    CAST(count(*) - count(l_suppkey) AS BIGINT),
+        |    CAST(count(DISTINCT l_suppkey) AS BIGINT),
+        |    min(l_suppkey), max(l_suppkey) FROM l
+        |  UNION ALL SELECT 'l_linenumber',
+        |    CAST(count(*) - count(l_linenumber) AS BIGINT),
+        |    CAST(count(DISTINCT l_linenumber) AS BIGINT),
+        |    min(l_linenumber), max(l_linenumber) FROM l
+        |  UNION ALL SELECT 'l_quantity',
+        |    CAST(count(*) - count(l_quantity) AS BIGINT),
+        |    CAST(count(DISTINCT l_quantity) AS BIGINT),
+        |    min(l_quantity), max(l_quantity) FROM l
+        |  UNION ALL SELECT 'l_extendedprice',
+        |    CAST(count(*) - count(l_extendedprice) AS BIGINT),
+        |    CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+        |    min(l_extendedprice), max(l_extendedprice) FROM l
+        |  UNION ALL SELECT 'l_discount',
+        |    CAST(count(*) - count(l_discount) AS BIGINT),
+        |    CAST(count(DISTINCT l_discount) AS BIGINT),
+        |    min(l_discount), max(l_discount) FROM l
+        |  UNION ALL SELECT 'l_tax',
+        |    CAST(count(*) - count(l_tax) AS BIGINT),
+        |    CAST(count(DISTINCT l_tax) AS BIGINT),
+        |    min(l_tax), max(l_tax) FROM l
+        |  UNION ALL SELECT 'l_shipdate',
+        |    CAST(count(*) - count(l_shipdate) AS BIGINT),
+        |    CAST(count(DISTINCT l_shipdate) AS BIGINT),
+        |    min(l_shipdate), max(l_shipdate) FROM l
+        |  UNION ALL SELECT 'l_returnflag',
+        |    CAST(count(*) - count(l_returnflag) AS BIGINT),
+        |    CAST(count(DISTINCT l_returnflag) AS BIGINT),
+        |    NULL, NULL FROM l
+        |  UNION ALL SELECT 'l_linestatus',
+        |    CAST(count(*) - count(l_linestatus) AS BIGINT),
+        |    CAST(count(DISTINCT l_linestatus) AS BIGINT),
+        |    NULL, NULL FROM l) p
+        |ORDER BY col_name""".stripMargin)),
 
     // Join-key skew census — the diagnostic that decides between the
     // repo's own join strategies (broadcast / salted / AQE skew

@@ -210,6 +210,10 @@ object SoakX10 {
     "q_text_entropy",
     // Gopher rules: row-local integer predicates — cost = scan.
     "q_text_gopher",
+    // Table profile: one scan through a xcols Expand; exchanges are
+    // (column, value)-domain-sized for the distincts, O(cols) for the
+    // extrema — per-row cost must stay flat.
+    "q_profile_table",
     // Fuzzy join: probes scale with the parts (every 40th), catalog
     // variants explode by name length — the variant equi-join must
     // track candidate pairs, never the cross product.

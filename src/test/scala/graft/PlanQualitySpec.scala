@@ -490,6 +490,17 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(scans == 1, s"events scans=$scans\n$p")
   }
 
+  test("q_profile_table is ONE aggregate pass: one scan, one Expand, no join") {
+    // The whole-table profile must come from a single pass — a
+    // per-column UNION of aggregates (the naive ANALYZE) scans the
+    // table once per column.
+    val p = planOf("q_profile_table")
+    assert(!p.contains("Join"), p)
+    val scans = "lineitem\\.parquet".r.findAllIn(p).size
+    assert(scans == 1, s"lineitem scans=$scans\n$p")
+    assert("Expand".r.findAllIn(p).size <= 2, p) // multi-distinct Expand
+  }
+
   test("q_time_ewma rides ONE user exchange; the fold is row-local") {
     // One hash exchange (the user-series window); the power-of-two
     // fold must be a projection over the collected frame, never a
