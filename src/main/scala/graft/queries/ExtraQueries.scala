@@ -68,6 +68,94 @@ object ExtraQueries {
         expr("kll_quantile(sk, 90)").as("est90"))
   }
 
+  /** KMV sketch width shared by q_agg_theta_overlap and its streaming
+    * twin q_stream_theta. */
+  private[graft] val ThetaK = 256
+
+  /** k smallest DISTINCT hashes per segment from a (event_type, h)
+    * relation (compiles to WindowGroupLimit — each partition pre-prunes
+    * to its k smallest BEFORE the exchange), kept as one sorted array
+    * per segment plus m (< k ⟺ the summary IS the whole set — exact).
+    * KMV summaries are MERGEABLE as pure set functions: the k-mins of
+    * a union equal the k-mins of the unioned k-min sets, so per-batch
+    * partials fold to exactly the batch-gate summary. */
+  private[graft] def thetaKmv(su: DataFrame, k: Int): DataFrame = {
+    val wr = Window.partitionBy("event_type").orderBy("h")
+    su.withColumn("rn", row_number().over(wr))
+      .filter(col("rn") <= k)
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(col("h"))).as("mins"),
+        count(lit(1)).as("m"))
+  }
+
+  /** Pair estimator + exact audit shared by the batch and streaming
+    * theta gates: θ = smaller k-th min as a hash-space fraction,
+    * |A∩B| ≈ |shared mins < θ|/f (Beyer et al. 2007), joined against
+    * the exact q_audience_overlap sides and emitted as 3σ bound
+    * booleans (σ ≈ |A∪B|/√k). */
+  private[graft] def thetaAudit(s: SparkSession, d: String,
+      kmv: DataFrame, k: Int): DataFrame = {
+    val pairs = kmv.select(col("event_type").as("a"),
+        col("mins").as("ma"), col("m").as("cnt_a"))
+      .join(broadcast(kmv.select(col("event_type").as("b"),
+        col("mins").as("mb"), col("m").as("cnt_b"))),
+        col("a") < col("b"))
+      .withColumn("theta",
+        least(element_at(col("ma"), -1), element_at(col("mb"), -1)))
+      .withColumn("f",
+        (col("theta").cast("double") - lit(Long.MinValue.toDouble)) /
+          lit(math.pow(2.0, 64)))
+      .withColumn("shared", expr(
+        "size(filter(array_intersect(ma, mb), x -> x <= theta))"))
+      .withColumn("inter_est",
+        when(col("cnt_a") < k && col("cnt_b") < k,
+          col("shared").cast("double")) // both exact: est is exact
+          .otherwise(col("shared") / col("f")))
+    val sets = graft.Tables.events(s, d)
+      .select(col("user_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+      .localCheckpoint()
+    val co = sets.select(explode(expr(
+      """flatten(transform(ts, (x, i) ->
+        |  transform(slice(ts, i + 2, size(ts)),
+        |    y -> named_struct('a', x, 'b', y))))""".stripMargin))
+      .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_both"))
+    val card = sets.select(explode(col("ts")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+    co
+      .join(broadcast(card.select(col("t").as("a"), col("n").as("n_a"))), "a")
+      .join(broadcast(card.select(col("t").as("b"), col("n").as("n_b"))), "b")
+      .join(broadcast(pairs.select(col("a"), col("b"),
+        col("inter_est"))), Seq("a", "b"))
+      .select(col("a"), col("b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        (abs(col("inter_est") - col("n_both")) * lit(16.0) <=
+          greatest(lit(256.0),
+            (col("n_a") + col("n_b") - col("n_both")) * lit(3.0)))
+          .as("inter_in_bound"))
+      .orderBy("a", "b")
+  }
+
+  /** Shared oracle of q_agg_theta_overlap and q_stream_theta: exact
+    * counts the sketch path must stay within bound of. */
+  private[graft] val ThetaOverlapOracle: String =
+    """WITH su AS (SELECT DISTINCT event_type, user_id FROM events),
+      |card AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      |         FROM su GROUP BY 1),
+      |co AS (SELECT x.event_type AS a, y.event_type AS b,
+      |    CAST(count(*) AS BIGINT) AS n_both
+      |  FROM su x JOIN su y ON x.user_id = y.user_id
+      |   AND x.event_type < y.event_type
+      |  GROUP BY 1, 2)
+      |SELECT co.a, co.b, ca.n AS n_a, cb.n AS n_b, co.n_both,
+      |  TRUE AS inter_in_bound
+      |FROM co JOIN card ca ON ca.event_type = co.a
+      |JOIN card cb ON cb.event_type = co.b
+      |ORDER BY a, b""".stripMargin
+
   /** The KLL rank-audit pass shared by q_agg_kll_rollup and its
     * streaming twin q_stream_kll: join the (tiny) weekly estimate
     * frame back onto the log, count strictly-below/at-or-below ranks,
@@ -2845,79 +2933,12 @@ object ExtraQueries {
     // q_agg_approx_quantile discipline.
     "q_agg_theta_overlap" -> ((
       (s: SparkSession, d: String) => {
-        val k = 256
         val su = graft.Tables.events(s, d)
           .select(col("event_type"), xxhash64(col("user_id")).as("h"))
           .distinct()
-        val wr = Window.partitionBy("event_type").orderBy("h")
-        // k smallest DISTINCT hashes per segment (WindowGroupLimit
-        // pre-prunes map-side); kept as one sorted array per segment.
-        val kmv = su.withColumn("rn", row_number().over(wr))
-          .filter(col("rn") <= k)
-          .groupBy("event_type")
-          .agg(sort_array(collect_list(col("h"))).as("mins"),
-            count(lit(1)).as("m")) // m < k ⟺ the sketch is EXACT
-        val pairs = kmv.select(col("event_type").as("a"),
-            col("mins").as("ma"), col("m").as("cnt_a"))
-          .join(broadcast(kmv.select(col("event_type").as("b"),
-            col("mins").as("mb"), col("m").as("cnt_b"))),
-            col("a") < col("b"))
-          // θ = min of the two k-th mins; hash-space fraction via the
-          // unsigned map f = (θ − MIN_LONG)/2^64, in double (exact
-          // enough: estimates carry √k-scale error anyway).
-          .withColumn("theta",
-            least(element_at(col("ma"), -1), element_at(col("mb"), -1)))
-          .withColumn("f",
-            (col("theta").cast("double") - lit(Long.MinValue.toDouble)) /
-              lit(math.pow(2.0, 64)))
-          .withColumn("shared", expr(
-            "size(filter(array_intersect(ma, mb), x -> x <= theta))"))
-          .withColumn("inter_est",
-            when(col("cnt_a") < k && col("cnt_b") < k,
-              col("shared").cast("double")) // both exact: est is exact
-              .otherwise(col("shared") / col("f")))
-        // Exact audit sides (the q_audience_overlap exchange).
-        val sets = graft.Tables.events(s, d)
-          .select(col("user_id"), col("event_type"))
-          .groupBy("user_id")
-          .agg(sort_array(collect_set(col("event_type"))).as("ts"))
-          .localCheckpoint()
-        val co = sets.select(explode(expr(
-          """flatten(transform(ts, (x, i) ->
-            |  transform(slice(ts, i + 2, size(ts)),
-            |    y -> named_struct('a', x, 'b', y))))""".stripMargin))
-          .as("p"))
-          .select(col("p.a").as("a"), col("p.b").as("b"))
-          .groupBy("a", "b").agg(count(lit(1)).as("n_both"))
-        val card = sets.select(explode(col("ts")).as("t"))
-          .groupBy("t").agg(count(lit(1)).as("n"))
-        co
-          .join(broadcast(card.select(col("t").as("a"), col("n").as("n_a"))), "a")
-          .join(broadcast(card.select(col("t").as("b"), col("n").as("n_b"))), "b")
-          .join(broadcast(pairs.select(col("a"), col("b"),
-            col("inter_est"))), Seq("a", "b"))
-          .select(col("a"), col("b"), col("n_a"), col("n_b"),
-            col("n_both"),
-            // 3σ bound, σ ≈ |A∪B|/√k; integer floor absorbs tiny sets.
-            (abs(col("inter_est") - col("n_both")) * lit(16.0) <=
-              greatest(lit(256.0),
-                (col("n_a") + col("n_b") - col("n_both")) * lit(3.0)))
-              .as("inter_in_bound"))
-          .orderBy("a", "b")
+        thetaAudit(s, d, thetaKmv(su, ThetaK), ThetaK)
       },
-      """WITH su AS (SELECT DISTINCT event_type, user_id FROM events),
-        |card AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
-        |         FROM su GROUP BY 1),
-        |co AS (SELECT x.event_type AS a, y.event_type AS b,
-        |    CAST(count(*) AS BIGINT) AS n_both
-        |  FROM su x JOIN su y ON x.user_id = y.user_id
-        |   AND x.event_type < y.event_type
-        |  GROUP BY 1, 2)
-        |SELECT co.a, co.b, ca.n AS n_a, cb.n AS n_b, co.n_both,
-        |  TRUE AS inter_in_bound
-        |FROM co JOIN card ca ON ca.event_type = co.a
-        |JOIN card cb ON cb.event_type = co.b
-        |ORDER BY a, b""".stripMargin)),
+      ThetaOverlapOracle)),
 
     // Table profile — the ANALYZE TABLE / data-catalog operator: per
     // column, row count, null count, exact distinct count, and

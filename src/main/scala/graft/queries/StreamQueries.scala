@@ -284,6 +284,23 @@ object StreamQueries {
       .write.mode("overwrite").parquet(s"$root/kll/batch=$batchId")
   }
 
+  /** One micro-batch of the streaming theta sink (q_stream_theta):
+    * fold THIS batch's (segment, id) stream to per-segment KMV k-min
+    * arrays (thetaKmv — the batch's k smallest distinct id hashes),
+    * written to a batch-id-keyed dir (idempotent overwrite, the
+    * incDedupBatch exactly-once protocol). KMV summaries are pure set
+    * functions, so the report's re-fold over unioned per-batch mins
+    * IS the batch gate's summary — estimates identical, not merely
+    * in-bound. */
+  private[graft] def thetaBatch(batch: DataFrame, root: String,
+      batchId: Long): Unit = {
+    val su = batch
+      .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+      .distinct()
+    ExtraQueries.thetaKmv(su, ExtraQueries.ThetaK)
+      .write.mode("overwrite").parquet(s"$root/kmv/batch=$batchId")
+  }
+
   /** One micro-batch of the streaming CDC compaction sink
     * (q_stream_cdc): compact THIS batch's change rows to one
     * latest-version row per entity (plus the batch's per-entity churn
@@ -867,6 +884,44 @@ object StreamQueries {
           ExtraQueries.kllRollupReport(s.read.parquet(s"$root/kll")))
       },
       ExtraQueries.KllRollupOracle)),
+
+    // Streaming theta/KMV segment overlap — q_agg_theta_overlap under
+    // continuous ingest, completing the streaming sketch matrix
+    // (dedup, heavy hitters, quantiles bounded + unbounded, and now
+    // set intersections): per-batch per-segment k-min arrays land in
+    // batch-id-keyed dirs (exactly-once overwrite), and the report
+    // re-folds the UNION of per-batch mins through the same thetaKmv —
+    // mergeable as a pure set function, so the folded summary (and
+    // every estimate) is IDENTICAL to the batch gate's, under any
+    // micro-batch split. Same exact-audit booleans, same oracle. At
+    // 100 TB each batch's exchange carries ≤ k·partitions hashes per
+    // segment and the report touches only k·batches-sized partials.
+    "q_stream_theta" -> ((
+      (s: SparkSession, d: String) => {
+        val tag = graft.Tables.dirTag(d)
+        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_src_${tag}_v$DumpVersion"
+        ensureStreamDump(d, "events", srcDir)(graft.Tables.events(s, d))
+        val root = s"${graft.Tables.scratchRoot}/graft_stheta_$tag"
+        graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        withStreamGateConfs(s) {
+          val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            Long) => Unit = (b, id) => thetaBatch(b, root, id)
+          val q = stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        val merged = ExtraQueries.thetaKmv(
+          s.read.parquet(s"$root/kmv")
+            .select(col("event_type"), explode(col("mins")).as("h"))
+            .distinct(),
+          ExtraQueries.ThetaK)
+        ExtraQueries.thetaAudit(s, d, merged, ExtraQueries.ThetaK)
+      },
+      ExtraQueries.ThetaOverlapOracle)),
 
     // Streaming heavy hitters — the sketch family (q_topk_sketch)
     // under continuous ingest: the corpus streams in as four

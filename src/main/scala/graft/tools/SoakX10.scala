@@ -382,6 +382,10 @@ object SoakX10 {
     "q_stream_assoc",
     // Pair curation: one key-equi join + digest-domain dedup — linear.
     "q_multimodal_pair",
+    // Streaming theta: per-batch KMV folds are batch-sized; the
+    // report re-folds k*batches-sized partials only (+ the exact
+    // audit's one user exchange).
+    "q_stream_theta",
     // Stopword discovery: one token-keyed count; report card: one
     // scan feeding digest- and source-domain aggregates — linear.
     "q_text_stopwords", "q_source_report")

@@ -529,6 +529,12 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q_stream_theta folds per-batch KMV partials (batch dirs in plan)") {
+    val p = planOf("q_stream_theta")
+    assert(p.contains("graft_stheta"), p)
+    assert(p.contains("WindowGroupLimit"), p) // the re-fold pre-prunes too
+  }
+
   test("q_stream_kll estimates from per-batch partials; one audit log scan") {
     // Same contract as the batch gate: weekly estimates fold the
     // batch-id-keyed KLL binaries alone; the returned plan's only

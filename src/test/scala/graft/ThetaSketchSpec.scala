@@ -47,6 +47,33 @@ class ThetaSketchSpec extends SparkSpecBase {
       f"est $est%.0f vs exact $exact%.0f (3sigma=${3 * sigma}%.0f)")
   }
 
+  test("KMV summaries are mergeable: re-folded split partials equal the whole") {
+    // The q_stream_theta contract: k-mins of a union == k-mins of the
+    // unioned per-part k-min sets — exact array equality, any split.
+    import graft.queries.ExtraQueries.{thetaKmv, ThetaK}
+    val su = graft.Tables.events(spark, dir)
+      .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+      .distinct().localCheckpoint()
+    val whole = thetaKmv(su, ThetaK).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val parts = (0 to 2).map(i =>
+      thetaKmv(su.filter(abs(col("h")) % 3 === i), ThetaK))
+    val refolded = thetaKmv(
+      parts.reduce(_.unionByName(_))
+        .select(col("event_type"), explode(col("mins")).as("h"))
+        .distinct(), ThetaK).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(refolded == whole)
+  }
+
+  test("q_stream_theta equals the batch gate row-for-row") {
+    val batch = SparkEntry.queries("q_agg_theta_overlap")(spark, dir)
+      .collect().map(_.toString).toSeq
+    val stream = SparkEntry.queries("q_stream_theta")(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(stream == batch)
+  }
+
   test("below k distinct ids the summary IS the set and the estimate exact") {
     import spark.implicits._
     val df = (0L until 100L).map(("s", _)).toDF("seg", "id")
