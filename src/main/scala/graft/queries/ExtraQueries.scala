@@ -1289,6 +1289,59 @@ object ExtraQueries {
     // by bucket — never the degenerate single-task global window
     // (plan-gated). A row heavier than the stride is emitted once
     // (sample WITHOUT multiplicity — membership, not counts).
+    // Dataset mixture sampling — the pretraining data-mixing operator
+    // (the Pile/LLaMA recipe: a TOKEN budget per source at target
+    // shares, not a row-rate): within each language, documents are
+    // taken in deterministic content-hash order (the q_sample_hash
+    // derivation — reproducible, coordination-free, unbiased on
+    // id-ordered corpora) until the lang's token budget is exhausted
+    // (whole docs; the boundary doc that would overflow is excluded).
+    // The budget is ABSOLUTE (a training budget does not grow because
+    // the corpus did), so selections stay fixed-size at any scale.
+    // Plan: ONE lang-keyed window exchange carries the running token
+    // cumsum; everything else is map-side. The greedy-prefix contract
+    // (hash order, ≤ budget) hash-verifies against the identical SQL
+    // window.
+    "q_mix_sources" -> ((
+      (s: SparkSession, d: String) => {
+        val shares = Map("en" -> 3200L, "de" -> 1600L, "es" -> 1600L,
+          "fr" -> 800L, "zh" -> 800L)
+        val budget = shares.foldLeft(lit(0L)) { case (acc, (l, b)) =>
+          when(col("lang") === l, lit(b)).otherwise(acc)
+        }
+        val w = Window.partitionBy("lang")
+          .orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("toks"),
+            sha2(concat(lit("mix:"), col("doc_id").cast("string")), 256)
+              .as("h"))
+          .withColumn("cum", sum("toks").over(w))
+          .filter(col("cum") <= budget)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
+            min("doc_id").as("first_doc"))
+          .withColumn("budget", budget)
+          .orderBy("lang")
+      },
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    sha256('mix:' || CAST(doc_id AS VARCHAR)) AS h,
+        |    CASE lang WHEN 'en' THEN 3200 WHEN 'de' THEN 1600
+        |      WHEN 'es' THEN 1600 WHEN 'fr' THEN 800
+        |      WHEN 'zh' THEN 800 ELSE 0 END AS budget
+        |  FROM documents),
+        |c AS (SELECT *, sum(toks) OVER (PARTITION BY lang
+        |    ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(any_value(budget) AS BIGINT) AS budget
+        |FROM c WHERE cum <= budget
+        |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     "q_sample_weighted" -> ((
       (s: SparkSession, d: String) => {
         val nb = math.max(1, s.sparkContext.defaultParallelism).toLong

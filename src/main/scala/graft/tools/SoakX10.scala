@@ -187,6 +187,10 @@ object SoakX10 {
     // bucket-parallel; the sample stays ~100 rows as the corpus grows
     // (constant absolute draw — the training-budget reality).
     "q_sample_weighted",
+    // Mixture sampling: one lang exchange; the ABSOLUTE token budget
+    // keeps the selection fixed-size as the corpus grows — cost must
+    // track the window exchange, never the selection.
+    "q_mix_sources",
     // FK audit: parents scale past broadcast thresholds with the
     // data; the anti-joins must flip to shuffled joins on their own
     // without losing the pushed parent filters.

@@ -490,6 +490,13 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(scans == 1, s"events scans=$scans\n$p")
   }
 
+  test("q_mix_sources rides ONE lang exchange: window + agg share it, no join") {
+    val p = planOf("q_mix_sources")
+    assert(!p.contains("Join"), p)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"hash exchanges=$hashEx\n$p")
+  }
+
   test("q_profile_table is ONE aggregate pass: one scan, one Expand, no join") {
     // The whole-table profile must come from a single pass — a
     // per-column UNION of aggregates (the naive ANALYZE) scans the
