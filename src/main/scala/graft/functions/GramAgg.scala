@@ -41,10 +41,14 @@ case class GramAgg(
     val v = child.eval(input)
     if (v != null) {
       val xs = v.asInstanceOf[ArrayData]
+      // Fail loudly on a ragged vector: silently zero-padding a short
+      // row would contribute (0-mu)-centered phantom components and
+      // corrupt the scatter matrix without any signal.
+      require(xs.numElements() == dim,
+        s"gram_agg: vector length ${xs.numElements()} != mean length $dim")
       val c = new Array[Long](dim)
       var i = 0
-      val n = math.min(dim, xs.numElements())
-      while (i < n) { c(i) = xs.getLong(i) - mu(i); i += 1 }
+      while (i < dim) { c(i) = xs.getLong(i) - mu(i); i += 1 }
       var k = 0
       i = 0
       while (i < dim) {

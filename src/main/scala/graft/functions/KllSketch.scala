@@ -34,9 +34,13 @@ import org.apache.spark.sql.types._
   * Guarantee (deterministic worst case): each level-i compaction
   * perturbs any rank by ≤ 2^i, and at most n/(k·2^i) compactions occur
   * at level i, so every rank estimate is within n·H/k of exact, with
-  * H = ceil(log2(2n/k)) levels. At k = 256 that is under n/8 for any
-  * n below 2^260 — the gate's audit bound; observed error is far
-  * tighter (pinned in EdgeCasesSpec). Estimates themselves are
+  * H = ceil(log2(2n/k)) levels. NOTE H grows with n: at k = 256 the
+  * bound stays under n/8 only while H ≤ 32, i.e. n ≲ 2^38 — beyond
+  * that the honest bound is n·H/k itself, which is exactly what the
+  * gates' audit computes (kllAudit derives H from n_events via integer
+  * bit-length, so the bound is worst-case-valid at ANY n, including
+  * the ~10^12-rows/week scale the rollup targets). Observed error is
+  * far tighter (pinned in EdgeCasesSpec). Estimates themselves are
   * merge-order-DEPENDENT (like every sketch), which is why the gate
   * hashes guarantee-derived rank-bound booleans, never raw estimates —
   * the q_agg_approx_quantile discipline.
@@ -181,7 +185,13 @@ trait KllAggLike extends TypedImperativeAggregate[KllState]
   override def nullable: Boolean = false
 }
 
-/** kll_agg(longCol, k): build a KLL summary from raw values. */
+/** kll_agg(longOrDoubleCol, k): build a KLL summary from raw values.
+  * DOUBLE measures ride the SAME long sketch through the
+  * order-preserving sortable-bits mapping ([[KllSketch.doubleToSortableLong]]):
+  * rank structure is preserved exactly, so every guarantee and every
+  * merge law holds unchanged — read estimates back with
+  * kll_quantile_dbl. Long inputs are stored as-is (existing long
+  * gates byte-identical). */
 case class KllAgg(
     child: Expression,
     k: Int,
@@ -191,9 +201,17 @@ case class KllAgg(
 
   require(k >= 8, s"kll_agg needs k >= 8, got $k")
 
+  private lazy val toLong: Any => Long = child.dataType match {
+    case DoubleType =>
+      v => KllSketch.doubleToSortableLong(v.asInstanceOf[Double])
+    case LongType => _.asInstanceOf[Long]
+    case other =>
+      sys.error(s"kll_agg needs a BIGINT or DOUBLE column, got $other")
+  }
+
   override def update(buf: KllState, input: InternalRow): KllState = {
     val v = child.eval(input)
-    if (v != null) buf.add(v.asInstanceOf[Long])
+    if (v != null) buf.add(toLong(v))
     buf
   }
 
@@ -252,13 +270,55 @@ case class KllQuantile(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** kll_quantile_dbl(sketch, pPct): percentile read for a sketch built
+  * from a DOUBLE column — same rank walk, then the sortable-bits
+  * inverse mapping back to the original double value. */
+case class KllQuantileDbl(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "kll_quantile_dbl"
+
+  override protected def nullSafeEval(sk: Any, p: Any): Any =
+    KllSketch.sortableLongToDouble(
+      KllState.deserialize(sk.asInstanceOf[Array[Byte]])
+        .quantile(p.asInstanceOf[Int]))
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KllQuantileDbl =
+    copy(left = newLeft, right = newRight)
+}
+
 object KllSketch {
+  /** Order-preserving DOUBLE→BIGINT bijection (the parquet/ORC
+    * sortable-bits trick): positives keep their IEEE bits (already
+    * ordered), negatives flip their magnitude bits so larger-magnitude
+    * negatives sort lower, sign bit preserved — x < y ⟺ f(x) < f(y)
+    * under SIGNED long comparison (-0.0 < +0.0; NaN canonicalizes
+    * above +Inf). The mask formula is an involution, so the same
+    * expression inverts it. */
+  def doubleToSortableLong(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(d)
+    b ^ ((b >> 63) & 0x7fffffffffffffffL)
+  }
+
+  def sortableLongToDouble(l: Long): Double =
+    java.lang.Double.longBitsToDouble(l ^ ((l >> 63) & 0x7fffffffffffffffL))
+
   /** Register kll_agg(col, k) / kll_merge(sketches, k) /
-    * kll_quantile(sketch, pPct). k and pPct must be int literals. */
+    * kll_quantile(sketch, pPct) / kll_quantile_dbl(sketch, pPct).
+    * k and pPct must be int literals — validated HERE at registration
+    * for all four (a mistyped p used to surface as an eval-time
+    * ClassCastException). */
   def register(spark: SparkSession): Unit = {
     def lit(e: Expression): Int = e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
       case other => sys.error(s"kll k/p must be an int literal, got $other")
+    }
+    def pLit(e: Expression): Expression = {
+      val p = lit(e)
+      require(p >= 0 && p <= 100, s"kll percentile must be 0..100, got $p")
+      e
     }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kll_agg", exprs => KllAgg(exprs.head, lit(exprs(1))), "built-in")
@@ -266,7 +326,10 @@ object KllSketch {
       "kll_merge", exprs => KllMergeAgg(exprs.head, lit(exprs(1))),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "kll_quantile", exprs => KllQuantile(exprs.head, exprs(1)),
+      "kll_quantile", exprs => KllQuantile(exprs.head, pLit(exprs(1))),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kll_quantile_dbl", exprs => KllQuantileDbl(exprs.head, pLit(exprs(1))),
       "built-in")
   }
 }

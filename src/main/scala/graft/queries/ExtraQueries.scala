@@ -159,9 +159,14 @@ object ExtraQueries {
   /** The KLL rank-audit pass shared by q_agg_kll_rollup and its
     * streaming twin q_stream_kll: join the (tiny) weekly estimate
     * frame back onto the log, count strictly-below/at-or-below ranks,
-    * and emit the guarantee booleans (err = n div 8 + 16 ≥ the
-    * deterministic compactor's worst case at k=256 — KllSketch
-    * scaladoc). Broadcast probe: map-side at 100 TB. */
+    * and emit the guarantee booleans. err is the compactor's TRUE
+    * worst case n·H/k at k=256 (KllSketch scaladoc), with the level
+    * count H = ceil(log2(2n/k)) derived from n_events in pure integer
+    * arithmetic (bit-length via bin()), +16 slop for the sub-compaction
+    * tail — valid at ANY n, unlike the previous n div 8 shortcut which
+    * silently under-bounds past n ≈ 2^38 (at fixture scale H ≈ 6 so
+    * this is also a TIGHTER gate). Broadcast probe: map-side at
+    * 100 TB. */
   private[graft] def kllAudit(ev: DataFrame, report: DataFrame): DataFrame = {
     def ltc(c: String) =
       sum(when(col("cents") < col(c), 1L).otherwise(0L))
@@ -169,7 +174,13 @@ object ExtraQueries {
       sum(when(col("cents") <= col(c), 1L).otherwise(0L))
     def okc(p: Int, lt: String, le: String) = {
       val target = expr(s"n_events * $p div 100")
-      val err = expr("n_events div 8 + 16")
+      // H = ceil(log2(ceil(2n/256))), clamped to >= 1: bit_length(y-1)
+      // counts ceil(log2(y)) exactly for y >= 2.
+      val err = expr(
+        """n_events *
+          |  (CASE WHEN (2 * n_events + 255) div 256 <= 2 THEN 1
+          |        ELSE length(bin((2 * n_events + 255) div 256 - 1))
+          |   END) div 256 + 16""".stripMargin)
       (col(lt) <= target + err) && (col(le) >= target - err)
     }
     ev.withColumn("week", expr("day div 7"))
@@ -704,12 +715,13 @@ object ExtraQueries {
     // like every sketch, so the gate hashes the GUARANTEE, not the
     // estimate: one audit pass counts rows strictly-below/at-or-below
     // each weekly estimate and checks the rank interval intersects
-    // [p·n − err, p·n + err] with err = n div 8 + 16 — the
-    // deterministic compactor's worst case n·H/k stays under n/8 for
-    // k=256 at any feasible n (KllSketch scaladoc), so the booleans
-    // are TRUE under every merge order; observed error is pinned far
-    // tighter in EdgeCasesSpec. The audit join is a 2-row broadcast
-    // back onto the log — map-side at 100 TB.
+    // [p·n − err, p·n + err] with err = n·H/256 + 16 — the
+    // deterministic compactor's worst case with H derived from
+    // n_events in integer arithmetic (kllAudit), valid at ANY n
+    // (KllSketch scaladoc), so the booleans are TRUE under every
+    // merge order; observed error is pinned far tighter in
+    // EdgeCasesSpec. The audit join is a 2-row broadcast back onto
+    // the log — map-side at 100 TB.
     "q_agg_kll_rollup" -> ((
       (s: SparkSession, d: String) => {
         graft.functions.KllSketch.register(s)

@@ -112,8 +112,10 @@ object SnapshotSwap {
     def breakIfAbandoned(p: String, ttlMs: Long): Unit
     def unlock(p: String): Unit
     def stage(df: DataFrame, dir: String): Unit
-    /** Last-modified millis of a path (0 if unreadable) — the orphan
-      * scan's grace-period input. */
+    /** Last-modified millis of a path — the orphan scan's grace-period
+      * input. Unreadable paths report Long.MaxValue (treated as
+      * brand-new, hence RETAINED): a stat failure must never age a
+      * possibly-live staging dir into deletion. */
     def mtimeMs(p: String): Long
   }
 

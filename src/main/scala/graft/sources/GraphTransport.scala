@@ -67,8 +67,13 @@ final class HttpGraphTransport(baseUrl: String, graph: String,
     // Fresh dir per (graph, search): a retried search must not mix its
     // chunks with a previous attempt's — fetchToSpool wipes it first,
     // which is what makes the retry idempotent.
-    val spool = Paths.get(spoolDir,
-      s"envelopes_${Integer.toHexString((graph, expr).hashCode)}")
+    // sha256, not hashCode: the fetch WIPES this dir first, so a
+    // 32-bit collision between two different (graph, search) pairs
+    // sharing a spool root would cross-wipe under concurrent use.
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$graph|$expr".getBytes("UTF-8"))
+      .take(16).map("%02x".format(_)).mkString
+    val spool = Paths.get(spoolDir, s"envelopes_$digest")
     var attempt = 0
     var done = false
     while (!done) {

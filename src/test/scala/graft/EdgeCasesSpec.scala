@@ -128,6 +128,46 @@ class EdgeCasesSpec extends SparkSpecBase {
     }
   }
 
+  test("KLL covers DOUBLE measures via the sortable-bits mapping") {
+    import graft.functions.KllSketch._
+    // The mapping is an order-preserving involution on mixed signs.
+    val probes = Seq(-1.0e300, -42.5, -1.0e-300, -0.0, 0.0, 1.0e-300,
+      3.14, 7.0e250, Double.MinValue, Double.MaxValue,
+      Double.NegativeInfinity, Double.PositiveInfinity)
+    for (a <- probes; b <- probes) {
+      assert(sortableLongToDouble(doubleToSortableLong(a)) == a ||
+        (a == 0.0 && sortableLongToDouble(doubleToSortableLong(a)) == 0.0))
+      if (a < b)
+        assert(doubleToSortableLong(a) < doubleToSortableLong(b),
+          s"order broken: $a vs $b")
+    }
+    // Rank bound holds end-to-end on a mixed-sign double fixture
+    // through the SQL surface (kll_agg on DOUBLE + kll_quantile_dbl).
+    graft.functions.KllSketch.register(spark)
+    val rnd = new scala.util.Random(11)
+    val n = 20000
+    val xs = Array.fill(n)(
+      (if (rnd.nextBoolean()) -1.0 else 1.0) * math.exp(rnd.nextGaussian() * 40.0))
+    import spark.implicits._
+    val est = xs.toSeq.toDF("x")
+      .agg(org.apache.spark.sql.functions.expr("kll_agg(x, 256)").as("sk"))
+      .select(
+        org.apache.spark.sql.functions.expr("kll_quantile_dbl(sk, 10)").as("e10"),
+        org.apache.spark.sql.functions.expr("kll_quantile_dbl(sk, 50)").as("e50"),
+        org.apache.spark.sql.functions.expr("kll_quantile_dbl(sk, 90)").as("e90"))
+      .collect().head
+    val sorted = xs.sorted
+    val h = math.ceil(math.log(2.0 * n / 256) / math.log(2.0)).toInt
+    val bound = n.toLong * h / 256 + 16L
+    Seq(10 -> est.getDouble(0), 50 -> est.getDouble(1),
+      90 -> est.getDouble(2)).foreach { case (p, e) =>
+      val lt = sorted.count(_ < e); val le = sorted.count(_ <= e)
+      val target = (n.toLong * p + 99L) / 100L
+      assert(lt <= target + bound && le >= target - bound,
+        s"double p=$p: rank [$lt,$le] vs target $target ± $bound")
+    }
+  }
+
   test("q_agg_kll_rollup booleans hold at another sf") {
     val rows = SparkEntry.queries("q_agg_kll_rollup")(
       spark, "/root/testdata/sf0.001").collect()
