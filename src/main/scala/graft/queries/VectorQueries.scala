@@ -713,28 +713,43 @@ object VectorQueries {
     * exchange — the corpus streams through one codegen stage per
     * round (plan-gated). */
   private[graft] def kmeansAssign(e: DataFrame,
-      cents: Array[Array[Long]]): DataFrame = {
+      cents: Array[Array[Long]]): DataFrame =
+    kmeansAssignWithHandle(e, cents)._1
+
+  /** kmeansAssign plus the TorrentBroadcast handle when the broadcast
+    * regime was taken (None in the literal regime), so callers that
+    * OWN the action boundary — the Lloyd training loop collects each
+    * round — can `destroy()` the k×dim matrix instead of leaking
+    * KmIters+1 broadcasts (~32 MB each at KmMaxK) per training run.
+    * Callers returning a lazy DataFrame (the gates) keep the handle
+    * alive through the expression tree; with no session-global
+    * registry reference anymore, ContextCleaner reclaims it when the
+    * plan is collected. */
+  private[graft] def kmeansAssignWithHandle(e: DataFrame,
+      cents: Array[Array[Long]]): (DataFrame,
+        Option[org.apache.spark.broadcast.Broadcast[Array[Array[Long]]]]) = {
     val s = e.sparkSession
     VectorFunctions.register(s)
-    val assign =
+    val (assign, handle) =
       if (cents.length <= KmLiteralMax)
-        call_function("km_assign", col("v"),
-          typedlit(cents.map(_.toSeq).toSeq))
+        (call_function("km_assign", col("v"),
+          typedlit(cents.map(_.toSeq).toSeq)), None)
       else {
         // Past the literal regime the matrix ships as a broadcast —
         // once per executor, not once per task binary (KmMaxK
-        // scaladoc). Builder registered per call so the closure
-        // captures THIS broadcast; gates run sequentially.
+        // scaladoc). The expression wraps THIS broadcast directly via
+        // ColumnBridge — no session-global registry mutation, so two
+        // concurrent queries each ride their own matrix
+        // (KmeansSpec pins this).
         val bc = s.sparkContext.broadcast(cents)
-        s.sessionState.functionRegistry.createOrReplaceTempFunction(
-          "km_assign_bc",
-          exprs => graft.functions.KMeansAssignBcastExpr(exprs.head, bc),
-          "built-in")
-        call_function("km_assign_bc", col("v"))
+        (org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.KMeansAssignBcastExpr(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("v")),
+            bc)), Some(bc))
       }
-    e.withColumn("__a", assign)
+    (e.withColumn("__a", assign)
       .select(col("vec_id"), col("v"),
-        col("__a.cid").as("cid"), col("__a.dist").as("dist"))
+        col("__a.cid").as("cid"), col("__a.dist").as("dist")), handle)
   }
 
   /** Cyclic Jacobi eigensolver for a small dense symmetric matrix —
@@ -884,11 +899,15 @@ object VectorQueries {
         .limit(k).collect()
         .map(_.getSeq[Long](1).toArray)
       for (_ <- 1 to KmIters) {
-        val sums = kmeansAssign(e, cents)
+        val (assigned, bcHandle) = kmeansAssignWithHandle(e, cents)
+        val sums = assigned
           .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy("cid", "pos")
           .agg(sum("x").as("sx"), count(lit(1)).as("n"))
           .collect()
+        // The collect IS this round's action boundary: reclaim the
+        // k×dim broadcast now instead of accumulating KmIters of them.
+        bcHandle.foreach(_.destroy())
         val byCid = sums.groupBy(_.getInt(0))
         cents = Array.tabulate(k) { c =>
           byCid.get(c) match {

@@ -76,6 +76,44 @@ class KmeansSpec extends SparkSpecBase {
     assert(viaLiteral == viaBcast)
   }
 
+  test("two concurrent broadcast-path queries keep their own matrices") {
+    // The old registry-mutating registration bound km_assign_bc
+    // session-globally: building query B would silently REBIND the
+    // name under an un-collected query A, so A assigned against B's
+    // matrix. The ColumnBridge construction scopes the broadcast to
+    // the expression tree — build both plans FIRST, collect after,
+    // which is exactly the interleaving that raced before.
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val dim = 4
+    val rnd = new scala.util.Random(17)
+    val k = graft.queries.VectorQueries.KmLiteralMax + 1
+    // Two DISJOINT matrices: A's centroids live at +10000, B's at
+    // -10000, so an assignment against the wrong matrix flips every
+    // distance by ~dim*(2e4)^2 and the asserts below catch it.
+    val centsA = Array.tabulate(k)(c =>
+      Array.fill(dim)(10000L + rnd.nextInt(100)))
+    val centsB = Array.tabulate(k)(c =>
+      Array.fill(dim)(-10000L - rnd.nextInt(100)))
+    val e = (0L until 200L)
+      .map(i => (i, Seq.fill(dim)(rnd.nextInt(201) - 100L)))
+      .toDF("vec_id", "v")
+    def brute(cents: Array[Array[Long]]): Seq[(Long, Long)] =
+      e.collect().map { r =>
+        val v = r.getSeq[Long](1)
+        (r.getLong(0), cents.map(c =>
+          v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum).min)
+      }.toSeq.sortBy(_._1)
+    val qA = graft.queries.VectorQueries.kmeansAssign(e, centsA)
+    val qB = graft.queries.VectorQueries.kmeansAssign(e, centsB) // rebind point
+    val gotA = qA.select("vec_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val gotB = qB.select("vec_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(gotA == brute(centsA), "query A saw query B's matrix")
+    assert(gotB == brute(centsB))
+  }
+
   test("q_embed_kmeans is deterministic and covers the corpus") {
     val d = "/root/testdata/sf0.001"
     val a = SparkEntry.queries("q_embed_kmeans")(spark, d).collect()
