@@ -214,6 +214,128 @@ object ExtraQueries {
       |FROM e WHERE cents IS NOT NULL
       |GROUP BY 1 ORDER BY week""".stripMargin
 
+  /** The table-profile plan shared by q_profile_table (exact census)
+    * and q_profile_approx (the 100-TB HLL seam): identical canonical
+    * columns, identical output shape — the ONLY difference is the
+    * distinct aggregate, countDistinct (multi-distinct Expand ×cols,
+    * the honest exact price) vs approx_count_distinct at 2% rsd (no
+    * Expand; fixed HLL bytes per column through the exchange). One
+    * aggregate pass either way; the one-row result explodes to
+    * column-grain rows driver-free. */
+  private[graft] def profilePlan(s: SparkSession, d: String,
+      exact: Boolean): DataFrame = {
+    val cols: Seq[(String, Column)] = Seq(
+      "l_orderkey" -> col("l_orderkey"),
+      "l_partkey" -> col("l_partkey"),
+      "l_suppkey" -> col("l_suppkey"),
+      "l_linenumber" -> col("l_linenumber").cast("long"),
+      "l_quantity" -> expr("CAST(round(l_quantity * 100) AS BIGINT)"),
+      "l_extendedprice" ->
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
+      "l_discount" -> expr("CAST(round(l_discount * 100) AS BIGINT)"),
+      "l_tax" -> expr("CAST(round(l_tax * 100) AS BIGINT)"),
+      "l_shipdate" -> expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))"))
+    val strCols = Seq("l_returnflag", "l_linestatus")
+    def nd(c: Column): Column =
+      if (exact) countDistinct(c) else approx_count_distinct(c, 0.02)
+    val aggs = cols.map(_._1).flatMap { nm => Seq(
+      count(col(nm)).as(s"nn_$nm"), nd(col(nm)).as(s"nd_$nm"),
+      min(col(nm)).as(s"mn_$nm"), max(col(nm)).as(s"mx_$nm"))
+    } ++ strCols.flatMap { nm => Seq(
+      count(col(nm)).as(s"nn_$nm"), nd(col(nm)).as(s"nd_$nm"))
+    } :+ count(lit(1)).as("n_rows")
+    // Canonicalize in a PROJECT below the aggregate, not in the agg
+    // children: an imperative aggregate (HLL++) switches the whole
+    // aggregate node off whole-stage codegen, so every agg child would
+    // be re-evaluated interpreted per update — the round/cast/micros
+    // math belongs in the (codegen'd) projection, leaving the
+    // interpreted updates plain column reads (measured ~2x on the
+    // approx path).
+    val canon = t(s, d, "lineitem").select(
+      cols.map { case (nm, c) => c.as(nm) } ++
+        strCols.map(col): _*)
+    val one = canon.agg(aggs.head, aggs.tail: _*)
+    val entriesCol = array(
+      (cols.map { case (nm, _) =>
+        struct(lit(nm).as("col_name"),
+          (col("n_rows") - col(s"nn_$nm")).as("n_null"),
+          col(s"nd_$nm").as("n_distinct"),
+          col(s"mn_$nm").as("min_v"), col(s"mx_$nm").as("max_v"))
+      } ++ strCols.map { nm =>
+        struct(lit(nm).as("col_name"),
+          (col("n_rows") - col(s"nn_$nm")).as("n_null"),
+          col(s"nd_$nm").as("n_distinct"),
+          lit(null).cast("long").as("min_v"),
+          lit(null).cast("long").as("max_v"))
+      }): _*)
+    one.select(col("n_rows"), explode(entriesCol).as("e"))
+      .select(col("e.col_name"), col("n_rows"), col("e.n_null"),
+        col("e.n_distinct"), col("e.min_v"), col("e.max_v"))
+      .orderBy("col_name")
+  }
+
+  /** DuckDB twin of the exact profile; `extraCols` appends audit
+    * literals (q_profile_approx's TRUE booleans). */
+  private[graft] def profileOracle(extraCols: String): String =
+    s"""WITH l AS (SELECT l_orderkey, l_partkey, l_suppkey,
+       |    CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       |    CAST(round(l_quantity * 100) AS BIGINT) AS l_quantity,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS l_extendedprice,
+       |    CAST(round(l_discount * 100) AS BIGINT) AS l_discount,
+       |    CAST(round(l_tax * 100) AS BIGINT) AS l_tax,
+       |    epoch_us(CAST(l_shipdate AS TIMESTAMP)) AS l_shipdate,
+       |    l_returnflag, l_linestatus
+       |  FROM lineitem),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM l)
+       |SELECT p.col_name, n.n_rows, p.n_null, p.n_distinct,
+       |       p.min_v, p.max_v$extraCols
+       |FROM n, (
+       |  SELECT 'l_orderkey' AS col_name,
+       |    CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_null,
+       |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+       |    min(l_orderkey) AS min_v, max(l_orderkey) AS max_v FROM l
+       |  UNION ALL SELECT 'l_partkey',
+       |    CAST(count(*) - count(l_partkey) AS BIGINT),
+       |    CAST(count(DISTINCT l_partkey) AS BIGINT),
+       |    min(l_partkey), max(l_partkey) FROM l
+       |  UNION ALL SELECT 'l_suppkey',
+       |    CAST(count(*) - count(l_suppkey) AS BIGINT),
+       |    CAST(count(DISTINCT l_suppkey) AS BIGINT),
+       |    min(l_suppkey), max(l_suppkey) FROM l
+       |  UNION ALL SELECT 'l_linenumber',
+       |    CAST(count(*) - count(l_linenumber) AS BIGINT),
+       |    CAST(count(DISTINCT l_linenumber) AS BIGINT),
+       |    min(l_linenumber), max(l_linenumber) FROM l
+       |  UNION ALL SELECT 'l_quantity',
+       |    CAST(count(*) - count(l_quantity) AS BIGINT),
+       |    CAST(count(DISTINCT l_quantity) AS BIGINT),
+       |    min(l_quantity), max(l_quantity) FROM l
+       |  UNION ALL SELECT 'l_extendedprice',
+       |    CAST(count(*) - count(l_extendedprice) AS BIGINT),
+       |    CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+       |    min(l_extendedprice), max(l_extendedprice) FROM l
+       |  UNION ALL SELECT 'l_discount',
+       |    CAST(count(*) - count(l_discount) AS BIGINT),
+       |    CAST(count(DISTINCT l_discount) AS BIGINT),
+       |    min(l_discount), max(l_discount) FROM l
+       |  UNION ALL SELECT 'l_tax',
+       |    CAST(count(*) - count(l_tax) AS BIGINT),
+       |    CAST(count(DISTINCT l_tax) AS BIGINT),
+       |    min(l_tax), max(l_tax) FROM l
+       |  UNION ALL SELECT 'l_shipdate',
+       |    CAST(count(*) - count(l_shipdate) AS BIGINT),
+       |    CAST(count(DISTINCT l_shipdate) AS BIGINT),
+       |    min(l_shipdate), max(l_shipdate) FROM l
+       |  UNION ALL SELECT 'l_returnflag',
+       |    CAST(count(*) - count(l_returnflag) AS BIGINT),
+       |    CAST(count(DISTINCT l_returnflag) AS BIGINT),
+       |    NULL, NULL FROM l
+       |  UNION ALL SELECT 'l_linestatus',
+       |    CAST(count(*) - count(l_linestatus) AS BIGINT),
+       |    CAST(count(DISTINCT l_linestatus) AS BIGINT),
+       |    NULL, NULL FROM l) p
+       |ORDER BY col_name""".stripMargin
+
   private[graft] def quantileRollupPlan(daily: DataFrame): DataFrame = {
     val weekly = daily
       .withColumn("week", expr("day div 7"))
@@ -3014,105 +3136,41 @@ object ExtraQueries {
     // — the honest census cost; at 100 TB a wide-table profile swaps
     // countDistinct for approx_count_distinct at this exact seam
     // (fixed-size HLL state per column instead of the Expand fan-out)
-    // and keeps the same output shape. The one-row aggregate explodes
-    // to column-grain rows driver-free.
+    // and keeps the same output shape — that swap is ITS OWN gate,
+    // q_profile_approx below, not prose. The one-row aggregate
+    // explodes to column-grain rows driver-free.
     "q_profile_table" -> ((
+      (s: SparkSession, d: String) => profilePlan(s, d, exact = true),
+      profileOracle(""))),
+
+    // The 100-TB seam of q_profile_table, as a GATE instead of prose
+    // (r12 VERDICT #1): the SAME profile shape with the exact
+    // multi-distinct census — whose Expand fans the scan out ×cols
+    // before the exchange — swapped for per-column HLL++ state
+    // (approx_count_distinct, 2% rsd): ONE aggregate pass, NO Expand,
+    // fixed sketch bytes per column through the exchange regardless of
+    // key cardinality (plan-gated in PlanQualitySpec; the 10× soak
+    // prints approx vs exact side by side). Estimates are
+    // engine-specific, so the gate follows the q_approx_distinct
+    // discipline: emit the EXACT profile (oracle-recomputable; at gate
+    // scale the exact side is the AUDIT — at 100 TB it is dropped and
+    // the approx profile stands alone) plus the guarantee boolean
+    // |approx − exact|·50 ≤ max(50, 3·exact) per column, which a
+    // drifting sketch flips to a hash FAIL.
+    "q_profile_approx" -> ((
       (s: SparkSession, d: String) => {
-        val cols: Seq[(String, Column)] = Seq(
-          "l_orderkey" -> col("l_orderkey"),
-          "l_partkey" -> col("l_partkey"),
-          "l_suppkey" -> col("l_suppkey"),
-          "l_linenumber" -> col("l_linenumber").cast("long"),
-          "l_quantity" -> expr("CAST(round(l_quantity * 100) AS BIGINT)"),
-          "l_extendedprice" ->
-            expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
-          "l_discount" -> expr("CAST(round(l_discount * 100) AS BIGINT)"),
-          "l_tax" -> expr("CAST(round(l_tax * 100) AS BIGINT)"),
-          "l_shipdate" -> expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))"))
-        val strCols = Seq("l_returnflag", "l_linestatus")
-        val aggs = cols.flatMap { case (nm, c) => Seq(
-          count(c).as(s"nn_$nm"), countDistinct(c).as(s"nd_$nm"),
-          min(c).as(s"mn_$nm"), max(c).as(s"mx_$nm"))
-        } ++ strCols.flatMap { nm => Seq(
-          count(col(nm)).as(s"nn_$nm"), countDistinct(col(nm)).as(s"nd_$nm"))
-        } :+ count(lit(1)).as("n_rows")
-        val one = t(s, d, "lineitem").agg(aggs.head, aggs.tail: _*)
-        val entriesCol = array(
-          (cols.map { case (nm, _) =>
-            struct(lit(nm).as("col_name"),
-              (col("n_rows") - col(s"nn_$nm")).as("n_null"),
-              col(s"nd_$nm").as("n_distinct"),
-              col(s"mn_$nm").as("min_v"), col(s"mx_$nm").as("max_v"))
-          } ++ strCols.map { nm =>
-            struct(lit(nm).as("col_name"),
-              (col("n_rows") - col(s"nn_$nm")).as("n_null"),
-              col(s"nd_$nm").as("n_distinct"),
-              lit(null).cast("long").as("min_v"),
-              lit(null).cast("long").as("max_v"))
-          }): _*)
-        one.select(col("n_rows"), explode(entriesCol).as("e"))
-          .select(col("e.col_name"), col("n_rows"), col("e.n_null"),
-            col("e.n_distinct"), col("e.min_v"), col("e.max_v"))
+        val approx = profilePlan(s, d, exact = false)
+          .select(col("col_name"), col("n_distinct").as("nd_approx"))
+        profilePlan(s, d, exact = true)
+          .join(broadcast(approx), "col_name")
+          .select(col("col_name"), col("n_rows"), col("n_null"),
+            col("n_distinct"), col("min_v"), col("max_v"),
+            (abs(col("nd_approx") - col("n_distinct")) * lit(50L) <=
+              greatest(lit(50L), col("n_distinct") * lit(3L)))
+              .as("nd_in_bound"))
           .orderBy("col_name")
       },
-      """WITH l AS (SELECT l_orderkey, l_partkey, l_suppkey,
-        |    CAST(l_linenumber AS BIGINT) AS l_linenumber,
-        |    CAST(round(l_quantity * 100) AS BIGINT) AS l_quantity,
-        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS l_extendedprice,
-        |    CAST(round(l_discount * 100) AS BIGINT) AS l_discount,
-        |    CAST(round(l_tax * 100) AS BIGINT) AS l_tax,
-        |    epoch_us(CAST(l_shipdate AS TIMESTAMP)) AS l_shipdate,
-        |    l_returnflag, l_linestatus
-        |  FROM lineitem),
-        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM l)
-        |SELECT p.col_name, n.n_rows, p.n_null, p.n_distinct,
-        |       p.min_v, p.max_v
-        |FROM n, (
-        |  SELECT 'l_orderkey' AS col_name,
-        |    CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_null,
-        |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
-        |    min(l_orderkey) AS min_v, max(l_orderkey) AS max_v FROM l
-        |  UNION ALL SELECT 'l_partkey',
-        |    CAST(count(*) - count(l_partkey) AS BIGINT),
-        |    CAST(count(DISTINCT l_partkey) AS BIGINT),
-        |    min(l_partkey), max(l_partkey) FROM l
-        |  UNION ALL SELECT 'l_suppkey',
-        |    CAST(count(*) - count(l_suppkey) AS BIGINT),
-        |    CAST(count(DISTINCT l_suppkey) AS BIGINT),
-        |    min(l_suppkey), max(l_suppkey) FROM l
-        |  UNION ALL SELECT 'l_linenumber',
-        |    CAST(count(*) - count(l_linenumber) AS BIGINT),
-        |    CAST(count(DISTINCT l_linenumber) AS BIGINT),
-        |    min(l_linenumber), max(l_linenumber) FROM l
-        |  UNION ALL SELECT 'l_quantity',
-        |    CAST(count(*) - count(l_quantity) AS BIGINT),
-        |    CAST(count(DISTINCT l_quantity) AS BIGINT),
-        |    min(l_quantity), max(l_quantity) FROM l
-        |  UNION ALL SELECT 'l_extendedprice',
-        |    CAST(count(*) - count(l_extendedprice) AS BIGINT),
-        |    CAST(count(DISTINCT l_extendedprice) AS BIGINT),
-        |    min(l_extendedprice), max(l_extendedprice) FROM l
-        |  UNION ALL SELECT 'l_discount',
-        |    CAST(count(*) - count(l_discount) AS BIGINT),
-        |    CAST(count(DISTINCT l_discount) AS BIGINT),
-        |    min(l_discount), max(l_discount) FROM l
-        |  UNION ALL SELECT 'l_tax',
-        |    CAST(count(*) - count(l_tax) AS BIGINT),
-        |    CAST(count(DISTINCT l_tax) AS BIGINT),
-        |    min(l_tax), max(l_tax) FROM l
-        |  UNION ALL SELECT 'l_shipdate',
-        |    CAST(count(*) - count(l_shipdate) AS BIGINT),
-        |    CAST(count(DISTINCT l_shipdate) AS BIGINT),
-        |    min(l_shipdate), max(l_shipdate) FROM l
-        |  UNION ALL SELECT 'l_returnflag',
-        |    CAST(count(*) - count(l_returnflag) AS BIGINT),
-        |    CAST(count(DISTINCT l_returnflag) AS BIGINT),
-        |    NULL, NULL FROM l
-        |  UNION ALL SELECT 'l_linestatus',
-        |    CAST(count(*) - count(l_linestatus) AS BIGINT),
-        |    CAST(count(DISTINCT l_linestatus) AS BIGINT),
-        |    NULL, NULL FROM l) p
-        |ORDER BY col_name""".stripMargin)),
+      profileOracle(", TRUE AS nd_in_bound"))),
 
     // Join-key skew census — the diagnostic that decides between the
     // repo's own join strategies (broadcast / salted / AQE skew

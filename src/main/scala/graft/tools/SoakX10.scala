@@ -218,6 +218,11 @@ object SoakX10 {
     // (column, value)-domain-sized for the distincts, O(cols) for the
     // extrema — per-row cost must stay flat.
     "q_profile_table",
+    // Profile HLL seam: the gate carries approx + exact audit, so its
+    // row tracks q_profile_table's; the seam's own evidence (approx
+    // flat, exact paying the Expand fan-out) is the dedicated
+    // profile_approx/profile_exact block printed after the table.
+    "q_profile_approx",
     // Fuzzy join: probes scale with the parts (every 40th), catalog
     // variants explode by name length — the variant equi-join must
     // track candidate pairs, never the cross product.
@@ -597,6 +602,48 @@ object SoakX10 {
       if (only.forall(_.contains(q))) {
         println(s"$q plan at base: ${joinCensus(q, baseSf)}")
         println(s"$q plan at ${x}x: ${joinCensus(q, dir)}")
+      }
+    }
+    // q_profile_approx's 100-TB claim measured directly: wall AND
+    // shuffle bytes of the approx sub-plan (per-column HLL, no
+    // Expand) vs the exact census (multi-distinct Expand). Wall is
+    // linear for both at this scale; the seam's scale evidence is the
+    // SHUFFLE/STATE column — the exact path's exchange carries every
+    // distinct (column, value) pair (grows with key cardinality; at
+    // 100 TB that is the blow-up), the approx path a fixed ~5 KB
+    // sketch per column per partition.
+    if (only.forall(_.contains("q_profile_approx"))) {
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (e.taskMetrics != null)
+              shuffleBytes.addAndGet(
+                e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        })
+      def runProfile(exact: Boolean, d: String): (Double, Long) = {
+        val w = (1 to 2).map(_ => time(
+          graft.queries.ExtraQueries.profilePlan(spark, d, exact)
+            .write.mode("overwrite").format("noop").save())).min
+        // Bytes of one (the last) run: reset, run once more.
+        shuffleBytes.set(0L)
+        graft.queries.ExtraQueries.profilePlan(spark, d, exact)
+          .write.mode("overwrite").format("noop").save()
+        // listenerBus is private; a short settle beats racing the
+        // async task-end events for a diagnostic print.
+        Thread.sleep(500)
+        (w, shuffleBytes.get())
+      }
+      println("path,base_sec,soak_sec,per_row_ratio,base_shuffle_kb," +
+        "soak_shuffle_kb,shuffle_growth")
+      Seq(false, true).foreach { ex =>
+        val (b, bBytes) = runProfile(ex, baseSf)
+        val (sk, sBytes) = runProfile(ex, dir)
+        val label = if (ex) "profile_exact_path" else "profile_approx_path"
+        println(f"$label,$b%.2f,$sk%.2f,${sk / b / x}%.3f," +
+          f"${bBytes / 1024},${sBytes / 1024}," +
+          f"${sBytes.toDouble / math.max(1L, bBytes)}%.2f")
       }
     }
     spark.stop()

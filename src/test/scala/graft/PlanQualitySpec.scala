@@ -508,6 +508,20 @@ class PlanQualitySpec extends SparkSpecBase {
     assert("Expand".r.findAllIn(p).size <= 2, p) // multi-distinct Expand
   }
 
+  test("q_profile_approx's production path: one scan, NO Expand, no join") {
+    // The operator proper is the approx profile sub-plan (the exact
+    // side in the gate is audit-only, dropped at 100 TB): per-column
+    // HLL++ state must replace the multi-distinct Expand entirely —
+    // ONE scan, zero Expand nodes, fixed sketch bytes per column
+    // through the exchange.
+    val p = graft.queries.ExtraQueries.profilePlan(spark, dir, exact = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Expand"), p)
+    val scans = "lineitem\\.parquet".r.findAllIn(p).size
+    assert(scans == 1, s"lineitem scans=$scans\n$p")
+  }
+
   test("q_time_ewma rides ONE user exchange; the fold is row-local") {
     // One hash exchange (the user-series window); the power-of-two
     // fold must be a projection over the collected frame, never a
