@@ -341,33 +341,59 @@ object StreamQueries {
     * (writeManifested), so the maintained table keeps AS-OF history
     * per micro-batch for free. Tombstones compact away once an
     * out-of-orderness bound passes — q_snapshot_expire's analogue. */
+  /** State bucket count for the merge-on-write upsert: the key space
+    * hashes into this many physical partitions, so a batch's merge
+    * reads and REWRITES only the buckets its keys land in (untouched
+    * buckets carry into the new snapshot as hard links — zero bytes).
+    * At 100 TB size this like Delta's file count: enough buckets that
+    * a typical batch's working set touches a minority. */
+  private[graft] val UpsertBuckets = 32
+
+  private[graft] def upsertBucket(c: org.apache.spark.sql.Column) =
+    pmod(hash(c), lit(UpsertBuckets))
+
   private[graft] def upsertBatch(s: SparkSession, batch: DataFrame,
       base: String, table: String): Unit = {
-    graft.sink.SnapshotSwap.writeManifested(
-      upsertMerged(s, batch, base, table), base, table)
+    graft.sink.SnapshotSwap.writeManifestedMergeOnWrite(
+      upsertMerged(s, batch, base, table), base, table, "bucket")
     ()
   }
 
-  /** The unexecuted per-batch merge — exposed so PlanQualitySpec can
-    * pin its shape (one full-outer SMJ on the key, no cartesian). */
+  /** The unexecuted per-batch merge — exposed so PlanQualitySpec and
+    * StreamUpsertSpec can pin its shape: the state side is read
+    * PARTITION-PRUNED to the buckets this batch touches (untouched
+    * buckets never enter the join and carry over by link at commit),
+    * and the batch compaction is a partial-aggregating max_by — one
+    * (us, event_id)-lexicographic struct max per key with map-side
+    * combine — instead of a row_number window, so the exchange carries
+    * one candidate per (partition, key) rather than every raw row into
+    * a sort (the dominant per-batch cost at the 100x soak's 10M-row
+    * batch). */
   private[graft] def upsertMerged(s: SparkSession, batch: DataFrame,
       base: String, table: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("us").desc, col("event_id").desc)
     val src = ExtraQueries.cdcLog(batch)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("user_id", "us", "event_id", "val_e2", "op")
+      .groupBy("user_id")
+      .agg(max(struct(col("us"), col("event_id"), col("val_e2"),
+        col("op"))).as("m"))
+      .select(col("user_id"), col("m.us").as("us"),
+        col("m.event_id").as("event_id"), col("m.val_e2").as("val_e2"),
+        col("m.op").as("op"))
+      .withColumn("bucket", upsertBucket(col("user_id")))
     val stateSchema = StructType(Seq(
       StructField("user_id", LongType), StructField("us", LongType),
       StructField("event_id", LongType), StructField("val_e2", LongType),
-      StructField("deleted", BooleanType)))
+      StructField("deleted", BooleanType),
+      StructField("bucket", IntegerType)))
+    // Touched buckets: <= UpsertBuckets driver scalars per batch.
+    val touched = src.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
     val tgt =
       if (graft.sink.SnapshotSwap.currentVersion(base, table) == 0L)
         s.createDataFrame(
           s.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
       else graft.sink.SnapshotSwap.readManifested(s, base, table)
+        .filter(col("bucket").isin(touched.toSeq: _*))
     val newer = col("s.us") > col("t.us") ||
       (col("s.us") === col("t.us") && col("s.event_id") > col("t.event_id"))
     def pick(c: String, v: org.apache.spark.sql.Column) =
@@ -381,7 +407,8 @@ object StreamQueries {
       insertValues = Map(
         "us" -> col("s.us"), "event_id" -> col("s.event_id"),
         "val_e2" -> col("s.val_e2"),
-        "deleted" -> (col("s.op") === "D")))
+        "deleted" -> (col("s.op") === "D"),
+        "bucket" -> col("s.bucket")))
     merged
   }
 
@@ -656,7 +683,10 @@ object StreamQueries {
     // the final state equals the batch LWW snapshot under any split
     // (pinned with replay/out-of-order cases in StreamUpsertSpec).
     // Trade-off vs q_stream_cdc, stated: per-batch cost here is
-    // state-table-sized (the full-outer merge), per-READ cost is one
+    // TOUCHED-BUCKET-sized (r13: state hash-partitions into
+    // UpsertBuckets; the merge reads only the buckets the batch's keys
+    // land in and commits untouched buckets as hard links — the
+    // Delta/Iceberg merge-on-write file-prune), per-READ cost is one
     // snapshot scan; the log-structured fold is delta-sized per batch
     // but pays the fold at read time — 100 TB pipelines pick by
     // read/write ratio, this gate proves both produce the identical

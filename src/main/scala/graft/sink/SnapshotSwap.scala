@@ -304,13 +304,65 @@ object SnapshotSwap {
   def writeManifested(df: DataFrame, base: String, table: String): String =
     writeManifestedImpl(df, base, table, sweepStale = true)
 
+  /** Merge-on-write commit — the Delta/Iceberg file-prune: stage ONLY
+    * the partitions PRESENT in `df` (written `partitionBy(partCol)`),
+    * then CARRY every parent-generation partition dir `df` did not
+    * restate into the new generation by hard-linking its files (zero
+    * data bytes moved; inodes survive the parent dir's sweep, so every
+    * generation stays self-contained and AS-OF reads are unchanged).
+    * Per-commit write cost therefore tracks the TOUCHED partitions,
+    * not the state size. The object-store analogue is manifest-level
+    * file reuse (an Iceberg manifest lists parent data files
+    * verbatim); the nio hard link is the posix rendition of the same
+    * contract, so this path requires a local-filesystem base and
+    * fails loudly elsewhere. */
+  def writeManifestedMergeOnWrite(df: DataFrame, base: String,
+      table: String, partCol: String): String = {
+    require(!base.contains("://") || base.startsWith("file:"),
+      "merge-on-write carry links files; object-store bases need " +
+        "manifest-level file reuse instead")
+    writeManifestedImpl(df, base, table, sweepStale = true,
+      stager = Some { (dataDir, prevDataDir) =>
+        df.write.mode("overwrite").partitionBy(partCol).parquet(dataDir)
+        val written = listDirNames(dataDir)
+          .filter(_.startsWith(s"$partCol=")).toSet
+        val toCarry = prevDataDir.toSeq.flatMap(p => listDirNames(p)
+          .filter(n => n.startsWith(s"$partCol=") && !written.contains(n))
+          .map(n => (s"$p/$n", s"$dataDir/$n")))
+        toCarry.foreach { case (src, dst) =>
+          linkTree(Paths.get(src), Paths.get(dst))
+        }
+        // Degenerate first-commit guard (e.g. an empty first
+        // micro-batch): nothing written AND nothing carried — stage a
+        // schema-only file, KEEPING partCol as a regular column so the
+        // schema readers see matches what partition discovery yields
+        // on later generations.
+        if (written.isEmpty && toCarry.isEmpty)
+          stageParquet(df, Paths.get(dataDir))
+      })
+  }
+
+  /** Recursively hard-link `src`'s files under `dst` (copy fallback
+    * for filesystems without link support). */
+  private def linkTree(src: Path, dst: Path): Unit = {
+    Files.createDirectories(dst)
+    val children = Files.list(src)
+    try children.forEach { p =>
+      val t = dst.resolve(p.getFileName.toString)
+      if (Files.isDirectory(p)) linkTree(p, t)
+      else try Files.createLink(t, p)
+      catch { case _: UnsupportedOperationException => Files.copy(p, t) }
+    } finally children.close()
+  }
+
   /** [[writeManifested]] with the stale-generation sweep controllable:
     * [[restoreManifested]] STAGES FROM a generation the sweep would
     * delete (the sweep runs before staging, and staging is the first
     * read of the source dir — Spark scans lazily), so a restore commits
     * with the sweep off and leaves cleanup to the next regular sync. */
   private def writeManifestedImpl(df: DataFrame, base: String,
-      table: String, sweepStale: Boolean): String = {
+      table: String, sweepStale: Boolean,
+      stager: Option[(String, Option[String]) => Unit] = None): String = {
     val fs = swapFsFor(base)
     fs.mkdirs(base)
     val manifest = s"$base/$table.manifest"
@@ -342,7 +394,10 @@ object SnapshotSwap {
         !prev.contains(n) && !tagged.contains(n) &&
         versionOf(table, n).exists(_ < pubVersion))
       .foreach(n => fs.deleteRecursive(s"$base/$n"))
-    fs.stage(df, dataDir)
+    stager match {
+      case Some(st) => st(dataDir, prev.map(n => s"$base/$n"))
+      case None => fs.stage(df, dataDir)
+    }
     // Manifest chain: every snapshot records its parent (the snapshot
     // published when this sync started) in a `_PARENT` marker inside
     // its own immutable dir — Iceberg's previous-metadata link. Written

@@ -53,6 +53,67 @@ class StreamUpsertSpec extends SparkSpecBase {
     assert(s == Set((7L, ts(9).getTime * 1000L, 33L, 100L, true)), s)
   }
 
+  test("merge-on-write: a key-local batch rewrites only its buckets") {
+    import graft.queries.StreamQueries.{UpsertBuckets, upsertBucket}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_supsert_spec").toString
+    // Seed: 200 users span (virtually) all hash buckets.
+    upsertBatch(spark,
+      events((1L to 200L).map(u => (u * 2 + 1, 1, u, u.toDouble))),
+      base, "state")
+    val gen1 = graft.sink.SnapshotSwap.currentSnapshot(base, "state").get
+    // Batch 2 touches ONE user — one bucket.
+    val touchedUser = 42L
+    upsertBatch(spark,
+      events(Seq((9001L, 5, touchedUser, 7.0))), base, "state")
+    val gen2 = graft.sink.SnapshotSwap.currentSnapshot(base, "state").get
+    val touchedBucket = spark.range(1)
+      .select(upsertBucket(org.apache.spark.sql.functions
+        .lit(touchedUser)).as("b")).head().getInt(0)
+    // The target-side read is partition-pruned to the touched bucket:
+    // the scan plan carries a PartitionFilter on bucket, so untouched
+    // buckets never enter the join.
+    val p = graft.queries.StreamQueries
+      .upsertMerged(spark,
+        events(Seq((9003L, 6, touchedUser, 8.0))), base, "state")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("bucket"), p)
+    // Untouched buckets carried into gen2 as HARD LINKS of gen1's
+    // files (same inode — zero bytes rewritten); the touched bucket
+    // was restated with fresh files.
+    import java.nio.file.{Files, Paths}
+    def partFiles(gen: String, b: Int): Seq[java.nio.file.Path] = {
+      val dir = Paths.get(base, gen, s"bucket=$b")
+      if (!Files.isDirectory(dir)) Seq.empty
+      else {
+        val s = Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toSeq
+            .filter(_.getFileName.toString.startsWith("part-"))
+        } finally s.close()
+      }
+    }
+    val untouched = (0 until UpsertBuckets)
+      .filter(b => b != touchedBucket && partFiles(gen1, b).nonEmpty)
+    assert(untouched.nonEmpty)
+    untouched.foreach { b =>
+      val f1 = partFiles(gen1, b); val f2 = partFiles(gen2, b)
+      assert(f1.map(_.getFileName) == f2.map(_.getFileName), s"bucket $b")
+      f1.zip(f2).foreach { case (a, c) =>
+        assert(Files.isSameFile(a, c), s"bucket $b was rewritten")
+      }
+    }
+    val t1 = partFiles(gen1, touchedBucket).map(_.getFileName.toString)
+    val t2 = partFiles(gen2, touchedBucket).map(_.getFileName.toString)
+    assert(t2.nonEmpty && t1.intersect(t2).isEmpty,
+      s"touched bucket not restated: $t1 vs $t2")
+    // And the merged STATE is still complete and correct.
+    val s2 = state(base)
+    assert(s2.exists(r => r._1 == touchedUser && r._3 == 9001L && r._4 == 700L))
+    assert(s2.count(_ => true) == 200)
+  }
+
   test("final state is micro-batch-split independent") {
     val log = Seq((1L, 1, 1L, 2.0), (22L, 3, 2L, 9.0), (3L, 2, 1L, 3.0),
       (5L, 4, 3L, 4.0), (44L, 5, 3L, 1.0), (7L, 6, 2L, 8.0))
