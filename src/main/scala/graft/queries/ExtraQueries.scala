@@ -2801,15 +2801,45 @@ object ExtraQueries {
           .agg(sort_array(collect_set(col("l_partkey"))).as("its"))
           .localCheckpoint()
         val nBaskets = baskets.count() // count of the materialized RDD
-        val pairs = baskets.select(explode(expr(
-          """flatten(transform(its, (x, i) ->
-            |  transform(slice(its, i + 2, size(its)),
-            |    y -> named_struct('a', x, 'b', y))))""".stripMargin))
-          .as("p"))
-          .select(col("p.a").as("a"), col("p.b").as("b"))
-        val co = pairs.groupBy("a", "b")
-          .agg(count(lit(1)).as("co"))
-          .filter(col("co") >= 2)
+        // Pair-count key regime (r13; the family's worst per-row ratio
+        // was THIS aggregate): when item ids fit 31 bits — one bounded
+        // min/max read off the sorted basket arrays — each pair packs
+        // into ONE long (a·2³² + b) so the explode allocates no
+        // structs and the count aggregates through HashAggregate's
+        // codegen'd primitive-long fast path instead of UnsafeRow
+        // struct keys: measured 2.4x on the pair stage at the 10x soak
+        // (PLANS.md r13, incl. why the verdict's PCY bucket pre-prune
+        // was evaluated and REJECTED: at min-support 2 any feasible
+        // bucket array saturates by pigeonhole once distinct pairs
+        // exceed it — 12M pairs vs 2^22 buckets is load 3 — so it
+        // prunes nothing exactly where pruning would matter; the
+        // durable lever is the key representation). Wide ids keep the
+        // struct-key path: same output either way.
+        val bounds = baskets.agg(
+          min(expr("its[0]")).as("lo"),
+          max(expr("its[size(its) - 1]")).as("hi")).head()
+        val packable = !bounds.isNullAt(0) && bounds.getLong(0) >= 0L &&
+          bounds.getLong(1) < (1L << 31)
+        val co =
+          if (packable)
+            baskets.select(explode(expr(
+              """flatten(transform(its, (x, i) ->
+                |  transform(slice(its, i + 2, size(its)),
+                |    y -> x * 4294967296L + y)))""".stripMargin)).as("k"))
+              .groupBy("k").agg(count(lit(1)).as("co"))
+              .filter(col("co") >= 2)
+              .select(expr("k div 4294967296L").as("a"),
+                expr("k % 4294967296L").as("b"), col("co"))
+          else
+            baskets.select(explode(expr(
+              """flatten(transform(its, (x, i) ->
+                |  transform(slice(its, i + 2, size(its)),
+                |    y -> named_struct('a', x, 'b', y))))""".stripMargin))
+              .as("p"))
+              .select(col("p.a").as("a"), col("p.b").as("b"))
+              .groupBy("a", "b")
+              .agg(count(lit(1)).as("co"))
+              .filter(col("co") >= 2)
         // Item supports from the deduped baskets (map-side explode off
         // the checkpoint — no second corpus scan), materialized so the
         // two broadcast lookups share one aggregation pass.
