@@ -336,6 +336,26 @@ object ExtraQueries {
        |    NULL, NULL FROM l) p
        |ORDER BY col_name""".stripMargin
 
+  /** Shared oracle of q_agg_bitmap_rollup and its streaming twin
+    * q_stream_bitmap — the fold is exact, so both verify against the
+    * same exact-distinct census. */
+  private[graft] val BitmapRollupOracle: String =
+    """WITH e AS (SELECT DISTINCT
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    user_id
+      |  FROM events),
+      |d AS (SELECT day, CAST(count(*) AS BIGINT) AS card
+      |      FROM e GROUP BY 1),
+      |census AS (SELECT CAST(day // 7 AS BIGINT) AS week,
+      |    CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(card) AS BIGINT) AS day_card_sum
+      |  FROM d GROUP BY 1),
+      |x AS (SELECT CAST(day // 7 AS BIGINT) AS week,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+      |  FROM e GROUP BY 1)
+      |SELECT census.week, n_days, day_card_sum, exact_users
+      |FROM census JOIN x USING (week) ORDER BY week""".stripMargin
+
   private[graft] def quantileRollupPlan(daily: DataFrame): DataFrame = {
     val weekly = daily
       .withColumn("week", expr("day div 7"))
@@ -695,21 +715,7 @@ object ExtraQueries {
             expr("bm_card(bm_union(users_bm))").as("exact_users"))
           .orderBy("week")
       },
-      """WITH e AS (SELECT DISTINCT
-        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
-        |    user_id
-        |  FROM events),
-        |d AS (SELECT day, CAST(count(*) AS BIGINT) AS card
-        |      FROM e GROUP BY 1),
-        |census AS (SELECT CAST(day // 7 AS BIGINT) AS week,
-        |    CAST(count(*) AS BIGINT) AS n_days,
-        |    CAST(sum(card) AS BIGINT) AS day_card_sum
-        |  FROM d GROUP BY 1),
-        |x AS (SELECT CAST(day // 7 AS BIGINT) AS week,
-        |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
-        |  FROM e GROUP BY 1)
-        |SELECT census.week, n_days, day_card_sum, exact_users
-        |FROM census JOIN x USING (week) ORDER BY week""".stripMargin)),
+      BitmapRollupOracle)),
 
     // HLL++ distinct sketch, hash-verifiable (r9 VERDICT #1): the gate
     // emits the EXACT per-group distinct counts (what the oracle can
@@ -2662,6 +2668,59 @@ object ExtraQueries {
         |  AND i.rn - j.rn BETWEEN 0 AND 15
         |GROUP BY i.user_id, i.event_id, i.cents, i.rn
         |ORDER BY i.user_id, i.event_id""".stripMargin)),
+
+    // Seasonal-baseline decomposition — the detrending step a metrics
+    // pipeline runs BEFORE anomaly thresholding (q_anomaly_zscore's
+    // complement: z-scores against a GLOBAL mean mistake every Friday
+    // peak for an anomaly; the seasonal baseline removes the
+    // day-of-week component first). Daily totals per event_type roll
+    // up in ONE data-sized exchange; the day-of-week baselines are a
+    // (types × 7)-domain aggregate over those daily rows, broadcast
+    // back onto them — everything after the daily rollup is
+    // domain-sized (plan-gated: no fact-fact join, one wide
+    // exchange). All math exact integer cents; the baseline's mean
+    // uses integral division (totals are non-negative by the value
+    // domain, so Spark's truncating div ≡ DuckDB's flooring // —
+    // the q_time_ewma discipline). At 100 TB: the daily rollup IS the
+    // telemetry pre-aggregation every deployment already pays; the
+    // decomposition costs nothing beyond it.
+    "q_time_seasonal" -> ((
+      (s: SparkSession, d: String) => {
+        // The daily relation feeds TWO consumers (the baseline build
+        // and the join's fact side) — materialize it once so the log
+        // is scanned and rolled up exactly once (the q_assoc_pairs
+        // basket pattern).
+        val daily = graft.Tables.events(s, d)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .filter(col("cents").isNotNull)
+          .groupBy("event_type", "day")
+          .agg(sum("cents").as("total_e2"))
+          .withColumn("dow", expr("day % 7"))
+          .localCheckpoint()
+        val base = daily.groupBy("event_type", "dow")
+          .agg(expr("sum(total_e2) div count(1)").as("baseline_e2"))
+        daily.join(broadcast(base), Seq("event_type", "dow"))
+          .select(col("event_type"), col("day"), col("total_e2"),
+            col("baseline_e2"),
+            (col("total_e2") - col("baseline_e2")).as("resid_e2"))
+          .orderBy("event_type", "day")
+      },
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS total_e2
+        |  FROM events WHERE round(value * 100) IS NOT NULL
+        |  GROUP BY 1, 2),
+        |base AS (SELECT event_type, day % 7 AS dow,
+        |    CAST(sum(total_e2) // count(*) AS BIGINT) AS baseline_e2
+        |  FROM daily GROUP BY 1, 2)
+        |SELECT d.event_type, d.day, d.total_e2, b.baseline_e2,
+        |  d.total_e2 - b.baseline_e2 AS resid_e2
+        |FROM daily d JOIN base b
+        |  ON b.event_type = d.event_type AND b.dow = d.day % 7
+        |ORDER BY d.event_type, d.day""".stripMargin)),
 
     "q_time_ohlc" -> ((
       (s: SparkSession, d: String) => {

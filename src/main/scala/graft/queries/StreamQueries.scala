@@ -284,6 +284,24 @@ object StreamQueries {
       .write.mode("overwrite").parquet(s"$root/kll/batch=$batchId")
   }
 
+  /** One micro-batch of the streaming bitmap sink (q_stream_bitmap):
+    * fold THIS batch's events to per-day Roaring64 user bitmaps
+    * (exact distinct sets, bytes sublinear in cardinality), written
+    * to a batch-id-keyed dir (idempotent overwrite, the incDedupBatch
+    * exactly-once protocol). Bitmap OR is associative AND idempotent,
+    * so the report's re-fold over per-(batch, day) partials is
+    * bit-exactly the batch gate's weekly census under ANY micro-batch
+    * split — including replays, which the set semantics absorb. */
+  private[graft] def bitmapBatch(batch: DataFrame, root: String,
+      batchId: Long): Unit = {
+    graft.functions.BitmapFunctions.register(batch.sparkSession)
+    batch
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("day").agg(expr("bm_agg(user_id)").as("users_bm"))
+      .write.mode("overwrite").parquet(s"$root/bm/batch=$batchId")
+  }
+
   /** One micro-batch of the streaming theta sink (q_stream_theta):
     * fold THIS batch's (segment, id) stream to per-segment KMV k-min
     * arrays (thetaKmv — the batch's k smallest distinct id hashes),
@@ -914,6 +932,47 @@ object StreamQueries {
           ExtraQueries.kllRollupReport(s.read.parquet(s"$root/kll")))
       },
       ExtraQueries.KllRollupOracle)),
+
+    // Streaming exact-distinct maintenance — q_agg_bitmap_rollup under
+    // continuous ingest, completing the streaming twin of the EXACT
+    // member of the rollup family (the sketch members all have theirs:
+    // q_stream_kll/theta/topk/quantile). Per-batch per-day Roaring64
+    // partials land in batch-id-keyed dirs (exactly-once overwrite);
+    // the report ORs within day first, then folds the weekly census —
+    // OR is associative and IDEMPOTENT, so the result is bit-exactly
+    // the batch gate's under any split or replay. At 100 TB each
+    // batch's exchange carries batch-cardinality-sized bitmaps and the
+    // report reads only the (days × batches) partial relation — the
+    // log is never re-scanned (plan-gated).
+    "q_stream_bitmap" -> ((
+      (s: SparkSession, d: String) => {
+        graft.functions.BitmapFunctions.register(s)
+        val tag = graft.Tables.dirTag(d)
+        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_src_${tag}_v$DumpVersion"
+        ensureStreamDump(d, "events", srcDir)(graft.Tables.events(s, d))
+        val root = s"${graft.Tables.scratchRoot}/graft_sbm_$tag"
+        graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        withStreamGateConfs(s) {
+          val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            Long) => Unit = (b, id) => bitmapBatch(b, root, id)
+          val q = stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        s.read.parquet(s"$root/bm")
+          .groupBy("day").agg(expr("bm_union(users_bm)").as("users_bm"))
+          .withColumn("week", expr("day div 7"))
+          .groupBy("week")
+          .agg(count(lit(1)).as("n_days"),
+            sum(expr("bm_card(users_bm)")).as("day_card_sum"),
+            expr("bm_card(bm_union(users_bm))").as("exact_users"))
+          .orderBy("week")
+      },
+      ExtraQueries.BitmapRollupOracle)),
 
     // Streaming theta/KMV segment overlap — q_agg_theta_overlap under
     // continuous ingest, completing the streaming sketch matrix

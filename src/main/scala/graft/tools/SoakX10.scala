@@ -395,6 +395,12 @@ object SoakX10 {
     // report re-folds k*batches-sized partials only (+ the exact
     // audit's one user exchange).
     "q_stream_theta",
+    // Streaming bitmap: per-batch Roaring64 partials track batch
+    // cardinality; the report ORs (days x batches) partials only.
+    "q_stream_bitmap",
+    // Seasonal decomposition: the daily rollup is the only data-sized
+    // exchange; baselines are domain aggregates broadcast back.
+    "q_time_seasonal",
     // Stopword discovery: one token-keyed count; report card: one
     // scan feeding digest- and source-domain aggregates — linear.
     "q_text_stopwords", "q_source_report")

@@ -556,6 +556,31 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("WindowGroupLimit"), p) // the re-fold pre-prunes too
   }
 
+  test("q_stream_bitmap folds per-batch bitmap partials; no log re-scan") {
+    // The weekly exact-distinct census reads ONLY the batch-id-keyed
+    // Roaring64 partial dirs — the event log never re-enters the plan
+    // at report time.
+    val p = planOf("q_stream_bitmap")
+    assert(p.contains("graft_sbm"), p)
+    val scans = "events\\.parquet".r.findAllIn(p).size
+    assert(scans == 0, s"events scans=$scans\n$p")
+  }
+
+  test("q_time_seasonal: one data-sized exchange, baseline broadcast back") {
+    // The daily rollup is the only exchange that sees event rows;
+    // the day-of-week baseline is a domain aggregate over daily rows
+    // joined back by BROADCAST — a fact-fact join or a second
+    // row-sized exchange would mean the decomposition stopped being
+    // free on top of the telemetry rollup.
+    val p = planOf("q_time_seasonal")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // daily is materialized once; the returned plan joins two reads of
+    // the checkpoint — the log itself is not re-entered.
+    val scans = "events\\.parquet".r.findAllIn(p).size
+    assert(scans == 0, s"events scans=$scans\n$p")
+  }
+
   test("q_stream_kll estimates from per-batch partials; one audit log scan") {
     // Same contract as the batch gate: weekly estimates fold the
     // batch-id-keyed KLL binaries alone; the returned plan's only
