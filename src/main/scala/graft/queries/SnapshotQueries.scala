@@ -243,6 +243,94 @@ object SnapshotQueries {
         |  FROM documents WHERE doc_id % 7 <> 0)
         |ORDER BY ref""".stripMargin)),
 
+    // Three-way branch MERGE (lakeFS/Nessie semantics; git at row
+    // grain) — what fast-forward refuses: main and branch BOTH advance
+    // from the fork, then merge. The fork generation is pinned by
+    // createBranch's <name>@fork ref (a branch records its creation
+    // commit), so the merge base stays readable at any divergence.
+    // Decision per key over (base B, main M, branch R), presence-aware
+    // (a missing row IS a delete): M==B → branch side; R==B → main
+    // side; M==R → convergent; else CONFLICT resolved "ours" (main).
+    // The derivation exercises every case: disjoint updates, disjoint
+    // deletes, update-vs-delete conflicts, divergent-update conflicts,
+    // disjoint inserts, identical inserts (convergent), and
+    // conflicting inserts. Values compare as structs packed BEFORE the
+    // joins (absent ≠ present-with-nulls). Scale shape: two full-outer
+    // SMJs on the key — the merge costs its key exchange and nothing
+    // else; the merge COMMIT is the ordinary snapshot protocol. At
+    // 100 TB this is the experiment-promotion path when prod moved
+    // under the experiment — the case fast_forward fails loudly on.
+    "q_snapshot_merge_branch" -> ((
+      (s: SparkSession, d: String) => {
+        val base = s"${graft.Tables.scratchRoot}/graft_bmerge_${graft.Tables.dirTag(d)}"
+        SnapshotSwap.rm(java.nio.file.Paths.get(base))
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey").as("k"),
+            expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_e2"))
+        SnapshotSwap.writeManifested(cust, base, "tbl") // v1 = fork base
+        SnapshotSwap.createBranch(base, "tbl", "exp")
+        def inserts(src: org.apache.spark.sql.DataFrame, mod: Int,
+            off: Long, balOff: Long) =
+          src.filter(col("k") % mod === 0)
+            .select((col("k") + off).as("k"),
+              (col("k") + balOff).as("bal_e2"))
+        val mainGen = cust.filter(col("k") % 10 =!= 0)
+          .select(col("k"), when(col("k") % 3 === 0,
+            col("bal_e2") + 1000L).otherwise(col("bal_e2")).as("bal_e2"))
+          .unionByName(inserts(cust, 9, 10000000L, 0L))
+          .unionByName(inserts(cust, 21, 30000000L, 1L)) // conflicting ins
+          .unionByName(inserts(cust, 33, 40000000L, 0L)) // identical ins
+        val branchGen = cust.filter(col("k") % 14 =!= 0)
+          .select(col("k"), when(col("k") % 4 === 0,
+            col("bal_e2") + 5000L).otherwise(col("bal_e2")).as("bal_e2"))
+          .unionByName(inserts(cust, 8, 20000000L, 0L))
+          .unionByName(inserts(cust, 21, 30000000L, 2L))
+          .unionByName(inserts(cust, 33, 40000000L, 0L))
+        SnapshotSwap.commitToBranch(branchGen, base, "tbl", "exp")
+        SnapshotSwap.writeManifested(mainGen, base, "tbl") // main v2
+        val decision = SnapshotSwap.mergeBranch3Way(s, base, "tbl",
+          "exp", "k")
+        // The merge commit: publish the surviving rows onto main
+        // through the ordinary snapshot protocol (decision's inputs
+        // resolved their pointers eagerly, so this is safe here).
+        SnapshotSwap.writeManifested(
+          decision.filter(col("bal_e2").isNotNull).select("k", "bal_e2"),
+          base, "tbl")
+        decision.orderBy("k")
+      },
+      """WITH c AS (SELECT c_custkey AS k,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+        |  FROM customer),
+        |m AS (
+        |  SELECT k, CASE WHEN k % 3 = 0 THEN bal + 1000 ELSE bal END
+        |    AS bal FROM c WHERE k % 10 <> 0
+        |  UNION ALL SELECT k + 10000000, k FROM c WHERE k % 9 = 0
+        |  UNION ALL SELECT k + 30000000, k + 1 FROM c WHERE k % 21 = 0
+        |  UNION ALL SELECT k + 40000000, k FROM c WHERE k % 33 = 0),
+        |r AS (
+        |  SELECT k, CASE WHEN k % 4 = 0 THEN bal + 5000 ELSE bal END
+        |    AS bal FROM c WHERE k % 14 <> 0
+        |  UNION ALL SELECT k + 20000000, k FROM c WHERE k % 8 = 0
+        |  UNION ALL SELECT k + 30000000, k + 2 FROM c WHERE k % 21 = 0
+        |  UNION ALL SELECT k + 40000000, k FROM c WHERE k % 33 = 0),
+        |mr AS (SELECT coalesce(m.k, r.k) AS k, m.bal AS vm, r.bal AS vr
+        |  FROM m FULL OUTER JOIN r ON m.k = r.k),
+        |a AS (SELECT coalesce(mr.k, c.k) AS k, vm, vr, c.bal AS vb
+        |  FROM mr FULL OUTER JOIN c ON mr.k = c.k),
+        |st AS (SELECT k, vm, vr,
+        |  CASE WHEN vm IS NOT DISTINCT FROM vb
+        |         AND vr IS NOT DISTINCT FROM vb THEN 'unchanged'
+        |       WHEN vr IS NOT DISTINCT FROM vb THEN 'main'
+        |       WHEN vm IS NOT DISTINCT FROM vb THEN 'branch'
+        |       WHEN vm IS NOT DISTINCT FROM vr THEN 'both'
+        |       ELSE 'conflict' END AS merge_status
+        |  FROM a)
+        |SELECT k,
+        |  CASE WHEN merge_status = 'branch' THEN vr ELSE vm END
+        |    AS bal_e2,
+        |  merge_status
+        |FROM st ORDER BY k""".stripMargin)),
+
     // Explicit retention maintenance (Iceberg expire_snapshots) on a
     // published table: four syncs accumulate generations, a tag pins
     // the oldest past the automatic sweep's HEAD+parent horizon, and

@@ -746,14 +746,73 @@ object SnapshotSwap {
 
   /** Create (or repoint) a writable branch at the published HEAD; the
     * branch is a ref, so createBranch IS tagSnapshot — writability is
-    * a property of how commitToBranch targets it, not of the pointer. */
-  def createBranch(base: String, table: String, name: String): Long =
+    * a property of how commitToBranch targets it, not of the pointer.
+    * A second ref `<name>@fork` pins the FORK generation (the lakeFS
+    * model: a branch records its creation commit), which is what makes
+    * a later three-way [[mergeBranch3Way]] sound — the merge base
+    * stays readable however far main and the branch advance. */
+  def createBranch(base: String, table: String, name: String): Long = {
+    tagSnapshot(base, table, s"$name@fork")
     tagSnapshot(base, table, name)
+  }
 
-  /** Drop a branch (alias of dropTag — both are refs; the generations
-    * it protected are reclaimed by the next sync's sweep). */
-  def dropBranch(base: String, table: String, name: String): Unit =
+  /** Drop a branch and its fork ref (the generations they protected
+    * are reclaimed by the next sync's sweep). */
+  def dropBranch(base: String, table: String, name: String): Unit = {
     dropTag(base, table, name)
+    dropTag(base, table, s"$name@fork")
+  }
+
+  /** Row-level THREE-WAY branch merge (the lakeFS/Nessie merge, git
+    * semantics at row grain): for every key across merge-base B
+    * (the `<branch>@fork` ref), main head M, and branch head R —
+    * presence-aware, a missing row IS a delete —
+    *
+    *   M == B (main untouched)  → take the branch side
+    *   R == B (branch untouched)→ take the main side
+    *   M == R (convergent edit) → take it
+    *   else                     → CONFLICT, resolved "ours" (main
+    *                              wins; `oursWins = false` flips it)
+    *
+    * Returns the full decision relation: key, the merged value columns
+    * (null = deleted after merge), and status ∈ {unchanged, main,
+    * branch, both, conflict} — callers commit the non-deleted slice as
+    * the merge commit and route conflicts to review. Values compare as
+    * structs PACKED BEFORE the joins, so "row absent" (null struct)
+    * and "row present with null fields" (non-null struct) stay
+    * distinct. Scale shape: two full-outer SMJs on the key — the
+    * merge costs its key exchange and nothing else at any size. */
+  def mergeBranch3Way(spark: SparkSession, base: String, table: String,
+      branch: String, key: String,
+      oursWins: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val m = readManifested(spark, base, table)
+    val r = readTagged(spark, base, table, branch)
+    val b = readTagged(spark, base, table, s"$branch@fork")
+    val valCols = m.columns.filterNot(_ == key).toSeq
+    def pack(df: DataFrame, side: String) =
+      df.select(col(key).as(s"k_$side"),
+        struct(valCols.map(col): _*).as(s"v_$side"))
+    val mr = pack(m, "m").join(pack(r, "r"),
+      col("k_m") === col("k_r"), "full_outer")
+    val all = mr.join(pack(b, "b"),
+      coalesce(col("k_m"), col("k_r")) === col("k_b"), "full_outer")
+    val mCh = !(col("v_m") <=> col("v_b"))
+    val rCh = !(col("v_r") <=> col("v_b"))
+    val ours = if (oursWins) col("v_m") else col("v_r")
+    val status = when(!mCh && !rCh, "unchanged")
+      .when(mCh && !rCh, "main")
+      .when(!mCh, "branch")
+      .when(col("v_m") <=> col("v_r"), "both")
+      .otherwise("conflict")
+    val merged = when(status === "branch", col("v_r"))
+      .when(status === "conflict", ours)
+      .otherwise(col("v_m"))
+    all.select(
+      Seq(coalesce(col("k_m"), col("k_r"), col("k_b")).as(key)) ++
+        valCols.map(c => merged.getField(c).as(c)) :+
+        status.as("merge_status"): _*)
+  }
 
   /** Commit `df` as a new snapshot generation on `branch`, advancing
     * the branch pointer and leaving the main manifest untouched.

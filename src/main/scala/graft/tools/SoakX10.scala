@@ -231,6 +231,9 @@ object SoakX10 {
     // size) + two expires whose list/delete work is generation-count
     // sized, O(1) in data.
     "q_snapshot_expire",
+    // Branch merge: four publishes (linear) + the three-way decision's
+    // two key-exchanged full outers — cost tracks snapshot size.
+    "q_snapshot_merge_branch",
     // Quantile rollup: the daily-partial build scans the 100x log
     // once; the weekly report aggregates histogram partials whose
     // size tracks the value DOMAIN, not the rows.

@@ -952,6 +952,16 @@ class PlanQualitySpec extends SparkSpecBase {
     assert("SortMergeJoin".r.findAllIn(p).length == 1, p)
   }
 
+  test("q_snapshot_merge_branch is two key-exchanged full outers, no cartesian") {
+    // The three-way merge reads three published snapshot dirs and
+    // costs exactly its key exchange: two full-outer SMJs (full
+    // outers cannot broadcast), row-local decision projection, no
+    // cartesian and no re-derivation of any side.
+    val p = planOf("q_snapshot_merge_branch")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("SortMergeJoin.*FullOuter".r.findAllIn(p).length == 2, p)
+  }
+
   test("q_snapshot_asof diffs two snapshot scans without a cartesian") {
     val p = planOf("q_snapshot_asof")
     // Both sides of the AS-OF diff are plain parquet scans of published

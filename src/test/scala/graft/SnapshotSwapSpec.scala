@@ -499,6 +499,59 @@ class SnapshotSwapSpec extends SparkSpecBase {
     assert(SnapshotSwap.removeOrphans(base, "t", graceMs = -1L) === Seq())
   }
 
+  test("three-way merge: statuses, theirs-policy flip, commit read-back") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft_merge3").toString
+    // Base: keys 1..8. Main: update 1 (+10), delete 2, insert 100.
+    // Branch: update 1 (+20, CONFLICT), update 3 (+30), delete 4,
+    // update 5 same as main... main leaves 5, so branch-only. Key 6:
+    // both update identically (+60, convergent). Key 7: main deletes,
+    // branch updates (CONFLICT). Key 8 untouched.
+    val b0 = (1L to 8L).map(k => (k, k * 100L)).toDF("k", "v")
+    SnapshotSwap.writeManifested(b0, base, "t")
+    SnapshotSwap.createBranch(base, "t", "x")
+    val main = Seq((1L, 110L), (3L, 300L), (5L, 500L), (6L, 660L),
+      (8L, 800L), (100L, 1L)).toDF("k", "v")
+    val branch = Seq((1L, 120L), (2L, 200L), (3L, 330L), (5L, 500L),
+      (6L, 660L), (7L, 770L), (8L, 800L)).toDF("k", "v")
+    SnapshotSwap.commitToBranch(branch, base, "t", "x")
+    SnapshotSwap.writeManifested(main, base, "t")
+    def decide(ours: Boolean) =
+      SnapshotSwap.mergeBranch3Way(spark, base, "t", "x", "k", ours)
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          r.getString(2))).toSeq.sortBy(_._1)
+    val got = decide(ours = true)
+    assert(got == Seq(
+      (1L, Some(110L), "conflict"),  // divergent update, ours=main
+      (2L, None, "main"),            // main deleted, branch untouched
+      (3L, Some(330L), "branch"),    // branch updated
+      (4L, None, "both"),            // convergent delete
+      (5L, Some(500L), "unchanged"),
+      (6L, Some(660L), "both"),      // convergent edit
+      (7L, None, "conflict"),        // main delete vs branch update
+      (8L, Some(800L), "unchanged"),
+      (100L, Some(1L), "main")), got.toString)
+    // theirs-policy flips ONLY the conflicts (1: branch's 120;
+    // 7: branch's update survives main's delete).
+    val theirs = decide(ours = false)
+    assert(theirs.find(_._1 == 1L).get._2.contains(120L))
+    assert(theirs.find(_._1 == 7L).get._2.contains(770L))
+    assert(theirs.count(_._3 == "conflict") ==
+      got.count(_._3 == "conflict"))
+    assert(theirs.filter(_._3 != "conflict") ==
+      got.filter(_._3 != "conflict"))
+    // Merge commit round-trips through the ordinary protocol.
+    val dec = SnapshotSwap.mergeBranch3Way(spark, base, "t", "x", "k")
+    SnapshotSwap.writeManifested(
+      dec.filter(col("v").isNotNull).select("k", "v"), base, "t")
+    val back = SnapshotSwap.readManifested(spark, base, "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(back == got.collect { case (k, Some(v), _) => (k, v) }.toSet)
+  }
+
   test("stringifyNested maps complex columns to JSON text for CSV") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
