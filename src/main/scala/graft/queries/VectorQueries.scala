@@ -462,6 +462,17 @@ object VectorQueries {
     * probe is an equality join on centroid id — partition-pruned
     * search, never a full scan per query. */
   private def ivfCandPlan(s: SparkSession, e: DataFrame): DataFrame = {
+    val (lists, probes) = ivfListsAndProbes(s, e)
+    broadcast(probes).join(lists, "cid")
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+  }
+
+  /** The IVF index halves, shared by the pure-IVF plan and the IVF+PQ
+    * composite: (lists = corpus vectors in their single nearest
+    * centroid list, probes = each query's top `numProbes` lists). */
+  private def ivfListsAndProbes(s: SparkSession,
+      e: DataFrame): (DataFrame, DataFrame) = {
     val spark = s
     import spark.implicits._
     // The training-sample collect inside centroids() is the first
@@ -483,9 +494,7 @@ object VectorQueries {
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") <= numProbes)
       .select(col("vec_id").as("qid"), col("cid"))
-    broadcast(probes).join(lists, "cid")
-      .filter(col("qid") =!= col("nid"))
-      .select("qid", "nid").distinct()
+    (lists, probes)
   }
 
   private def ivfResult(s: SparkSession, d: String,
@@ -559,7 +568,10 @@ object VectorQueries {
     * 100 TB this is the memory story: the search structure is pqSub
     * bytes per vector (a 64-float embedding compresses 64×), and the
     * only corpus-sized shuffle carries (qid, nid, partial-sum) longs. */
-  private def pqCandPlan(s: SparkSession, e: DataFrame): DataFrame = {
+  /** The per-(vector, subspace, code) distance frame shared by the
+    * pure-PQ plan and the IVF+PQ composite: every subvector scored
+    * against the broadcast codebook, integer micro-unit distances. */
+  private def pqScored(s: SparkSession, e: DataFrame): DataFrame = {
     val spark = s
     import spark.implicits._
     val cb = broadcast(pqCodebooks(e).toDF("m", "code", "cv"))
@@ -569,16 +581,27 @@ object VectorQueries {
         .as("x"))
       .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
     // ||sv - cv||² expanded through the codegen'd dot products.
-    val scored = subs.join(cb, "m")
+    subs.join(cb, "m")
       .withColumn("dist_e6", expr(
         "CAST(round((vec_dot(sv, sv) - 2 * vec_dot(sv, cv)" +
           " + vec_dot(cv, cv)) * 1e6) AS BIGINT)"))
+  }
+
+  /** PQ codes per corpus vector (argmin over the broadcast codebook
+    * via a min(struct) partial aggregate — candidate rows collapse
+    * BEFORE the exchange) and the per-query ADC lookup table. */
+  private def pqCodesAndLut(scored: DataFrame): (DataFrame, DataFrame) = {
     val codes = scored.groupBy(col("vec_id").as("nid"), col("m"))
       .agg(min(struct(col("dist_e6"), col("code"))).as("best"))
       .select(col("nid"), col("m"), col("best.code").as("code"))
     val lut = scored.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("qid"), col("m"), col("code"),
         col("dist_e6"))
+    (codes, lut)
+  }
+
+  private def pqCandPlan(s: SparkSession, e: DataFrame): DataFrame = {
+    val (codes, lut) = pqCodesAndLut(pqScored(s, e))
     val adc = codes.join(broadcast(lut), Seq("m", "code"))
       .filter(col("qid") =!= col("nid"))
       .groupBy("qid", "nid").agg(sum("dist_e6").as("adc"))
@@ -586,6 +609,45 @@ object VectorQueries {
     adc.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= pqShortlist)
       .select("qid", "nid")
+  }
+
+  /** IVF+PQ composite candidates — the FAISS IndexIVFPQ protocol, the
+    * configuration real billion-scale deployments run: the coarse
+    * quantizer restricts each query to its `numProbes` nearest
+    * inverted lists, and ONLY those lists' members are ADC-scored
+    * through the PQ codes before the shortlist → exact re-rank. The
+    * two index structures compose multiplicatively at 100 TB: the IVF
+    * probe prunes the candidate domain to ~numProbes/numCentroids of
+    * the corpus BEFORE any per-pair work, and the per-candidate cost
+    * is pqSub code lookups against a broadcast LUT instead of a
+    * dim-wide dot — the memory story (pqSub bytes/vector) and the
+    * scan story (probed lists only) at once. Every aggregate is the
+    * same exact-integer, partition-order-independent math as the
+    * component gates. */
+  private def ivfpqCandPlan(s: SparkSession, e: DataFrame): DataFrame = {
+    val (lists, probes) = ivfListsAndProbes(s, e)
+    val cand = broadcast(probes).join(lists, "cid")
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid")
+    val (codes, lut) = pqCodesAndLut(pqScored(s, e))
+    val adc = cand.join(codes, "nid")
+      .join(broadcast(lut), Seq("qid", "m", "code"))
+      .groupBy("qid", "nid").agg(sum("dist_e6").as("adc"))
+    val w = Window.partitionBy("qid").orderBy(col("adc"), col("nid"))
+    adc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= pqShortlist)
+      .select("qid", "nid")
+  }
+
+  private def ivfpqResult(s: SparkSession, d: String,
+      candPath: String): DataFrame = {
+    val e = emb(s, d).persist()
+    try
+      materialized(s,
+        rankTopK(cosineFor(s, d,
+          maybeSideFile(s, d, ivfpqCandPlan(s, e), candPath))),
+        candPath + "_res")
+    finally e.unpersist(blocking = true)
   }
 
   private def pqResult(s: SparkSession, d: String,
@@ -1419,6 +1481,16 @@ object VectorQueries {
         pqResult(s, d, s"${graft.Tables.scratchRoot}/graft_cand_pq_${graft.Tables.dirTag(d)}")
           .orderBy("qid", "rn"),
       rankSql(s"SELECT DISTINCT qid, nid FROM read_parquet('${graft.Tables.scratchRoot}/graft_cand_pq_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/*.parquet')"))),
+
+    // IVF+PQ composite ANN (FAISS IndexIVFPQ): coarse lists prune the
+    // candidate domain, PQ codes ADC-score only the probed lists'
+    // members, shortlist re-ranked exact. Oracle re-ranks the same
+    // shortlist; the composite recall floor is pinned in PqRecallSpec.
+    "q_embed_ivfpq" -> ((
+      (s: SparkSession, d: String) =>
+        ivfpqResult(s, d, s"${graft.Tables.scratchRoot}/graft_cand_ivfpq_${graft.Tables.dirTag(d)}")
+          .orderBy("qid", "rn"),
+      rankSql(s"SELECT DISTINCT qid, nid FROM read_parquet('${graft.Tables.scratchRoot}/graft_cand_ivfpq_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/*.parquet')"))),
 
     // Embedding near-duplicate pairs: LSH buckets corpus-wide, exact
     // cosine threshold on candidates. Oracle re-verifies the candidates.

@@ -19,7 +19,8 @@ object SoakX10 {
   private val Family = Seq(
     "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_cluster", "q_dedup_substr", "q_embed_cosine", "q_embed_ann",
-    "q_embed_ivf", "q_embed_pq", "q_embed_dup", "q_embed_centroid",
+    "q_embed_ivf", "q_embed_pq", "q_embed_ivfpq", "q_embed_dup",
+    "q_embed_centroid",
     "q_pack_sequences",
     // Streaming family: 10x event rows AND 10x key cardinality (user
     // ids offset per copy), so join/agg state scales with the data.

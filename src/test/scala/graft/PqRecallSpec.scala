@@ -52,6 +52,30 @@ class PqRecallSpec extends SparkSpecBase {
     assert(recall >= 0.6, f"IVF recall@5 collapsed: $recall%.2f")
   }
 
+  test("IVF+PQ composite recall vs exact brute force holds a floor") {
+    // The composite's misses compound (a true neighbor must survive
+    // BOTH the probe prune and the ADC shortlist), so its floor sits
+    // below either component's — but a broken composition (e.g. ADC
+    // scoring the wrong lists) collapses it to ~0, which is what this
+    // pins.
+    val c = SparkEntry.queries("q_embed_ivfpq")(spark, dir).collect()
+    val exact = SparkEntry.queries("q_embed_cosine")(spark, dir).collect()
+    val cTop = c.groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("nid")).toSet).toMap
+    val exTop = exact.groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("nid")).toSet).toMap
+    assert(cTop.keySet == exTop.keySet, "query sets differ")
+    c.groupBy(_.getAs[Long]("qid")).foreach { case (q, rows) =>
+      assert(rows.length == 5, s"qid $q returned ${rows.length} rows")
+      assert(!cTop(q).contains(q), s"qid $q returned itself")
+    }
+    val hits = exTop.map { case (q, ex) =>
+      (cTop.getOrElse(q, Set.empty) & ex).size }.sum
+    val recall = hits.toDouble / exTop.values.map(_.size).sum
+    assert(recall >= 0.5, f"IVF+PQ recall@5 collapsed: $recall%.2f")
+    info(f"IVF+PQ recall@5 = $recall%.2f")
+  }
+
   test("PQ recall floor holds on an id-SKEWED corpus (hash-rank training sample)") {
     // Re-key vec_id so ids encode content (sorted by label, the way a
     // real corpus's ids encode source/time): a head-of-corpus training
