@@ -72,6 +72,11 @@ object ExtraQueries {
     * twin q_stream_theta. */
   private[graft] val ThetaK = 256
 
+  /** CMS shape: d=4 depths × w=1024 buckets — 4096 long counters per
+    * partial, expected per-depth excess N/w (bound audited at ×4). */
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 1024
+
   /** k smallest DISTINCT hashes per segment from a (event_type, h)
     * relation (compiles to WindowGroupLimit — each partition pre-prunes
     * to its k smallest BEFORE the exchange), kept as one sorted array
@@ -632,6 +637,81 @@ object ExtraQueries {
         |GROUP BY t.lang, t.tok, n.total
         |HAVING count(*) * 100 > n.total
         |ORDER BY lang, tok""".stripMargin)),
+
+    // Count-min-sketch rollup — the POINT-FREQUENCY member of the
+    // persisted-partial family (distincts: hll/bitmap; percentiles:
+    // histogram/KLL; heavy hitters: MG; set ops: theta; THIS: "how
+    // often does item x occur", answerable for ANY item, not just the
+    // heavy ones MG retains). Spark-first build: no custom aggregate —
+    // a CMS is d hashed count ARRAYS, i.e. a (depth, bucket) → count
+    // RELATION of fixed size d×w, so the partial build is one map-side
+    // ×d explode + a partial-aggregating groupBy (the exchange carries
+    // ≤ d·w counters per partition), per-source partials persist as
+    // plain rows, and the global fold is a SUM — CMS is linear, the
+    // only sketch here mergeable by arithmetic alone. Estimates
+    // (min over d bucket counts) are engine-internal (xxhash64), so
+    // the gate follows the theta discipline: emit exact probe counts
+    // (oracle-recomputable; probes are the sha256-prefix slice of the
+    // vocabulary — deterministic and expressible in BOTH engines) plus
+    // audited guarantee booleans — over_ok (est ≥ true: structural,
+    // min of counts that each include every occurrence) and bound_ok
+    // (est ≤ true + 4·N/w: the Markov-expectation bound N/w per depth
+    // with an audited ×4 margin, the 3σ posture — the worst case is
+    // probabilistic over hash choice, fixed here). At 100 TB the
+    // sketch is d×w longs per partition through one exchange, and
+    // weekly reports fold per-day partials without re-scanning.
+    "q_agg_cms_rollup" -> ((
+      (s: SparkSession, d: String) => {
+        def toks = t(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        val partialDir =
+          s"${graft.Tables.scratchRoot}/graft_cmssrc_${graft.Tables.dirTag(d)}"
+        toks.select(col("source"), explode(expr(
+            s"""transform(sequence(0, ${CmsDepth - 1}), dd ->
+               |  named_struct('dep', dd, 'bkt',
+               |    pmod(xxhash64(CAST(dd AS STRING), ':', tok),
+               |         ${CmsWidth}L)))""".stripMargin)).as("db"))
+          .groupBy(col("source"), col("db.dep").as("dep"),
+            col("db.bkt").as("bkt"))
+          .agg(count(lit(1)).as("cnt"))
+          .write.mode("overwrite").parquet(partialDir)
+        // Global fold: a SUM over the persisted partials (linearity).
+        // Not checkpointed: it feeds one bounded head() and one
+        // broadcast — recomputing a d×w aggregate is cheaper than
+        // hiding the partial scan from the plan gate.
+        val cms = s.read.parquet(partialDir)
+          .groupBy("dep", "bkt").agg(sum("cnt").as("cnt"))
+        val nTotal = cms.filter(col("dep") === 0)
+          .agg(sum("cnt")).head().getLong(0)
+        // Probes: the whole (domain-sized) vocabulary — the realistic
+        // CMS consumer is a fixed item-query set, and the fixture's
+        // vocabulary IS domain-sized (the soak cipher scales it with
+        // the corpus while the sketch stays d×w). Materialized once:
+        // it feeds the estimate branch AND the exact-count broadcast.
+        val probes = toks.select("tok").distinct().localCheckpoint()
+        val est = probes.select(col("tok"), explode(expr(
+            s"""transform(sequence(0, ${CmsDepth - 1}), dd ->
+               |  named_struct('dep', dd, 'bkt',
+               |    pmod(xxhash64(CAST(dd AS STRING), ':', tok),
+               |         ${CmsWidth}L)))""".stripMargin)).as("db"))
+          .select(col("tok"), col("db.dep").as("dep"),
+            col("db.bkt").as("bkt"))
+          .join(broadcast(cms), Seq("dep", "bkt"))
+          .groupBy("tok").agg(min("cnt").as("est"))
+        val exact = toks.join(broadcast(probes), "tok")
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        exact.join(broadcast(est), "tok")
+          .select(col("tok"), col("cnt"),
+            (col("est") >= col("cnt")).as("over_ok"),
+            (col("est") <= col("cnt") + lit(4L * nTotal / CmsWidth))
+              .as("bound_ok"))
+          .orderBy("tok")
+      },
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
+        |  TRUE AS over_ok, TRUE AS bound_ok
+        |FROM tok GROUP BY tok ORDER BY tok""".stripMargin)),
 
     // Persisted-summary heavy-hitter rollup — the frequent-items
     // member of the rollup family (distincts: q_agg_hll_union;

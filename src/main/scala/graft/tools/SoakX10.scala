@@ -246,6 +246,11 @@ object SoakX10 {
     // one log scan; the weekly fold touches k·log(n/k)-sized binaries
     // only, so cost must track scan bandwidth at any value domain.
     "q_agg_kll_rollup",
+    // CMS rollup: the partial build is one token pass into d*w
+    // counters per partition; the fold is a d*w-domain SUM; the audit
+    // (probe vocabulary + exact counts) tracks the vocab, which the
+    // soak cipher scales with the corpus.
+    "q_agg_cms_rollup",
     // Its streaming twin: per-batch partials are batch-sized sketch
     // folds; the report cost tracks partial count, never log rows.
     "q_stream_kll",

@@ -581,6 +581,16 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(scans == 0, s"events scans=$scans\n$p")
   }
 
+  test("q_agg_cms_rollup folds d*w partials; corpus appears only as the audit") {
+    // The global CMS folds the persisted (source, dep, bkt) partials
+    // by SUM; the documents corpus enters the returned plan only
+    // through the probe-vocabulary and exact-count audit passes.
+    val p = planOf("q_agg_cms_rollup")
+    assert(p.contains("graft_cmssrc"), p)
+    val scans = "documents\\.parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"documents scans=$scans\n$p")
+  }
+
   test("q_stream_kll estimates from per-batch partials; one audit log scan") {
     // Same contract as the batch gate: weekly estimates fold the
     // batch-id-keyed KLL binaries alone; the returned plan's only
