@@ -361,6 +361,53 @@ object ExtraQueries {
       |SELECT census.week, n_days, day_card_sum, exact_users
       |FROM census JOIN x USING (week) ORDER BY week""".stripMargin
 
+  /** The ×d (depth, bucket) hash expansion shared by the CMS partial
+    * build and the probe side (`tok` must be in scope). */
+  private[graft] val CmsBucketsExpr: String =
+    s"""transform(sequence(0, ${CmsDepth - 1}), dd ->
+       |  named_struct('dep', dd, 'bkt',
+       |    pmod(xxhash64(CAST(dd AS STRING), ':', tok),
+       |         ${CmsWidth}L)))""".stripMargin
+
+  /** The CMS probe audit shared by q_agg_cms_rollup and its streaming
+    * twin q_stream_cms: estimates (min over d bucket counts) against
+    * the exact probe counts, emitting the guarantee booleans the
+    * oracle pins TRUE (see the q_agg_cms_rollup comment). */
+  private[graft] def cmsAudit(s: SparkSession, d: String,
+      cms: DataFrame): DataFrame = {
+    def toks = t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val nTotal = cms.filter(col("dep") === 0)
+      .agg(sum("cnt")).head().getLong(0)
+    // Probes: the whole (domain-sized) vocabulary — the realistic CMS
+    // consumer is a fixed item-query set, and the fixture's vocabulary
+    // IS domain-sized (the soak cipher scales it with the corpus while
+    // the sketch stays d×w). Materialized once: it feeds the estimate
+    // branch AND the exact-count broadcast.
+    val probes = toks.select("tok").distinct().localCheckpoint()
+    val est = probes
+      .select(col("tok"), explode(expr(CmsBucketsExpr)).as("db"))
+      .select(col("tok"), col("db.dep").as("dep"), col("db.bkt").as("bkt"))
+      .join(broadcast(cms), Seq("dep", "bkt"))
+      .groupBy("tok").agg(min("cnt").as("est"))
+    val exact = toks.join(broadcast(probes), "tok")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    exact.join(broadcast(est), "tok")
+      .select(col("tok"), col("cnt"),
+        (col("est") >= col("cnt")).as("over_ok"),
+        (col("est") <= col("cnt") + lit(4L * nTotal / CmsWidth))
+          .as("bound_ok"))
+      .orderBy("tok")
+  }
+
+  /** Shared oracle of q_agg_cms_rollup and q_stream_cms. */
+  private[graft] val CmsOracle: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
+      |  TRUE AS over_ok, TRUE AS bound_ok
+      |FROM tok GROUP BY tok ORDER BY tok""".stripMargin
+
   private[graft] def quantileRollupPlan(daily: DataFrame): DataFrame = {
     val weekly = daily
       .withColumn("week", expr("day div 7"))
@@ -662,15 +709,11 @@ object ExtraQueries {
     // weekly reports fold per-day partials without re-scanning.
     "q_agg_cms_rollup" -> ((
       (s: SparkSession, d: String) => {
-        def toks = t(s, d, "documents")
-          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
         val partialDir =
           s"${graft.Tables.scratchRoot}/graft_cmssrc_${graft.Tables.dirTag(d)}"
-        toks.select(col("source"), explode(expr(
-            s"""transform(sequence(0, ${CmsDepth - 1}), dd ->
-               |  named_struct('dep', dd, 'bkt',
-               |    pmod(xxhash64(CAST(dd AS STRING), ':', tok),
-               |         ${CmsWidth}L)))""".stripMargin)).as("db"))
+        t(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .select(col("source"), explode(expr(CmsBucketsExpr)).as("db"))
           .groupBy(col("source"), col("db.dep").as("dep"),
             col("db.bkt").as("bkt"))
           .agg(count(lit(1)).as("cnt"))
@@ -679,39 +722,10 @@ object ExtraQueries {
         // Not checkpointed: it feeds one bounded head() and one
         // broadcast — recomputing a d×w aggregate is cheaper than
         // hiding the partial scan from the plan gate.
-        val cms = s.read.parquet(partialDir)
-          .groupBy("dep", "bkt").agg(sum("cnt").as("cnt"))
-        val nTotal = cms.filter(col("dep") === 0)
-          .agg(sum("cnt")).head().getLong(0)
-        // Probes: the whole (domain-sized) vocabulary — the realistic
-        // CMS consumer is a fixed item-query set, and the fixture's
-        // vocabulary IS domain-sized (the soak cipher scales it with
-        // the corpus while the sketch stays d×w). Materialized once:
-        // it feeds the estimate branch AND the exact-count broadcast.
-        val probes = toks.select("tok").distinct().localCheckpoint()
-        val est = probes.select(col("tok"), explode(expr(
-            s"""transform(sequence(0, ${CmsDepth - 1}), dd ->
-               |  named_struct('dep', dd, 'bkt',
-               |    pmod(xxhash64(CAST(dd AS STRING), ':', tok),
-               |         ${CmsWidth}L)))""".stripMargin)).as("db"))
-          .select(col("tok"), col("db.dep").as("dep"),
-            col("db.bkt").as("bkt"))
-          .join(broadcast(cms), Seq("dep", "bkt"))
-          .groupBy("tok").agg(min("cnt").as("est"))
-        val exact = toks.join(broadcast(probes), "tok")
-          .groupBy("tok").agg(count(lit(1)).as("cnt"))
-        exact.join(broadcast(est), "tok")
-          .select(col("tok"), col("cnt"),
-            (col("est") >= col("cnt")).as("over_ok"),
-            (col("est") <= col("cnt") + lit(4L * nTotal / CmsWidth))
-              .as("bound_ok"))
-          .orderBy("tok")
+        cmsAudit(s, d, s.read.parquet(partialDir)
+          .groupBy("dep", "bkt").agg(sum("cnt").as("cnt")))
       },
-      """WITH tok AS (
-        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-        |SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
-        |  TRUE AS over_ok, TRUE AS bound_ok
-        |FROM tok GROUP BY tok ORDER BY tok""".stripMargin)),
+      CmsOracle)),
 
     // Persisted-summary heavy-hitter rollup — the frequent-items
     // member of the rollup family (distincts: q_agg_hll_union;

@@ -302,6 +302,22 @@ object StreamQueries {
       .write.mode("overwrite").parquet(s"$root/bm/batch=$batchId")
   }
 
+  /** One micro-batch of the streaming CMS sink (q_stream_cms): fold
+    * THIS batch's tokens to a d×w (depth, bucket) count relation —
+    * the CMS partial, fixed-size regardless of batch rows — written to
+    * a batch-id-keyed dir (idempotent overwrite, the incDedupBatch
+    * exactly-once protocol). CMS is LINEAR, so the report's SUM over
+    * per-batch partials is bit-exactly the batch gate's sketch under
+    * ANY micro-batch split. */
+  private[graft] def cmsBatch(batch: DataFrame, root: String,
+      batchId: Long): Unit =
+    batch
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(explode(expr(ExtraQueries.CmsBucketsExpr)).as("db"))
+      .groupBy(col("db.dep").as("dep"), col("db.bkt").as("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$root/cms/batch=$batchId")
+
   /** One micro-batch of the streaming theta sink (q_stream_theta):
     * fold THIS batch's (segment, id) stream to per-segment KMV k-min
     * arrays (thetaKmv — the batch's k smallest distinct id hashes),
@@ -932,6 +948,38 @@ object StreamQueries {
           ExtraQueries.kllRollupReport(s.read.parquet(s"$root/kll")))
       },
       ExtraQueries.KllRollupOracle)),
+
+    // Streaming point-frequency maintenance — q_agg_cms_rollup under
+    // continuous ingest: per-batch d×w CMS partials land in
+    // batch-id-keyed dirs (exactly-once overwrite) and the report is
+    // a SUM over them — CMS linearity makes the folded sketch
+    // bit-exactly the batch gate's under any micro-batch split. Same
+    // probe audit, same oracle. At 100 TB each batch's exchange
+    // carries ≤ d·w counters per partition and the report reads only
+    // (d·w × batches) partial rows.
+    "q_stream_cms" -> ((
+      (s: SparkSession, d: String) => {
+        val tag = graft.Tables.dirTag(d)
+        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_docs_${tag}_v$DumpVersion"
+        ensureStreamDump(d, "documents", srcDir)(
+          graft.Tables.t(s, d, "documents"))
+        val root = s"${graft.Tables.scratchRoot}/graft_scms_$tag"
+        graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        withStreamGateConfs(s) {
+          val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            Long) => Unit = (b, id) => cmsBatch(b, root, id)
+          val q = stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        ExtraQueries.cmsAudit(s, d, s.read.parquet(s"$root/cms")
+          .groupBy("dep", "bkt").agg(sum("cnt").as("cnt")))
+      },
+      ExtraQueries.CmsOracle)),
 
     // Streaming exact-distinct maintenance — q_agg_bitmap_rollup under
     // continuous ingest, completing the streaming twin of the EXACT

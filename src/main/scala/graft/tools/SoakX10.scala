@@ -251,6 +251,9 @@ object SoakX10 {
     // (probe vocabulary + exact counts) tracks the vocab, which the
     // soak cipher scales with the corpus.
     "q_agg_cms_rollup",
+    // Its streaming twin: per-batch partials are d*w-sized regardless
+    // of batch rows; the report reads (d*w x batches) partial rows.
+    "q_stream_cms",
     // Its streaming twin: per-batch partials are batch-sized sketch
     // folds; the report cost tracks partial count, never log rows.
     "q_stream_kll",

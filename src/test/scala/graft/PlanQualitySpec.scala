@@ -591,6 +591,13 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(scans <= 2, s"documents scans=$scans\n$p")
   }
 
+  test("q_stream_cms folds per-batch partials; corpus appears only as the audit") {
+    val p = planOf("q_stream_cms")
+    assert(p.contains("graft_scms"), p)
+    val scans = "documents\\.parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"documents scans=$scans\n$p")
+  }
+
   test("q_stream_kll estimates from per-batch partials; one audit log scan") {
     // Same contract as the batch gate: weekly estimates fold the
     // batch-id-keyed KLL binaries alone; the returned plan's only
