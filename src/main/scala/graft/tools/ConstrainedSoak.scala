@@ -38,7 +38,13 @@ object ConstrainedSoak {
     // pair (global-stream + grouped), the CDC fold over per-batch
     // compactions, BPE's vocab iterations, and the CC/SSSP fixpoints.
     "q_stream_topk", "q_group_topk", "q_stream_cdc", "q_bpe_train",
-    "q_graph_cc", "q_graph_sssp")
+    "q_graph_cc", "q_graph_sssp",
+    // Round-13 heavies: both profile paths (the exact census's Expand
+    // and the HLL seam), the packed-key pair mining, the bucketed
+    // merge-on-write upsert, the composed IVF+PQ search, and the
+    // three-way branch merge's double full outer.
+    "q_profile_table", "q_profile_approx", "q_assoc_pairs",
+    "q_stream_upsert", "q_embed_ivfpq", "q_snapshot_merge_branch")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkEnv.session(
