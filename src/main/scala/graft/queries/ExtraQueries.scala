@@ -1576,6 +1576,74 @@ object ExtraQueries {
         |FROM c WHERE cum <= budget
         |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Temperature-scaled mixture sampling — the mC4/T5 recipe
+    // (Raffel et al. §3.4.1, Xue et al. §3.2): q_mix_sources takes
+    // EXPLICIT per-language budgets; here the budgets DERIVE from the
+    // corpus at sampling temperature α = 1/2 — per-lang weight
+    // w_l = √(tokens_l), budget_l = B·w_l / Σw — which upsamples
+    // low-resource languages relative to proportional sampling (the
+    // whole point of temperature mixing). α = 1/2 is chosen over
+    // arbitrary powers deliberately: floor(sqrt(n)) is EXACT in IEEE
+    // doubles for any integer n < 2^52 (a correctly-rounded sqrt of a
+    // non-square integer in that range never lands on an integer), so
+    // the weights are bit-identical cross-engine with NO rounding
+    // boundary to audit — the budget arithmetic is pure integers from
+    // there. Same hash-order greedy prefix as q_mix_sources (one
+    // lang-keyed exchange shared by the totals and the cumsum window;
+    // the Σw fold is a languages-sized driver scalar). Budgets stay
+    // ABSOLUTE, so selections are fixed-size at any corpus scale.
+    "q_mix_temperature" -> ((
+      (s: SparkSession, d: String) => {
+        val B = 8000L
+        // Two consumers (totals, window) — materialize once.
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("toks"),
+            sha2(concat(lit("mixt:"), col("doc_id").cast("string")), 256)
+              .as("h"))
+          .localCheckpoint()
+        val tot = docs.groupBy("lang")
+          .agg(sum("toks").as("tl"))
+          .withColumn("wl",
+            expr("CAST(floor(sqrt(CAST(tl AS DOUBLE))) AS BIGINT)"))
+        val sumW = tot.agg(sum("wl")).head().getLong(0)
+        val budgets = tot.select(col("lang"),
+          expr(s"${B}L * wl div ${sumW}L").as("budget"))
+        val w = Window.partitionBy("lang")
+          .orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs.join(broadcast(budgets), "lang")
+          .withColumn("cum", sum("toks").over(w))
+          .filter(col("cum") <= col("budget"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
+            min("doc_id").as("first_doc"),
+            max("budget").as("budget"))
+          .orderBy("lang")
+      },
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    sha256('mixt:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |t AS (SELECT lang, CAST(sum(toks) AS BIGINT) AS tl
+        |      FROM d GROUP BY 1),
+        |wt AS (SELECT lang,
+        |    CAST(floor(sqrt(CAST(tl AS DOUBLE))) AS BIGINT) AS wl
+        |  FROM t),
+        |sw AS (SELECT CAST(sum(wl) AS BIGINT) AS s FROM wt),
+        |b AS (SELECT lang, CAST(8000 * wl // s AS BIGINT) AS budget
+        |      FROM wt, sw),
+        |c AS (SELECT d.doc_id, d.lang, d.toks, b.budget,
+        |    sum(toks) OVER (PARTITION BY d.lang
+        |      ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d JOIN b USING (lang))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(max(budget) AS BIGINT) AS budget
+        |FROM c WHERE cum <= budget
+        |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     "q_sample_weighted" -> ((
       (s: SparkSession, d: String) => {
         val nb = math.max(1, s.sparkContext.defaultParallelism).toLong

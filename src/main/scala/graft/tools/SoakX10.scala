@@ -192,6 +192,9 @@ object SoakX10 {
     // keeps the selection fixed-size as the corpus grows — cost must
     // track the window exchange, never the selection.
     "q_mix_sources",
+    // Temperature mixture: same law — one lang exchange, absolute
+    // derived budgets keep the selection fixed-size.
+    "q_mix_temperature",
     // FK audit: parents scale past broadcast thresholds with the
     // data; the anti-joins must flip to shuffled joins on their own
     // without losing the pushed parent filters.

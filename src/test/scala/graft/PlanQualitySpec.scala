@@ -591,6 +591,16 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(scans <= 2, s"documents scans=$scans\n$p")
   }
 
+  test("q_mix_temperature rides one lang exchange; budgets broadcast back") {
+    // The derived budgets are a languages-sized relation joined back
+    // by BROADCAST; the docs relation is materialized once, so the
+    // corpus is never re-scanned and no fact-fact join appears.
+    val p = planOf("q_mix_temperature")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!"documents\\.parquet".r.findAllIn(p).hasNext, p)
+  }
+
   test("q_stream_cms folds per-batch partials; corpus appears only as the audit") {
     val p = planOf("q_stream_cms")
     assert(p.contains("graft_scms"), p)
