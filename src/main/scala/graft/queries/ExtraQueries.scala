@@ -400,6 +400,40 @@ object ExtraQueries {
       .orderBy("tok")
   }
 
+  /** The seasonal decomposition's report half, shared by
+    * q_time_seasonal and its streaming twin q_stream_seasonal: over a
+    * MATERIALIZED (event_type, day, total_e2) daily relation, the
+    * day-of-week baselines are a (types × 7)-domain aggregate
+    * broadcast back; residual = total − baseline. Integral division
+    * on non-negative totals (truncating div ≡ flooring //). */
+  private[graft] def seasonalReport(daily: DataFrame): DataFrame = {
+    val dowed = daily.withColumn("dow", expr("day % 7"))
+    val base = dowed.groupBy("event_type", "dow")
+      .agg(expr("sum(total_e2) div count(1)").as("baseline_e2"))
+    dowed.join(broadcast(base), Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("total_e2"),
+        col("baseline_e2"),
+        (col("total_e2") - col("baseline_e2")).as("resid_e2"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Shared oracle of q_time_seasonal and q_stream_seasonal. */
+  private[graft] val SeasonalOracle: String =
+    """WITH daily AS (SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |      AS total_e2
+      |  FROM events WHERE round(value * 100) IS NOT NULL
+      |  GROUP BY 1, 2),
+      |base AS (SELECT event_type, day % 7 AS dow,
+      |    CAST(sum(total_e2) // count(*) AS BIGINT) AS baseline_e2
+      |  FROM daily GROUP BY 1, 2)
+      |SELECT d.event_type, d.day, d.total_e2, b.baseline_e2,
+      |  d.total_e2 - b.baseline_e2 AS resid_e2
+      |FROM daily d JOIN base b
+      |  ON b.event_type = d.event_type AND b.dow = d.day % 7
+      |ORDER BY d.event_type, d.day""".stripMargin
+
   /** Shared oracle of q_agg_cms_rollup and q_stream_cms. */
   private[graft] val CmsOracle: String =
     """WITH tok AS (
@@ -2859,30 +2893,10 @@ object ExtraQueries {
           .filter(col("cents").isNotNull)
           .groupBy("event_type", "day")
           .agg(sum("cents").as("total_e2"))
-          .withColumn("dow", expr("day % 7"))
           .localCheckpoint()
-        val base = daily.groupBy("event_type", "dow")
-          .agg(expr("sum(total_e2) div count(1)").as("baseline_e2"))
-        daily.join(broadcast(base), Seq("event_type", "dow"))
-          .select(col("event_type"), col("day"), col("total_e2"),
-            col("baseline_e2"),
-            (col("total_e2") - col("baseline_e2")).as("resid_e2"))
-          .orderBy("event_type", "day")
+        seasonalReport(daily)
       },
-      """WITH daily AS (SELECT event_type,
-        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
-        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-        |      AS total_e2
-        |  FROM events WHERE round(value * 100) IS NOT NULL
-        |  GROUP BY 1, 2),
-        |base AS (SELECT event_type, day % 7 AS dow,
-        |    CAST(sum(total_e2) // count(*) AS BIGINT) AS baseline_e2
-        |  FROM daily GROUP BY 1, 2)
-        |SELECT d.event_type, d.day, d.total_e2, b.baseline_e2,
-        |  d.total_e2 - b.baseline_e2 AS resid_e2
-        |FROM daily d JOIN base b
-        |  ON b.event_type = d.event_type AND b.dow = d.day % 7
-        |ORDER BY d.event_type, d.day""".stripMargin)),
+      SeasonalOracle)),
 
     "q_time_ohlc" -> ((
       (s: SparkSession, d: String) => {

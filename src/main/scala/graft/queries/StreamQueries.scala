@@ -302,6 +302,24 @@ object StreamQueries {
       .write.mode("overwrite").parquet(s"$root/bm/batch=$batchId")
   }
 
+  /** One micro-batch of the streaming seasonal sink
+    * (q_stream_seasonal): fold THIS batch's events to per-(type, day)
+    * integer-cent total partials — sum-mergeable, the simplest member
+    * of the partial algebra — written batch-id-keyed (exactly-once
+    * overwrite). The report SUMs partials into the daily relation and
+    * runs the SAME seasonalReport as the batch gate, so baselines and
+    * residuals are bit-identical under any micro-batch split. */
+  private[graft] def seasonalBatch(batch: DataFrame, root: String,
+      batchId: Long): Unit =
+    batch
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .filter(col("cents").isNotNull)
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("total_e2"))
+      .write.mode("overwrite").parquet(s"$root/daily/batch=$batchId")
+
   /** One micro-batch of the streaming CMS sink (q_stream_cms): fold
     * THIS batch's tokens to a d×w (depth, bucket) count relation —
     * the CMS partial, fixed-size regardless of batch rows — written to
@@ -948,6 +966,39 @@ object StreamQueries {
           ExtraQueries.kllRollupReport(s.read.parquet(s"$root/kll")))
       },
       ExtraQueries.KllRollupOracle)),
+
+    // Streaming seasonal-baseline maintenance — q_time_seasonal under
+    // continuous ingest: per-batch per-(type, day) integer-cent total
+    // partials (sum-mergeable) land batch-id-keyed; the report SUMs
+    // them into the daily relation and runs the SAME seasonalReport,
+    // so baselines/residuals are bit-identical to the batch gate under
+    // any split. At 100 TB per-batch exchanges are batch-sized and the
+    // report reads only (types × days × batches) partial rows.
+    "q_stream_seasonal" -> ((
+      (s: SparkSession, d: String) => {
+        val tag = graft.Tables.dirTag(d)
+        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_src_${tag}_v$DumpVersion"
+        ensureStreamDump(d, "events", srcDir)(graft.Tables.events(s, d))
+        val root = s"${graft.Tables.scratchRoot}/graft_sseas_$tag"
+        graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        withStreamGateConfs(s) {
+          val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            Long) => Unit = (b, id) => seasonalBatch(b, root, id)
+          val q = stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        ExtraQueries.seasonalReport(
+          s.read.parquet(s"$root/daily")
+            .groupBy("event_type", "day")
+            .agg(sum("total_e2").as("total_e2"))
+            .localCheckpoint())
+      },
+      ExtraQueries.SeasonalOracle)),
 
     // Streaming point-frequency maintenance — q_agg_cms_rollup under
     // continuous ingest: per-batch d×w CMS partials land in

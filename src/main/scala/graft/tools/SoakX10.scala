@@ -416,6 +416,9 @@ object SoakX10 {
     // Seasonal decomposition: the daily rollup is the only data-sized
     // exchange; baselines are domain aggregates broadcast back.
     "q_time_seasonal",
+    // Its streaming twin: per-batch partials are (type x day)-sized;
+    // the report folds partial rows only.
+    "q_stream_seasonal",
     // Stopword discovery: one token-keyed count; report card: one
     // scan feeding digest- and source-domain aggregates — linear.
     "q_text_stopwords", "q_source_report")

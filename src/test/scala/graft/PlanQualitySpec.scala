@@ -601,6 +601,13 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!"documents\\.parquet".r.findAllIn(p).hasNext, p)
   }
 
+  test("q_stream_seasonal folds per-batch daily partials; no log re-scan") {
+    val p = planOf("q_stream_seasonal")
+    val scans = "events\\.parquet".r.findAllIn(p).size
+    assert(scans == 0, s"events scans=$scans\n$p")
+    assert(!p.contains("SortMergeJoin"), p) // baselines broadcast back
+  }
+
   test("q_stream_cms folds per-batch partials; corpus appears only as the audit") {
     val p = planOf("q_stream_cms")
     assert(p.contains("graft_scms"), p)
