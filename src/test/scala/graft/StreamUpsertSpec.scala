@@ -114,6 +114,39 @@ class StreamUpsertSpec extends SparkSpecBase {
     assert(s2.count(_ => true) == 200)
   }
 
+  test("merge-on-write links survive the stale-generation sweep") {
+    // gen2 carries gen1's untouched buckets as hard LINKS; committing
+    // gen3 sweeps gen1's directory (versions strictly older than the
+    // published one). The links must keep the inodes alive: gen2
+    // (now HEAD's parent, AS-OF-readable) and gen3 (HEAD) must both
+    // read complete state after the sweep.
+    import java.nio.file.{Files, Paths}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_supsert_spec").toString
+    upsertBatch(spark,
+      events((1L to 100L).map(u => (u * 2 + 1, 1, u, u.toDouble))),
+      base, "state")
+    val gen1 = graft.sink.SnapshotSwap.currentSnapshot(base, "state").get
+    upsertBatch(spark, events(Seq((9001L, 5, 42L, 7.0))), base, "state")
+    upsertBatch(spark, events(Seq((9005L, 6, 43L, 9.0))), base, "state")
+    assert(!Files.exists(Paths.get(base, gen1)),
+      "gen1 should have been swept at the third commit")
+    val head = state(base)
+    assert(head.size == 100)
+    assert(head.exists(r => r._1 == 42L && r._3 == 9001L))
+    assert(head.exists(r => r._1 == 43L && r._3 == 9005L))
+    assert(head.exists(r => r._1 == 7L && r._4 == 700L)) // carried twice
+    // AS-OF read of the intermediate generation still works: its
+    // carried buckets are links whose inodes outlive gen1's dir.
+    val asOf2 = graft.sink.SnapshotSwap
+      .readAsOf(spark, base, "state", 2L)
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(asOf2.size == 100)
+    assert(asOf2(42L) == 9001L)
+    assert(asOf2(43L) == 87L) // still the seed op at version 2
+  }
+
   test("final state is micro-batch-split independent") {
     val log = Seq((1L, 1, 1L, 2.0), (22L, 3, 2L, 9.0), (3L, 2, 1L, 3.0),
       (5L, 4, 3L, 4.0), (44L, 5, 3L, 1.0), (7L, 6, 2L, 8.0))
