@@ -448,6 +448,7 @@ object SoakX10 {
   def ensureSoakDir(spark: SparkSession, baseSf: String, dir: String,
       x: Long): Unit = {
     ensureRelationalSoak(spark, baseSf, dir, x)
+    ensureEventsSoak(spark, baseSf, dir, x)
     val done = java.nio.file.Paths.get(dir, "_DONE_v4")
     if (java.nio.file.Files.exists(done)) return
     val docs = spark.read.parquet(s"$baseSf/documents.parquet")
@@ -481,6 +482,23 @@ object SoakX10 {
           .as("embedding"),
         col("label"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    java.nio.file.Files.createFile(done)
+  }
+
+  /** Events get their OWN marker so fixing their layout (r13) does not
+    * force the much larger docs/embeddings fixtures to regenerate.
+    * v5: repartition the small base BEFORE the multiplying crossJoin
+    * (the scaleTable/embeddings fix applied to events at last) — the
+    * old layout landed the 10x/100x event tables as 1-2 files, so
+    * every streaming soak replayed as one or two giant micro-batches
+    * (PLANS.md r13 "known fixture limitation"). Streaming soak rows
+    * measured on v5 exercise real batch-count effects. */
+  private def ensureEventsSoak(spark: SparkSession, baseSf: String,
+      dir: String, x: Long): Unit = {
+    val done = java.nio.file.Paths.get(dir, "_DONE_EV_v5")
+    if (java.nio.file.Files.exists(done)) return
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val copies = spark.range(x).select(col("id").as("copy"))
     // events: keep ts in whatever raw form the fixture carries
     // (long-nanos or micros — Tables.events adapts), offset user/event
     // ids per copy so the streaming operators' STATE cardinality
@@ -497,7 +515,8 @@ object SoakX10 {
       case "user_id" => (col("user_id") + col("copy") * nUser).as("user_id")
       case c => col(c)
     }
-    ev.crossJoin(copies).select(evCols: _*)
+    ev.repartition(spark.sparkContext.defaultParallelism)
+      .crossJoin(copies).select(evCols: _*)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     java.nio.file.Files.createFile(done)
   }
