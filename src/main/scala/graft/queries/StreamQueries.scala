@@ -376,55 +376,125 @@ object StreamQueries {
       .write.mode("overwrite").parquet(s"$root/delta/batch=$batchId")
   }
 
-  /** One micro-batch of the streaming MERGE (q_stream_upsert): compact
-    * THIS batch to its latest op per entity, then MERGE it into the
-    * PUBLISHED state snapshot under the timestamp guard — every field
-    * moves only when the source op is strictly newer by the total
-    * (us, event_id) order, and deletes are SOFT (a tombstone column),
-    * because under arbitrary batch slices a hard delete is unsound: a
+  /** One micro-batch of the streaming MERGE (q_stream_upsert) — the
+    * r14 BOUNDED-WRITE protocol. The r13 shape (a state∪batch MERGE
+    * published per batch) was correct but paid a state-sized write
+    * every commit under zero key locality: the 32-batch 100x soak
+    * measured 0.338 s/row vs q_stream_cdc's 0.126 on identical input,
+    * because uniform keys touch every bucket so merge-on-write pruning
+    * never helps. This version is the CDC hybrid (Hudi merge-on-read /
+    * Delta DML-buffer shape):
+    *
+    *   - most commits APPEND a compacted batch delta
+    *     (writeManifestedDeltaAppend): the new generation carries the
+    *     ENTIRE bucketed base and all buffered deltas by hard link —
+    *     zero data bytes moved — and adds `_delta/d=<n>`; per-commit
+    *     write cost is BATCH-sized;
+    *   - every [[UpsertCompactEvery]]-th commit COMPACTS: buffered
+    *     deltas ∪ this batch fold to one latest op per entity and
+    *     MERGE into the bucketed base under the timestamp guard
+    *     (merge-on-write, touched buckets only) — the state-sized
+    *     write is amortized across the cadence;
+    *   - reads fold base ∪ buffered deltas under the same LWW order
+    *     ([[upsertState]]) — merge-on-read, bounded by the cadence.
+    *
+    * LWW semantics are unchanged from r13: every field moves only when
+    * the source op is strictly newer by the total (us, event_id)
+    * order, and deletes are SOFT (a tombstone column), because under
+    * arbitrary batch slices a hard delete is unsound — a
     * later-arriving OLDER op would resurrect the row, while a retained
-    * tombstone beats it on the guard. That makes the per-batch fold
-    * commutative across batch boundaries AND idempotent under
-    * foreachBatch replay (a replayed op ties on (us, event_id) and the
-    * strict guard carries the target), so the final state equals the
-    * batch-equivalent LWW snapshot under ANY micro-batch split — no
-    * batch-id bookkeeping needed, the algebra is the exactly-once
-    * protocol. Each commit lands as a new snapshot generation
-    * (writeManifested), so the maintained table keeps AS-OF history
-    * per micro-batch for free. Tombstones compact away once an
-    * out-of-orderness bound passes — q_snapshot_expire's analogue. */
+    * tombstone beats it on the guard. The fold is commutative across
+    * batch boundaries AND idempotent under foreachBatch replay: a
+    * replayed delta append duplicates rows that TIE on (us, event_id)
+    * with identical payloads (event_id is unique per entity in this
+    * log — the tie can only be the same physical op), and a replay
+    * that lands on the other side of the cadence boundary folds the
+    * duplicate into the merge, where the strict guard carries the
+    * target. So the final state equals the batch-equivalent LWW
+    * snapshot under ANY micro-batch split — no batch-id bookkeeping
+    * needed, the algebra is the exactly-once protocol. Each commit
+    * still lands as a new snapshot generation, so the maintained
+    * table keeps AS-OF history per micro-batch ([[upsertStateAt]]
+    * folds a past generation's own buffer). */
   /** State bucket count for the merge-on-write upsert: the key space
-    * hashes into this many physical partitions, so a batch's merge
-    * reads and REWRITES only the buckets its keys land in (untouched
-    * buckets carry into the new snapshot as hard links — zero bytes).
-    * At 100 TB size this like Delta's file count: enough buckets that
-    * a typical batch's working set touches a minority. */
+    * hashes into this many physical partitions, so a compaction's
+    * merge reads and REWRITES only the buckets its keys land in
+    * (untouched buckets carry into the new snapshot as hard links —
+    * zero bytes). At 100 TB size this like Delta's file count: enough
+    * buckets that a typical working set touches a minority. */
   private[graft] val UpsertBuckets = 32
+
+  /** Compaction cadence: one state-sized merge-on-write fold every Nth
+    * commit; the N-1 commits between are batch-sized delta appends.
+    * Read amplification is bounded by N buffered (batch-compacted)
+    * deltas; a deployment tunes N by its read/write ratio — the
+    * Hudi/Delta compaction-interval knob. */
+  private[graft] val UpsertCompactEvery = 8
 
   private[graft] def upsertBucket(c: org.apache.spark.sql.Column) =
     pmod(hash(c), lit(UpsertBuckets))
 
+  /** Compact a raw event micro-batch to its latest op per entity — a
+    * partial-aggregating max_by (one (us, event_id)-lexicographic
+    * struct max per key with map-side combine) instead of a row_number
+    * window, so the exchange carries one candidate per (partition,
+    * key) rather than every raw row into a sort. The struct order is
+    * total because event_id is unique per entity in this log. */
+  private[graft] def compactBatch(batch: DataFrame): DataFrame =
+    ExtraQueries.cdcLog(batch)
+      .groupBy("user_id")
+      .agg(max(struct(col("us"), col("event_id"), col("val_e2"),
+        col("op"))).as("m"))
+      .select(col("user_id"), col("m.us").as("us"),
+        col("m.event_id").as("event_id"), col("m.val_e2").as("val_e2"),
+        col("m.op").as("op"))
+      .withColumn("bucket", upsertBucket(col("user_id")))
+
+  /** The published generation's buffered deltas, if any. */
+  private[graft] def readBufferedDeltas(s: SparkSession, base: String,
+      table: String): Option[DataFrame] =
+    graft.sink.SnapshotSwap.currentSnapshot(base, table).flatMap { n =>
+      val root = s"$base/$n/_delta"
+      if (graft.sink.SnapshotSwap.listDirNames(root).exists(_.startsWith("d=")))
+        Some(s.read.parquet(root).drop("d"))
+      else None
+    }
+
   private[graft] def upsertBatch(s: SparkSession, batch: DataFrame,
-      base: String, table: String): Unit = {
-    graft.sink.SnapshotSwap.writeManifestedMergeOnWrite(
-      upsertMerged(s, batch, base, table), base, table, "bucket")
+      base: String, table: String,
+      cadence: Int = UpsertCompactEvery): Unit = {
+    val isFirst = graft.sink.SnapshotSwap.currentVersion(base, table) == 0L
+    val buffered = graft.sink.SnapshotSwap.bufferedDeltaCount(base, table)
+    if (isFirst || buffered + 1 >= cadence)
+      graft.sink.SnapshotSwap.writeManifestedMergeOnWrite(
+        upsertMerged(s, batch, base, table), base, table, "bucket")
+    else
+      // Delta-sized commit: 4 files bound the per-commit file count
+      // (and the link-carry fan-out of later commits) without
+      // single-tasking a large batch's compaction write.
+      graft.sink.SnapshotSwap.writeManifestedDeltaAppend(
+        compactBatch(batch).coalesce(4), base, table, "bucket")
     ()
   }
 
-  /** The unexecuted per-batch merge — exposed so PlanQualitySpec and
-    * StreamUpsertSpec can pin its shape: the state side is read
-    * PARTITION-PRUNED to the buckets this batch touches (untouched
-    * buckets never enter the join and carry over by link at commit),
-    * and the batch compaction is a partial-aggregating max_by — one
-    * (us, event_id)-lexicographic struct max per key with map-side
-    * combine — instead of a row_number window, so the exchange carries
-    * one candidate per (partition, key) rather than every raw row into
-    * a sort (the dominant per-batch cost at the 100x soak's 10M-row
-    * batch). */
+  /** The unexecuted compaction merge — exposed so PlanQualitySpec and
+    * StreamUpsertSpec can pin its shape: the base-state side is read
+    * PARTITION-PRUNED to the buckets touched by (buffered deltas ∪
+    * this batch) — untouched buckets never enter the join and carry
+    * over by link at commit — and the source side folds the raw batch
+    * and the buffered deltas in ONE max_by aggregate (no join, no
+    * window). */
   private[graft] def upsertMerged(s: SparkSession, batch: DataFrame,
       base: String, table: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val src = ExtraQueries.cdcLog(batch)
+    val cur = ExtraQueries.cdcLog(batch)
+      .select("user_id", "us", "event_id", "val_e2", "op")
+    val all = readBufferedDeltas(s, base, table) match {
+      case Some(d) => cur.unionByName(
+        d.select("user_id", "us", "event_id", "val_e2", "op"))
+      case None => cur
+    }
+    val src = all
       .groupBy("user_id")
       .agg(max(struct(col("us"), col("event_id"), col("val_e2"),
         col("op"))).as("m"))
@@ -437,7 +507,7 @@ object StreamQueries {
       StructField("event_id", LongType), StructField("val_e2", LongType),
       StructField("deleted", BooleanType),
       StructField("bucket", IntegerType)))
-    // Touched buckets: <= UpsertBuckets driver scalars per batch.
+    // Touched buckets: <= UpsertBuckets driver scalars per compaction.
     val touched = src.select("bucket").distinct()
       .collect().map(_.getInt(0)).sorted
     val tgt =
@@ -462,6 +532,55 @@ object StreamQueries {
         "deleted" -> (col("s.op") === "D"),
         "bucket" -> col("s.bucket")))
     merged
+  }
+
+  /** The upsert table's current LOGICAL state: the published
+    * generation's bucketed base folded with its buffered deltas under
+    * the same (us, event_id) LWW order the compaction merge uses —
+    * the merge-on-read half of the protocol. Reading the generation
+    * dir directly sees the (possibly stale) base only: `_delta` is
+    * underscore-prefixed, invisible to plain parquet readers. */
+  private[graft] def upsertState(s: SparkSession, base: String,
+      table: String): DataFrame = {
+    val snap = graft.sink.SnapshotSwap.currentSnapshot(base, table)
+      .getOrElse(sys.error(s"no published snapshot for $table under $base"))
+    upsertStateOf(s, s"$base/$snap")
+  }
+
+  /** AS-OF flavor of [[upsertState]]: fold a PAST generation's base
+    * with the delta buffer THAT generation carried. */
+  private[graft] def upsertStateAt(s: SparkSession, base: String,
+      table: String, version: Long): DataFrame = {
+    val snap = graft.sink.SnapshotSwap.snapshotAsOf(base, table, version)
+      .getOrElse(sys.error(
+        s"version $version of $table not readable (swept or never existed)"))
+    upsertStateOf(s, s"$base/$snap")
+  }
+
+  private def upsertStateOf(s: SparkSession, snapDir: String): DataFrame = {
+    val cols = Seq("user_id", "us", "event_id", "val_e2", "deleted",
+      "bucket")
+    val baseDf = s.read.parquet(snapDir)
+      .select(cols.map(col): _*)
+    val deltaRoot = s"$snapDir/_delta"
+    if (!graft.sink.SnapshotSwap.listDirNames(deltaRoot)
+        .exists(_.startsWith("d="))) baseDf
+    else {
+      val d = s.read.parquet(deltaRoot)
+        .select(col("user_id"), col("us"), col("event_id"),
+          col("val_e2"), (col("op") === "D").as("deleted"), col("bucket"))
+      // One max_by fold; ties on (us, event_id) across base and a
+      // replayed delta carry IDENTICAL payloads (event_id unique per
+      // entity), so the lexicographic tail never decides a real race.
+      baseDf.unionByName(d)
+        .groupBy("user_id")
+        .agg(max(struct(col("us"), col("event_id"), col("val_e2"),
+          col("deleted"), col("bucket"))).as("m"))
+        .select(col("user_id"), col("m.us").as("us"),
+          col("m.event_id").as("event_id"),
+          col("m.val_e2").as("val_e2"),
+          col("m.deleted").as("deleted"), col("m.bucket").as("bucket"))
+    }
   }
 
   /** One micro-batch of the streaming zone-map maintenance
@@ -734,13 +853,14 @@ object StreamQueries {
     // fold commutative and replay-idempotent — see upsertBatch — so
     // the final state equals the batch LWW snapshot under any split
     // (pinned with replay/out-of-order cases in StreamUpsertSpec).
-    // Trade-off vs q_stream_cdc, stated: per-batch cost here is
-    // TOUCHED-BUCKET-sized (r13: state hash-partitions into
-    // UpsertBuckets; the merge reads only the buckets the batch's keys
-    // land in and commits untouched buckets as hard links — the
-    // Delta/Iceberg merge-on-write file-prune), per-READ cost is one
-    // snapshot scan; the log-structured fold is delta-sized per batch
-    // but pays the fold at read time — 100 TB pipelines pick by
+    // Trade-off vs q_stream_cdc, stated: r14's bounded-write protocol
+    // makes most commits BATCH-sized delta appends (base buckets and
+    // prior deltas carry by hard link — zero bytes), with one
+    // touched-bucket merge-on-write compaction per UpsertCompactEvery
+    // commits; per-READ cost is one base scan + a fold over ≤N
+    // buffered batch-compacted deltas. q_stream_cdc is the pure
+    // log-structured end of the same spectrum (delta-sized writes
+    // forever, full fold at every read) — 100 TB pipelines pick by
     // read/write ratio, this gate proves both produce the identical
     // snapshot against one shared-derivation oracle.
     "q_stream_upsert" -> ((
@@ -761,7 +881,7 @@ object StreamQueries {
             .trigger(Trigger.AvailableNow()).start()
           q.awaitTermination()
         }
-        graft.sink.SnapshotSwap.readManifested(s, base, "state")
+        upsertState(s, base, "state")
           .filter(!col("deleted"))
           .select(col("user_id"), col("us").as("last_us"), col("val_e2"))
           .orderBy("user_id")

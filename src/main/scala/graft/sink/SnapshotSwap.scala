@@ -342,6 +342,64 @@ object SnapshotSwap {
       })
   }
 
+  /** Delta-append commit — the bounded-write half of a merge-on-read
+    * protocol (Delta Lake's deletion-vector/DML-buffer shape, Hudi's
+    * MOR log files): publish a new generation that CARRIES the parent's
+    * entire base state (every `partCol=` bucket dir, plus any loose
+    * degenerate-first-commit part files) and the parent's accumulated
+    * delta buffer by hard link — zero data bytes moved — and adds
+    * `delta` as the next `_delta/d=<seq>` entry. Per-commit write cost
+    * therefore tracks the BATCH, not the state; the read side folds
+    * base ∪ buffered deltas (the reader pays the merge), and a
+    * periodic merge-on-write compaction (the caller's cadence) folds
+    * the buffer back into the buckets so read amplification stays
+    * bounded. `_delta` is underscore-prefixed, so plain parquet
+    * readers of the generation dir see the BASE only — exactly
+    * Delta's `_delta_log` trick. Requires a published parent (the
+    * first commit of a table is always a base write) and, like the
+    * merge-on-write path, a local filesystem base for the link carry. */
+  def writeManifestedDeltaAppend(delta: DataFrame, base: String,
+      table: String, partCol: String): String = {
+    require(!base.contains("://") || base.startsWith("file:"),
+      "delta-append carry links files; object-store bases need " +
+        "manifest-level file reuse instead")
+    writeManifestedImpl(delta, base, table, sweepStale = true,
+      stager = Some { (dataDir, prevDataDir) =>
+        val prev = prevDataDir.getOrElse(sys.error(
+          s"delta append on '$table' requires a published parent " +
+            "snapshot — the first commit must write base state"))
+        listDirNames(prev)
+          .filter(n => n.startsWith(s"$partCol=") || n == "_delta" ||
+            n.startsWith("part-"))
+          .foreach { n =>
+            val s = Paths.get(prev, n); val d = Paths.get(dataDir, n)
+            if (Files.isDirectory(s)) linkTree(s, d)
+            else {
+              Files.createDirectories(Paths.get(dataDir))
+              try Files.createLink(d, s)
+              catch { case _: UnsupportedOperationException =>
+                Files.copy(s, d) }
+            }
+          }
+        val deltaRoot = s"$dataDir/_delta"
+        val seq = listDirNames(deltaRoot)
+          .flatMap(n => n.stripPrefix("d=").toLongOption)
+          .foldLeft(-1L)(math.max) + 1
+        // stageParquet, not a plain write: an EMPTY micro-batch's delta
+        // must still land a schema-bearing part file, or the buffer
+        // read fails schema inference when it is the only entry.
+        stageParquet(delta, Paths.get(deltaRoot, s"d=$seq"))
+      })
+  }
+
+  /** The number of buffered `_delta/d=*` entries in `table`'s published
+    * generation (0 when none, or before the first commit) — the
+    * compaction-cadence signal for delta-append writers. */
+  def bufferedDeltaCount(base: String, table: String): Int =
+    currentSnapshot(base, table)
+      .map(n => listDirNames(s"$base/$n/_delta")
+        .count(_.startsWith("d="))).getOrElse(0)
+
   /** Recursively hard-link `src`'s files under `dst` (copy fallback
     * for filesystems without link support). */
   private def linkTree(src: Path, dst: Path): Unit = {

@@ -323,9 +323,10 @@ object SoakX10 {
     // the soak's key-offset copies grow nodes AND edges linearly, so
     // wedge volume tracks Σd², never |V|².
     "q_graph_linkpred",
-    // Streaming MERGE: per-batch cost is state-table-sized (the
-    // full-outer merge); state cardinality scales with the soak's
-    // user-id offsets, so the fold must stay linear in state ∪ batch.
+    // Streaming MERGE (r14 bounded-write): most commits are
+    // batch-sized delta appends (base carried by hard link); one
+    // touched-bucket merge-on-write compaction per cadence. Per-row
+    // cost must amortize to ~batch-sized + state/cadence.
     "q_stream_upsert",
     // Selection kernel: pass count is log_B(domain) — CONSTANT in
     // rows — and each pass is one pruned scan + a B-row exchange, so

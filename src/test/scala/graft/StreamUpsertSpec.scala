@@ -2,16 +2,23 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** q_stream_upsert invariants: the timestamp-guarded MERGE fold is
-  * (1) idempotent under foreachBatch replay, (2) tombstone-correct
-  * under out-of-order batches (a deleted entity is NOT resurrected by
-  * a later-arriving older op), and (3) micro-batch-split independent
-  * (any partition of the log folds to the same state). The end-to-end
-  * value compare against the LWW snapshot is the DuckDB oracle's job.
-  */
+/** q_stream_upsert invariants under the r14 bounded-write protocol
+  * (delta-buffer appends + periodic merge-on-write compaction): the
+  * timestamp-guarded LWW fold is (1) idempotent under foreachBatch
+  * replay, (2) tombstone-correct under out-of-order batches (a deleted
+  * entity is NOT resurrected by a later-arriving older op), (3)
+  * micro-batch-split independent (any partition of the log folds to
+  * the same state); and the WRITE side is bounded: (4) a delta commit
+  * carries EVERY base bucket by hard link (zero data bytes) and only
+  * appends a batch-sized `_delta` entry, while (5) a compaction
+  * restates ONLY the buckets touched by the buffered ops and drops the
+  * buffer, (6) with carried links surviving the stale-generation
+  * sweep so AS-OF folds of past generations stay readable. The
+  * end-to-end value compare against the LWW snapshot is the DuckDB
+  * oracle's job. */
 class StreamUpsertSpec extends SparkSpecBase {
 
-  import graft.queries.StreamQueries.upsertBatch
+  import graft.queries.StreamQueries.{upsertBatch, upsertState, upsertStateAt}
 
   private def ts(minute: Int) =
     java.sql.Timestamp.valueOf(f"2024-01-01 09:$minute%02d:00")
@@ -23,7 +30,7 @@ class StreamUpsertSpec extends SparkSpecBase {
   }
 
   private def state(base: String) =
-    graft.sink.SnapshotSwap.readManifested(spark, base, "state")
+    upsertState(spark, base, "state")
       .select("user_id", "us", "event_id", "val_e2", "deleted")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getBoolean(4))).toSet
@@ -38,7 +45,15 @@ class StreamUpsertSpec extends SparkSpecBase {
     // User 1 holds its latest op; user 2 is a retained tombstone.
     assert(s1.exists(r => r._1 == 1L && r._3 == 3L && r._4 == 300L && !r._5), s1)
     assert(s1.exists(r => r._1 == 2L && r._5), s1)
+    // The replay lands as a DELTA append (the first commit wrote base
+    // state): its rows tie the base rows on (us, event_id) with
+    // identical payloads, so the fold is unchanged.
     upsertBatch(spark, b0, base, "state") // replay
+    assert(state(base) == s1)
+    // And a replay that lands as a COMPACTION (cadence boundary) folds
+    // the duplicate into the merge, where the strict guard carries
+    // the target — also unchanged.
+    upsertBatch(spark, b0, base, "state", cadence = 2)
     assert(state(base) == s1)
   }
 
@@ -47,43 +62,35 @@ class StreamUpsertSpec extends SparkSpecBase {
       .createTempDirectory("graft_supsert_spec").toString
     // Batch 0 carries the NEWER delete for user 7 (minute 9).
     upsertBatch(spark, events(Seq((33L, 9, 7L, 1.0))), base, "state")
-    // Batch 1 arrives later but holds an OLDER update (minute 2).
+    // Batch 1 arrives later but holds an OLDER update (minute 2) — a
+    // delta append; the read fold must keep the tombstone.
     upsertBatch(spark, events(Seq((5L, 2, 7L, 6.0))), base, "state")
     val s = state(base)
     assert(s == Set((7L, ts(9).getTime * 1000L, 33L, 100L, true)), s)
+    // Still true after the buffer compacts into the base.
+    upsertBatch(spark, events(Seq.empty), base, "state", cadence = 2)
+    assert(state(base) == s)
   }
 
-  test("merge-on-write: a key-local batch rewrites only its buckets") {
+  test("delta commit carries ALL buckets by link; compaction restates only touched ones") {
     import graft.queries.StreamQueries.{UpsertBuckets, upsertBucket}
+    import java.nio.file.{Files, Paths}
     val base = java.nio.file.Files
       .createTempDirectory("graft_supsert_spec").toString
-    // Seed: 200 users span (virtually) all hash buckets.
+    // Seed: 200 users span (virtually) all hash buckets — the first
+    // commit writes the bucketed base.
     upsertBatch(spark,
       events((1L to 200L).map(u => (u * 2 + 1, 1, u, u.toDouble))),
       base, "state")
     val gen1 = graft.sink.SnapshotSwap.currentSnapshot(base, "state").get
-    // Batch 2 touches ONE user — one bucket.
+    // Batch 2 touches ONE user -> a DELTA commit: every base bucket
+    // carries as a hard link, and _delta/d=0 holds the compacted batch.
     val touchedUser = 42L
     upsertBatch(spark,
       events(Seq((9001L, 5, touchedUser, 7.0))), base, "state")
     val gen2 = graft.sink.SnapshotSwap.currentSnapshot(base, "state").get
-    val touchedBucket = spark.range(1)
-      .select(upsertBucket(org.apache.spark.sql.functions
-        .lit(touchedUser)).as("b")).head().getInt(0)
-    // The target-side read is partition-pruned to the touched bucket:
-    // the scan plan carries a PartitionFilter on bucket, so untouched
-    // buckets never enter the join.
-    val p = graft.queries.StreamQueries
-      .upsertMerged(spark,
-        events(Seq((9003L, 6, touchedUser, 8.0))), base, "state")
-      .queryExecution.executedPlan.toString
-    assert(p.contains("PartitionFilters") && p.contains("bucket"), p)
-    // Untouched buckets carried into gen2 as HARD LINKS of gen1's
-    // files (same inode — zero bytes rewritten); the touched bucket
-    // was restated with fresh files.
-    import java.nio.file.{Files, Paths}
-    def partFiles(gen: String, b: Int): Seq[java.nio.file.Path] = {
-      val dir = Paths.get(base, gen, s"bucket=$b")
+    def partFiles(gen: String, sub: String): Seq[java.nio.file.Path] = {
+      val dir = Paths.get(base, gen, sub)
       if (!Files.isDirectory(dir)) Seq.empty
       else {
         val s = Files.list(dir)
@@ -94,32 +101,66 @@ class StreamUpsertSpec extends SparkSpecBase {
         } finally s.close()
       }
     }
-    val untouched = (0 until UpsertBuckets)
-      .filter(b => b != touchedBucket && partFiles(gen1, b).nonEmpty)
-    assert(untouched.nonEmpty)
-    untouched.foreach { b =>
-      val f1 = partFiles(gen1, b); val f2 = partFiles(gen2, b)
+    val seeded = (0 until UpsertBuckets)
+      .filter(b => partFiles(gen1, s"bucket=$b").nonEmpty)
+    assert(seeded.size > UpsertBuckets / 2)
+    seeded.foreach { b =>
+      val f1 = partFiles(gen1, s"bucket=$b")
+      val f2 = partFiles(gen2, s"bucket=$b")
       assert(f1.map(_.getFileName) == f2.map(_.getFileName), s"bucket $b")
       f1.zip(f2).foreach { case (a, c) =>
-        assert(Files.isSameFile(a, c), s"bucket $b was rewritten")
+        assert(Files.isSameFile(a, c), s"bucket $b was rewritten on a delta commit")
       }
     }
-    val t1 = partFiles(gen1, touchedBucket).map(_.getFileName.toString)
-    val t2 = partFiles(gen2, touchedBucket).map(_.getFileName.toString)
-    assert(t2.nonEmpty && t1.intersect(t2).isEmpty,
-      s"touched bucket not restated: $t1 vs $t2")
-    // And the merged STATE is still complete and correct.
-    val s2 = state(base)
-    assert(s2.exists(r => r._1 == touchedUser && r._3 == 9001L && r._4 == 700L))
-    assert(s2.count(_ => true) == 200)
+    assert(partFiles(gen2, "_delta/d=0").nonEmpty, "delta entry missing")
+    // The compaction merge's base-state read is partition-pruned to
+    // the touched buckets: the scan plan carries a PartitionFilter on
+    // bucket, so untouched buckets never enter the join.
+    val p = graft.queries.StreamQueries
+      .upsertMerged(spark,
+        events(Seq((9003L, 6, touchedUser, 8.0))), base, "state")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("bucket"), p)
+    // Batch 3 at cadence=2 forces a COMPACTION: the buffered delta
+    // (user 42) and the batch (user 43) fold into the base — only
+    // their buckets restate, the rest carry by link, the buffer drops.
+    val otherUser = 43L
+    upsertBatch(spark, events(Seq((9005L, 6, otherUser, 8.0))),
+      base, "state", cadence = 2)
+    val gen3 = graft.sink.SnapshotSwap.currentSnapshot(base, "state").get
+    assert(!Files.isDirectory(Paths.get(base, gen3, "_delta")),
+      "compaction must drop the delta buffer")
+    val touchedBuckets = spark.range(1).select(
+      upsertBucket(lit(touchedUser)).as("a"),
+      upsertBucket(lit(otherUser)).as("b")).head()
+    val restated = Set(touchedBuckets.getInt(0), touchedBuckets.getInt(1))
+    seeded.foreach { b =>
+      val f2 = partFiles(gen2, s"bucket=$b")
+      val f3 = partFiles(gen3, s"bucket=$b")
+      if (restated.contains(b)) {
+        assert(f3.nonEmpty && f2.map(_.getFileName.toString)
+          .intersect(f3.map(_.getFileName.toString)).isEmpty,
+          s"touched bucket $b not restated")
+      } else {
+        assert(f2.map(_.getFileName) == f3.map(_.getFileName), s"bucket $b")
+        f2.zip(f3).foreach { case (a, c) =>
+          assert(Files.isSameFile(a, c), s"bucket $b was rewritten")
+        }
+      }
+    }
+    // And the merged STATE is complete and correct at every step.
+    val s3 = state(base)
+    assert(s3.exists(r => r._1 == touchedUser && r._3 == 9001L && r._4 == 700L))
+    assert(s3.exists(r => r._1 == otherUser && r._3 == 9005L && r._4 == 800L))
+    assert(s3.size == 200)
   }
 
-  test("merge-on-write links survive the stale-generation sweep") {
-    // gen2 carries gen1's untouched buckets as hard LINKS; committing
-    // gen3 sweeps gen1's directory (versions strictly older than the
-    // published one). The links must keep the inodes alive: gen2
-    // (now HEAD's parent, AS-OF-readable) and gen3 (HEAD) must both
-    // read complete state after the sweep.
+  test("carried links survive the stale-generation sweep (AS-OF folds stay readable)") {
+    // gen2/gen3 are delta commits carrying gen1's buckets as hard
+    // LINKS; committing gen3 sweeps gen1's directory (versions
+    // strictly older than the published one). The links must keep the
+    // inodes alive: gen2 (now HEAD's parent, AS-OF-readable) and gen3
+    // (HEAD) must both fold complete state after the sweep.
     import java.nio.file.{Files, Paths}
     val base = java.nio.file.Files
       .createTempDirectory("graft_supsert_spec").toString
@@ -136,10 +177,10 @@ class StreamUpsertSpec extends SparkSpecBase {
     assert(head.exists(r => r._1 == 42L && r._3 == 9001L))
     assert(head.exists(r => r._1 == 43L && r._3 == 9005L))
     assert(head.exists(r => r._1 == 7L && r._4 == 700L)) // carried twice
-    // AS-OF read of the intermediate generation still works: its
-    // carried buckets are links whose inodes outlive gen1's dir.
-    val asOf2 = graft.sink.SnapshotSwap
-      .readAsOf(spark, base, "state", 2L)
+    // AS-OF fold of the intermediate generation still works: its
+    // carried buckets and carried delta entries are links whose
+    // inodes outlive gen1's dir.
+    val asOf2 = upsertStateAt(spark, base, "state", 2L)
       .select("user_id", "event_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(asOf2.size == 100)
@@ -155,10 +196,18 @@ class StreamUpsertSpec extends SparkSpecBase {
     upsertBatch(spark, events(log), whole, "state")
     val split = java.nio.file.Files
       .createTempDirectory("graft_supsert_spec").toString
-    // An adversarial split: out-of-time-order slices of size 2.
+    // An adversarial split: out-of-time-order slices of size 2 —
+    // lands as base + two delta appends under the default cadence.
     log.grouped(2).foreach(b => upsertBatch(spark, events(b), split, "state"))
     assert(state(whole) == state(split))
     // The split run kept one snapshot generation per batch.
     assert(graft.sink.SnapshotSwap.currentVersion(split, "state") == 3L)
+    // A split whose cadence forces a mid-stream compaction folds to
+    // the same state too.
+    val split2 = java.nio.file.Files
+      .createTempDirectory("graft_supsert_spec").toString
+    log.grouped(2).foreach(b =>
+      upsertBatch(spark, events(b), split2, "state", cadence = 2))
+    assert(state(whole) == state(split2))
   }
 }
