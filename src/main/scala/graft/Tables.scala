@@ -153,17 +153,50 @@ object Tables {
 
   /** Build-once guard for a derived artifact dir: rebuild when the
     * recorded fingerprint differs from the current one (or the build
-    * never completed — the marker is written only after `build`). */
+    * never completed — the marker is written only after `build`).
+    *
+    * Concurrency: two sessions/threads racing a COLD cache must not
+    * interleave writes into the same dir (an overwrite-mode Spark
+    * write torn by a second writer leaves a mix of both builds). The
+    * build section is serialized by an O_EXCL sibling lock file — the
+    * SnapshotSwap commit-lock discipline — with the freshness check
+    * repeated INSIDE the lock, so the race's loser finds the winner's
+    * marker and returns without building; both read one consistent
+    * artifact. A crashed builder's lock is broken after 10 minutes
+    * (all ensureDerived builds are seconds-to-a-minute; the soak
+    * fixtures use their own _DONE markers). */
   def ensureDerived(dir: String, fingerprint: String)(
       build: => Unit): String = {
     import java.nio.file.{Files, Paths}
     val marker = Paths.get(dir, "_GRAFT_FINGERPRINT")
-    val fresh = Files.exists(marker) &&
+    def fresh = Files.exists(marker) &&
       Files.readString(marker).trim == fingerprint
-    if (!fresh) {
-      build
-      Files.writeString(marker, fingerprint)
+    if (fresh) return dir
+    val lock = Paths.get(s"$dir._build_lock")
+    if (lock.getParent != null) Files.createDirectories(lock.getParent)
+    var acquired = false
+    var tries = 0
+    while (!acquired) {
+      try { Files.createFile(lock); acquired = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          try {
+            val age = System.currentTimeMillis() -
+              Files.getLastModifiedTime(lock).toMillis
+            if (age > 600000L) Files.deleteIfExists(lock)
+          } catch { case _: java.nio.file.NoSuchFileException => () }
+          tries += 1
+          if (tries > 24000) sys.error(
+            s"derived-artifact build lock stuck: $lock")
+          Thread.sleep(50)
+      }
     }
+    try {
+      if (!fresh) { // double-check: the lock's previous holder built it
+        build
+        Files.writeString(marker, fingerprint)
+      }
+    } finally Files.deleteIfExists(lock)
     dir
   }
 

@@ -201,6 +201,20 @@ case class KllAgg(
 
   require(k >= 8, s"kll_agg needs k >= 8, got $k")
 
+  // Analysis-time validation (not a lazy executor-side sys.error): a
+  // mistyped column (INT, DECIMAL, ...) must fail fast on the driver
+  // with the expression named, not surface as an opaque task failure
+  // on the first update.
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case DoubleType | LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"kll_agg needs a BIGINT or DOUBLE column, got $other")
+    }
+
   private lazy val toLong: Any => Long = child.dataType match {
     case DoubleType =>
       v => KllSketch.doubleToSortableLong(v.asInstanceOf[Double])

@@ -400,6 +400,18 @@ object ExtraQueries {
       .orderBy("tok")
   }
 
+  /** q_mix_temperature's per-doc projection BEFORE the localCheckpoint
+    * — exposed so PlanQualitySpec can pin the real scan count (one
+    * corpus scan feeding the materialization); the post-checkpoint
+    * plan only proves the checkpointed relation isn't re-derived. */
+  private[graft] def mixTemperatureDocs(s: SparkSession,
+      d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        sha2(concat(lit("mixt:"), col("doc_id").cast("string")), 256)
+          .as("h"))
+
   /** The seasonal decomposition's report half, shared by
     * q_time_seasonal and its streaming twin q_stream_seasonal: over a
     * MATERIALIZED (event_type, day, total_e2) daily relation, the
@@ -732,8 +744,9 @@ object ExtraQueries {
     // only sketch here mergeable by arithmetic alone. Estimates
     // (min over d bucket counts) are engine-internal (xxhash64), so
     // the gate follows the theta discipline: emit exact probe counts
-    // (oracle-recomputable; probes are the sha256-prefix slice of the
-    // vocabulary — deterministic and expressible in BOTH engines) plus
+    // (oracle-recomputable; the probe set is the ENTIRE distinct
+    // vocabulary — domain-sized here, see cmsAudit's note on why that
+    // is the realistic consumer shape) plus
     // audited guarantee booleans — over_ok (est ≥ true: structural,
     // min of counts that each include every occurrence) and bound_ok
     // (est ≤ true + 4·N/w: the Markov-expectation bound N/w per depth
@@ -1629,13 +1642,12 @@ object ExtraQueries {
     "q_mix_temperature" -> ((
       (s: SparkSession, d: String) => {
         val B = 8000L
-        // Two consumers (totals, window) — materialize once.
-        val docs = t(s, d, "documents")
-          .select(col("doc_id"), col("lang"),
-            size(split(col("text"), " ")).cast("long").as("toks"),
-            sha2(concat(lit("mixt:"), col("doc_id").cast("string")), 256)
-              .as("h"))
-          .localCheckpoint()
+        // Two consumers (totals, window) — materialize once. The
+        // pre-checkpoint relation is exposed (mixTemperatureDocs) so
+        // the plan gate can pin its ONE corpus scan: localCheckpoint
+        // hides lineage as an ExistingRDD, which made a "no documents
+        // scan in the final plan" assertion vacuous (the r13 trap).
+        val docs = mixTemperatureDocs(s, d).localCheckpoint()
         val tot = docs.groupBy("lang")
           .agg(sum("toks").as("tl"))
           .withColumn("wl",

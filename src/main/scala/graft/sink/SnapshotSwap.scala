@@ -847,6 +847,18 @@ object SnapshotSwap {
     val m = readManifested(spark, base, table)
     val r = readTagged(spark, base, table, branch)
     val b = readTagged(spark, base, table, s"$branch@fork")
+    // Schema drift fails LOUDLY: valCols derives from the main head,
+    // so a column added (or dropped) on one side only would silently
+    // vanish from the packed struct comparison — branch edits to it
+    // would be misclassified as "unchanged". Row-grain three-way merge
+    // is defined over a shared schema; schema merges are a separate
+    // (metadata) operation.
+    Seq("branch" -> r, "merge base" -> b).foreach { case (side, df) =>
+      require(df.columns.sorted.sameElements(m.columns.sorted),
+        s"three-way merge of '$table' needs identical column sets; " +
+          s"$side has ${df.columns.sorted.mkString("[", ",", "]")} vs " +
+          s"main ${m.columns.sorted.mkString("[", ",", "]")}")
+    }
     val valCols = m.columns.filterNot(_ == key).toSeq
     def pack(df: DataFrame, side: String) =
       df.select(col(key).as(s"k_$side"),

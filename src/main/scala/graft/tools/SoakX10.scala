@@ -494,7 +494,7 @@ object SoakX10 {
     * every streaming soak replayed as one or two giant micro-batches
     * (PLANS.md r13 "known fixture limitation"). Streaming soak rows
     * measured on v5 exercise real batch-count effects. */
-  private def ensureEventsSoak(spark: SparkSession, baseSf: String,
+  private[tools] def ensureEventsSoak(spark: SparkSession, baseSf: String,
       dir: String, x: Long): Unit = {
     val done = java.nio.file.Paths.get(dir, "_DONE_EV_v5")
     if (java.nio.file.Files.exists(done)) return
@@ -658,14 +658,14 @@ object SoakX10 {
     // sketch per column per partition.
     if (only.forall(_.contains("q_profile_approx"))) {
       val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
-      spark.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onTaskEnd(
-              e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-            if (e.taskMetrics != null)
-              shuffleBytes.addAndGet(
-                e.taskMetrics.shuffleWriteMetrics.bytesWritten)
-        })
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            shuffleBytes.addAndGet(
+              e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
       def runProfile(exact: Boolean, d: String): (Double, Long) = {
         val w = (1 to 2).map(_ => time(
           graft.queries.ExtraQueries.profilePlan(spark, d, exact)
@@ -674,9 +674,16 @@ object SoakX10 {
         shuffleBytes.set(0L)
         graft.queries.ExtraQueries.profilePlan(spark, d, exact)
           .write.mode("overwrite").format("noop").save()
-        // listenerBus is private; a short settle beats racing the
-        // async task-end events for a diagnostic print.
-        Thread.sleep(500)
+        // listenerBus.waitUntilEmpty is private[spark]; settle-poll the
+        // counter instead of racing the async task-end events — done
+        // when two consecutive reads agree (no single fixed sleep can
+        // be right on a loaded box).
+        var prev = -1L; var stable = 0
+        while (stable < 2) {
+          Thread.sleep(100)
+          val cur = shuffleBytes.get()
+          if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        }
         (w, shuffleBytes.get())
       }
       println("path,base_sec,soak_sec,per_row_ratio,base_shuffle_kb," +
@@ -689,6 +696,7 @@ object SoakX10 {
           f"${bBytes / 1024},${sBytes / 1024}," +
           f"${sBytes.toDouble / math.max(1L, bBytes)}%.2f")
       }
+      spark.sparkContext.removeSparkListener(listener)
     }
     spark.stop()
   }

@@ -168,6 +168,21 @@ class EdgeCasesSpec extends SparkSpecBase {
     }
   }
 
+  test("kll_agg rejects a mistyped column at ANALYSIS time, not mid-task") {
+    // An INT measure must fail fast on the driver with the expression
+    // named (checkInputDataTypes), not surface as an opaque executor
+    // task failure on the first update (r13 advisor finding).
+    graft.functions.KllSketch.register(spark)
+    import spark.implicits._
+    val df = Seq(1, 2, 3).toDF("x") // IntegerType, not BIGINT
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(org.apache.spark.sql.functions.expr("kll_agg(x, 256)"))
+        .queryExecution.analyzed
+    }
+    assert(e.getMessage.contains("kll_agg") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"), e.getMessage)
+  }
+
   test("q_agg_kll_rollup booleans hold at another sf") {
     val rows = SparkEntry.queries("q_agg_kll_rollup")(
       spark, "/root/testdata/sf0.001").collect()

@@ -593,12 +593,20 @@ class PlanQualitySpec extends SparkSpecBase {
 
   test("q_mix_temperature rides one lang exchange; budgets broadcast back") {
     // The derived budgets are a languages-sized relation joined back
-    // by BROADCAST; the docs relation is materialized once, so the
-    // corpus is never re-scanned and no fact-fact join appears.
+    // by BROADCAST and no fact-fact join appears. "Corpus scanned
+    // once" is pinned on the PRE-checkpoint relation below — the
+    // final plan's zero-scan assertion alone would be vacuous
+    // (localCheckpoint hides the scan as an ExistingRDD).
     val p = planOf("q_mix_temperature")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
     assert(!"documents\\.parquet".r.findAllIn(p).hasNext, p)
+    val pre = graft.queries.ExtraQueries.mixTemperatureDocs(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = "documents\\.parquet".r.findAllIn(pre).size
+    assert(scans == 1, s"pre-checkpoint documents scans=$scans\n$pre")
+    assert(!pre.contains("Exchange"), // the materialization is map-only
+      s"pre-checkpoint relation should not shuffle\n$pre")
   }
 
   test("q_stream_seasonal folds per-batch daily partials; no log re-scan") {

@@ -552,6 +552,25 @@ class SnapshotSwapSpec extends SparkSpecBase {
     assert(back == got.collect { case (k, Some(v), _) => (k, v) }.toSet)
   }
 
+  test("three-way merge fails loudly on schema drift between the sides") {
+    // valCols derives from main's head; without the guard a column
+    // added on the branch would silently drop from the packed struct
+    // comparison and branch edits to it would read as "unchanged"
+    // (r13 advisor finding). Row-grain merge is defined over a shared
+    // schema — drift must throw, not mis-merge.
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_merge3drift").toString
+    SnapshotSwap.writeManifested(
+      Seq((1L, 10L)).toDF("k", "v"), base, "t")
+    SnapshotSwap.createBranch(base, "t", "x")
+    SnapshotSwap.commitToBranch(
+      Seq((1L, 10L, "extra")).toDF("k", "v", "w"), base, "t", "x")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotSwap.mergeBranch3Way(spark, base, "t", "x", "k")
+    }
+    assert(e.getMessage.contains("identical column sets"), e.getMessage)
+  }
+
   test("stringifyNested maps complex columns to JSON text for CSV") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
