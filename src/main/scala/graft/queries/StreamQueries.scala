@@ -234,7 +234,7 @@ object StreamQueries {
       batchId: Long): Unit = {
     val s = batch.sparkSession
     graft.functions.TopKSketch.register(s)
-    batch.select(explode(split(col("text"), " ")).as("tok"))
+    writePartial(batch.select(explode(split(col("text"), " ")).as("tok"))
       .agg(expr("mg_topk(tok, 256, 256)").as("hh"),
         count(lit(1)).as("n"))
       // explode_OUTER: a batch whose summary came back empty (possible
@@ -245,9 +245,20 @@ object StreamQueries {
       // row; the candidate union filters the null out.
       .select(explode_outer(col("hh")).as("kv"), col("n"))
       .select(col("kv.item").as("item"), col("kv.est_count").as("est"),
-        col("n"))
-      .write.mode("overwrite").parquet(s"$root/sketch/batch=$batchId")
+        col("n")), s"$root/sketch/batch=$batchId")
   }
+
+  /** Write a DOMAIN-SIZED per-batch partial as a single file. The
+    * partial relations the fold sinks persist are (days × types) /
+    * d×w / k-sized — orders of magnitude under one parquet row group —
+    * so the default layout (one file per shuffle partition, 4 at the
+    * gate conf) just multiplies the per-commit task+file constant and
+    * quadruples the files the report fold must open across hundreds
+    * of batches. Batch-SIZED artifacts (cdc deltas, zonemap data,
+    * dedup index entries) keep their parallel layout — single-tasking
+    * those would serialize real data volume. */
+  private def writePartial(df: DataFrame, dir: String): Unit =
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
 
   /** One micro-batch of the streaming quantile sink
     * (q_stream_quantile): fold THIS batch's events to a (day, cents)
@@ -258,12 +269,12 @@ object StreamQueries {
     * partials equals the batch rollup under ANY micro-batch split. */
   private[graft] def quantileHistBatch(batch: DataFrame, root: String,
       batchId: Long): Unit =
-    batch
+    writePartial(batch
       .select(expr("unix_micros(ts) div 86400000000").as("day"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       .filter(col("cents").isNotNull)
-      .groupBy("day", "cents").agg(count(lit(1)).as("cnt"))
-      .write.mode("overwrite").parquet(s"$root/hist/batch=$batchId")
+      .groupBy("day", "cents").agg(count(lit(1)).as("cnt")),
+      s"$root/hist/batch=$batchId")
 
   /** One micro-batch of the streaming KLL sink (q_stream_kll): fold
     * THIS batch's events to per-day KLL binaries — k·log(n/k)-sized
@@ -276,12 +287,12 @@ object StreamQueries {
   private[graft] def kllBatch(batch: DataFrame, root: String,
       batchId: Long): Unit = {
     graft.functions.KllSketch.register(batch.sparkSession)
-    batch
+    writePartial(batch
       .select(expr("unix_micros(ts) div 86400000000").as("day"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       .filter(col("cents").isNotNull)
-      .groupBy("day").agg(expr("kll_agg(cents, 256)").as("sk"))
-      .write.mode("overwrite").parquet(s"$root/kll/batch=$batchId")
+      .groupBy("day").agg(expr("kll_agg(cents, 256)").as("sk")),
+      s"$root/kll/batch=$batchId")
   }
 
   /** One micro-batch of the streaming bitmap sink (q_stream_bitmap):
@@ -295,11 +306,11 @@ object StreamQueries {
   private[graft] def bitmapBatch(batch: DataFrame, root: String,
       batchId: Long): Unit = {
     graft.functions.BitmapFunctions.register(batch.sparkSession)
-    batch
+    writePartial(batch
       .select(col("user_id"),
         expr("unix_micros(ts) div 86400000000").as("day"))
-      .groupBy("day").agg(expr("bm_agg(user_id)").as("users_bm"))
-      .write.mode("overwrite").parquet(s"$root/bm/batch=$batchId")
+      .groupBy("day").agg(expr("bm_agg(user_id)").as("users_bm")),
+      s"$root/bm/batch=$batchId")
   }
 
   /** One micro-batch of the streaming seasonal sink
@@ -311,14 +322,14 @@ object StreamQueries {
     * residuals are bit-identical under any micro-batch split. */
   private[graft] def seasonalBatch(batch: DataFrame, root: String,
       batchId: Long): Unit =
-    batch
+    writePartial(batch
       .select(col("event_type"),
         expr("unix_micros(ts) div 86400000000").as("day"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       .filter(col("cents").isNotNull)
       .groupBy("event_type", "day")
-      .agg(sum("cents").as("total_e2"))
-      .write.mode("overwrite").parquet(s"$root/daily/batch=$batchId")
+      .agg(sum("cents").as("total_e2")),
+      s"$root/daily/batch=$batchId")
 
   /** One micro-batch of the streaming CMS sink (q_stream_cms): fold
     * THIS batch's tokens to a d×w (depth, bucket) count relation —
@@ -329,12 +340,12 @@ object StreamQueries {
     * ANY micro-batch split. */
   private[graft] def cmsBatch(batch: DataFrame, root: String,
       batchId: Long): Unit =
-    batch
+    writePartial(batch
       .select(explode(split(col("text"), " ")).as("tok"))
       .select(explode(expr(ExtraQueries.CmsBucketsExpr)).as("db"))
       .groupBy(col("db.dep").as("dep"), col("db.bkt").as("bkt"))
-      .agg(count(lit(1)).as("cnt"))
-      .write.mode("overwrite").parquet(s"$root/cms/batch=$batchId")
+      .agg(count(lit(1)).as("cnt")),
+      s"$root/cms/batch=$batchId")
 
   /** One micro-batch of the streaming theta sink (q_stream_theta):
     * fold THIS batch's (segment, id) stream to per-segment KMV k-min
@@ -349,8 +360,8 @@ object StreamQueries {
     val su = batch
       .select(col("event_type"), xxhash64(col("user_id")).as("h"))
       .distinct()
-    ExtraQueries.thetaKmv(su, ExtraQueries.ThetaK)
-      .write.mode("overwrite").parquet(s"$root/kmv/batch=$batchId")
+    writePartial(ExtraQueries.thetaKmv(su, ExtraQueries.ThetaK),
+      s"$root/kmv/batch=$batchId")
   }
 
   /** One micro-batch of the streaming CDC compaction sink
@@ -466,14 +477,22 @@ object StreamQueries {
     val isFirst = graft.sink.SnapshotSwap.currentVersion(base, table) == 0L
     val buffered = graft.sink.SnapshotSwap.bufferedDeltaCount(base, table)
     if (isFirst || buffered + 1 >= cadence)
+      // repartition on the bucket column before the partitionBy write:
+      // without it every write task emits a file into every bucket dir
+      // (shuffle-partitions × buckets files per compaction — each one a
+      // task at write time and a hard link on every later delta carry);
+      // with it each bucket is one file. One state-sized exchange per
+      // COMPACTION, amortized over the cadence.
       graft.sink.SnapshotSwap.writeManifestedMergeOnWrite(
-        upsertMerged(s, batch, base, table), base, table, "bucket")
+        upsertMerged(s, batch, base, table).repartition(col("bucket")),
+        base, table, "bucket")
     else
-      // Delta-sized commit: 4 files bound the per-commit file count
-      // (and the link-carry fan-out of later commits) without
-      // single-tasking a large batch's compaction write.
+      // Single-file delta: the batch-compacted delta is keys-per-batch
+      // sized (MBs at the soak's 312k-row batches) — one write task and
+      // one link on every later carry. A deployment with ~100M-row
+      // batches would size this by bytes instead.
       graft.sink.SnapshotSwap.writeManifestedDeltaAppend(
-        compactBatch(batch).coalesce(4), base, table, "bucket")
+        compactBatch(batch).coalesce(1), base, table, "bucket")
     ()
   }
 
