@@ -576,11 +576,11 @@ object StreamQueries {
     upsertStateOf(s, s"$base/$snap")
   }
 
-  private def upsertStateOf(s: SparkSession, snapDir: String): DataFrame = {
+  private[graft] def upsertStateOf(s: SparkSession,
+      snapDir: String): DataFrame = {
     val cols = Seq("user_id", "us", "event_id", "val_e2", "deleted",
       "bucket")
-    val baseDf = s.read.parquet(snapDir)
-      .select(cols.map(col): _*)
+    def baseDf = s.read.parquet(snapDir).select(cols.map(col): _*)
     val deltaRoot = s"$snapDir/_delta"
     if (!graft.sink.SnapshotSwap.listDirNames(deltaRoot)
         .exists(_.startsWith("d="))) baseDf
@@ -588,10 +588,21 @@ object StreamQueries {
       val d = s.read.parquet(deltaRoot)
         .select(col("user_id"), col("us"), col("event_id"),
           col("val_e2"), (col("op") === "D").as("deleted"), col("bucket"))
-      // One max_by fold; ties on (us, event_id) across base and a
-      // replayed delta carry IDENTICAL payloads (event_id unique per
-      // entity), so the lexicographic tail never decides a real race.
-      baseDf.unionByName(d)
+      // The fold is BUCKET-PRUNED: only base buckets the buffered
+      // deltas touch enter the max_by aggregate; every other bucket
+      // passes through scan-only (partition-pruned, no exchange). At
+      // 100 TB with a key-local producer the merge-on-read cost tracks
+      // the buffer's working set, not the state size — the read-side
+      // mirror of the compaction's touched-bucket merge. Touched is
+      // <= UpsertBuckets driver scalars.
+      val touched = d.select("bucket").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      // One max_by fold on the hot slice; ties on (us, event_id)
+      // across base and a replayed delta carry IDENTICAL payloads
+      // (event_id unique per entity), so the lexicographic tail never
+      // decides a real race.
+      val hot = baseDf.filter(col("bucket").isin(touched: _*))
+        .unionByName(d)
         .groupBy("user_id")
         .agg(max(struct(col("us"), col("event_id"), col("val_e2"),
           col("deleted"), col("bucket"))).as("m"))
@@ -599,6 +610,8 @@ object StreamQueries {
           col("m.event_id").as("event_id"),
           col("m.val_e2").as("val_e2"),
           col("m.deleted").as("deleted"), col("m.bucket").as("bucket"))
+      baseDf.filter(!col("bucket").isin(touched: _*))
+        .unionByName(hot)
     }
   }
 

@@ -155,6 +155,28 @@ class StreamUpsertSpec extends SparkSpecBase {
     assert(s3.size == 200)
   }
 
+  test("merge-on-read fold is bucket-pruned: cold buckets pass through scan-only") {
+    import graft.queries.StreamQueries.upsertStateOf
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_supsert_spec").toString
+    upsertBatch(spark,
+      events((1L to 200L).map(u => (u * 2 + 1, 1, u, u.toDouble))),
+      base, "state")
+    upsertBatch(spark, events(Seq((9001L, 5, 42L, 7.0))), base, "state")
+    val snap = graft.sink.SnapshotSwap.currentSnapshot(base, "state").get
+    val plan = upsertStateOf(spark, s"$base/$snap")
+      .queryExecution.executedPlan.toString
+    // Both base branches are partition-pruned on bucket; the max_by
+    // aggregate (one partial+final pair) sits over the HOT slice only,
+    // so the cold branch contributes a bare scan to the union.
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("Union"), plan)
+    assert("HashAggregate".r.findAllIn(plan).length <= 4, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Join"), plan)
+    // And the pruned fold is still the complete state.
+    assert(upsertState(spark, base, "state").count() == 200)
+  }
+
   test("carried links survive the stale-generation sweep (AS-OF folds stay readable)") {
     // gen2/gen3 are delta commits carrying gen1's buckets as hard
     // LINKS; committing gen3 sweeps gen1's directory (versions
