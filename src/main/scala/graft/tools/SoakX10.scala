@@ -422,7 +422,10 @@ object SoakX10 {
     "q_stream_seasonal",
     // Stopword discovery: one token-keyed count; report card: one
     // scan feeding digest- and source-domain aggregates — linear.
-    "q_text_stopwords", "q_source_report")
+    "q_text_stopwords", "q_source_report",
+    // PII scrub census: two codegen'd regexp passes fused into one
+    // corpus scan; the exchange carries |sources| integer rows.
+    "q_text_pii_scrub")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

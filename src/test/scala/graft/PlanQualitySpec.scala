@@ -25,6 +25,21 @@ class PlanQualitySpec extends SparkSpecBase {
     p +: kids.flatMap(collectNodes)
   }
 
+  test("q_text_pii_scrub is one fused scan + a sources-domain aggregate") {
+    // The scrub (two regexp passes + span counts) is row-local inside
+    // whole-stage codegen over ONE documents scan; the only exchange
+    // is the partial+final groupBy(source) pair, whose payload is
+    // |sources| integer rows at any corpus size.
+    val p = planOf("q_text_pii_scrub")
+    val scans = "documents\\.parquet".r.findAllIn(p).size
+    assert(scans == 1, s"documents scans=$scans\n$p")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    // (Codegen spans don't render in the pre-execution AQE plan
+    // string; the row-local projections here are all codegen-eligible
+    // built-ins — regexp_*, length, concat — no imperative exprs.)
+  }
+
   test("q_filter pushes predicates into the parquet scan") {
     val p = planOf("q_filter")
     assert(p.contains("PushedFilters"), p)
