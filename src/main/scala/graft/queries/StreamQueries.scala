@@ -234,7 +234,11 @@ object StreamQueries {
       batchId: Long): Unit = {
     val s = batch.sparkSession
     graft.functions.TopKSketch.register(s)
-    writePartial(batch.select(explode(split(col("text"), " ")).as("tok"))
+    // repartition before the token explode: one-file micro-batches
+    // otherwise run the whole explode + partial-MG in a single task
+    // (see cmsBatch); partial MG summaries then merge in the final agg.
+    writePartial(batch.repartition(s.sparkContext.defaultParallelism)
+      .select(explode(split(col("text"), " ")).as("tok"))
       .agg(expr("mg_topk(tok, 256, 256)").as("hh"),
         count(lit(1)).as("n"))
       // explode_OUTER: a batch whose summary came back empty (possible
@@ -340,7 +344,14 @@ object StreamQueries {
     * ANY micro-batch split. */
   private[graft] def cmsBatch(batch: DataFrame, root: String,
       batchId: Long): Unit =
-    writePartial(batch
+    // repartition BEFORE the ×(tokens × CmsDepth) explode: with
+    // maxFilesPerTrigger=1 each micro-batch arrives as ONE input
+    // split, so without it the whole explode+partial-agg (tens of
+    // millions of rows at the 100x soak) runs in a single task. The
+    // exchange moves only the batch's doc rows; the heavy fan-out then
+    // folds map-side in parallel into d×w partials.
+    writePartial(batch.repartition(batch.sparkSession.sparkContext
+        .defaultParallelism)
       .select(explode(split(col("text"), " ")).as("tok"))
       .select(explode(expr(ExtraQueries.CmsBucketsExpr)).as("db"))
       .groupBy(col("db.dep").as("dep"), col("db.bkt").as("bkt"))
@@ -645,7 +656,11 @@ object StreamQueries {
     * split. */
   private[graft] def assocBatch(batch: DataFrame, root: String,
       batchId: Long): Unit = {
-    batch
+    // repartition first: one-file micro-batches otherwise single-task
+    // the basket build's partial collect_set over the whole batch
+    // (see cmsBatch); the pair explode itself already runs post-
+    // exchange in parallel.
+    batch.repartition(batch.sparkSession.sparkContext.defaultParallelism)
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("its"))
       .select(explode(expr(
