@@ -291,6 +291,11 @@ object StreamQueries {
   private[graft] def kllBatch(batch: DataFrame, root: String,
       batchId: Long): Unit = {
     graft.functions.KllSketch.register(batch.sparkSession)
+    // (A pre-agg repartition was A/B'd here like cmsBatch's and
+    // REVERTED: the kll partial's map work is row-cheap — no explode
+    // fan-out — so the 100x soak moved 15.97 -> 16.86 s, i.e. the
+    // extra exchange bought nothing. The repartition pays only where
+    // the single input split feeds a multiplying stage.)
     writePartial(batch
       .select(expr("unix_micros(ts) div 86400000000").as("day"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
