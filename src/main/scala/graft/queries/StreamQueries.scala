@@ -363,6 +363,23 @@ object StreamQueries {
       .agg(count(lit(1)).as("cnt")),
       s"$root/cms/batch=$batchId")
 
+  /** One micro-batch of the streaming PII census (q_stream_pii): this
+    * batch's docs run the same injection + scrub projection as the
+    * batch gate (TextQueries.piiSpans) and land as a per-source
+    * integer-census partial in a batch-id-keyed dir (idempotent
+    * overwrite, the incDedupBatch exactly-once protocol). Every census
+    * column is a SUM, so the report fold equals the batch census under
+    * ANY micro-batch split. The pre-scrub repartition was A/B'd like
+    * cmsBatch's: row-local but regex-HEAVY work (two engine passes
+    * over every doc's full text) is the other case where a one-file
+    * batch's single task dominates — 100x soak 29.5 -> 15.5 s. */
+  private[graft] def piiBatch(batch: DataFrame, root: String,
+      batchId: Long): Unit =
+    writePartial(TextQueries.piiCensus(TextQueries.piiSpans(
+      batch.repartition(batch.sparkSession.sparkContext
+        .defaultParallelism))),
+      s"$root/pii/batch=$batchId")
+
   /** One micro-batch of the streaming theta sink (q_stream_theta):
     * fold THIS batch's (segment, id) stream to per-segment KMV k-min
     * arrays (thetaKmv — the batch's k smallest distinct id hashes),
@@ -1180,6 +1197,43 @@ object StreamQueries {
     // probe audit, same oracle. At 100 TB each batch's exchange
     // carries ≤ d·w counters per partition and the report reads only
     // (d·w × batches) partial rows.
+    // Streaming PII census — the release-card redaction counters
+    // (q_text_pii_scrub) maintained under continuous ingest: per-batch
+    // per-source integer partials (pure sums) land batch-id-keyed and
+    // the report folds partials only — the corpus is never re-scanned
+    // (plan-gated). Shares piiSpans/piiCensus AND the oracle with the
+    // batch gate, so the streamed fold must equal the batch census
+    // exactly under any split.
+    "q_stream_pii" -> ((
+      (s: SparkSession, d: String) => {
+        val tag = graft.Tables.dirTag(d)
+        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_docs_${tag}_v$DumpVersion"
+        ensureStreamDump(d, "documents", srcDir)(
+          graft.Tables.t(s, d, "documents"))
+        val root = s"${graft.Tables.scratchRoot}/graft_spii_$tag"
+        graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        withStreamGateConfs(s) {
+          val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            Long) => Unit = (b, id) => piiBatch(b, root, id)
+          val q = stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        s.read.parquet(s"$root/pii")
+          .groupBy("source")
+          .agg(sum("n_docs").as("n_docs"),
+            sum("docs_flagged").as("docs_flagged"),
+            sum("n_emails").as("n_emails"),
+            sum("n_digit_runs").as("n_digit_runs"),
+            sum("chars_redacted").as("chars_redacted"))
+          .orderBy("source")
+      },
+      TextQueries.PiiOracle)),
+
     "q_stream_cms" -> ((
       (s: SparkSession, d: String) => {
         val tag = graft.Tables.dirTag(d)

@@ -722,6 +722,70 @@ object TextQueries {
     rules.reduce(_.unionByName(_)).orderBy("iter")
   }
 
+  /** Per-doc PII span projection shared by q_text_pii_scrub and its
+    * streaming twin: deterministic ground-truth injection (doc_id % 7
+    * docs get an email + a digit run derived from doc_id — the same
+    * arithmetic in both engines) followed by the two regex passes.
+    * Patterns stay in the Java∩RE2 common subset so Spark and DuckDB
+    * match identical spans; email scrub precedes digit scrub in BOTH
+    * engines so a digit run inside a masked email never double-counts
+    * in redacted chars (span COUNTS are taken on the pre-scrub text in
+    * both — same text, same pattern, same count). */
+  private[graft] def piiSpans(docs: DataFrame): DataFrame = {
+    val email = "[a-z0-9.]+@[a-z0-9]+[.][a-z]+"
+    val digits = "[0-9]{7,}"
+    val injected = docs.select(col("source"),
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@mail.example ph "),
+          (col("doc_id") * 9973L + 1000000007L).cast("string")))
+        .otherwise(col("text")).as("text"))
+    val scrubbed = regexp_replace(
+      regexp_replace(col("text"), email, ""), digits, "")
+    injected.select(col("source"),
+      expr(s"regexp_count(text, '$email')").as("emails"),
+      expr(s"regexp_count(text, '$digits')").as("phones"),
+      (length(col("text")) - length(scrubbed)).as("redacted"))
+  }
+
+  /** The per-source census over [[piiSpans]] rows — every column a
+    * SUM, so per-batch partials fold exactly (the streaming twin's
+    * algebra). */
+  private[graft] def piiCensus(spans: DataFrame): DataFrame =
+    spans.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("emails") + col("phones") > 0, 1L)
+          .otherwise(0L)).as("docs_flagged"),
+        sum(col("emails").cast("long")).as("n_emails"),
+        sum(col("phones").cast("long")).as("n_digit_runs"),
+        sum(col("redacted").cast("long")).as("chars_redacted"))
+      .orderBy("source")
+
+  /** Shared oracle of q_text_pii_scrub and q_stream_pii (the streamed
+    * partial fold must equal the batch census exactly). */
+  private[graft] val PiiOracle: String =
+    """WITH d AS (SELECT source,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
+      |      CAST(doc_id AS VARCHAR) || '@mail.example ph ' ||
+      |      CAST(doc_id * 9973 + 1000000007 AS VARCHAR)
+      |    ELSE text END AS text
+      |  FROM documents),
+      |c AS (SELECT source,
+      |    len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9]+[.][a-z]+'))
+      |      AS emails,
+      |    len(regexp_extract_all(text, '[0-9]{7,}')) AS phones,
+      |    length(text) - length(regexp_replace(regexp_replace(text,
+      |      '[a-z0-9.]+@[a-z0-9]+[.][a-z]+', '', 'g'),
+      |      '[0-9]{7,}', '', 'g')) AS redacted
+      |  FROM d)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN emails + phones > 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS docs_flagged,
+      |  CAST(sum(emails) AS BIGINT) AS n_emails,
+      |  CAST(sum(phones) AS BIGINT) AS n_digit_runs,
+      |  CAST(sum(redacted) AS BIGINT) AS chars_redacted
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   val entries: Map[String, (Q, String)] = Map(
 
     // PII scrub census — the redaction pass every released pretraining
@@ -746,51 +810,9 @@ object TextQueries {
     // one exchange carries |sources| rows of integers at any corpus
     // size.
     "q_text_pii_scrub" -> ((
-      (s: SparkSession, d: String) => {
-        val email = "[a-z0-9.]+@[a-z0-9]+[.][a-z]+"
-        val digits = "[0-9]{7,}"
-        val docs = t(s, d, "documents").select(col("source"),
-          when(col("doc_id") % 7 === 0,
-            concat(col("text"), lit(" contact user"),
-              col("doc_id").cast("string"), lit("@mail.example ph "),
-              (col("doc_id") * 9973L + 1000000007L).cast("string")))
-            .otherwise(col("text")).as("text"))
-        val scrubbed = regexp_replace(
-          regexp_replace(col("text"), email, ""), digits, "")
-        docs.select(col("source"),
-            expr(s"regexp_count(text, '$email')").as("emails"),
-            expr(s"regexp_count(text, '$digits')").as("phones"),
-            (length(col("text")) - length(scrubbed)).as("redacted"))
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(when(col("emails") + col("phones") > 0, 1L)
-              .otherwise(0L)).as("docs_flagged"),
-            sum(col("emails").cast("long")).as("n_emails"),
-            sum(col("phones").cast("long")).as("n_digit_runs"),
-            sum(col("redacted").cast("long")).as("chars_redacted"))
-          .orderBy("source")
-      },
-      """WITH d AS (SELECT source,
-        |    CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
-        |      CAST(doc_id AS VARCHAR) || '@mail.example ph ' ||
-        |      CAST(doc_id * 9973 + 1000000007 AS VARCHAR)
-        |    ELSE text END AS text
-        |  FROM documents),
-        |c AS (SELECT source,
-        |    len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9]+[.][a-z]+'))
-        |      AS emails,
-        |    len(regexp_extract_all(text, '[0-9]{7,}')) AS phones,
-        |    length(text) - length(regexp_replace(regexp_replace(text,
-        |      '[a-z0-9.]+@[a-z0-9]+[.][a-z]+', '', 'g'),
-        |      '[0-9]{7,}', '', 'g')) AS redacted
-        |  FROM d)
-        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(CASE WHEN emails + phones > 0 THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS docs_flagged,
-        |  CAST(sum(emails) AS BIGINT) AS n_emails,
-        |  CAST(sum(phones) AS BIGINT) AS n_digit_runs,
-        |  CAST(sum(redacted) AS BIGINT) AS chars_redacted
-        |FROM c GROUP BY source ORDER BY source""".stripMargin)),
+      (s: SparkSession, d: String) =>
+        piiCensus(piiSpans(t(s, d, "documents"))),
+      PiiOracle)),
 
     // BPE tokenizer training — three merge rules learned over the word
     // histogram (see bpeTrain for the per-iteration shape and why the

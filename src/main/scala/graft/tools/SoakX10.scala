@@ -424,8 +424,9 @@ object SoakX10 {
     // scan feeding digest- and source-domain aggregates — linear.
     "q_text_stopwords", "q_source_report",
     // PII scrub census: two codegen'd regexp passes fused into one
-    // corpus scan; the exchange carries |sources| integer rows.
-    "q_text_pii_scrub")
+    // corpus scan; the exchange carries |sources| integer rows. Its
+    // streaming twin folds per-batch integer partials only.
+    "q_text_pii_scrub", "q_stream_pii")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

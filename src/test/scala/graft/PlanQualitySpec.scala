@@ -631,6 +631,13 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), p) // baselines broadcast back
   }
 
+  test("q_stream_pii folds per-batch census partials; no corpus re-scan") {
+    val p = planOf("q_stream_pii")
+    assert(p.contains("graft_spii"), p)
+    assert(!"documents\\.parquet".r.findAllIn(p).hasNext, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q_stream_cms folds per-batch partials; corpus appears only as the audit") {
     val p = planOf("q_stream_cms")
     assert(p.contains("graft_scms"), p)
