@@ -1480,6 +1480,14 @@ object StreamQueries {
         val stream = s.readStream.schema(schema).parquet(srcDir)
           .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
           .agg(count(lit(1)).as("n_events"))
+        // Data-sized state partitions were A/B'd at the 100x soak and
+        // REVERTED: parts=4 ran 0.392 s/row, dump-bytes/8MB (~25 parts)
+        // ran 0.558 — per-store constants beat parallelism here, and
+        // the dominant cost is the complete-mode memory sink the
+        // finite gate needs for determinism (driver materializes every
+        // session; 33 GB at 100x). The production shape is append mode
+        // + watermark to a file sink, where state partitioning is the
+        // throughput knob.
         withStreamGateConfs(s) {
           val q = stream.writeStream.format("memory").queryName(qn)
             .outputMode("complete").trigger(Trigger.AvailableNow()).start()
