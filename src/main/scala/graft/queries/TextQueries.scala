@@ -814,6 +814,118 @@ object TextQueries {
         piiCensus(piiSpans(t(s, d, "documents"))),
       PiiOracle)),
 
+    // URL canonicalization dedup — the first dedup a web-crawl corpus
+    // runs (CommonCrawl/CCNet dedup by canonical URL before any
+    // content hashing): lowercase scheme+host, strip the default :80
+    // port (http only), drop the fragment, drop tracking params
+    // (utm_*, sess), byte-sort the surviving params, strip the
+    // trailing slash — then group. The fixture has no URL column, so
+    // the gate PLANTS one per doc from doc_id arithmetic (same rule in
+    // both engines; case noise, ports, shuffled params, session ids
+    // and fragments vary WITHIN a canonical identity): 500 raw URLs
+    // collapse to 60 canonical groups, and the census reports per
+    // group the keeper (min doc_id), member count, and raw-variant
+    // count. The canonicalizer itself is generic string surgery on the
+    // URL grammar (regexp_extract parts + a filter/sort_array/
+    // array_join param rewrite) — every step row-local and
+    // codegen-eligible, so the whole scrub fuses into the scan;
+    // the ONLY exchanges are the group-census aggregate pair (the
+    // single-distinct rewrite keys the partial on (curl, url), so
+    // duplicate raw variants collapse map-side). At crawl scale the
+    // group key would be xxhash64(curl) with first(curl) carried —
+    // same plan shape, 8-byte shuffle keys.
+    "q_dedup_url" -> ((
+      (s: SparkSession, d: String) => {
+        val doc = col("doc_id")
+        val url = concat(
+          when(doc % 2 === 0, lit("HTTP")).otherwise(lit("https")),
+          lit("://"),
+          lit("WWW.Site"), (doc % 5).cast("string"), lit(".Example.COM"),
+          when(doc % 3 === 0, lit(":80")).otherwise(lit("")),
+          lit("/Articles/item"), (doc % 4).cast("string"),
+          when(doc % 2 === 1, lit("/")).otherwise(lit("")),
+          lit("?"),
+          when(doc % 2 === 0,
+            concat(lit("utm_source=feed&id="), (doc % 3).cast("string"),
+              lit("&sess="), (doc % 11).cast("string")))
+            .otherwise(concat(lit("id="), (doc % 3).cast("string"),
+              lit("&utm_campaign=mail"))),
+          when(doc % 4 === 0, concat(lit("#v"), (doc % 7).cast("string")))
+            .otherwise(lit("")))
+        val parsed = t(s, d, "documents")
+          .select(doc.as("doc_id"), url.as("url"))
+          .select(col("doc_id"), col("url"),
+            lower(regexp_extract(col("url"), "^([a-zA-Z]+)://", 1))
+              .as("scheme"),
+            lower(regexp_extract(col("url"), "^[a-zA-Z]+://([^/?#]+)", 1))
+              .as("hostport"),
+            regexp_extract(col("url"), "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1)
+              .as("path"),
+            regexp_extract(col("url"), "\\?([^#]*)", 1).as("query"))
+          .withColumn("cq", array_join(sort_array(expr(
+            "filter(split(query, '&'), " +
+              "x -> NOT (x LIKE 'utm_%' OR x LIKE 'sess=%'))")), "&"))
+        val canon = parsed.select(col("doc_id"), col("url"), concat(
+          col("scheme"), lit("://"),
+          when(col("scheme") === "http" && col("hostport").endsWith(":80"),
+            expr("substring(hostport, 1, length(hostport) - 3)"))
+            .otherwise(col("hostport")),
+          when(col("path") =!= "/" && col("path").endsWith("/"),
+            expr("substring(path, 1, length(path) - 1)"))
+            .otherwise(col("path")),
+          when(col("cq") === "", lit(""))
+            .otherwise(concat(lit("?"), col("cq")))).as("canonical_url"))
+        canon.groupBy("canonical_url")
+          .agg(min("doc_id").as("keeper_id"),
+            count(lit(1)).as("n_docs"),
+            countDistinct("url").as("n_raw_variants"))
+          .orderBy("canonical_url")
+      },
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+        |    || '://' ||
+        |    'WWW.Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.COM' ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END) ||
+        |    '/Articles/item' || CAST(doc_id % 4 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END) ||
+        |    '?' ||
+        |    (CASE WHEN doc_id % 2 = 0
+        |       THEN 'utm_source=feed&id=' || CAST(doc_id % 3 AS VARCHAR)
+        |            || '&sess=' || CAST(doc_id % 11 AS VARCHAR)
+        |       ELSE 'id=' || CAST(doc_id % 3 AS VARCHAR)
+        |            || '&utm_campaign=mail' END) ||
+        |    (CASE WHEN doc_id % 4 = 0
+        |       THEN '#v' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END)
+        |    AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
+        |    lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1))
+        |      AS hostport,
+        |    regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1) AS path,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query
+        |  FROM d),
+        |c AS (
+        |  SELECT doc_id, url, scheme,
+        |    CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+        |         THEN substr(hostport, 1, length(hostport) - 3)
+        |         ELSE hostport END AS host,
+        |    CASE WHEN path <> '/' AND path LIKE '%/'
+        |         THEN substr(path, 1, length(path) - 1) ELSE path END
+        |      AS cpath,
+        |    array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |      x -> NOT (x LIKE 'utm_%' OR x LIKE 'sess=%'))), '&') AS cq
+        |  FROM p)
+        |SELECT scheme || '://' || host || cpath ||
+        |    (CASE WHEN cq = '' THEN '' ELSE '?' || cq END)
+        |    AS canonical_url,
+        |  CAST(min(doc_id) AS BIGINT) AS keeper_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // BPE tokenizer training — three merge rules learned over the word
     // histogram (see bpeTrain for the per-iteration shape and why the
     // corpus is scanned exactly once). Output is the rule table
@@ -2100,6 +2212,71 @@ object TextQueries {
         |SELECT doc_id, CAST(sum(w) AS BIGINT) AS score,
         |  (sum(w) >= 0) AS keep
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // DSIR importance weights (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): score every raw
+    // document by the log-likelihood ratio between a TARGET unigram
+    // distribution (here the src0 slice standing in for the curated
+    // target corpus) and the RAW distribution, over hashed n-gram
+    // features — the vocabulary-free trick that makes the estimator a
+    // fixed 256-bucket relation regardless of corpus size. Two honest
+    // passes, exactly DSIR's shape: pass 1 folds token→bucket counts
+    // into a 256-row relation (map-side partials, a 256-row exchange);
+    // the add-one-smoothed log-ratio per bucket is computed ON that
+    // relation (256 ln calls total, rounded to integer 1e-6 units —
+    // boundary-audited in tools/check.py); pass 2 re-streams the
+    // corpus, joins each token's bucket against the BROADCAST weight
+    // table (≤256 rows forever — never a shuffle join at any scale),
+    // and partial-aggregates per-doc sums into one doc_id exchange.
+    // Bucket key = first two hex chars of sha256(token) so both
+    // engines bucket identically byte-for-byte.
+    "q_quality_dsir" -> ((
+      (s: SparkSession, d: String) => {
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(split(col("text"), " ")).as("tok"))
+          .select(col("doc_id"), col("source"),
+            substring(sha2(col("tok"), 256), 1, 2).as("bkt"))
+        val bc = tok.groupBy("bkt")
+          .agg(sum(when(col("source") === "src0", 1L).otherwise(0L))
+            .as("ct"), count(lit(1)).as("cr"))
+        val n = bc.agg(sum("ct"), sum("cr")).head()
+        val (nt, nr) = (n.getLong(0), n.getLong(1))
+        val w = bc.select(col("bkt"), expr(
+          s"""CAST(round(
+             |  (ln((CAST(ct AS DOUBLE) + 1.0)
+             |      / (CAST(${nt}L AS DOUBLE) + 256.0))
+             |   - ln((CAST(cr AS DOUBLE) + 1.0)
+             |        / (CAST(${nr}L AS DOUBLE) + 256.0)))
+             |  * 1000000.0) AS BIGINT)""".stripMargin).as("w_e6"))
+        tok.join(broadcast(w), "bkt")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"), sum("w_e6").as("weight_e6"))
+          .orderBy("doc_id")
+      },
+      """WITH tok AS (
+        |  SELECT doc_id, source, substr(sha256(tok), 1, 2) AS bkt FROM (
+        |    SELECT doc_id, source,
+        |      unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)),
+        |bc AS (
+        |  SELECT bkt,
+        |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+        |    count(*) AS cr
+        |  FROM tok GROUP BY bkt),
+        |n AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM bc),
+        |w AS (
+        |  SELECT bkt, CAST(round(
+        |      (ln((CAST(ct AS DOUBLE) + 1.0)
+        |           / (CAST(n.nt AS DOUBLE) + 256.0))
+        |       - ln((CAST(cr AS DOUBLE) + 1.0)
+        |             / (CAST(n.nr AS DOUBLE) + 256.0)))
+        |      * 1000000.0) AS BIGINT) AS w_e6
+        |  FROM bc, n)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |  CAST(sum(w_e6) AS BIGINT) AS weight_e6
+        |FROM tok JOIN w USING (bkt)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // Winnowing fingerprint (MOSS-style rolling scheme): hash every
     // ORDERED 3-gram shingle, slide a 4-hash window, keep each window's

@@ -40,6 +40,36 @@ class PlanQualitySpec extends SparkSpecBase {
     // built-ins — regexp_*, length, concat — no imperative exprs.)
   }
 
+  test("q_dedup_url: row-local canonicalizer fused into one scan, no join") {
+    // The whole canonicalization (regexp part extraction, tracking-param
+    // filter/sort/join rewrite, port/slash/fragment strips) is row-local
+    // expressions over ONE documents scan pruned to doc_id; the only
+    // exchanges are the census aggregate's single-distinct rewrite pair
+    // ((curl, url) partial, then curl) — no join, no Generate.
+    val p = planOf("q_dedup_url")
+    val scans = "documents\\.parquet".r.findAllIn(p).size
+    assert(scans == 1, s"documents scans=$scans\n$p")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Generate"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
+  }
+
+  test("q_quality_dsir: 256-bucket weight table broadcasts, two-pass shape") {
+    // DSIR's scoring join must NEVER shuffle the corpus on the bucket
+    // key: the weight relation is bounded at 256 rows by construction,
+    // so the join is a BroadcastHashJoin at any corpus size. The
+    // returned plan holds the two honest passes (count fold + scoring
+    // re-stream) and exactly two hash exchanges: the 256-row bucket
+    // fold and the per-doc aggregate.
+    val p = planOf("q_quality_dsir")
+    val scans = "documents\\.parquet".r.findAllIn(p).size
+    assert(scans == 2, s"documents scans=$scans\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
+  }
+
   test("q_filter pushes predicates into the parquet scan") {
     val p = planOf("q_filter")
     assert(p.contains("PushedFilters"), p)

@@ -97,6 +97,25 @@ BOUNDARY_AUDITS = {
                * -1000000.0 AS x
         FROM c12 JOIN c1 ON string_split(c12.g, ' ')[1] = c1.w1, v)
       SELECT min(abs(x - floor(x) - 0.5)) FROM raw""",
+    "q_quality_dsir": """
+      WITH tok AS (
+        SELECT source, substr(sha256(tok), 1, 2) AS bkt FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS tok
+          FROM documents)),
+      bc AS (
+        SELECT bkt,
+          sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+          count(*) AS cr
+        FROM tok GROUP BY bkt),
+      n AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM bc),
+      raw AS (
+        SELECT (ln((CAST(ct AS DOUBLE) + 1.0)
+                   / (CAST(n.nt AS DOUBLE) + 256.0))
+              - ln((CAST(cr AS DOUBLE) + 1.0)
+                   / (CAST(n.nr AS DOUBLE) + 256.0)))
+              * 1000000.0 AS x
+        FROM bc, n)
+      SELECT min(abs(x - floor(x) - 0.5)) FROM raw""",
     "q_text_entropy": """
       WITH h AS (
         SELECT doc_id, entropy(c) * 10000.0 AS x
@@ -139,6 +158,7 @@ AUDIT_MIRROR_CONSTANTS = {
     "q_text_bm25_multi": ["* 2.2", "1.2 *", "0.25 + 0.75", "+ 0.5)",
                           "10000.0"],
     "q_text_perplexity": ["+ 1.0)", "-1000000.0"],
+    "q_quality_dsir": ["+ 256.0", "* 1000000.0", "+ 1.0)"],
     "q_text_entropy": ["entropy(c)", "round(entropy(c), 4)"],
     "q_drift_psi": ["cents // 50", "* 1000000", "md.md + 15",
                     "r + 1 AS DOUBLE", "100000"],
