@@ -483,6 +483,68 @@ object ExtraQueries {
       when(col("event_id") % 11 === 0, lit("D"))
         .otherwise(lit("U")).as("op"))
 
+  /** PSI census from the binned (event_type, bin, r, c) histogram
+    * relation — the window totals, Laplace-smoothed probabilities,
+    * integer-e6 terms, and the 0.1-threshold verdict. Shared by
+    * q_drift_psi and its streaming twin so the two gates can never
+    * drift apart: everything after the histogram build runs on the
+    * DOMAIN-sized bin relation. */
+  private[graft] def psiReport(bc: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type")
+    bc
+      .withColumn("nbins", count(lit(1)).over(w))
+      .withColumn("nr", sum("r").over(w))
+      .withColumn("nc", sum("c").over(w))
+      .withColumn("p", (col("r") + 1).cast("double") /
+        (col("nr") + col("nbins")).cast("double"))
+      .withColumn("q", (col("c") + 1).cast("double") /
+        (col("nc") + col("nbins")).cast("double"))
+      .withColumn("term_e6",
+        round((col("p") - col("q")) * log(col("p") / col("q")) *
+          lit(1000000.0)).cast("long"))
+      .groupBy("event_type")
+      .agg(max("nbins").as("n_bins"), max("nr").as("n_ref"),
+        max("nc").as("n_cur"), sum("term_e6").as("psi_e6"))
+      .withColumn("drifted", col("psi_e6") > 100000L)
+      .orderBy("event_type")
+  }
+
+  /** The PSI drift oracle — shared verbatim by q_drift_psi and
+    * q_stream_drift (the streamed histogram fold must equal the batch
+    * census exactly, so both gates compare against one SQL). */
+  private[graft] val DriftOracle: String =
+    """WITH e AS (SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |f AS (SELECT event_type, day, cents, cents // 50 AS bin
+      |  FROM e WHERE cents IS NOT NULL AND cents >= 0),
+      |md AS (SELECT min(day) AS md FROM f),
+      |bc AS (SELECT event_type, bin,
+      |    CAST(sum(CASE WHEN day < md.md + 15 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS r,
+      |    CAST(sum(CASE WHEN day >= md.md + 15 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c
+      |  FROM f, md GROUP BY 1, 2),
+      |t AS (SELECT *,
+      |    CAST(count(*) OVER w AS BIGINT) AS nbins,
+      |    CAST(sum(r) OVER w AS BIGINT) AS nr,
+      |    CAST(sum(c) OVER w AS BIGINT) AS nc
+      |  FROM bc WINDOW w AS (PARTITION BY event_type)),
+      |terms AS (SELECT event_type, nbins, nr, nc,
+      |    CAST(round((p - q) * ln(p / q) * 1000000) AS BIGINT)
+      |      AS term_e6
+      |  FROM (SELECT *,
+      |      CAST(r + 1 AS DOUBLE) / CAST(nr + nbins AS DOUBLE) AS p,
+      |      CAST(c + 1 AS DOUBLE) / CAST(nc + nbins AS DOUBLE) AS q
+      |    FROM t) x)
+      |SELECT event_type, CAST(max(nbins) AS BIGINT) AS n_bins,
+      |  CAST(max(nr) AS BIGINT) AS n_ref,
+      |  CAST(max(nc) AS BIGINT) AS n_cur,
+      |  CAST(sum(term_e6) AS BIGINT) AS psi_e6,
+      |  CAST(sum(term_e6) AS BIGINT) > 100000 AS drifted
+      |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The CDC final-snapshot oracle — shared verbatim by q_cdc_apply
     * and q_stream_cdc (the streamed compaction must equal the batch
     * replay exactly, so both gates compare against one SQL). */
@@ -2528,55 +2590,9 @@ object ExtraQueries {
           .groupBy("event_type", "bin")
           .agg(sum(when(col("day") < md + 15, 1L).otherwise(0L)).as("r"),
             sum(when(col("day") >= md + 15, 1L).otherwise(0L)).as("c"))
-        val w = Window.partitionBy("event_type")
-        bc
-          .withColumn("nbins", count(lit(1)).over(w))
-          .withColumn("nr", sum("r").over(w))
-          .withColumn("nc", sum("c").over(w))
-          .withColumn("p", (col("r") + 1).cast("double") /
-            (col("nr") + col("nbins")).cast("double"))
-          .withColumn("q", (col("c") + 1).cast("double") /
-            (col("nc") + col("nbins")).cast("double"))
-          .withColumn("term_e6",
-            round((col("p") - col("q")) * log(col("p") / col("q")) *
-              lit(1000000.0)).cast("long"))
-          .groupBy("event_type")
-          .agg(max("nbins").as("n_bins"), max("nr").as("n_ref"),
-            max("nc").as("n_cur"), sum("term_e6").as("psi_e6"))
-          .withColumn("drifted", col("psi_e6") > 100000L)
-          .orderBy("event_type")
+        psiReport(bc)
       },
-      """WITH e AS (SELECT event_type,
-        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
-        |    CAST(round(value * 100) AS BIGINT) AS cents
-        |  FROM events),
-        |f AS (SELECT event_type, day, cents, cents // 50 AS bin
-        |  FROM e WHERE cents IS NOT NULL AND cents >= 0),
-        |md AS (SELECT min(day) AS md FROM f),
-        |bc AS (SELECT event_type, bin,
-        |    CAST(sum(CASE WHEN day < md.md + 15 THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS r,
-        |    CAST(sum(CASE WHEN day >= md.md + 15 THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS c
-        |  FROM f, md GROUP BY 1, 2),
-        |t AS (SELECT *,
-        |    CAST(count(*) OVER w AS BIGINT) AS nbins,
-        |    CAST(sum(r) OVER w AS BIGINT) AS nr,
-        |    CAST(sum(c) OVER w AS BIGINT) AS nc
-        |  FROM bc WINDOW w AS (PARTITION BY event_type)),
-        |terms AS (SELECT event_type, nbins, nr, nc,
-        |    CAST(round((p - q) * ln(p / q) * 1000000) AS BIGINT)
-        |      AS term_e6
-        |  FROM (SELECT *,
-        |      CAST(r + 1 AS DOUBLE) / CAST(nr + nbins AS DOUBLE) AS p,
-        |      CAST(c + 1 AS DOUBLE) / CAST(nc + nbins AS DOUBLE) AS q
-        |    FROM t) x)
-        |SELECT event_type, CAST(max(nbins) AS BIGINT) AS n_bins,
-        |  CAST(max(nr) AS BIGINT) AS n_ref,
-        |  CAST(max(nc) AS BIGINT) AS n_cur,
-        |  CAST(sum(term_e6) AS BIGINT) AS psi_e6,
-        |  CAST(sum(term_e6) AS BIGINT) > 100000 AS drifted
-        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin)),
+      DriftOracle)),
 
     // Generalized MERGE INTO (the Delta/Iceberg upsert statement) —
     // all four row fates in one instance: order activity merged into

@@ -380,6 +380,46 @@ object StreamQueries {
         .defaultParallelism))),
       s"$root/pii/batch=$batchId")
 
+  /** One micro-batch of the streaming drift sink (q_stream_drift):
+    * fold THIS batch's events to the (event_type, day, bin) count
+    * histogram — sum-mergeable, keyed by DAY (not by the ref/cur
+    * split, which depends on the global min-day anchor no single
+    * batch can know), so the report derives the anchor from the
+    * folded domain relation and splits windows there. */
+  private[graft] def driftBatch(batch: DataFrame, root: String,
+      batchId: Long): Unit =
+    writePartial(batch
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .filter(col("cents").isNotNull && col("cents") >= 0)
+      .withColumn("bin", expr("cents div 50"))
+      .groupBy("event_type", "day", "bin")
+      .agg(count(lit(1)).as("cnt")),
+      s"$root/drift/batch=$batchId")
+
+  /** One micro-batch of the streaming DSIR estimator sink
+    * (q_stream_dsir): fold THIS batch's tokens to the (bucket →
+    * target-count, raw-count) relation — the DSIR estimator's
+    * sufficient statistics, ≤256 rows regardless of batch size —
+    * written to a batch-id-keyed dir (idempotent overwrite, the
+    * incDedupBatch exactly-once protocol). Counts are exact sums, so
+    * the report's fold equals the batch estimator under ANY
+    * micro-batch split. Same pre-explode repartition rationale as
+    * cmsBatch: one-file batches otherwise run the token fan-out in a
+    * single task. */
+  private[graft] def dsirBatch(batch: DataFrame, root: String,
+      batchId: Long): Unit =
+    writePartial(batch.repartition(batch.sparkSession.sparkContext
+        .defaultParallelism)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("source"),
+        substring(sha2(col("tok"), 256), 1, 2).as("bkt"))
+      .groupBy("bkt")
+      .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr")),
+      s"$root/dsir/batch=$batchId")
+
   /** One micro-batch of the streaming theta sink (q_stream_theta):
     * fold THIS batch's (segment, id) stream to per-segment KMV k-min
     * arrays (thetaKmv — the batch's k smallest distinct id hashes),
@@ -1233,6 +1273,106 @@ object StreamQueries {
           .orderBy("source")
       },
       TextQueries.PiiOracle)),
+
+    // Streaming drift monitor — q_drift_psi under continuous ingest:
+    // per-batch (event_type, day, bin) histogram partials land
+    // batch-id-keyed (exactly-once overwrite); the report SUMs them
+    // into the domain-sized bin relation, derives the min-day anchor
+    // there (a batch can't know the global anchor), splits ref/cur
+    // windows, and runs the SAME psiReport as the batch gate — PSI
+    // bit-identical under any micro-batch split. At 100 TB each
+    // batch's exchange carries (types × days × bins) integer rows and
+    // the log is never re-scanned by the report (plan-gated).
+    "q_stream_drift" -> ((
+      (s: SparkSession, d: String) => {
+        val tag = graft.Tables.dirTag(d)
+        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_src_${tag}_v$DumpVersion"
+        ensureStreamDump(d, "events", srcDir)(graft.Tables.events(s, d))
+        val root = s"${graft.Tables.scratchRoot}/graft_sdrift_$tag"
+        graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        withStreamGateConfs(s) {
+          val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            Long) => Unit = (b, id) => driftBatch(b, root, id)
+          val q = stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        val f = s.read.parquet(s"$root/drift")
+          .groupBy("event_type", "day", "bin").agg(sum("cnt").as("cnt"))
+        val md = f.agg(min("day")).head().getLong(0)
+        val bc = f.groupBy("event_type", "bin")
+          .agg(sum(when(col("day") < md + 15, col("cnt")).otherwise(0L))
+            .as("r"),
+            sum(when(col("day") >= md + 15, col("cnt")).otherwise(0L))
+              .as("c"))
+        ExtraQueries.psiReport(bc)
+      },
+      ExtraQueries.DriftOracle)),
+
+    // Streaming DSIR estimator maintenance — the importance-resampling
+    // weight table (q_quality_dsir's 256-bucket sufficient statistics)
+    // refreshed incrementally as the crawl streams in: per-batch
+    // (bucket, target-count, raw-count) partials land in batch-id-keyed
+    // dirs; the report folds them by SUM (exact — counts are linear)
+    // and derives the add-one-smoothed log-ratio weights ON the folded
+    // ≤256-row relation. Scoring stays a later map-only pass against
+    // this table (the batch gate), so a 100 TB stream maintains the
+    // estimator at 256-rows-per-batch exchange cost and the corpus is
+    // never re-scanned by the report (plan-gated).
+    "q_stream_dsir" -> ((
+      (s: SparkSession, d: String) => {
+        val tag = graft.Tables.dirTag(d)
+        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_docs_${tag}_v$DumpVersion"
+        ensureStreamDump(d, "documents", srcDir)(
+          graft.Tables.t(s, d, "documents"))
+        val root = s"${graft.Tables.scratchRoot}/graft_sdsir_$tag"
+        graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        withStreamGateConfs(s) {
+          val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            Long) => Unit = (b, id) => dsirBatch(b, root, id)
+          val q = stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        val bc = s.read.parquet(s"$root/dsir")
+          .groupBy("bkt").agg(sum("ct").as("ct"), sum("cr").as("cr"))
+        val n = bc.agg(sum("ct"), sum("cr")).head()
+        val (nt, nr) = (n.getLong(0), n.getLong(1))
+        bc.select(col("bkt"), col("ct"), col("cr"), expr(
+          s"""CAST(round(
+             |  (ln((CAST(ct AS DOUBLE) + 1.0)
+             |      / (CAST(${nt}L AS DOUBLE) + 256.0))
+             |   - ln((CAST(cr AS DOUBLE) + 1.0)
+             |        / (CAST(${nr}L AS DOUBLE) + 256.0)))
+             |  * 1000000.0) AS BIGINT)""".stripMargin).as("w_e6"))
+          .orderBy("bkt")
+      },
+      """WITH tok AS (
+        |  SELECT source, substr(sha256(tok), 1, 2) AS bkt FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)),
+        |bc AS (
+        |  SELECT bkt,
+        |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+        |    count(*) AS cr
+        |  FROM tok GROUP BY bkt),
+        |n AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM bc)
+        |SELECT bkt, CAST(ct AS BIGINT) AS ct, CAST(cr AS BIGINT) AS cr,
+        |  CAST(round(
+        |    (ln((CAST(ct AS DOUBLE) + 1.0)
+        |         / (CAST(n.nt AS DOUBLE) + 256.0))
+        |     - ln((CAST(cr AS DOUBLE) + 1.0)
+        |          / (CAST(n.nr AS DOUBLE) + 256.0)))
+        |    * 1000000.0) AS BIGINT) AS w_e6
+        |FROM bc, n ORDER BY bkt""".stripMargin)),
 
     "q_stream_cms" -> ((
       (s: SparkSession, d: String) => {

@@ -761,6 +761,28 @@ object TextQueries {
         sum(col("redacted").cast("long")).as("chars_redacted"))
       .orderBy("source")
 
+  /** Per-doc average unigram NLL (integer 1e-6 units) — the
+    * PRE-checkpoint score relation of q_text_ccnet, exposed so
+    * PlanQualitySpec can pin its two honest corpus passes (vocab count
+    * fold + scoring join) before localCheckpoint hides the lineage.
+    * Add-one smoothing over the corpus vocabulary; the vocab-sized lp
+    * relation joins back by token (AQE broadcasts it when small, a tok
+    * exchange otherwise — the q_text_tfidf shape). */
+  private[graft] def ccnetScores(s: SparkSession, d: String): DataFrame = {
+    val tk = t(s, d, "documents").select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tok"))
+    val c = tk.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val nv = c.agg(sum("cnt"), count(lit(1))).head()
+    val (n, v) = (nv.getLong(0), nv.getLong(1))
+    val lp = c.select(col("tok"), expr(
+      s"""CAST(round(ln((CAST(cnt AS DOUBLE) + 1.0)
+         |  / (CAST(${n}L AS DOUBLE) + CAST(${v}L AS DOUBLE)))
+         |  * -1000000.0) AS BIGINT)""".stripMargin).as("nll_e6"))
+    tk.join(lp, "tok")
+      .groupBy("doc_id", "lang")
+      .agg(expr("sum(nll_e6) div count(1)").as("nll"))
+  }
+
   /** Shared oracle of q_text_pii_scrub and q_stream_pii (the streamed
     * partial fold must equal the batch census exactly). */
   private[graft] val PiiOracle: String =
@@ -2277,6 +2299,78 @@ object TextQueries {
         |  CAST(sum(w_e6) AS BIGINT) AS weight_e6
         |FROM tok JOIN w USING (bkt)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // CCNet head/middle/tail bucketing (Wenzek et al. 2020): the
+    // quality partitioning every multilingual crawl release ships —
+    // per LANGUAGE, rank documents by LM perplexity and cut the corpus
+    // into perplexity terciles (head = lowest-perplexity third). Score
+    // = per-doc average unigram NLL in integer 1e-6 units (add-one
+    // smoothed, boundary-audited in tools/check.py; the bigram gate
+    // q_text_perplexity already owns the LM-fidelity axis — this gate
+    // owns the BUCKETING machinery). The tercile cutoffs are exact
+    // order statistics found WITHOUT any per-language sort: the
+    // ccnetScores relation is checkpointed once, then
+    // Selection.kthSmallest's histogram-refinement kernel (the
+    // distributed k-th-element algorithm, log_B(domain) passes of
+    // B-row bucket counts) resolves ceil(n/3) and ceil(2n/3) per
+    // language; the 2·|langs| cutoffs broadcast back and the census is
+    // one row-local bucket assign + a (lang, bucket) aggregate. At
+    // 100 TB the cost is: two corpus passes for the scores, then
+    // cutoff passes over the persisted narrow score relation — never a
+    // global sort, never a data-sized window.
+    "q_text_ccnet" -> ((
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val sc = ccnetScores(s, d).localCheckpoint()
+        val cuts = sc.groupBy("lang").agg(count(lit(1)).as("n"))
+          .collect().map { r =>
+            val (l, n) = (r.getString(0), r.getLong(1))
+            val c1 = Selection.kthSmallest(
+              sc.filter(col("lang") === l), "nll", (n + 2) / 3)
+            val c2 = Selection.kthSmallest(
+              sc.filter(col("lang") === l), "nll", (2 * n + 2) / 3)
+            (l, c1, c2)
+          }.toSeq.toDF("lang", "c1", "c2")
+        sc.join(broadcast(cuts), "lang")
+          .withColumn("bucket",
+            when(col("nll") <= col("c1"), "head")
+              .when(col("nll") <= col("c2"), "middle")
+              .otherwise("tail"))
+          .groupBy("lang", "bucket")
+          .agg(count(lit(1)).as("n_docs"), sum("nll").as("sum_nll_e6"))
+          .orderBy("lang", "bucket")
+      },
+      """WITH tk AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+        |nv AS (SELECT sum(cnt) AS n, count(*) AS v FROM c),
+        |lp AS (
+        |  SELECT tok, CAST(round(ln((CAST(cnt AS DOUBLE) + 1.0)
+        |      / (CAST(nv.n AS DOUBLE) + CAST(nv.v AS DOUBLE)))
+        |      * -1000000.0) AS BIGINT) AS nll_e6
+        |  FROM c, nv),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    CAST(sum(lp.nll_e6) // count(*) AS BIGINT) AS nll
+        |  FROM tk JOIN lp USING (tok) GROUP BY doc_id, lang),
+        |r AS (
+        |  SELECT lang, nll,
+        |    row_number() OVER (PARTITION BY lang ORDER BY nll) AS rnk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM sc),
+        |cuts AS (
+        |  SELECT lang,
+        |    min(CASE WHEN rnk >= (n + 2) // 3 THEN nll END) AS c1,
+        |    min(CASE WHEN rnk >= (2 * n + 2) // 3 THEN nll END) AS c2
+        |  FROM r GROUP BY lang)
+        |SELECT sc.lang,
+        |  CASE WHEN nll <= c1 THEN 'head' WHEN nll <= c2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nll) AS BIGINT) AS sum_nll_e6
+        |FROM sc JOIN cuts ON sc.lang = cuts.lang
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // Winnowing fingerprint (MOSS-style rolling scheme): hash every
     // ORDERED 3-gram shingle, slide a 4-hash window, keep each window's

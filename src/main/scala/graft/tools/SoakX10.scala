@@ -426,7 +426,16 @@ object SoakX10 {
     // PII scrub census: two codegen'd regexp passes fused into one
     // corpus scan; the exchange carries |sources| integer rows. Its
     // streaming twin folds per-batch integer partials only.
-    "q_text_pii_scrub", "q_stream_pii")
+    "q_text_pii_scrub", "q_stream_pii",
+    // r14 web-crawl additions: URL canonicalization is map-only into a
+    // 60-group census (groups stay constant, members scale); DSIR's
+    // weight relation is 256 rows at any scale (broadcast join both
+    // sides of the soak); ccnet's cutoff passes ride the checkpointed
+    // narrow score relation — all three must scale linearly.
+    "q_dedup_url", "q_quality_dsir", "q_text_ccnet",
+    // Streaming estimator twins: dsir partials are <=256 rows each,
+    // drift partials are (types x days x bins)-domain-sized.
+    "q_stream_dsir", "q_stream_drift")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

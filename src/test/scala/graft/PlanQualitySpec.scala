@@ -70,6 +70,27 @@ class PlanQualitySpec extends SparkSpecBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
   }
 
+  test("q_text_ccnet: cutoffs broadcast back; no per-language sort anywhere") {
+    // The tercile census must never global-sort the corpus: the
+    // returned plan joins the checkpointed score relation against the
+    // BROADCAST 2-per-language cutoff table (no SortMergeJoin, no
+    // data-sized Window), and the only Sort is the gate's ORDER BY.
+    // "Corpus scanned exactly twice (count fold + scoring join)" is
+    // pinned on the PRE-checkpoint relation — localCheckpoint hides
+    // scans as ExistingRDD in the final plan.
+    val p = planOf("q_text_ccnet")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!"documents\\.parquet".r.findAllIn(p).hasNext, p)
+    val pre = graft.queries.TextQueries.ccnetScores(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = "documents\\.parquet".r.findAllIn(pre).size
+    assert(scans == 2, s"pre-checkpoint documents scans=$scans\n$pre")
+    assert(!pre.contains("CartesianProduct") &&
+      !pre.contains("BroadcastNestedLoopJoin"), pre)
+  }
+
   test("q_filter pushes predicates into the parquet scan") {
     val p = planOf("q_filter")
     assert(p.contains("PushedFilters"), p)
@@ -665,6 +686,27 @@ class PlanQualitySpec extends SparkSpecBase {
     val p = planOf("q_stream_pii")
     assert(p.contains("graft_spii"), p)
     assert(!"documents\\.parquet".r.findAllIn(p).hasNext, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_stream_dsir folds per-batch estimator partials; no corpus re-scan") {
+    // The report derives the weight table from the batch-id-keyed
+    // (bkt, ct, cr) partials alone — the documents corpus never
+    // appears in the returned plan, and the weight math is row-local
+    // on the folded <=256-row relation (no join).
+    val p = planOf("q_stream_dsir")
+    assert(p.contains("graft_sdsir"), p)
+    assert(!"documents\\.parquet".r.findAllIn(p).hasNext, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_stream_drift folds per-batch histogram partials; no log re-scan") {
+    // The PSI report runs on the folded (type, day, bin) domain
+    // relation only — the events log never appears in the returned
+    // plan, and the census is window+aggregate over domain-sized rows.
+    val p = planOf("q_stream_drift")
+    assert(p.contains("graft_sdrift"), p)
+    assert(!"events\\.parquet".r.findAllIn(p).hasNext, p)
     assert(!p.contains("Join"), p)
   }
 

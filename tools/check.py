@@ -116,6 +116,36 @@ BOUNDARY_AUDITS = {
               * 1000000.0 AS x
         FROM bc, n)
       SELECT min(abs(x - floor(x) - 0.5)) FROM raw""",
+    "q_stream_dsir": """
+      WITH tok AS (
+        SELECT source, substr(sha256(tok), 1, 2) AS bkt FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS tok
+          FROM documents)),
+      bc AS (
+        SELECT bkt,
+          sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+          count(*) AS cr
+        FROM tok GROUP BY bkt),
+      n AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM bc),
+      raw AS (
+        SELECT (ln((CAST(ct AS DOUBLE) + 1.0)
+                   / (CAST(n.nt AS DOUBLE) + 256.0))
+              - ln((CAST(cr AS DOUBLE) + 1.0)
+                   / (CAST(n.nr AS DOUBLE) + 256.0)))
+              * 1000000.0 AS x
+        FROM bc, n)
+      SELECT min(abs(x - floor(x) - 0.5)) FROM raw""",
+    "q_text_ccnet": """
+      WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      c AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+      nv AS (SELECT sum(cnt) AS n, count(*) AS v FROM c),
+      raw AS (
+        SELECT ln((CAST(cnt AS DOUBLE) + 1.0)
+            / (CAST(nv.n AS DOUBLE) + CAST(nv.v AS DOUBLE)))
+            * -1000000.0 AS x
+        FROM c, nv)
+      SELECT min(abs(x - floor(x) - 0.5)) FROM raw""",
     "q_text_entropy": """
       WITH h AS (
         SELECT doc_id, entropy(c) * 10000.0 AS x
@@ -159,10 +189,18 @@ AUDIT_MIRROR_CONSTANTS = {
                           "10000.0"],
     "q_text_perplexity": ["+ 1.0)", "-1000000.0"],
     "q_quality_dsir": ["+ 256.0", "* 1000000.0", "+ 1.0)"],
+    "q_text_ccnet": ["-1000000.0", "+ 1.0)", "(n + 2) // 3"],
+    "q_stream_dsir": ["+ 256.0", "* 1000000.0", "+ 1.0)"],
+    "q_stream_drift": ["cents // 50", "* 1000000", "md.md + 15",
+                       "r + 1 AS DOUBLE", "100000"],
     "q_text_entropy": ["entropy(c)", "round(entropy(c), 4)"],
     "q_drift_psi": ["cents // 50", "* 1000000", "md.md + 15",
                     "r + 1 AS DOUBLE", "100000"],
 }
+
+# The streaming twins share their batch gate's formula verbatim, so
+# they share its margin audit too (one SQL, two live-oracle tripwires).
+BOUNDARY_AUDITS["q_stream_drift"] = BOUNDARY_AUDITS["q_drift_psi"]
 
 def boundary_audit(con, oracles):
     ok = True
