@@ -380,6 +380,33 @@ object StreamQueries {
         .defaultParallelism))),
       s"$root/pii/batch=$batchId")
 
+  /** One micro-batch of the streaming filter-cascade sink
+    * (q_stream_cascade): THIS batch's docs run the same row-local
+    * signals + first-fail conditional sums as the batch gate, landing
+    * a ONE-ROW (n, d1, d2, d3) partial per batch (idempotent
+    * batch-id-keyed overwrite). Every column is a SUM, so the folded
+    * ledger equals the batch funnel under ANY micro-batch split.
+    * Pre-signal repartition per the piiBatch rule: array_distinct +
+    * lambda filter over every doc's tokens is row-local but heavy, and
+    * a one-file micro-batch would run it all in a single task. */
+  private[graft] def cascadeBatch(batch: DataFrame, root: String,
+      batchId: Long): Unit =
+    writePartial(batch
+      .repartition(batch.sparkSession.sparkContext.defaultParallelism)
+      .select(split(col("text"), " ").as("ts"))
+      .select(size(col("ts")).cast("long").as("tok_n"),
+        expr("size(array_distinct(ts)) * 10000L div size(ts)")
+          .as("uniq_e4"),
+        expr("size(filter(ts, x -> x IN ('the', 'a'))) * 10000L" +
+          " div size(ts)").as("stop_e4"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("tok_n") < 30, 1L).otherwise(0L)).as("d1"),
+        sum(when(col("tok_n") >= 30 && col("uniq_e4") < 4000, 1L)
+          .otherwise(0L)).as("d2"),
+        sum(when(col("tok_n") >= 30 && col("uniq_e4") >= 4000 &&
+          col("stop_e4") > 1500, 1L).otherwise(0L)).as("d3")),
+      s"$root/cascade/batch=$batchId")
+
   /** One micro-batch of the streaming drift sink (q_stream_drift):
     * fold THIS batch's events to the (event_type, day, bin) count
     * histogram — sum-mergeable, keyed by DAY (not by the ref/cur
@@ -1273,6 +1300,38 @@ object StreamQueries {
           .orderBy("source")
       },
       TextQueries.PiiOracle)),
+
+    // Streaming filter-cascade ledger — q_filter_cascade under
+    // continuous ingest: each batch lands a ONE-ROW (n, d1, d2, d3)
+    // first-fail partial; the report folds them by SUM and explodes
+    // the same four funnel rows (shared cascadeFunnel + CascadeOracle
+    // with the batch gate). The cheapest possible streaming state: the
+    // accumulated ledger is four integers per batch, and the corpus is
+    // never re-scanned by the report (plan-gated).
+    "q_stream_cascade" -> ((
+      (s: SparkSession, d: String) => {
+        val tag = graft.Tables.dirTag(d)
+        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_docs_${tag}_v$DumpVersion"
+        ensureStreamDump(d, "documents", srcDir)(
+          graft.Tables.t(s, d, "documents"))
+        val root = s"${graft.Tables.scratchRoot}/graft_scascade_$tag"
+        graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        withStreamGateConfs(s) {
+          val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            Long) => Unit = (b, id) => cascadeBatch(b, root, id)
+          val q = stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        TextQueries.cascadeFunnel(s.read.parquet(s"$root/cascade")
+          .agg(sum("n").as("n"), sum("d1").as("d1"),
+            sum("d2").as("d2"), sum("d3").as("d3")))
+      },
+      TextQueries.CascadeOracle)),
 
     // Streaming drift monitor — q_drift_psi under continuous ingest:
     // per-batch (event_type, day, bin) histogram partials land

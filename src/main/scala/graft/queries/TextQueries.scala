@@ -783,6 +783,56 @@ object TextQueries {
       .agg(expr("sum(nll_e6) div count(1)").as("nll"))
   }
 
+  /** Funnel rows from the one-row (n, d1, d2, d3) first-fail ledger —
+    * shared by q_filter_cascade and its streaming twin (the twin folds
+    * per-batch one-row partials by SUM first). */
+  private[graft] def cascadeFunnel(a: DataFrame): DataFrame =
+    a.select(explode(expr(
+      """array(
+        |  named_struct('stage', 1, 'fname', 'too_short',
+        |    'n_in', n, 'n_dropped', d1),
+        |  named_struct('stage', 2, 'fname', 'repetitive',
+        |    'n_in', n - d1, 'n_dropped', d2),
+        |  named_struct('stage', 3, 'fname', 'stopword_heavy',
+        |    'n_in', n - d1 - d2, 'n_dropped', d3),
+        |  named_struct('stage', 4, 'fname', 'kept',
+        |    'n_in', n - d1 - d2 - d3, 'n_dropped', 0L))"""
+        .stripMargin)).as("r"))
+      .select(col("r.stage").cast("int").as("stage"),
+        col("r.fname").as("fname"),
+        col("r.n_in").as("n_in"),
+        col("r.n_dropped").as("n_dropped"))
+      .orderBy("stage")
+
+  /** The cascade-funnel oracle — shared verbatim by q_filter_cascade
+    * and q_stream_cascade (the streamed ledger fold must equal the
+    * batch funnel exactly, so both gates compare against one SQL). */
+  private[graft] val CascadeOracle: String =
+    """WITH tk AS (
+      |  SELECT string_split(text, ' ') AS ts FROM documents),
+      |s AS (
+      |  SELECT len(ts) AS tok_n,
+      |    len(list_distinct(ts)) * 10000 // len(ts) AS uniq_e4,
+      |    len(list_filter(ts, x -> x IN ('the', 'a'))) * 10000
+      |      // len(ts) AS stop_e4
+      |  FROM tk),
+      |a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN tok_n < 30 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS d1,
+      |    CAST(sum(CASE WHEN tok_n >= 30 AND uniq_e4 < 4000
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+      |    CAST(sum(CASE WHEN tok_n >= 30 AND uniq_e4 >= 4000
+      |      AND stop_e4 > 1500 THEN 1 ELSE 0 END) AS BIGINT) AS d3
+      |  FROM s)
+      |SELECT CAST(1 AS INT) AS stage, 'too_short' AS fname,
+      |  n AS n_in, d1 AS n_dropped FROM a
+      |UNION ALL SELECT 2, 'repetitive', n - d1, d2 FROM a
+      |UNION ALL SELECT 3, 'stopword_heavy', n - d1 - d2, d3 FROM a
+      |UNION ALL SELECT 4, 'kept', n - d1 - d2 - d3,
+      |  CAST(0 AS BIGINT) FROM a
+      |ORDER BY stage""".stripMargin
+
   /** Shared oracle of q_text_pii_scrub and q_stream_pii (the streamed
     * partial fold must equal the batch census exactly). */
   private[graft] val PiiOracle: String =
@@ -947,6 +997,40 @@ object TextQueries {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Filter-cascade funnel census — the release-card table every
+    // C4/Gopher/Dolma-style cleaning pipeline publishes: an ORDERED
+    // cascade of quality filters where a document drops at its FIRST
+    // failing stage, reported as per-stage (docs entering, docs
+    // dropped) plus the surviving tail. Three row-local integer
+    // signals (token count; distinct-token ratio in e4 units; stopword
+    // ratio in e4 units) feed first-fail attribution via conditional
+    // sums — the whole funnel is ONE corpus scan into a ONE-ROW global
+    // aggregate (partial+final), then a row-local explode of the four
+    // funnel rows from that single row. No join, no second pass; at
+    // 100 TB the exchange carries one row of four integers. (The
+    // single-signal gates q_text_quality/gopher own the signal-quality
+    // axis; this gate owns the cascade ACCOUNTING — the kept/dropped
+    // ledger that makes a cleaning run auditable.)
+    "q_filter_cascade" -> ((
+      (s: SparkSession, d: String) => {
+        val sig = t(s, d, "documents")
+          .select(split(col("text"), " ").as("ts"))
+          .select(size(col("ts")).cast("long").as("tok_n"),
+            expr("size(array_distinct(ts)) * 10000L div size(ts)")
+              .as("uniq_e4"),
+            expr("size(filter(ts, x -> x IN ('the', 'a'))) * 10000L" +
+              " div size(ts)").as("stop_e4"))
+        val a = sig.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("tok_n") < 30, 1L).otherwise(0L)).as("d1"),
+          sum(when(col("tok_n") >= 30 && col("uniq_e4") < 4000, 1L)
+            .otherwise(0L)).as("d2"),
+          sum(when(col("tok_n") >= 30 && col("uniq_e4") >= 4000 &&
+            col("stop_e4") > 1500, 1L).otherwise(0L)).as("d3"))
+        cascadeFunnel(a)
+      },
+      CascadeOracle)),
 
     // BPE tokenizer training — three merge rules learned over the word
     // histogram (see bpeTrain for the per-iteration shape and why the

@@ -435,7 +435,9 @@ object SoakX10 {
     "q_dedup_url", "q_quality_dsir", "q_text_ccnet",
     // Streaming estimator twins: dsir partials are <=256 rows each,
     // drift partials are (types x days x bins)-domain-sized.
-    "q_stream_dsir", "q_stream_drift")
+    "q_stream_dsir", "q_stream_drift",
+    // Filter-cascade funnel: one-row ledger, map-only signals.
+    "q_filter_cascade", "q_stream_cascade")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

@@ -91,6 +91,19 @@ class PlanQualitySpec extends SparkSpecBase {
       !pre.contains("BroadcastNestedLoopJoin"), pre)
   }
 
+  test("q_filter_cascade: one scan into a one-row global aggregate") {
+    // The funnel's signals are row-local; first-fail attribution is
+    // conditional sums in a single partial+final aggregate whose
+    // exchange carries ONE row, and the funnel rows explode from that
+    // row — no join, no second corpus pass.
+    val p = planOf("q_filter_cascade")
+    val scans = "documents\\.parquet".r.findAllIn(p).size
+    assert(scans == 1, s"documents scans=$scans\n$p")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 0, p)
+    assert(p.contains("Exchange SinglePartition"), p)
+  }
+
   test("q_filter pushes predicates into the parquet scan") {
     val p = planOf("q_filter")
     assert(p.contains("PushedFilters"), p)
@@ -696,6 +709,13 @@ class PlanQualitySpec extends SparkSpecBase {
     // on the folded <=256-row relation (no join).
     val p = planOf("q_stream_dsir")
     assert(p.contains("graft_sdsir"), p)
+    assert(!"documents\\.parquet".r.findAllIn(p).hasNext, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_stream_cascade folds one-row ledger partials; no corpus re-scan") {
+    val p = planOf("q_stream_cascade")
+    assert(p.contains("graft_scascade"), p)
     assert(!"documents\\.parquet".r.findAllIn(p).hasNext, p)
     assert(!p.contains("Join"), p)
   }
