@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables.t
@@ -783,6 +783,28 @@ object TextQueries {
       .agg(expr("sum(nll_e6) div count(1)").as("nll"))
   }
 
+  /** Generic URL canonicalizer (the q_dedup_url operator proper,
+    * exposed for the gate AND UrlCanonPropSpec's laws: idempotence,
+    * param-order/case/fragment/tracking-param invariance). Row-local
+    * codegen-eligible string surgery on the URL grammar: lowercase
+    * scheme+host, strip the default :80 port (http only), drop the
+    * fragment, drop tracking params (utm_*, sess), byte-sort surviving
+    * params, strip the trailing slash. */
+  private[graft] def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([a-zA-Z]+)://", 1))
+    val hostport = lower(regexp_extract(url, "^[a-zA-Z]+://([^/?#]+)", 1))
+    val path = regexp_extract(url, "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val cq = array_join(sort_array(filter(split(query, "&"),
+      x => !(x.like("utm_%") || x.like("sess=%") || (x === "")))), "&")
+    concat(scheme, lit("://"),
+      when(scheme === "http" && hostport.endsWith(":80"),
+        hostport.substr(lit(1), length(hostport) - 3)).otherwise(hostport),
+      when(path =!= "/" && path.endsWith("/"),
+        path.substr(lit(1), length(path) - 1)).otherwise(path),
+      when(cq === "", lit("")).otherwise(concat(lit("?"), cq)))
+  }
+
   /** Funnel rows from the one-row (n, d1, d2, d3) first-fail ledger —
     * shared by q_filter_cascade and its streaming twin (the twin folds
     * per-batch one-row partials by SUM first). */
@@ -924,29 +946,10 @@ object TextQueries {
               lit("&utm_campaign=mail"))),
           when(doc % 4 === 0, concat(lit("#v"), (doc % 7).cast("string")))
             .otherwise(lit("")))
-        val parsed = t(s, d, "documents")
+        val canon = t(s, d, "documents")
           .select(doc.as("doc_id"), url.as("url"))
           .select(col("doc_id"), col("url"),
-            lower(regexp_extract(col("url"), "^([a-zA-Z]+)://", 1))
-              .as("scheme"),
-            lower(regexp_extract(col("url"), "^[a-zA-Z]+://([^/?#]+)", 1))
-              .as("hostport"),
-            regexp_extract(col("url"), "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1)
-              .as("path"),
-            regexp_extract(col("url"), "\\?([^#]*)", 1).as("query"))
-          .withColumn("cq", array_join(sort_array(expr(
-            "filter(split(query, '&'), " +
-              "x -> NOT (x LIKE 'utm_%' OR x LIKE 'sess=%'))")), "&"))
-        val canon = parsed.select(col("doc_id"), col("url"), concat(
-          col("scheme"), lit("://"),
-          when(col("scheme") === "http" && col("hostport").endsWith(":80"),
-            expr("substring(hostport, 1, length(hostport) - 3)"))
-            .otherwise(col("hostport")),
-          when(col("path") =!= "/" && col("path").endsWith("/"),
-            expr("substring(path, 1, length(path) - 1)"))
-            .otherwise(col("path")),
-          when(col("cq") === "", lit(""))
-            .otherwise(concat(lit("?"), col("cq")))).as("canonical_url"))
+            canonicalizeUrl(col("url")).as("canonical_url"))
         canon.groupBy("canonical_url")
           .agg(min("doc_id").as("keeper_id"),
             count(lit(1)).as("n_docs"),
@@ -988,7 +991,8 @@ object TextQueries {
         |         THEN substr(path, 1, length(path) - 1) ELSE path END
         |      AS cpath,
         |    array_to_string(list_sort(list_filter(string_split(query, '&'),
-        |      x -> NOT (x LIKE 'utm_%' OR x LIKE 'sess=%'))), '&') AS cq
+        |      x -> NOT (x LIKE 'utm_%' OR x LIKE 'sess=%' OR x = ''))),
+        |      '&') AS cq
         |  FROM p)
         |SELECT scheme || '://' || host || cpath ||
         |    (CASE WHEN cq = '' THEN '' ELSE '?' || cq END)
