@@ -380,6 +380,25 @@ object StreamQueries {
         .defaultParallelism))),
       s"$root/pii/batch=$batchId")
 
+  /** One micro-batch of the streaming URL-dedup sink (q_stream_url):
+    * THIS batch's docs canonicalize row-locally and collapse to
+    * (canonical, raw) group partials — (min doc, count) per raw
+    * variant — so the accumulated state is the canonical-group DOMAIN
+    * (sites × variants), never the doc stream (idempotent
+    * batch-id-keyed overwrite). min/count are fold-able, so the
+    * report's re-fold equals the batch census under ANY split. */
+  private[graft] def urlBatch(batch: DataFrame, root: String,
+      batchId: Long): Unit =
+    writePartial(batch
+      .repartition(batch.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        TextQueries.plantedUrl(col("doc_id")).as("url"))
+      .select(col("doc_id"), col("url"),
+        TextQueries.canonicalizeUrl(col("url")).as("curl"))
+      .groupBy("curl", "url")
+      .agg(min("doc_id").as("min_doc"), count(lit(1)).as("n")),
+      s"$root/url/batch=$batchId")
+
   /** One micro-batch of the streaming filter-cascade sink
     * (q_stream_cascade): THIS batch's docs run the same row-local
     * signals + first-fail conditional sums as the batch gate, landing
@@ -1300,6 +1319,43 @@ object StreamQueries {
           .orderBy("source")
       },
       TextQueries.PiiOracle)),
+
+    // Streaming URL dedup — q_dedup_url under continuous ingest, the
+    // mode a crawl actually runs in: per-batch (canonical, raw) group
+    // partials (min doc, count) fold across batches first at RAW
+    // granularity (duplicate raw variants from different batches
+    // collapse by SUM/min), then the canonical census derives exactly
+    // as in the batch gate. The report touches only the accumulated
+    // group domain — the doc stream is never re-scanned (plan-gated).
+    "q_stream_url" -> ((
+      (s: SparkSession, d: String) => {
+        val tag = graft.Tables.dirTag(d)
+        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_docs_${tag}_v$DumpVersion"
+        ensureStreamDump(d, "documents", srcDir)(
+          graft.Tables.t(s, d, "documents"))
+        val root = s"${graft.Tables.scratchRoot}/graft_surl_$tag"
+        graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        withStreamGateConfs(s) {
+          val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            Long) => Unit = (b, id) => urlBatch(b, root, id)
+          val q = stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        s.read.parquet(s"$root/url")
+          .groupBy("curl", "url")
+          .agg(min("min_doc").as("min_doc"), sum("n").as("n"))
+          .groupBy(col("curl").as("canonical_url"))
+          .agg(min("min_doc").as("keeper_id"),
+            sum("n").as("n_docs"),
+            count(lit(1)).as("n_raw_variants"))
+          .orderBy("canonical_url")
+      },
+      TextQueries.UrlOracle)),
 
     // Streaming filter-cascade ledger — q_filter_cascade under
     // continuous ingest: each batch lands a ONE-ROW (n, d1, d2, d3)

@@ -783,6 +783,76 @@ object TextQueries {
       .agg(expr("sum(nll_e6) div count(1)").as("nll"))
   }
 
+  /** The planted raw URL for doc_id (fixture augmentation shared by
+    * q_dedup_url and q_stream_url — the documents table has no URL
+    * column, so both engines derive one from the same arithmetic:
+    * case noise, ports, shuffled params, session ids and fragments
+    * vary WITHIN a canonical identity). */
+  private[graft] def plantedUrl(doc: Column): Column = concat(
+    when(doc % 2 === 0, lit("HTTP")).otherwise(lit("https")),
+    lit("://"),
+    lit("WWW.Site"), (doc % 5).cast("string"), lit(".Example.COM"),
+    when(doc % 3 === 0, lit(":80")).otherwise(lit("")),
+    lit("/Articles/item"), (doc % 4).cast("string"),
+    when(doc % 2 === 1, lit("/")).otherwise(lit("")),
+    lit("?"),
+    when(doc % 2 === 0,
+      concat(lit("utm_source=feed&id="), (doc % 3).cast("string"),
+        lit("&sess="), (doc % 11).cast("string")))
+      .otherwise(concat(lit("id="), (doc % 3).cast("string"),
+        lit("&utm_campaign=mail"))),
+    when(doc % 4 === 0, concat(lit("#v"), (doc % 7).cast("string")))
+      .otherwise(lit("")))
+
+  /** Shared oracle of q_dedup_url and q_stream_url (the streamed
+    * canonical-group fold must equal the batch census exactly). */
+  private[graft] val UrlOracle: String =
+    """WITH d AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+        |    || '://' ||
+        |    'WWW.Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.COM' ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END) ||
+        |    '/Articles/item' || CAST(doc_id % 4 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END) ||
+        |    '?' ||
+        |    (CASE WHEN doc_id % 2 = 0
+        |       THEN 'utm_source=feed&id=' || CAST(doc_id % 3 AS VARCHAR)
+        |            || '&sess=' || CAST(doc_id % 11 AS VARCHAR)
+        |       ELSE 'id=' || CAST(doc_id % 3 AS VARCHAR)
+        |            || '&utm_campaign=mail' END) ||
+        |    (CASE WHEN doc_id % 4 = 0
+        |       THEN '#v' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END)
+        |    AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
+        |    lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1))
+        |      AS hostport,
+        |    regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1) AS path,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query
+        |  FROM d),
+        |c AS (
+        |  SELECT doc_id, url, scheme,
+        |    CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+        |         THEN substr(hostport, 1, length(hostport) - 3)
+        |         ELSE hostport END AS host,
+        |    CASE WHEN path <> '/' AND path LIKE '%/'
+        |         THEN substr(path, 1, length(path) - 1) ELSE path END
+        |      AS cpath,
+        |    array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |      x -> NOT (x LIKE 'utm_%' OR x LIKE 'sess=%' OR x = ''))),
+        |      '&') AS cq
+        |  FROM p)
+        |SELECT scheme || '://' || host || cpath ||
+        |    (CASE WHEN cq = '' THEN '' ELSE '?' || cq END)
+        |    AS canonical_url,
+        |  CAST(min(doc_id) AS BIGINT) AS keeper_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Generic URL canonicalizer (the q_dedup_url operator proper,
     * exposed for the gate AND UrlCanonPropSpec's laws: idempotence,
     * param-order/case/fragment/tracking-param invariance). Row-local
@@ -930,24 +1000,9 @@ object TextQueries {
     // same plan shape, 8-byte shuffle keys.
     "q_dedup_url" -> ((
       (s: SparkSession, d: String) => {
-        val doc = col("doc_id")
-        val url = concat(
-          when(doc % 2 === 0, lit("HTTP")).otherwise(lit("https")),
-          lit("://"),
-          lit("WWW.Site"), (doc % 5).cast("string"), lit(".Example.COM"),
-          when(doc % 3 === 0, lit(":80")).otherwise(lit("")),
-          lit("/Articles/item"), (doc % 4).cast("string"),
-          when(doc % 2 === 1, lit("/")).otherwise(lit("")),
-          lit("?"),
-          when(doc % 2 === 0,
-            concat(lit("utm_source=feed&id="), (doc % 3).cast("string"),
-              lit("&sess="), (doc % 11).cast("string")))
-            .otherwise(concat(lit("id="), (doc % 3).cast("string"),
-              lit("&utm_campaign=mail"))),
-          when(doc % 4 === 0, concat(lit("#v"), (doc % 7).cast("string")))
-            .otherwise(lit("")))
         val canon = t(s, d, "documents")
-          .select(doc.as("doc_id"), url.as("url"))
+          .select(col("doc_id").as("doc_id"),
+            plantedUrl(col("doc_id")).as("url"))
           .select(col("doc_id"), col("url"),
             canonicalizeUrl(col("url")).as("canonical_url"))
         canon.groupBy("canonical_url")
@@ -956,51 +1011,7 @@ object TextQueries {
             countDistinct("url").as("n_raw_variants"))
           .orderBy("canonical_url")
       },
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
-        |    || '://' ||
-        |    'WWW.Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.COM' ||
-        |    (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END) ||
-        |    '/Articles/item' || CAST(doc_id % 4 AS VARCHAR) ||
-        |    (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END) ||
-        |    '?' ||
-        |    (CASE WHEN doc_id % 2 = 0
-        |       THEN 'utm_source=feed&id=' || CAST(doc_id % 3 AS VARCHAR)
-        |            || '&sess=' || CAST(doc_id % 11 AS VARCHAR)
-        |       ELSE 'id=' || CAST(doc_id % 3 AS VARCHAR)
-        |            || '&utm_campaign=mail' END) ||
-        |    (CASE WHEN doc_id % 4 = 0
-        |       THEN '#v' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END)
-        |    AS url
-        |  FROM documents),
-        |p AS (
-        |  SELECT doc_id, url,
-        |    lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
-        |    lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1))
-        |      AS hostport,
-        |    regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1) AS path,
-        |    regexp_extract(url, '\?([^#]*)', 1) AS query
-        |  FROM d),
-        |c AS (
-        |  SELECT doc_id, url, scheme,
-        |    CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
-        |         THEN substr(hostport, 1, length(hostport) - 3)
-        |         ELSE hostport END AS host,
-        |    CASE WHEN path <> '/' AND path LIKE '%/'
-        |         THEN substr(path, 1, length(path) - 1) ELSE path END
-        |      AS cpath,
-        |    array_to_string(list_sort(list_filter(string_split(query, '&'),
-        |      x -> NOT (x LIKE 'utm_%' OR x LIKE 'sess=%' OR x = ''))),
-        |      '&') AS cq
-        |  FROM p)
-        |SELECT scheme || '://' || host || cpath ||
-        |    (CASE WHEN cq = '' THEN '' ELSE '?' || cq END)
-        |    AS canonical_url,
-        |  CAST(min(doc_id) AS BIGINT) AS keeper_id,
-        |  CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants
-        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+      UrlOracle)),
 
     // Filter-cascade funnel census — the release-card table every
     // C4/Gopher/Dolma-style cleaning pipeline publishes: an ORDERED

@@ -437,7 +437,9 @@ object SoakX10 {
     // drift partials are (types x days x bins)-domain-sized.
     "q_stream_dsir", "q_stream_drift",
     // Filter-cascade funnel: one-row ledger, map-only signals.
-    "q_filter_cascade", "q_stream_cascade")
+    "q_filter_cascade", "q_stream_cascade",
+    // Streaming URL dedup: canonical-group domain partials.
+    "q_stream_url")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

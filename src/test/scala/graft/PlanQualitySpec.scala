@@ -713,6 +713,13 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("Join"), p)
   }
 
+  test("q_stream_url folds canonical-group partials; no doc-stream re-scan") {
+    val p = planOf("q_stream_url")
+    assert(p.contains("graft_surl"), p)
+    assert(!"documents\\.parquet".r.findAllIn(p).hasNext, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q_stream_cascade folds one-row ledger partials; no corpus re-scan") {
     val p = planOf("q_stream_cascade")
     assert(p.contains("graft_scascade"), p)
