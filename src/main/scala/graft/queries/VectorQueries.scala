@@ -1155,6 +1155,68 @@ object VectorQueries {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin)),
 
+    // Embedding drift monitor — the vector twin of q_drift_psi: did
+    // the embedding distribution move between two corpus slices (model
+    // version change, upstream encoder drift, data shift)? Per label,
+    // the L1 distance between the slices' exact fixed-point centroids
+    // plus the worst single dimension — the release-gate numbers an
+    // embedding pipeline alarms on. Same exactness discipline as
+    // q_embed_centroid (e6 integer units, floor-division means); BOTH
+    // windows' sums ride ONE (label, dim) exchange via conditional
+    // aggregation (the q_drift_psi trick — never two corpus passes),
+    // then a label-domain rollup. At 100 TB: one scan, one
+    // domain-sized exchange, everything after is (labels × dims).
+    "q_embed_drift" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "embeddings")
+          .select(col("label"), (col("vec_id") % 2 === 0).as("is_ref"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .withColumn("ve6",
+            round(col("v").cast("double") * 1000000).cast("long"))
+          .groupBy("label", "dim")
+          .agg(sum(when(col("is_ref"), col("ve6")).otherwise(0L)).as("sr"),
+            sum(when(col("is_ref"), 1L).otherwise(0L)).as("nr"),
+            sum(when(!col("is_ref"), col("ve6")).otherwise(0L)).as("sc"),
+            sum(when(!col("is_ref"), 1L).otherwise(0L)).as("nc"))
+          .select(col("label"), col("nr"), col("nc"),
+            floor(col("sr").cast("double") / col("nr")).cast("long")
+              .as("mr"),
+            floor(col("sc").cast("double") / col("nc")).cast("long")
+              .as("mc"))
+          .groupBy("label")
+          .agg(max("nr").as("n_ref"), max("nc").as("n_cur"),
+            sum(abs(col("mr") - col("mc"))).as("drift_l1_e6"),
+            max(abs(col("mr") - col("mc"))).as("max_dim_delta_e6"))
+          .orderBy("label"),
+      """WITH x AS (
+        |  SELECT label, vec_id % 2 = 0 AS is_ref,
+        |    CAST(unnest(range(0, len(embedding))) AS INT) AS dim,
+        |    unnest(embedding) AS v
+        |  FROM embeddings),
+        |g AS (
+        |  SELECT label, dim,
+        |    CAST(sum(CASE WHEN is_ref THEN
+        |      CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS sr,
+        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nr,
+        |    CAST(sum(CASE WHEN NOT is_ref THEN
+        |      CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS sc,
+        |    CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nc
+        |  FROM x GROUP BY label, dim),
+        |m AS (
+        |  SELECT label, dim, nr, nc,
+        |    CAST(floor(CAST(sr AS DOUBLE) / nr) AS BIGINT) AS mr,
+        |    CAST(floor(CAST(sc AS DOUBLE) / nc) AS BIGINT) AS mc
+        |  FROM g)
+        |SELECT label, CAST(max(nr) AS BIGINT) AS n_ref,
+        |  CAST(max(nc) AS BIGINT) AS n_cur,
+        |  CAST(sum(abs(mr - mc)) AS BIGINT) AS drift_l1_e6,
+        |  CAST(max(abs(mr - mc)) AS BIGINT) AS max_dim_delta_e6
+        |FROM m GROUP BY label ORDER BY label""".stripMargin)),
+
     // Brute-force exact cosine top-k (baseline).
     // Embedding hygiene census — the quality gate an embedding corpus
     // passes BEFORE any ANN/index build spends compute on it (the

@@ -104,6 +104,18 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("Exchange SinglePartition"), p)
   }
 
+  test("q_embed_drift: both windows ride one (label, dim) exchange") {
+    // Conditional sums build ref AND cur centroids in the same
+    // aggregate — one embeddings scan, the posexplode collapses
+    // map-side into (label, dim) partials, then a label-domain rollup.
+    // No join, exactly two hash exchanges.
+    val p = planOf("q_embed_drift")
+    val scans = "embeddings\\.parquet".r.findAllIn(p).size
+    assert(scans == 1, s"embeddings scans=$scans\n$p")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
+  }
+
   test("q_filter pushes predicates into the parquet scan") {
     val p = planOf("q_filter")
     assert(p.contains("PushedFilters"), p)
