@@ -380,6 +380,21 @@ object StreamQueries {
         .defaultParallelism))),
       s"$root/pii/batch=$batchId")
 
+  /** One micro-batch of the streaming embedding-drift sink
+    * (q_stream_embed_drift): THIS batch's vectors fold to the
+    * (label, dim) conditional-sum grid — VectorQueries.embDriftGrid,
+    * the drift monitor's sufficient statistics, (labels × dims) rows
+    * regardless of batch size. All four sum columns are linear, so the
+    * report's SUM fold is bit-identical to the batch grid under ANY
+    * split. Pre-explode repartition per the cmsBatch rule (the
+    * posexplode multiplies rows ×dims on a one-file batch). */
+  private[graft] def embDriftBatch(batch: DataFrame, root: String,
+      batchId: Long): Unit =
+    writePartial(VectorQueries.embDriftGrid(
+      batch.repartition(batch.sparkSession.sparkContext
+        .defaultParallelism)),
+      s"$root/grid/batch=$batchId")
+
   /** One micro-batch of the streaming URL-dedup sink (q_stream_url):
     * THIS batch's docs canonicalize row-locally and collapse to
     * (canonical, raw) group partials — (min doc, count) per raw
@@ -1319,6 +1334,39 @@ object StreamQueries {
           .orderBy("source")
       },
       TextQueries.PiiOracle)),
+
+    // Streaming embedding-drift monitor — q_embed_drift under
+    // continuous ingest: per-batch (label, dim) conditional-sum grids
+    // land batch-id-keyed; the report folds the four linear sum
+    // columns by SUM and derives the same fixed-point census
+    // (shared embDriftGrid + embDriftReport + EmbDriftOracle), so the
+    // drift numbers are bit-identical to the batch gate under any
+    // split and the vector stream is never re-scanned (plan-gated).
+    "q_stream_embed_drift" -> ((
+      (s: SparkSession, d: String) => {
+        val tag = graft.Tables.dirTag(d)
+        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_emb_${tag}_v$DumpVersion"
+        ensureStreamDump(d, "embeddings", srcDir)(
+          graft.Tables.t(s, d, "embeddings"))
+        val root = s"${graft.Tables.scratchRoot}/graft_sembdrift_$tag"
+        graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        withStreamGateConfs(s) {
+          val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            Long) => Unit = (b, id) => embDriftBatch(b, root, id)
+          val q = stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        VectorQueries.embDriftReport(s.read.parquet(s"$root/grid")
+          .groupBy("label", "dim")
+          .agg(sum("sr").as("sr"), sum("nr").as("nr"),
+            sum("sc").as("sc"), sum("nc").as("nc")))
+      },
+      VectorQueries.EmbDriftOracle)),
 
     // Streaming URL dedup — q_dedup_url under continuous ingest, the
     // mode a crawl actually runs in: per-batch (canonical, raw) group

@@ -30,6 +30,65 @@ object VectorQueries {
 
   import CoreQueries.Q
 
+  /** The (label, dim) drift grid — conditional e6-unit sums for the
+    * ref (even vec_id) and cur windows in ONE aggregate pass. Shared
+    * by q_embed_drift and its streaming twin: the twin writes THIS
+    * relation per batch and folds the four sum columns by SUM (all
+    * linear), so the folded grid is bit-identical to the batch one. */
+  private[graft] def embDriftGrid(emb: DataFrame): DataFrame =
+    emb.select(col("label"), (col("vec_id") % 2 === 0).as("is_ref"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("ve6",
+        round(col("v").cast("double") * 1000000).cast("long"))
+      .groupBy("label", "dim")
+      .agg(sum(when(col("is_ref"), col("ve6")).otherwise(0L)).as("sr"),
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("nr"),
+        sum(when(!col("is_ref"), col("ve6")).otherwise(0L)).as("sc"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("nc"))
+
+  /** Per-label drift census from the (label, dim) grid (fixed-point
+    * floor-division means, L1 + worst-dimension deltas). */
+  private[graft] def embDriftReport(g: DataFrame): DataFrame =
+    g.select(col("label"), col("nr"), col("nc"),
+        floor(col("sr").cast("double") / col("nr")).cast("long").as("mr"),
+        floor(col("sc").cast("double") / col("nc")).cast("long").as("mc"))
+      .groupBy("label")
+      .agg(max("nr").as("n_ref"), max("nc").as("n_cur"),
+        sum(abs(col("mr") - col("mc"))).as("drift_l1_e6"),
+        max(abs(col("mr") - col("mc"))).as("max_dim_delta_e6"))
+      .orderBy("label")
+
+  /** Shared oracle of q_embed_drift and q_stream_embed_drift. */
+  private[graft] val EmbDriftOracle: String =
+    """WITH x AS (
+      |  SELECT label, vec_id % 2 = 0 AS is_ref,
+      |    CAST(unnest(range(0, len(embedding))) AS INT) AS dim,
+      |    unnest(embedding) AS v
+      |  FROM embeddings),
+      |g AS (
+      |  SELECT label, dim,
+      |    CAST(sum(CASE WHEN is_ref THEN
+      |      CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS sr,
+      |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS nr,
+      |    CAST(sum(CASE WHEN NOT is_ref THEN
+      |      CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS sc,
+      |    CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS nc
+      |  FROM x GROUP BY label, dim),
+      |m AS (
+      |  SELECT label, dim, nr, nc,
+      |    CAST(floor(CAST(sr AS DOUBLE) / nr) AS BIGINT) AS mr,
+      |    CAST(floor(CAST(sc AS DOUBLE) / nc) AS BIGINT) AS mc
+      |  FROM g)
+      |SELECT label, CAST(max(nr) AS BIGINT) AS n_ref,
+      |  CAST(max(nc) AS BIGINT) AS n_cur,
+      |  CAST(sum(abs(mr - mc)) AS BIGINT) AS drift_l1_e6,
+      |  CAST(max(abs(mr - mc)) AS BIGINT) AS max_dim_delta_e6
+      |FROM m GROUP BY label ORDER BY label""".stripMargin
+
   private val K = 5
   private val NQ = 5 // query vectors: vec_id < NQ
   private val DupThreshold = 0.45
@@ -1168,54 +1227,8 @@ object VectorQueries {
     // domain-sized exchange, everything after is (labels × dims).
     "q_embed_drift" -> ((
       (s: SparkSession, d: String) =>
-        t(s, d, "embeddings")
-          .select(col("label"), (col("vec_id") % 2 === 0).as("is_ref"),
-            posexplode(col("embedding")).as(Seq("dim", "v")))
-          .withColumn("ve6",
-            round(col("v").cast("double") * 1000000).cast("long"))
-          .groupBy("label", "dim")
-          .agg(sum(when(col("is_ref"), col("ve6")).otherwise(0L)).as("sr"),
-            sum(when(col("is_ref"), 1L).otherwise(0L)).as("nr"),
-            sum(when(!col("is_ref"), col("ve6")).otherwise(0L)).as("sc"),
-            sum(when(!col("is_ref"), 1L).otherwise(0L)).as("nc"))
-          .select(col("label"), col("nr"), col("nc"),
-            floor(col("sr").cast("double") / col("nr")).cast("long")
-              .as("mr"),
-            floor(col("sc").cast("double") / col("nc")).cast("long")
-              .as("mc"))
-          .groupBy("label")
-          .agg(max("nr").as("n_ref"), max("nc").as("n_cur"),
-            sum(abs(col("mr") - col("mc"))).as("drift_l1_e6"),
-            max(abs(col("mr") - col("mc"))).as("max_dim_delta_e6"))
-          .orderBy("label"),
-      """WITH x AS (
-        |  SELECT label, vec_id % 2 = 0 AS is_ref,
-        |    CAST(unnest(range(0, len(embedding))) AS INT) AS dim,
-        |    unnest(embedding) AS v
-        |  FROM embeddings),
-        |g AS (
-        |  SELECT label, dim,
-        |    CAST(sum(CASE WHEN is_ref THEN
-        |      CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)
-        |      ELSE 0 END) AS BIGINT) AS sr,
-        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS nr,
-        |    CAST(sum(CASE WHEN NOT is_ref THEN
-        |      CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)
-        |      ELSE 0 END) AS BIGINT) AS sc,
-        |    CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS nc
-        |  FROM x GROUP BY label, dim),
-        |m AS (
-        |  SELECT label, dim, nr, nc,
-        |    CAST(floor(CAST(sr AS DOUBLE) / nr) AS BIGINT) AS mr,
-        |    CAST(floor(CAST(sc AS DOUBLE) / nc) AS BIGINT) AS mc
-        |  FROM g)
-        |SELECT label, CAST(max(nr) AS BIGINT) AS n_ref,
-        |  CAST(max(nc) AS BIGINT) AS n_cur,
-        |  CAST(sum(abs(mr - mc)) AS BIGINT) AS drift_l1_e6,
-        |  CAST(max(abs(mr - mc)) AS BIGINT) AS max_dim_delta_e6
-        |FROM m GROUP BY label ORDER BY label""".stripMargin)),
+        embDriftReport(embDriftGrid(t(s, d, "embeddings"))),
+      EmbDriftOracle)),
 
     // Brute-force exact cosine top-k (baseline).
     // Embedding hygiene census — the quality gate an embedding corpus

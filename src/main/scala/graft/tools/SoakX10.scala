@@ -440,8 +440,9 @@ object SoakX10 {
     "q_filter_cascade", "q_stream_cascade",
     // Streaming URL dedup: canonical-group domain partials.
     "q_stream_url",
-    // Embedding drift: one (label, dim) exchange, label-domain rollup.
-    "q_embed_drift")
+    // Embedding drift: one (label, dim) exchange, label-domain rollup;
+    // the twin folds per-batch grids.
+    "q_embed_drift", "q_stream_embed_drift")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

@@ -725,6 +725,13 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("Join"), p)
   }
 
+  test("q_stream_embed_drift folds grid partials; no vector re-scan") {
+    val p = planOf("q_stream_embed_drift")
+    assert(p.contains("graft_sembdrift"), p)
+    assert(!"embeddings\\.parquet".r.findAllIn(p).hasNext, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q_stream_url folds canonical-group partials; no doc-stream re-scan") {
     val p = planOf("q_stream_url")
     assert(p.contains("graft_surl"), p)
