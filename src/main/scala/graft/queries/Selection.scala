@@ -108,4 +108,110 @@ object Selection {
     require(i < vals.length, s"rank $k exceeds the population")
     lo + vals(i)._1
   }
+
+  /** Grouped exact selection: for each group g (string column `grp`)
+    * and each requested 1-based rank, the exact rank-th smallest value
+    * of long column `c` WITHIN that group — all (group, rank) states
+    * narrowed together, ONE bucket-count pass per round instead of one
+    * kthSmallest call per state. Each round the live states broadcast
+    * as a tiny relation, every row fans out to its group's (state,
+    * bucket) cells map-side, and the exchange carries at most
+    * |states|·B count rows; states that resolve drop out of the next
+    * round. For L groups × R ranks over a domain of width W the whole
+    * derivation is ⌈log_B(W)⌉+1 Spark jobs TOTAL (vs L·R·(log+2) for
+    * per-state kthSmallest) — the difference between 2-3 passes and
+    * dozens of driver-coordinated round trips on a hot path like
+    * per-language quantile cutoffs.
+    *
+    * Same-sign intervals are guaranteed the same way kthSmallest does
+    * it (one negative-count pre-round when a group's [lo, hi] straddles
+    * 0), so bucket arithmetic never wraps. Requires non-null grp/c. */
+  def groupedKth(df: DataFrame, grp: String, c: String,
+      ranks: Map[String, Seq[Long]], buckets: Int = 1 << 14)
+      : Map[String, Seq[Long]] = {
+    import org.apache.spark.sql.Row
+    ranks.foreach { case (g, ks) => ks.foreach(k =>
+      require(k >= 1, s"ranks are 1-based positive; got $k for $g")) }
+    // State: (group, rankIdx) -> inclusive interval + residual rank.
+    case class St(g: String, idx: Int, var lo: Long, var hi: Long,
+      var kk: Long, var done: Boolean = false, var res: Long = 0L)
+    val mm = df.groupBy(col(grp)).agg(min(col(c)), max(col(c)), count(lit(1)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val states = ranks.toSeq.flatMap { case (g, ks) =>
+      val (mn, mx, n) = mm.getOrElse(g,
+        sys.error(s"group $g absent from the relation"))
+      ks.zipWithIndex.map { case (k, i) =>
+        require(k <= n, s"rank $k exceeds group $g population $n")
+        St(g, i, mn, mx, k)
+      }
+    }
+    // Sign split (per group, once): count the negative half for groups
+    // whose interval straddles 0, then fix each state's regime.
+    val straddling = states.filter(s => s.lo < 0 && s.hi >= 0)
+      .map(_.g).distinct
+    if (straddling.nonEmpty) {
+      val negs = df.filter(col(grp).isin(straddling: _*) && col(c) < 0)
+        .groupBy(col(grp)).agg(count(lit(1))).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      states.filter(s => s.lo < 0 && s.hi >= 0).foreach { s =>
+        val neg = negs.getOrElse(s.g, 0L)
+        if (s.kk <= neg) s.hi = -1L else { s.lo = 0L; s.kk -= neg }
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    def round(exact: Boolean): Unit = {
+      val live = states.filter(s => !s.done &&
+        (exact || s.hi - s.lo >= buckets))
+      if (live.isEmpty) return
+      val stDf = broadcast(live.zipWithIndex.map { case (s, sid) =>
+        val width = if (exact) 1L else (s.hi - s.lo) / buckets + 1L
+        (sid, s.g, s.lo, s.hi, width)
+      }.toDF("sid", "g", "lo", "hi", "w"))
+      // Row fan-out is ≤ states-per-group (≤R, tiny); the (sid, bucket)
+      // partial aggregate collapses map-side before the one exchange.
+      val counts = df.select(col(grp).as("g"), col(c).as("v"))
+        .join(stDf, Seq("g"))
+        .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+        .select(col("sid"), expr("(v - lo) div w").as("b"))
+        .groupBy("sid", "b").agg(count(lit(1)).as("cnt"))
+        .collect().groupBy(_.getInt(0))
+      live.zipWithIndex.foreach { case (s, sid) =>
+        val width = if (exact) 1L else (s.hi - s.lo) / buckets + 1L
+        val cells = counts.getOrElse(sid, Array.empty[Row])
+          .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+        var acc = 0L; var i = 0
+        while (i < cells.length && acc + cells(i)._2 < s.kk) {
+          acc += cells(i)._2; i += 1
+        }
+        require(i < cells.length,
+          s"rank exhausted for group ${s.g} in [${s.lo}, ${s.hi}]")
+        s.kk -= acc
+        if (exact) { s.res = s.lo + cells(i)._1; s.done = true }
+        else {
+          val nlo = s.lo + cells(i)._1 * width
+          if (width - 1L <= s.hi - nlo) s.hi = nlo + (width - 1L)
+          s.lo = nlo
+        }
+      }
+    }
+    var guard = 0
+    while (states.exists(s => !s.done && s.hi - s.lo >= buckets)) {
+      round(exact = false)
+      guard += 1
+      // Worst case ⌈log_B(2^63)⌉ rounds; B=2 needs 63. Each round
+      // shrinks every live interval by ≥B, so exceeding this is a bug.
+      require(guard <= 64, "groupedKth failed to converge")
+    }
+    round(exact = true)
+    // Any state already narrowed to a single value resolves trivially.
+    states.filter(!_.done).foreach { s =>
+      require(s.lo == s.hi, s"unresolved state for ${s.g}")
+      s.res = s.lo; s.done = true
+    }
+    states.groupBy(_.g).map { case (g, ss) =>
+      g -> ss.sortBy(_.idx).map(_.res).toSeq
+    }
+  }
 }

@@ -2421,15 +2421,18 @@ object TextQueries {
       (s: SparkSession, d: String) => {
         import s.implicits._
         val sc = ccnetScores(s, d).localCheckpoint()
-        val cuts = sc.groupBy("lang").agg(count(lit(1)).as("n"))
+        val ranks = sc.groupBy("lang").agg(count(lit(1)).as("n"))
           .collect().map { r =>
-            val (l, n) = (r.getString(0), r.getLong(1))
-            val c1 = Selection.kthSmallest(
-              sc.filter(col("lang") === l), "nll", (n + 2) / 3)
-            val c2 = Selection.kthSmallest(
-              sc.filter(col("lang") === l), "nll", (2 * n + 2) / 3)
-            (l, c1, c2)
-          }.toSeq.toDF("lang", "c1", "c2")
+            val n = r.getLong(1)
+            r.getString(0) -> Seq((n + 2) / 3, (2 * n + 2) / 3)
+          }.toMap
+        // All 2·|langs| cutoff states narrow in ONE shared
+        // bucket-count pass per round (Selection.groupedKth): the
+        // whole derivation is ~3 jobs total regardless of language
+        // count, vs 2·L independent kthSmallest descents.
+        val cuts = Selection.groupedKth(sc, "lang", "nll", ranks)
+          .toSeq.map { case (l, Seq(c1, c2)) => (l, c1, c2) }
+          .toDF("lang", "c1", "c2")
         sc.join(broadcast(cuts), "lang")
           .withColumn("bucket",
             when(col("nll") <= col("c1"), "head")

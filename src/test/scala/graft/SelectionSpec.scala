@@ -15,6 +15,46 @@ class SelectionSpec extends SparkSpecBase {
     xs.toDF("v")
   }
 
+  test("groupedKth == per-group sorted reference on adversarial shapes") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    val rows = (0 until 400).map { i =>
+      val g = s"g${i % 3}"
+      val v = rnd.nextInt(4) match {
+        case 0 => rnd.nextLong(1L << 40)
+        case 1 => (rnd.nextInt(4) * 1000L)
+        case 2 => -rnd.nextLong(1L << 40) // sign-straddling
+        case _ => 5L                      // heavy duplicates
+      }
+      (g, v)
+    }
+    val d = rows.toDF("g", "v")
+    val byG = rows.groupBy(_._1).map { case (g, xs) =>
+      g -> xs.map(_._2).sorted
+    }
+    val ranks = byG.map { case (g, xs) =>
+      val n = xs.length.toLong
+      g -> Seq(1L, (n + 2) / 3, (2 * n + 2) / 3, n)
+    }
+    // Tiny bucket count forces several shared refinement rounds.
+    val got = Selection.groupedKth(d, "g", "v", ranks, buckets = 8)
+    ranks.foreach { case (g, ks) =>
+      val expect = ks.map(k => byG(g)((k - 1).toInt))
+      assert(got(g) == expect, s"group $g: got ${got(g)} want $expect")
+    }
+  }
+
+  test("groupedKth rejects an absent group and an oversized rank") {
+    import spark.implicits._
+    val d = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+    intercept[RuntimeException] {
+      Selection.groupedKth(d, "g", "v", Map("zz" -> Seq(1L)))
+    }
+    intercept[IllegalArgumentException] {
+      Selection.groupedKth(d, "g", "v", Map("a" -> Seq(3L)))
+    }
+  }
+
   test("kth matches the sorted reference on duplicates and clusters") {
     val xs = Seq(5L, 5L, 5L, 1L, 9L, 9L, 1000000007L, 0L, 5L)
     val sorted = xs.sorted
