@@ -227,46 +227,44 @@ object ExtraQueries {
     * Expand; fixed HLL bytes per column through the exchange). One
     * aggregate pass either way; the one-row result explodes to
     * column-grain rows driver-free. */
-  private[graft] def profilePlan(s: SparkSession, d: String,
-      exact: Boolean): DataFrame = {
-    val cols: Seq[(String, Column)] = Seq(
-      "l_orderkey" -> col("l_orderkey"),
-      "l_partkey" -> col("l_partkey"),
-      "l_suppkey" -> col("l_suppkey"),
-      "l_linenumber" -> col("l_linenumber").cast("long"),
-      "l_quantity" -> expr("CAST(round(l_quantity * 100) AS BIGINT)"),
-      "l_extendedprice" ->
-        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
-      "l_discount" -> expr("CAST(round(l_discount * 100) AS BIGINT)"),
-      "l_tax" -> expr("CAST(round(l_tax * 100) AS BIGINT)"),
-      "l_shipdate" -> expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))"))
-    val strCols = Seq("l_returnflag", "l_linestatus")
-    def nd(c: Column): Column =
-      if (exact) countDistinct(c) else approx_count_distinct(c, 0.02)
-    val aggs = cols.map(_._1).flatMap { nm => Seq(
-      count(col(nm)).as(s"nn_$nm"), nd(col(nm)).as(s"nd_$nm"),
-      min(col(nm)).as(s"mn_$nm"), max(col(nm)).as(s"mx_$nm"))
-    } ++ strCols.flatMap { nm => Seq(
-      count(col(nm)).as(s"nn_$nm"), nd(col(nm)).as(s"nd_$nm"))
-    } :+ count(lit(1)).as("n_rows")
-    // Canonicalize in a PROJECT below the aggregate, not in the agg
-    // children: an imperative aggregate (HLL++) switches the whole
-    // aggregate node off whole-stage codegen, so every agg child would
-    // be re-evaluated interpreted per update — the round/cast/micros
-    // math belongs in the (codegen'd) projection, leaving the
-    // interpreted updates plain column reads (measured ~2x on the
-    // approx path).
-    val canon = t(s, d, "lineitem").select(
-      cols.map { case (nm, c) => c.as(nm) } ++
-        strCols.map(col): _*)
-    val one = canon.agg(aggs.head, aggs.tail: _*)
+  private[graft] val ProfileNumCols: Seq[(String, Column)] = Seq(
+    "l_orderkey" -> col("l_orderkey"),
+    "l_partkey" -> col("l_partkey"),
+    "l_suppkey" -> col("l_suppkey"),
+    "l_linenumber" -> col("l_linenumber").cast("long"),
+    "l_quantity" -> expr("CAST(round(l_quantity * 100) AS BIGINT)"),
+    "l_extendedprice" ->
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
+    "l_discount" -> expr("CAST(round(l_discount * 100) AS BIGINT)"),
+    "l_tax" -> expr("CAST(round(l_tax * 100) AS BIGINT)"),
+    "l_shipdate" -> expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))"))
+
+  private[graft] val ProfileStrCols: Seq[String] =
+    Seq("l_returnflag", "l_linestatus")
+
+  /** Canonicalize the profiled columns in a PROJECT below the
+    * aggregate, not in the agg children: an imperative aggregate
+    * (HLL) switches the whole aggregate node off whole-stage codegen,
+    * so every agg child would be re-evaluated interpreted per update —
+    * the round/cast/micros math belongs in the (codegen'd) projection,
+    * leaving the interpreted updates plain column reads (measured ~2x
+    * on the approx path). Shared with the streaming twin's per-batch
+    * sketch sink. */
+  private[graft] def profileCanon(df: DataFrame): DataFrame =
+    df.select(ProfileNumCols.map { case (nm, c) => c.as(nm) } ++
+      ProfileStrCols.map(col): _*)
+
+  /** Explode a ONE-ROW profile aggregate (columns nn_/nd_/mn_/mx_
+    * per profiled column + n_rows) to column-grain rows, driver-free.
+    * Shared by the batch plans and the streaming fold. */
+  private[graft] def profileExplode(one: DataFrame): DataFrame = {
     val entriesCol = array(
-      (cols.map { case (nm, _) =>
+      (ProfileNumCols.map { case (nm, _) =>
         struct(lit(nm).as("col_name"),
           (col("n_rows") - col(s"nn_$nm")).as("n_null"),
           col(s"nd_$nm").as("n_distinct"),
           col(s"mn_$nm").as("min_v"), col(s"mx_$nm").as("max_v"))
-      } ++ strCols.map { nm =>
+      } ++ ProfileStrCols.map { nm =>
         struct(lit(nm).as("col_name"),
           (col("n_rows") - col(s"nn_$nm")).as("n_null"),
           col(s"nd_$nm").as("n_distinct"),
@@ -276,6 +274,47 @@ object ExtraQueries {
     one.select(col("n_rows"), explode(entriesCol).as("e"))
       .select(col("e.col_name"), col("n_rows"), col("e.n_null"),
         col("e.n_distinct"), col("e.min_v"), col("e.max_v"))
+      .orderBy("col_name")
+  }
+
+  private[graft] def profilePlan(s: SparkSession, d: String,
+      exact: Boolean): DataFrame = {
+    def nd(c: Column): Column =
+      if (exact) countDistinct(c) else approx_count_distinct(c, 0.02)
+    val aggs = ProfileNumCols.map(_._1).flatMap { nm => Seq(
+      count(col(nm)).as(s"nn_$nm"), nd(col(nm)).as(s"nd_$nm"),
+      min(col(nm)).as(s"mn_$nm"), max(col(nm)).as(s"mx_$nm"))
+    } ++ ProfileStrCols.flatMap { nm => Seq(
+      count(col(nm)).as(s"nn_$nm"), nd(col(nm)).as(s"nd_$nm"))
+    } :+ count(lit(1)).as("n_rows")
+    val canon = profileCanon(t(s, d, "lineitem"))
+    profileExplode(canon.agg(aggs.head, aggs.tail: _*))
+  }
+
+  /** Join an approx (col_name, nd_approx) relation against the
+    * derived-artifact EXACT census and emit the audited profile —
+    * shared by q_profile_approx and q_stream_profile (identical
+    * output shape and oracle). The Expand census materializes once
+    * per (source, code) fingerprint; at 100 TB the audit is a stored
+    * catalog profile, not a second census. */
+  private[graft] def profileAudited(s: SparkSession, d: String,
+      approx: DataFrame): DataFrame = {
+    val exactDir =
+      s"${graft.Tables.scratchRoot}/graft_profx_${graft.Tables.dirTag(d)}"
+    val fp = graft.Tables.sourceFingerprint(
+      Seq(java.nio.file.Paths.get(d, "lineitem.parquet")),
+      "profile_exact_v1")
+    graft.Tables.ensureDerived(exactDir, fp) {
+      profilePlan(s, d, exact = true)
+        .coalesce(1).write.mode("overwrite").parquet(exactDir)
+    }
+    s.read.parquet(exactDir)
+      .join(broadcast(approx), "col_name")
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_v"), col("max_v"),
+        (abs(col("nd_approx") - col("n_distinct")) * lit(50L) <=
+          greatest(lit(50L), col("n_distinct") * lit(3L)))
+          .as("nd_in_bound"))
       .orderBy("col_name")
   }
 
@@ -3452,31 +3491,8 @@ object ExtraQueries {
     // drifting sketch flips to a hash FAIL.
     "q_profile_approx" -> ((
       (s: SparkSession, d: String) => {
-        val approx = profilePlan(s, d, exact = false)
-          .select(col("col_name"), col("n_distinct").as("nd_approx"))
-        // The exact audit side rides the derived-artifact protocol:
-        // the Expand census (the #2 bench cost, already paid by
-        // q_profile_table every run as ITS honest price) materializes
-        // once per (source, code) fingerprint and the audit reads the
-        // 11-row artifact — at 100 TB the audit is a stored catalog
-        // profile, not a second census.
-        val exactDir =
-          s"${graft.Tables.scratchRoot}/graft_profx_${graft.Tables.dirTag(d)}"
-        val fp = graft.Tables.sourceFingerprint(
-          Seq(java.nio.file.Paths.get(d, "lineitem.parquet")),
-          "profile_exact_v1")
-        graft.Tables.ensureDerived(exactDir, fp) {
-          profilePlan(s, d, exact = true)
-            .coalesce(1).write.mode("overwrite").parquet(exactDir)
-        }
-        s.read.parquet(exactDir)
-          .join(broadcast(approx), "col_name")
-          .select(col("col_name"), col("n_rows"), col("n_null"),
-            col("n_distinct"), col("min_v"), col("max_v"),
-            (abs(col("nd_approx") - col("n_distinct")) * lit(50L) <=
-              greatest(lit(50L), col("n_distinct") * lit(3L)))
-              .as("nd_in_bound"))
-          .orderBy("col_name")
+        profileAudited(s, d, profilePlan(s, d, exact = false)
+          .select(col("col_name"), col("n_distinct").as("nd_approx")))
       },
       profileOracle(", TRUE AS nd_in_bound"))),
 

@@ -380,6 +380,31 @@ object StreamQueries {
         .defaultParallelism))),
       s"$root/pii/batch=$batchId")
 
+  /** One micro-batch of the streaming profile sink (q_stream_profile):
+    * THIS batch folds to ONE row of per-column sufficient statistics —
+    * non-null count, a Datasketches HLL sketch binary (mergeable,
+    * unlike the HLL++ the batch gate's approx_count_distinct uses
+    * internally without exposing partials), min and max — written
+    * batch-id-keyed. Counts/extrema fold by SUM/min/max and sketches
+    * by hll_union_agg, so the maintained profile never re-reads the
+    * table. */
+  private[graft] def profileBatch(batch: DataFrame, root: String,
+      batchId: Long): Unit = {
+    val aggs = ExtraQueries.ProfileNumCols.map(_._1).flatMap { nm => Seq(
+      count(col(nm)).as(s"nn_$nm"),
+      expr(s"hll_sketch_agg($nm)").as(s"sk_$nm"),
+      min(col(nm)).as(s"mn_$nm"), max(col(nm)).as(s"mx_$nm"))
+    } ++ ExtraQueries.ProfileStrCols.flatMap { nm => Seq(
+      count(col(nm)).as(s"nn_$nm"),
+      expr(s"hll_sketch_agg($nm)").as(s"sk_$nm"))
+    } :+ count(lit(1)).as("n_rows")
+    writePartial(ExtraQueries.profileCanon(
+      batch.repartition(batch.sparkSession.sparkContext
+        .defaultParallelism))
+      .agg(aggs.head, aggs.tail: _*),
+      s"$root/prof/batch=$batchId")
+  }
+
   /** One micro-batch of the streaming embedding-drift sink
     * (q_stream_embed_drift): THIS batch's vectors fold to the
     * (label, dim) conditional-sum grid — VectorQueries.embDriftGrid,
@@ -1334,6 +1359,53 @@ object StreamQueries {
           .orderBy("source")
       },
       TextQueries.PiiOracle)),
+
+    // Streaming profile maintenance — the production shape of the
+    // q_profile_approx seam under continuous ingest: per-batch one-row
+    // sketch partials (counts, Datasketches HLL binaries, extrema)
+    // fold by SUM / hll_union_agg / min / max into the maintained
+    // table profile; the table itself is never re-scanned by the
+    // report (plan-gated — the exact census appears only as the shared
+    // derived-artifact audit, exactly like the batch gate). Same
+    // audited output shape and oracle as q_profile_approx.
+    "q_stream_profile" -> ((
+      (s: SparkSession, d: String) => {
+        val tag = graft.Tables.dirTag(d)
+        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_li_${tag}_v$DumpVersion"
+        ensureStreamDump(d, "lineitem", srcDir)(
+          graft.Tables.t(s, d, "lineitem"))
+        val root = s"${graft.Tables.scratchRoot}/graft_sprof_$tag"
+        graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        withStreamGateConfs(s) {
+          val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            Long) => Unit = (b, id) => profileBatch(b, root, id)
+          val q = stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        val folds = ExtraQueries.ProfileNumCols.map(_._1)
+          .flatMap { nm => Seq(
+            sum(col(s"nn_$nm")).as(s"nn_$nm"),
+            expr(s"hll_sketch_estimate(hll_union_agg(sk_$nm))")
+              .as(s"nd_$nm"),
+            min(col(s"mn_$nm")).as(s"mn_$nm"),
+            max(col(s"mx_$nm")).as(s"mx_$nm"))
+          } ++ ExtraQueries.ProfileStrCols.flatMap { nm => Seq(
+            sum(col(s"nn_$nm")).as(s"nn_$nm"),
+            expr(s"hll_sketch_estimate(hll_union_agg(sk_$nm))")
+              .as(s"nd_$nm"))
+          } :+ sum(col("n_rows")).as("n_rows")
+        val one = s.read.parquet(s"$root/prof")
+          .agg(folds.head, folds.tail: _*)
+        ExtraQueries.profileAudited(s, d,
+          ExtraQueries.profileExplode(one)
+            .select(col("col_name"), col("n_distinct").as("nd_approx")))
+      },
+      ExtraQueries.profileOracle(", TRUE AS nd_in_bound"))),
 
     // Streaming embedding-drift monitor — q_embed_drift under
     // continuous ingest: per-batch (label, dim) conditional-sum grids

@@ -442,7 +442,9 @@ object SoakX10 {
     "q_stream_url",
     // Embedding drift: one (label, dim) exchange, label-domain rollup;
     // the twin folds per-batch grids.
-    "q_embed_drift", "q_stream_embed_drift")
+    "q_embed_drift", "q_stream_embed_drift",
+    // Streaming profile maintenance: one-row sketch partials/batch.
+    "q_stream_profile")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

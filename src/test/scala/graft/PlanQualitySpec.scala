@@ -725,6 +725,19 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("Join"), p)
   }
 
+  test("q_stream_profile folds sketch partials; table read only as audit") {
+    // The maintained profile derives from the one-row-per-batch sketch
+    // partials (hll_union_agg / SUM / min / max); the lineitem table
+    // appears in the returned plan ONLY through the derived-artifact
+    // exact audit (same contract as q_profile_approx), never as a
+    // second census — and no Expand anywhere.
+    val p = planOf("q_stream_profile")
+    assert(p.contains("graft_sprof"), p)
+    assert(p.contains("graft_profx"), p)
+    assert(!"lineitem\\.parquet".r.findAllIn(p).hasNext, p)
+    assert(!p.contains("Expand"), p)
+  }
+
   test("q_stream_embed_drift folds grid partials; no vector re-scan") {
     val p = planOf("q_stream_embed_drift")
     assert(p.contains("graft_sembdrift"), p)
