@@ -85,6 +85,41 @@ object GraphQueries {
     ranks.orderBy("node")
   }
 
+  /** Integer HITS (Kleinberg's hubs-and-authorities), `iters` rounds of
+    * the exact mutual-reinforcement recurrence WITHOUT float
+    * normalization: a_t(v) = Σ_{u→v} h_{t-1}(u), h_t(u) = Σ_{u→v}
+    * a_t(v) — pure long sums, bit-identical across engines and
+    * partition orders (the pagerank discipline; normalization is a
+    * presentation concern the caller can apply to the returned
+    * integers). Magnitude bound: after 2 rounds values are ≤
+    * D_in²·D_out², so any graph with D_in·D_out < 3·10⁹ fits a signed
+    * long — true for FK-shaped graphs at any SF; for social-graph hubs
+    * beyond that, divide both scores by 2^k each round (exact integer
+    * shift, still deterministic). Each round is two shuffle joins on
+    * the checkpointed edge list + partial+final sums — same per-round
+    * shape and 100 TB posture as pagerank (bucket edges by key,
+    * checkpoint every few rounds). */
+  def hits(s: SparkSession, d: String, iters: Int): DataFrame = {
+    val e = edges(s, d).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var hub = nodes.withColumn("h", lit(1L))
+    var auth = nodes.withColumn("a", lit(1L))
+    for (_ <- 1 to iters) {
+      val aNew = e.join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum("h").as("s"))
+      auth = nodes.join(aNew, Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("a"))
+      val hNew = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum("a").as("s"))
+      hub = nodes.join(hNew, Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("h"))
+    }
+    nodes.join(auth, "node").join(hub, "node")
+      .select(col("node"), col("a").as("auth"), col("h").as("hub"))
+      .orderBy("node")
+  }
+
   /** Connected components by iterative min-label propagation over the
     * undirected FK graph: every node starts labeled with its own id;
     * each round every node takes the minimum of its label and its
@@ -700,6 +735,44 @@ object GraphQueries {
         |         CAST(150000 + (85 * coalesce(c.cs, 0)) // 100 AS BIGINT) AS rank
         |       FROM nodes n LEFT JOIN c3 c USING (node))
         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin)),
+
+    // Integer HITS, 2 rounds — the hubs/authorities complement of
+    // q_graph_pagerank (centrality by mutual reinforcement instead of
+    // random-walk mass; on the FK graph nations are the hubs, the
+    // leaf entities the authorities). The oracle unrolls the same two
+    // exact rounds; see hits() for the overflow bound that replaces
+    // float normalization.
+    "q_graph_hits" -> ((
+      (s: SparkSession, d: String) => hits(s, d, 2),
+      """WITH e AS (
+        |  SELECT 'R' || n_regionkey AS src, 'N' || n_nationkey AS dst FROM nation
+        |  UNION ALL SELECT 'N' || c_nationkey, 'C' || c_custkey FROM customer
+        |  UNION ALL SELECT 'N' || s_nationkey, 'S' || s_suppkey FROM supplier),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |h0 AS (SELECT node, CAST(1 AS BIGINT) AS h FROM nodes),
+        |a1 AS (SELECT n.node, CAST(coalesce(x.s, 0) AS BIGINT) AS a
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS node, sum(h0.h) AS s
+        |         FROM e JOIN h0 ON h0.node = e.src GROUP BY e.dst) x
+        |       USING (node)),
+        |h1 AS (SELECT n.node, CAST(coalesce(x.s, 0) AS BIGINT) AS h
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.src AS node, sum(a1.a) AS s
+        |         FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src) x
+        |       USING (node)),
+        |a2 AS (SELECT n.node, CAST(coalesce(x.s, 0) AS BIGINT) AS a
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS node, sum(h1.h) AS s
+        |         FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst) x
+        |       USING (node)),
+        |h2 AS (SELECT n.node, CAST(coalesce(x.s, 0) AS BIGINT) AS h
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.src AS node, sum(a2.a) AS s
+        |         FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src) x
+        |       USING (node))
+        |SELECT n.node, a2.a AS auth, h2.h AS hub
+        |FROM nodes n JOIN a2 USING (node) JOIN h2 USING (node)
+        |ORDER BY node""".stripMargin)),
 
     // Deterministic synchronous LPA over the undirected FK graph (4
     // rounds — see labelPropagation()). The oracle unrolls the same 4
