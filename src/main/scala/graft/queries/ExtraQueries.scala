@@ -522,6 +522,36 @@ object ExtraQueries {
       when(col("event_id") % 11 === 0, lit("D"))
         .otherwise(lit("U")).as("op"))
 
+  /** Skew census from a (k, f) key-frequency relation: row/key
+    * totals, the heaviest key's e4 share, and the p99 key frequency
+    * from the frequency-domain count-of-counts. Shared by
+    * q_skew_census and its streaming twin (whose per-batch partials
+    * ARE key-frequency relations, folded by SUM before this math —
+    * everything here runs on domain-sized relations). */
+  private[graft] def skewCensusFromFreq(freq: DataFrame,
+      label: String): DataFrame = {
+    val cc = freq.groupBy("f").agg(count(lit(1)).as("nk"))
+    val w = Window.orderBy(col("f").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // cc is frequency-domain-sized (tiny), so the running sum over it
+    // is safe despite the unpartitioned window.
+    val p99 = cc
+      .withColumn("cum", sum("nk").over(w))
+      .withColumn("tot", sum("nk").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .filter(col("cum") * 100L >= col("tot"))
+      .agg(max("f").as("p99_f"))
+    val base = freq.agg(
+      sum("f").as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(struct(col("f"), col("k"))).getField("f").as("max_f"))
+    base.crossJoin(p99)
+      .select(lit(label).as("key"), col("n_rows"), col("n_keys"),
+        expr("max_f * 10000L div n_rows").as("top_share_e4"),
+        col("p99_f"))
+  }
+
   /** PSI census from the binned (event_type, bin, r, c) histogram
     * relation — the window totals, Laplace-smoothed probabilities,
     * integer-e6 terms, and the 0.1-threshold verdict. Shared by
@@ -3510,31 +3540,9 @@ object ExtraQueries {
     "q_skew_census" -> ((
       (s: SparkSession, d: String) => {
         def censusOf(df: DataFrame, key: String,
-            label: String): DataFrame = {
-          val freq = df.groupBy(col(key).as("k"))
-            .agg(count(lit(1)).as("f"))
-          val cc = freq.groupBy("f").agg(count(lit(1)).as("nk"))
-          val w = Window.orderBy(col("f").desc)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          // cc is frequency-domain-sized (tiny), so the running sum
-          // over it is safe despite the unpartitioned window.
-          val p99 = cc
-            .withColumn("cum", sum("nk").over(w))
-            .withColumn("tot", sum("nk").over(
-              Window.rowsBetween(Window.unboundedPreceding,
-                Window.unboundedFollowing)))
-            .filter(col("cum") * 100L >= col("tot"))
-            .agg(max("f").as("p99_f"))
-          val base = freq.agg(
-            sum("f").as("n_rows"),
-            count(lit(1)).as("n_keys"),
-            max(struct(col("f"), col("k"))).getField("f")
-              .as("max_f"))
-          base.crossJoin(p99)
-            .select(lit(label).as("key"), col("n_rows"), col("n_keys"),
-              expr("max_f * 10000L div n_rows").as("top_share_e4"),
-              col("p99_f"))
-        }
+            label: String): DataFrame =
+          skewCensusFromFreq(df.groupBy(col(key).as("k"))
+            .agg(count(lit(1)).as("f")), label)
         censusOf(t(s, d, "lineitem"), "l_orderkey", "l_orderkey")
           .unionByName(censusOf(t(s, d, "lineitem"), "l_partkey",
             "l_partkey"))

@@ -380,6 +380,22 @@ object StreamQueries {
         .defaultParallelism))),
       s"$root/pii/batch=$batchId")
 
+  /** One micro-batch of the streaming skew sink (q_stream_skew): fold
+    * THIS batch's events to per-key frequency partials for the two
+    * candidate join keys — (key, k, f) relations, key-domain-sized —
+    * written batch-id-keyed. Frequencies fold by SUM, so the census
+    * over the folded relation equals the batch census under ANY
+    * split. */
+  private[graft] def skewBatch(batch: DataFrame, root: String,
+      batchId: Long): Unit =
+    writePartial(
+      batch.select(lit("user_id").as("key"),
+        col("user_id").cast("string").as("k"))
+        .unionByName(batch.select(lit("event_type").as("key"),
+          col("event_type").as("k")))
+        .groupBy("key", "k").agg(count(lit(1)).as("f")),
+      s"$root/skew/batch=$batchId")
+
   /** One micro-batch of the streaming profile sink (q_stream_profile):
     * THIS batch folds to ONE row of per-column sufficient statistics —
     * non-null count, a Datasketches HLL sketch binary (mergeable,
@@ -1359,6 +1375,63 @@ object StreamQueries {
           .orderBy("source")
       },
       TextQueries.PiiOracle)),
+
+    // Streaming skew census — the join-strategy diagnostic
+    // (q_skew_census: heavy-key share decides broadcast vs salted vs
+    // AQE) maintained under ingest: per-batch (key, k, f) frequency
+    // partials fold by SUM into per-key frequency relations, then the
+    // SAME skewCensusFromFreq math (count-of-counts p99, e4 top
+    // share) runs on the fold — census bit-identical to a batch run
+    // over the accumulated log, which is never re-scanned
+    // (plan-gated).
+    "q_stream_skew" -> ((
+      (s: SparkSession, d: String) => {
+        val tag = graft.Tables.dirTag(d)
+        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_src_${tag}_v$DumpVersion"
+        ensureStreamDump(d, "events", srcDir)(graft.Tables.events(s, d))
+        val root = s"${graft.Tables.scratchRoot}/graft_sskew_$tag"
+        graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        withStreamGateConfs(s) {
+          val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            Long) => Unit = (b, id) => skewBatch(b, root, id)
+          val q = stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        val folded = s.read.parquet(s"$root/skew")
+          .groupBy("key", "k").agg(sum("f").as("f"))
+        Seq("event_type", "user_id").map { lbl =>
+          ExtraQueries.skewCensusFromFreq(
+            folded.filter(col("key") === lbl).select("k", "f"), lbl)
+        }.reduce(_.unionByName(_)).orderBy("key")
+      },
+      """WITH c AS (
+        |  SELECT 'user_id' AS key, CAST(user_id AS VARCHAR) AS k
+        |  FROM events
+        |  UNION ALL SELECT 'event_type', event_type FROM events),
+        |f AS (SELECT key, k, CAST(count(*) AS BIGINT) AS f
+        |      FROM c GROUP BY 1, 2),
+        |cc AS (SELECT key, f, CAST(count(*) AS BIGINT) AS nk
+        |       FROM f GROUP BY 1, 2),
+        |p AS (SELECT key, max(f) AS p99_f FROM (
+        |    SELECT key, f,
+        |      sum(nk) OVER (PARTITION BY key ORDER BY f DESC
+        |        ROWS UNBOUNDED PRECEDING) AS cum,
+        |      sum(nk) OVER (PARTITION BY key) AS tot
+        |    FROM cc) x
+        |  WHERE cum * 100 >= tot GROUP BY key),
+        |b AS (SELECT key, CAST(sum(f) AS BIGINT) AS n_rows,
+        |        CAST(count(*) AS BIGINT) AS n_keys,
+        |        CAST(max(f) AS BIGINT) AS max_f
+        |      FROM f GROUP BY key)
+        |SELECT b.key, b.n_rows, b.n_keys,
+        |  CAST(b.max_f * 10000 // b.n_rows AS BIGINT) AS top_share_e4,
+        |  CAST(p.p99_f AS BIGINT) AS p99_f
+        |FROM b JOIN p USING (key) ORDER BY key""".stripMargin)),
 
     // Streaming profile maintenance — the production shape of the
     // q_profile_approx seam under continuous ingest: per-batch one-row

@@ -444,7 +444,9 @@ object SoakX10 {
     // the twin folds per-batch grids.
     "q_embed_drift", "q_stream_embed_drift",
     // Streaming profile maintenance: one-row sketch partials/batch.
-    "q_stream_profile")
+    "q_stream_profile",
+    // Streaming skew census: key-domain frequency partials.
+    "q_stream_skew")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

@@ -725,6 +725,12 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("Join"), p)
   }
 
+  test("q_stream_skew folds key-frequency partials; no log re-scan") {
+    val p = planOf("q_stream_skew")
+    assert(p.contains("graft_sskew"), p)
+    assert(!"events\\.parquet".r.findAllIn(p).hasNext, p)
+  }
+
   test("q_stream_profile folds sketch partials; table read only as audit") {
     // The maintained profile derives from the one-row-per-batch sketch
     // partials (hll_union_agg / SUM / min / max); the lineitem table
