@@ -1013,6 +1013,76 @@ object TextQueries {
       },
       UrlOracle)),
 
+    // Prefix-filtered EXACT set-similarity join (PPJoin/Vernica et al.
+    // "Efficient Parallel Set-Similarity Joins Using MapReduce"): the
+    // exact-Jaccard complement of the MinHash gate and the index-size
+    // upgrade over q_dedup_ngram's full inverted index. Each doc
+    // indexes ONLY its first |d| − ⌈t·|d|⌉ + 1 shingles under the
+    // global rarest-first (df, tok) order — the classic theorem
+    // guarantees every pair with J ≥ t still shares an indexed prefix
+    // token — so the candidate join runs over a (1−t)-fraction index
+    // built from the RAREST tokens (tiny postings), never the frequent
+    // head that makes full inverted indexes quadratic. Candidates pass
+    // the symmetric length filter (10·min ≥ 6·max), then exact-verify
+    // by counting shared shingles with integer cross-multiplied
+    // Jaccard (8·o ≥ 3·(|a|+|b|) ⟺ J ≥ 0.6). The per-doc prefix rank
+    // is a doc-partitioned Window (never a global sort — the (df, tok)
+    // order needs no dense global rank, only a total order). The
+    // ORACLE is the brute-force all-pairs Jaccard, so the hash match
+    // PROVES the prefix filter lost no pair on this corpus — the
+    // completeness theorem checked end-to-end, not assumed.
+    "q_join_setsim" -> ((
+      (s: SparkSession, d: String) => {
+        graft.functions.SketchFunctions.register(s)
+        // Deliberately NOT cached: the exploded index is the largest
+        // relation in the pipeline (corpus × shingles), and the
+        // codegen'd scan+explode that produces it is cheap — at the
+        // 100x soak, re-deriving it per consumer beats materializing
+        // tens of GB (measured: the localCheckpoint variant ground
+        // into spill; recompute soaks at 0.03 s/row).
+        val sh = t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+          .select(col("doc_id"),
+            explode(expr("word_shingles_distinct(tk, 5)")).as("tok"))
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val dfRel = sh.groupBy("tok").agg(count(lit(1)).as("df"))
+        val wDoc = Window.partitionBy("doc_id")
+          .orderBy(col("df"), col("tok"))
+        val pref = sh.join(dfRel, "tok").join(sz, "doc_id")
+          .withColumn("rn", row_number().over(wDoc))
+          .filter(col("rn") <= col("n") - expr("(6*n + 9) div 10") + 1)
+          .select(col("tok"), col("doc_id"), col("n"))
+        val cand = pref.toDF("tok", "a", "na")
+          .join(pref.toDF("tok", "b", "nb"), "tok")
+          .filter(col("a") < col("b") &&
+            least(col("na"), col("nb")) * 10L >=
+              greatest(col("na"), col("nb")) * 6L)
+          .select("a", "b").distinct()
+        val ov = cand
+          .join(sh.toDF("a", "tok"), "a")
+          .join(sh.toDF("b", "tok"), Seq("b", "tok"))
+          .groupBy("a", "b").agg(count(lit(1)).as("o"))
+        ov.join(sz.toDF("a", "na"), "a")
+          .join(sz.toDF("b", "nb"), "b")
+          .filter(col("o") * 8L >= (col("na") + col("nb")) * 3L)
+          .select(col("a"), col("b"), col("o").as("overlap"),
+            expr("o * 10000L div (na + nb - o)").as("jaccard_e4"))
+          .orderBy("a", "b")
+      },
+      s"WITH ${shinglesSqlCte(5).replace("sizes AS", "szs AS")}" +
+        """,
+        |ovp AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, o AS overlap,
+        |  CAST(o * 10000 // (na.n + nb.n - o) AS BIGINT) AS jaccard_e4
+        |FROM ovp JOIN szs na ON na.doc_id = a
+        |         JOIN szs nb ON nb.doc_id = b
+        |WHERE 8 * o >= 3 * (na.n + nb.n)
+        |ORDER BY a, b""".stripMargin)),
+
     // Filter-cascade funnel census — the release-card table every
     // C4/Gopher/Dolma-style cleaning pipeline publishes: an ORDERED
     // cascade of quality filters where a document drops at its FIRST

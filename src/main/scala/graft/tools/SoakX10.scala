@@ -446,7 +446,11 @@ object SoakX10 {
     // Streaming profile maintenance: one-row sketch partials/batch.
     "q_stream_profile",
     // Streaming skew census: key-domain frequency partials.
-    "q_stream_skew")
+    "q_stream_skew",
+    // Prefix-filtered exact set-similarity join: the (1-t)-fraction
+    // rare-token index must keep candidate volume near the true-pair
+    // count as the corpus scales (cipher copies share no shingles).
+    "q_join_setsim")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

@@ -116,6 +116,16 @@ class PlanQualitySpec extends SparkSpecBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
   }
 
+  test("q_join_setsim: no cartesian shapes; prefix rank is doc-partitioned") {
+    // The candidate generator must be the prefix-token equality join
+    // (never all-pairs), and the rarest-first prefix rank must be a
+    // per-document window — a global rank would be a single-task sort.
+    val p = planOf("q_join_setsim")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("windowspecdefinition(doc_id"), p)
+  }
+
   test("q_filter pushes predicates into the parquet scan") {
     val p = planOf("q_filter")
     assert(p.contains("PushedFilters"), p)
