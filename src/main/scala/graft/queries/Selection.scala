@@ -130,12 +130,19 @@ object Selection {
       ranks: Map[String, Seq[Long]], buckets: Int = 1 << 14)
       : Map[String, Seq[Long]] = {
     import org.apache.spark.sql.Row
+    require(buckets >= 2,
+      s"groupedKth needs buckets >= 2 to narrow intervals; got $buckets")
     ranks.foreach { case (g, ks) => ks.foreach(k =>
       require(k >= 1, s"ranks are 1-based positive; got $k for $g")) }
     // State: (group, rankIdx) -> inclusive interval + residual rank.
     case class St(g: String, idx: Int, var lo: Long, var hi: Long,
       var kk: Long, var done: Boolean = false, var res: Long = 0L)
-    val mm = df.groupBy(col(grp)).agg(min(col(c)), max(col(c)), count(lit(1)))
+    // Census ONLY the requested groups (like the straddling pass
+    // below): driver memory is O(|ranks|) even when the relation's
+    // group domain is high-cardinality.
+    val wanted = ranks.keySet.toSeq
+    val mm = df.filter(col(grp).isin(wanted: _*))
+      .groupBy(col(grp)).agg(min(col(c)), max(col(c)), count(lit(1)))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
         r.getLong(3))).toMap
     val states = ranks.toSeq.flatMap { case (g, ks) =>

@@ -771,7 +771,13 @@ object TextQueries {
   private[graft] def ccnetScores(s: SparkSession, d: String): DataFrame = {
     val tk = t(s, d, "documents").select(col("doc_id"), col("lang"),
       explode(split(col("text"), " ")).as("tok"))
+    // Checkpoint the vocab-count relation ONCE: the eager (n, v)
+    // totals pass and the lp derivation both read the materialized
+    // counts, so the corpus is tokenized exactly twice at execution
+    // (count fold here + the scoring re-stream below) — without this
+    // the totals head() re-ran the full tokenize+count a third time.
     val c = tk.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val nv = c.agg(sum("cnt"), count(lit(1))).head()
     val (n, v) = (nv.getLong(0), nv.getLong(1))
     val lp = c.select(col("tok"), expr(
@@ -842,7 +848,8 @@ object TextQueries {
         |         THEN substr(path, 1, length(path) - 1) ELSE path END
         |      AS cpath,
         |    array_to_string(list_sort(list_filter(string_split(query, '&'),
-        |      x -> NOT (x LIKE 'utm_%' OR x LIKE 'sess=%' OR x = ''))),
+        |      x -> NOT (starts_with(x, 'utm_') OR starts_with(x, 'sess=')
+        |                OR x = ''))),
         |      '&') AS cq
         |  FROM p)
         |SELECT scheme || '://' || host || cpath ||
@@ -865,8 +872,11 @@ object TextQueries {
     val hostport = lower(regexp_extract(url, "^[a-zA-Z]+://([^/?#]+)", 1))
     val path = regexp_extract(url, "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1)
     val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // startsWith, not LIKE 'utm_%': '_' is a single-char LIKE
+    // wildcard, so the LIKE form would also strip utmX=... params.
     val cq = array_join(sort_array(filter(split(query, "&"),
-      x => !(x.like("utm_%") || x.like("sess=%") || (x === "")))), "&")
+      x => !(x.startsWith("utm_") || x.startsWith("sess=") ||
+        (x === "")))), "&")
     concat(scheme, lit("://"),
       when(scheme === "http" && hostport.endsWith(":80"),
         hostport.substr(lit(1), length(hostport) - 3)).otherwise(hostport),
@@ -2428,9 +2438,13 @@ object TextQueries {
             explode(split(col("text"), " ")).as("tok"))
           .select(col("doc_id"), col("source"),
             substring(sha2(col("tok"), 256), 1, 2).as("bkt"))
+        // Checkpoint the 256-row bucket fold ONCE so the (nt, nr)
+        // totals head() and the weight derivation share one
+        // materialization — two corpus passes at execution, not three.
         val bc = tok.groupBy("bkt")
           .agg(sum(when(col("source") === "src0", 1L).otherwise(0L))
             .as("ct"), count(lit(1)).as("cr"))
+          .localCheckpoint()
         val n = bc.agg(sum("ct"), sum("cr")).head()
         val (nt, nr) = (n.getLong(0), n.getLong(1))
         val w = bc.select(col("bkt"), expr(

@@ -49,7 +49,11 @@ object VectorQueries {
   /** Per-label drift census from the (label, dim) grid (fixed-point
     * floor-division means, L1 + worst-dimension deltas). */
   private[graft] def embDriftReport(g: DataFrame): DataFrame =
-    g.select(col("label"), col("nr"), col("nc"),
+    // Drift is undefined where a window is empty: a single-parity
+    // label would otherwise divide by zero (NaN → 0L cast in Spark,
+    // a CAST error in DuckDB). Both engines drop those cells.
+    g.filter(col("nr") > 0 && col("nc") > 0)
+      .select(col("label"), col("nr"), col("nc"),
         floor(col("sr").cast("double") / col("nr")).cast("long").as("mr"),
         floor(col("sc").cast("double") / col("nc")).cast("long").as("mc"))
       .groupBy("label")
@@ -82,7 +86,7 @@ object VectorQueries {
       |  SELECT label, dim, nr, nc,
       |    CAST(floor(CAST(sr AS DOUBLE) / nr) AS BIGINT) AS mr,
       |    CAST(floor(CAST(sc AS DOUBLE) / nc) AS BIGINT) AS mc
-      |  FROM g)
+      |  FROM g WHERE nr > 0 AND nc > 0)
       |SELECT label, CAST(max(nr) AS BIGINT) AS n_ref,
       |  CAST(max(nc) AS BIGINT) AS n_cur,
       |  CAST(sum(abs(mr - mc)) AS BIGINT) AS drift_l1_e6,

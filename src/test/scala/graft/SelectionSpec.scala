@@ -55,6 +55,32 @@ class SelectionSpec extends SparkSpecBase {
     }
   }
 
+  test("groupedKth rejects buckets < 2 (no narrowing possible)") {
+    import spark.implicits._
+    val d = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      Selection.groupedKth(d, "g", "v", Map("a" -> Seq(1L)), buckets = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Selection.groupedKth(d, "g", "v", Map("a" -> Seq(1L)), buckets = 0)
+    }
+  }
+
+  test("groupedKth census is bounded to the requested groups") {
+    // A high-cardinality decoy group domain (10k one-row groups):
+    // the opening min/max/count census must collect O(|ranks|) rows,
+    // never O(|group domain|) — the decoys may not reach the driver.
+    import spark.implicits._
+    val decoys = (0 until 10000).map(i => (s"decoy$i", i.toLong))
+    val wanted = Seq(("a", 10L), ("a", 30L), ("a", 20L),
+      ("b", -5L), ("b", 7L))
+    val d = (decoys ++ wanted).toDF("g", "v").repartition(8)
+    val got = Selection.groupedKth(d, "g", "v",
+      Map("a" -> Seq(1L, 2L, 3L), "b" -> Seq(1L, 2L)), buckets = 4)
+    assert(got("a") == Seq(10L, 20L, 30L))
+    assert(got("b") == Seq(-5L, 7L))
+  }
+
   test("kth matches the sorted reference on duplicates and clusters") {
     val xs = Seq(5L, 5L, 5L, 1L, 9L, 9L, 1000000007L, 0L, 5L)
     val sorted = xs.sorted
