@@ -37,15 +37,25 @@ object StreamQueries {
     * from a stale dump (the gate would compare stale Spark output
     * against a fresh oracle). */
   private def ensureStreamDump(d: String, table: String, dumpDir: String,
-      variant: String = "full")(df: => DataFrame): Unit = {
+      variant: String = "full", blockBytes: Long = 0L)
+      (df: => DataFrame): Unit = {
     // `variant` encodes the derivation predicate (filter/layout), so
     // changing how a dump is built — not just its source — invalidates
-    // it without anyone remembering to bump DumpVersion.
+    // it without anyone remembering to bump DumpVersion. `blockBytes`
+    // caps the parquet row-group size: a maxFilesPerTrigger=1 stream
+    // reads ONE file per micro-batch, and a one-row-group file decodes
+    // in ONE task no matter how many splits the planner cuts — small
+    // row groups are what give a single-file batch its intra-batch
+    // scan parallelism (at 100 TB a trigger carries many files/row
+    // groups; a one-row-group batch file is the fixture artifact).
     val fp = graft.Tables.sourceFingerprint(
       Seq(java.nio.file.Paths.get(d, s"$table.parquet")),
-      s"streamdump_v$DumpVersion:$variant")
+      s"streamdump_v$DumpVersion:$variant" +
+        (if (blockBytes > 0) s":rg$blockBytes" else ""))
     graft.Tables.ensureDerived(dumpDir, fp) {
-      df.write.mode("overwrite").parquet(dumpDir)
+      val w = df.write.mode("overwrite")
+      (if (blockBytes > 0) w.option("parquet.block.size", blockBytes)
+       else w).parquet(dumpDir)
     }
     ()
   }
@@ -414,9 +424,11 @@ object StreamQueries {
       count(col(nm)).as(s"nn_$nm"),
       expr(s"hll_sketch_agg($nm)").as(s"sk_$nm"))
     } :+ count(lit(1)).as("n_rows")
-    writePartial(ExtraQueries.profileCanon(
-      batch.repartition(batch.sparkSession.sparkContext
-        .defaultParallelism))
+    // NO pre-agg repartition (r15 A/B): with the dump's 2 MB row
+    // groups the scan itself parallelizes and the sketch partials
+    // collapse map-side to one row per split — the exchange moved the
+    // whole batch to save nothing (0.57 vs 3.28 s/batch at 100x).
+    writePartial(ExtraQueries.profileCanon(batch)
       .agg(aggs.head, aggs.tail: _*),
       s"$root/prof/batch=$batchId")
   }
@@ -1445,7 +1457,12 @@ object StreamQueries {
       (s: SparkSession, d: String) => {
         val tag = graft.Tables.dirTag(d)
         val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_li_${tag}_v$DumpVersion"
-        ensureStreamDump(d, "lineitem", srcDir)(
+        // 2 MB row groups: each single-file micro-batch decodes across
+        // ~file/2MB parallel tasks instead of ONE (the r15 soak A/B:
+        // 2.3 -> 0.57 s/batch at 100x — the 11-sketch aggregate was
+        // never the cost, the one-row-group scan was).
+        ensureStreamDump(d, "lineitem", srcDir,
+          blockBytes = 2L * 1024 * 1024)(
           graft.Tables.t(s, d, "lineitem"))
         val root = s"${graft.Tables.scratchRoot}/graft_sprof_$tag"
         graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
