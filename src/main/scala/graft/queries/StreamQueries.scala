@@ -271,8 +271,14 @@ object StreamQueries {
     * of batches. Batch-SIZED artifacts (cdc deltas, zonemap data,
     * dedup index entries) keep their parallel layout — single-tasking
     * those would serialize real data volume. */
-  private def writePartial(df: DataFrame, dir: String): Unit =
-    df.coalesce(1).write.mode("overwrite").parquet(dir)
+  private def writePartial(df: DataFrame, dir: String): Unit = {
+    // A/B escape hatch for the per-commit floor measurement only
+    // (PLANS.md "Streaming per-commit constant"): the committed
+    // default is the single-file partial.
+    val d = if (sys.env.contains("SPARK_GRAFT_PARTIAL_NOCOALESCE")) df
+            else df.coalesce(1)
+    d.write.mode("overwrite").parquet(dir)
+  }
 
   /** One micro-batch of the streaming quantile sink
     * (q_stream_quantile): fold THIS batch's events to a (day, cents)
