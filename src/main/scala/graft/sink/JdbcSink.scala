@@ -33,8 +33,12 @@ object JdbcSink {
     * string would land as the dialect's default text type). */
   def writeStaging(tables: Map[String, DataFrame], url: String,
       driver: String = "org.apache.derby.jdbc.EmbeddedDriver",
-      columnTypes: Map[String, String] = Map.empty): Unit =
-    tables.foreach { case (name, df) =>
+      columnTypes: Map[String, String] = Map.empty): Unit = {
+    // Bounded-pool concurrent staging writes (TableSink.forEachTable):
+    // each table lands in its own tmp_ staging table over its own JDBC
+    // connections, so the only shared resource is the target DB's
+    // write throughput — exactly what the pool bound sizes.
+    TableSink.forEachTable(tables) { (name, df) =>
       val w = TableSink.stringifyNested(df).write
         .mode("overwrite")
         .option("batchsize", InsertBatchSize)
@@ -42,6 +46,8 @@ object JdbcSink {
         .foreach(ddl => w.option("createTableColumnTypes", ddl))
       w.jdbc(url, staging(name), props(driver))
     }
+    ()
+  }
 
   def staging(name: String): String = graft.model.ModelCompiler.tmpName(name)
 

@@ -17,11 +17,55 @@ import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
   */
 object TableSink {
 
+  /** Sync-write concurrency (SPARK_GRAFT_SYNC_POOL, default 8, 1 =
+    * sequential). A real resoto model has hundreds of kinds, and N
+    * sequential per-table write JOBS serialize cluster utilization at
+    * the sync front door: each small table's write occupies a handful
+    * of task slots while every other slot idles. Spark's scheduler is
+    * thread-safe, so submitting the per-table jobs from a bounded pool
+    * keeps ~pool jobs in flight — wall clock approaches
+    * max(largest table, total work / slots) instead of sum(per-table
+    * latency). Bounded (not tables.size) so a 500-kind model doesn't
+    * enqueue 500 concurrent jobs' worth of driver/backend bookkeeping. */
+  private[graft] def syncPool: Int = poolOverride.getOrElse(math.max(1,
+    sys.env.getOrElse("SPARK_GRAFT_SYNC_POOL", "8").toInt))
+
+  /** In-JVM A/B seam (tools.SyncPoolProbe) — env is fixed per JVM. */
+  @volatile private[graft] var poolOverride: Option[Int] = None
+
+  /** Run `f` over the table map on a bounded worker pool, preserving
+    * per-table failure (first exception rethrown after the pool
+    * drains). The staging reads feeding each `df` are isolated by
+    * construction (Sync's two staging scans), so concurrent per-table
+    * writes never race on input. */
+  private[graft] def forEachTable[A, B](tables: Map[String, A])(
+      f: (String, A) => B): Map[String, B] = {
+    val items = tables.toSeq
+    val bound = math.min(syncPool, math.max(1, items.size))
+    if (bound <= 1) return items.map { case (n, a) => n -> f(n, a) }.toMap
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(bound,
+      r => { val t = new Thread(r, "graft-sync-write"); t.setDaemon(true); t })
+    try {
+      val futures = items.map { case (n, a) =>
+        n -> pool.submit(new java.util.concurrent.Callable[B] {
+          override def call(): B = f(n, a)
+        })
+      }
+      futures.map { case (n, fu) =>
+        n -> (try fu.get()
+              catch { case e: java.util.concurrent.ExecutionException =>
+                throw e.getCause })
+      }.toMap
+    } finally pool.shutdown()
+  }
+
   /** Write every table through the snapshot-swap protocol; returns the
-    * prod path per table. */
+    * prod path per table. Per-table writes are submitted concurrently
+    * (bounded pool; each table's staging->prod swap stays atomic and
+    * independent — distinct dirs per table). */
   def writeAll(tables: Map[String, DataFrame], base: String): Map[String, String] =
-    tables.map { case (name, df) =>
-      name -> SnapshotSwap.write(df, base, name)
+    forEachTable(tables) { (name, df) =>
+      SnapshotSwap.write(df, base, name)
     }
 
   /** CSV parity for nested data (the reference's CSV converter maps
@@ -43,11 +87,13 @@ object TableSink {
   /** CSV variant (header, explicit layout — reference
     * arrow/writer.py:245-249). Nested columns are stringified to JSON
     * text automatically. */
-  def writeAllCsv(tables: Map[String, DataFrame], base: String): Unit =
-    tables.foreach { case (name, df) =>
+  def writeAllCsv(tables: Map[String, DataFrame], base: String): Unit = {
+    forEachTable(tables) { (name, df) =>
       stringifyNested(df).write.mode("overwrite").option("header", "true")
         .csv(s"$base/$name")
     }
+    ()
+  }
 
   /** Catalog repoint (the "view" half of the swap contract): register
     * each prod dir as a temp view so spark.sql sees the last completed
