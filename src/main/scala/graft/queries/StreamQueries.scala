@@ -594,13 +594,25 @@ object StreamQueries {
     *     ENTIRE bucketed base and all buffered deltas by hard link —
     *     zero data bytes moved — and adds `_delta/d=<n>`; per-commit
     *     write cost is BATCH-sized;
-    *   - every [[UpsertCompactEvery]]-th commit COMPACTS: buffered
-    *     deltas ∪ this batch fold to one latest op per entity and
-    *     MERGE into the bucketed base under the timestamp guard
-    *     (merge-on-write, touched buckets only) — the state-sized
-    *     write is amortized across the cadence;
+    *   - when the buffer reaches [[UpsertCompactFrac]] of the state's
+    *     bytes (or [[UpsertMaxDeltaDepth]] files), the commit
+    *     COMPACTS: buffered deltas ∪ this batch fold to one latest op
+    *     per entity and MERGE into the bucketed base under the
+    *     timestamp guard (merge-on-write, touched buckets only) — the
+    *     state-sized write is amortized over >= frac x state bytes of
+    *     arrivals, self-tuning at any batch size;
     *   - reads fold base ∪ buffered deltas under the same LWW order
-    *     ([[upsertState]]) — merge-on-read, bounded by the cadence.
+    *     ([[upsertState]]) — merge-on-read, bounded by the same
+    *     bytes/depth rule.
+    *
+    * An absolute byte FLOOR on the bytes rule (compact only when the
+    * buffer also exceeds ~32 MB, to amortize compaction-job fixed
+    * cost) was measured and REJECTED r15: at gate scale it let the
+    * buffer run to the depth backstop and the per-FILE read constants
+    * of the deep buffer (1.40 vs 0.26 s, the r14 probe) cost more on
+    * every subsequent fold than the tiny compactions it avoided
+    * (gate 1.58 -> 2.38 s). The relative rule alone picks the right
+    * schedule in both regimes.
     *
     * LWW semantics are unchanged from r13: every field moves only when
     * the source op is strictly newer by the total (us, event_id)
@@ -628,12 +640,22 @@ object StreamQueries {
     * buckets that a typical working set touches a minority. */
   private[graft] val UpsertBuckets = 32
 
-  /** Compaction cadence: one state-sized merge-on-write fold every Nth
-    * commit; the N-1 commits between are batch-sized delta appends.
-    * Read amplification is bounded by N buffered (batch-compacted)
-    * deltas; a deployment tunes N by its read/write ratio — the
-    * Hudi/Delta compaction-interval knob. */
-  private[graft] val UpsertCompactEvery = 8
+  /** Adaptive compaction trigger (r15 — the fixed every-Nth cadence
+    * auto-derived from the buffer itself). A commit compacts when
+    * EITHER:
+    *   - bytes: the delta buffer reaches [[UpsertCompactFrac]] x the
+    *     state's bytes — bounds read amplification (a merge-on-read
+    *     fold pays <= (1 + frac) x state) and amortizes the
+    *     state-sized compaction write over >= frac x state bytes of
+    *     arrivals at ANY state size; or
+    *   - depth: [[UpsertMaxDeltaDepth]] deltas are buffered — each
+    *     buffered delta is a FILE the read fold must plan/open (the
+    *     r14 probe priced a 7-deep buffer at 1.40 s vs 0.26 s
+    *     compacted — per-file constants, not bytes), so file count is
+    *     bounded even when deltas are tiny against a huge state. */
+  private[graft] val UpsertCompactFrac = 2.0
+
+  private[graft] val UpsertMaxDeltaDepth = 8
 
   private[graft] def upsertBucket(c: org.apache.spark.sql.Column) =
     pmod(hash(c), lit(UpsertBuckets))
@@ -664,12 +686,24 @@ object StreamQueries {
       else None
     }
 
+  /** Commit one micro-batch. `cadence > 0` forces the fixed
+    * every-Nth-commit compaction rule (tests and the probe's explicit
+    * force-compaction); the default (0) derives the cadence from the
+    * delta-buffer bytes relative to the state bytes, with
+    * [[UpsertMaxDeltaDepth]] as the file-count backstop. */
   private[graft] def upsertBatch(s: SparkSession, batch: DataFrame,
       base: String, table: String,
-      cadence: Int = UpsertCompactEvery): Unit = {
+      cadence: Int = 0): Unit = {
     val isFirst = graft.sink.SnapshotSwap.currentVersion(base, table) == 0L
     val buffered = graft.sink.SnapshotSwap.bufferedDeltaCount(base, table)
-    if (isFirst || buffered + 1 >= cadence)
+    val compactNow =
+      if (cadence > 0) buffered + 1 >= cadence
+      else buffered + 1 >= UpsertMaxDeltaDepth ||
+        (buffered > 0 && // an empty buffer never trips the bytes rule
+          graft.sink.SnapshotSwap.bufferedDeltaBytes(base, table) >=
+            (UpsertCompactFrac *
+              graft.sink.SnapshotSwap.stateDataBytes(base, table)).toLong)
+    if (isFirst || compactNow)
       // repartition on the bucket column before the partitionBy write:
       // without it every write task emits a file into every bucket dir
       // (shuffle-partitions × buckets files per compaction — each one a
@@ -1085,9 +1119,10 @@ object StreamQueries {
     // Trade-off vs q_stream_cdc, stated: r14's bounded-write protocol
     // makes most commits BATCH-sized delta appends (base buckets and
     // prior deltas carry by hard link — zero bytes), with one
-    // touched-bucket merge-on-write compaction per UpsertCompactEvery
-    // commits; per-READ cost is one base scan + a fold over ≤N
-    // buffered batch-compacted deltas. q_stream_cdc is the pure
+    // touched-bucket merge-on-write compaction when the buffer reaches
+    // UpsertCompactFrac of the state bytes (UpsertMaxDeltaDepth files
+    // the backstop); per-READ cost is one base scan + a fold over the
+    // bytes/depth-bounded buffered batch-compacted deltas. q_stream_cdc is the pure
     // log-structured end of the same spectrum (delta-sized writes
     // forever, full fold at every read) — 100 TB pipelines pick by
     // read/write ratio, this gate proves both produce the identical

@@ -400,6 +400,34 @@ object SnapshotSwap {
       .map(n => listDirNames(s"$base/$n/_delta")
         .count(_.startsWith("d="))).getOrElse(0)
 
+  /** Total data bytes under `dir` (part- files, recursive). */
+  private def dataBytes(dir: Path): Long = {
+    if (!Files.isDirectory(dir)) return 0L
+    var sum = 0L
+    val walk = Files.walk(dir)
+    try walk.forEach { p =>
+      if (Files.isRegularFile(p) &&
+          p.getFileName.toString.startsWith("part-")) sum += Files.size(p)
+    } finally walk.close()
+    sum
+  }
+
+  /** Bytes buffered in the published generation's delta dirs — the
+    * compaction-cadence signal's numerator. */
+  def bufferedDeltaBytes(base: String, table: String): Long =
+    currentSnapshot(base, table)
+      .map(n => dataBytes(Paths.get(base, n, "_delta"))).getOrElse(0L)
+
+  /** Bytes in the published generation's compacted base (delta buffer
+    * excluded) — the compaction-cadence signal's denominator. Link
+    * carries share inodes but each carry still reports its size; this
+    * measures the LOGICAL state footprint a merge-on-read fold pays. */
+  def stateDataBytes(base: String, table: String): Long =
+    currentSnapshot(base, table).map { n =>
+      dataBytes(Paths.get(base, n)) -
+        dataBytes(Paths.get(base, n, "_delta"))
+    }.getOrElse(0L)
+
   /** Recursively hard-link `src`'s files under `dst` (copy fallback
     * for filesystems without link support). */
   private def linkTree(src: Path, dst: Path): Unit = {

@@ -210,6 +210,31 @@ class StreamUpsertSpec extends SparkSpecBase {
     assert(asOf2(43L) == 87L) // still the seed op at version 2
   }
 
+  test("bytes rule: a buffer outgrowing the state compacts; small deltas append") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_supsert_spec").toString
+    // Seed: a small base state.
+    upsertBatch(spark, events(Seq((1L, 1, 1L, 2.0), (3L, 2, 2L, 3.0))),
+      base, "state")
+    assert(graft.sink.SnapshotSwap.bufferedDeltaCount(base, "state") == 0)
+    // A FAT batch (10k distinct users) lands as a delta append
+    // (buffer was empty when judged) ...
+    val fat = events((0 until 10000).map(i =>
+      (1000L + i, 3, 100L + i, i.toDouble)))
+    upsertBatch(spark, fat, base, "state")
+    assert(graft.sink.SnapshotSwap.bufferedDeltaCount(base, "state") == 1)
+    assert(graft.sink.SnapshotSwap.bufferedDeltaBytes(base, "state") >
+      2L * graft.sink.SnapshotSwap.stateDataBytes(base, "state"))
+    // ... and the NEXT commit sees buffered bytes >= frac x state
+    // bytes and compacts — no fixed cadence involved (depth is far
+    // below the backstop).
+    upsertBatch(spark, events(Seq((5L, 4, 1L, 7.0))), base, "state")
+    assert(graft.sink.SnapshotSwap.bufferedDeltaCount(base, "state") == 0)
+    val s = state(base)
+    assert(s.size == 10002, s.size)
+    assert(s.exists(r => r._1 == 1L && r._3 == 5L && r._4 == 700L))
+  }
+
   test("final state is micro-batch-split independent") {
     val log = Seq((1L, 1, 1L, 2.0), (22L, 3, 2L, 9.0), (3L, 2, 1L, 3.0),
       (5L, 4, 3L, 4.0), (44L, 5, 3L, 1.0), (7L, 6, 2L, 8.0))
@@ -219,7 +244,10 @@ class StreamUpsertSpec extends SparkSpecBase {
     val split = java.nio.file.Files
       .createTempDirectory("graft_supsert_spec").toString
     // An adversarial split: out-of-time-order slices of size 2 —
-    // lands as base + two delta appends under the default cadence.
+    // under the adaptive bytes rule the tiny slices rival the tiny
+    // state, so some commits append and some compact; the state
+    // equality below holds EITHER way (the algebra, not the cadence,
+    // is the exactly-once protocol).
     log.grouped(2).foreach(b => upsertBatch(spark, events(b), split, "state"))
     assert(state(whole) == state(split))
     // The split run kept one snapshot generation per batch.
