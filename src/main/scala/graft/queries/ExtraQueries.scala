@@ -172,6 +172,16 @@ object ExtraQueries {
     * silently under-bounds past n ≈ 2^38 (at fixture scale H ≈ 6 so
     * this is also a TIGHTER gate). Broadcast probe: map-side at
     * 100 TB. */
+  /** The deterministic KLL rank-error bound at k = 256 as a column
+    * expression over a count column: n·H/256 + 16 with
+    * H = max(1, ceil(log2(ceil(2n/256)))) — the kllAudit arithmetic,
+    * shared with q_skew_sketch. */
+  private[graft] def kllErr(n: String): org.apache.spark.sql.Column =
+    expr(
+      s"""$n * (CASE WHEN (2 * $n + 255) div 256 <= 2 THEN 1
+         |       ELSE length(bin((2 * $n + 255) div 256 - 1)) END)
+         |  div 256 + 16""".stripMargin)
+
   private[graft] def kllAudit(ev: DataFrame, report: DataFrame): DataFrame = {
     def ltc(c: String) =
       sum(when(col("cents") < col(c), 1L).otherwise(0L))
@@ -3573,6 +3583,106 @@ object ExtraQueries {
         |  p.p99_f
         |FROM f JOIN p USING (key)
         |GROUP BY f.key, p.p99_f ORDER BY key""".stripMargin)),
+
+    // SKETCHED skew census — q_skew_census/q_stream_skew's 100 TB seam
+    // (the q_profile_approx pattern: sketched production path, exact
+    // math as the in-gate audit). The exact census is key-domain-sized
+    // twice over: the frequency relation AND its count-of-counts
+    // window + crossJoin. The sketched path answers the same
+    // join-strategy question with:
+    //   - pass 1 over the RAW rows, map-only partials, NO key-domain
+    //     exchange: mg_topk(64) heavy-hitter candidate + n_rows — one
+    //     fixed-size sketch per map partition regardless of key
+    //     cardinality (the broadcast-vs-salt decision input);
+    //   - pass 2, the frequency relation into ONE aggregate:
+    //     kll_agg(f, 256) p99 + n_keys + exact max struct — no
+    //     count-of-counts relation, no unpartitioned Window, the
+    //     one-row result joins back broadcast.
+    // Estimates are merge-order-dependent (every sketch is), so the
+    // gate hashes GUARANTEE-derived booleans, never raw estimates —
+    // the q_agg_approx_quantile discipline:
+    //   top_complete_ok: max_f <= est_f + n/64 (for the heaviest key h,
+    //     est(h) >= f(h) - n/64 and the returned candidate's est is
+    //     maximal, so f(h) <= est(cand) + n/64 — Misra-Gries);
+    //   cand_bound_ok: est <= f(cand) <= est + n/64 (the MG per-item
+    //     bound, checked against the candidate's exact count);
+    //   p99_ok: the KLL estimate's exact rank lies within the
+    //     deterministic n·H/k bound (the kllAudit arithmetic over
+    //     n_keys). top_share_e4 itself stays EXACT (max over freq) so
+    //     the hashed census matches the exact gate's number.
+    // The streaming seam this prices: q_stream_skew's per-batch
+    // (key, k, f) partials are key-domain-sized; MG summaries fold by
+    // mg_merge with bounded state for the top-share axis, while
+    // per-key counts remain irreducible for frequency QUANTILES —
+    // a report wanting p99_f pays the key-domain fold, one wanting
+    // only the broadcast-vs-salt verdict does not.
+    "q_skew_sketch" -> ((
+      (s: SparkSession, d: String) => {
+        graft.functions.TopKSketch.register(s)
+        graft.functions.KllSketch.register(s)
+        def axis(df: DataFrame, key: String, label: String): DataFrame = {
+          val raw = df.select(col(key).cast("string").as("k"))
+          // try_element_at: an EMPTY summary is legitimate under
+          // near-uniform keys (every counter cancels in the merges) —
+          // MG then guarantees every true count <= n/64, i.e. est 0,
+          // so the bound booleans below hold with est_f = 0 and a
+          // vacuous candidate check.
+          val top = raw.agg(expr("mg_topk(k, 64, 1)").as("top"),
+              count(lit(1)).as("n_rows"))
+            .select(col("n_rows"),
+              coalesce(expr("try_element_at(top, 1).est_count"), lit(0L))
+                .as("est_f"),
+              expr("try_element_at(top, 1).item").as("cand"))
+          // Checkpointed because the audit's rank/lookup passes reuse
+          // it — an AUDIT artifact; the production path is the two
+          // aggregates above/below.
+          val freq = raw.groupBy("k").agg(count(lit(1)).as("f"))
+            .localCheckpoint()
+          val est = freq.agg(expr("kll_agg(f, 256)").as("sk"),
+              count(lit(1)).as("n_keys"),
+              max(struct(col("f"), col("k"))).as("mx"))
+            .select(expr("kll_quantile(sk, 99)").as("p99_est"),
+              col("n_keys"), col("mx.f").as("max_f"))
+          val one = top.crossJoin(est) // two one-row relations
+          val audit = freq.crossJoin(broadcast(one))
+            .groupBy("n_rows", "est_f", "cand", "p99_est", "n_keys",
+              "max_f")
+            .agg(
+              sum(when(col("f") < col("p99_est"), 1L).otherwise(0L))
+                .as("lt"),
+              sum(when(col("f") <= col("p99_est"), 1L).otherwise(0L))
+                .as("le"),
+              max(when(col("k") === col("cand"), col("f"))).as("cand_f"))
+          audit.select(lit(label).as("key"), col("n_rows"),
+            col("n_keys"),
+            expr("max_f * 10000L div n_rows").as("top_share_e4"),
+            (col("max_f") <= col("est_f") + col("n_rows") / lit(64L) +
+              lit(1L)).as("top_complete_ok"),
+            when(col("cand").isNull, lit(true)).otherwise(
+              col("cand_f") >= col("est_f") &&
+                col("cand_f") <= col("est_f") + col("n_rows") / lit(64L) +
+                  lit(1L)).as("cand_bound_ok"),
+            (col("lt") <= expr("n_keys * 99 div 100") + kllErr("n_keys") &&
+              col("le") >= expr("n_keys * 99 div 100") - kllErr("n_keys"))
+              .as("p99_ok"))
+        }
+        val ev = graft.Tables.events(s, d)
+        axis(ev, "event_type", "event_type")
+          .unionByName(axis(ev, "user_id", "user_id"))
+          .orderBy("key")
+      },
+      """WITH c AS (
+        |  SELECT 'event_type' AS key, event_type AS k FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events),
+        |f AS (SELECT key, k, CAST(count(*) AS BIGINT) AS f
+        |      FROM c GROUP BY 1, 2)
+        |SELECT key, CAST(sum(f) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(max(f) * 10000 // sum(f) AS BIGINT) AS top_share_e4,
+        |  TRUE AS top_complete_ok, TRUE AS cand_bound_ok,
+        |  TRUE AS p99_ok
+        |FROM f GROUP BY key ORDER BY key""".stripMargin)),
 
     // Weighted exact median from the value-domain histogram — the
     // mixture-balancing statistic (e.g. "median value weighted by

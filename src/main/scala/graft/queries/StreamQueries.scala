@@ -1436,7 +1436,13 @@ object StreamQueries {
     // SAME skewCensusFromFreq math (count-of-counts p99, e4 top
     // share) runs on the fold — census bit-identical to a batch run
     // over the accumulated log, which is never re-scanned
-    // (plan-gated).
+    // (plan-gated). 100 TB seam: this exact fold is KEY-DOMAIN-sized
+    // (stated cost); q_skew_sketch is the sketched production path —
+    // MG top-share partials are bounded (and would fold here by
+    // mg_merge with bounded per-batch state), while per-key counts
+    // are irreducible for frequency QUANTILES, so a deployment
+    // wanting only the broadcast-vs-salt verdict maintains MG
+    // summaries and skips this fold entirely.
     "q_stream_skew" -> ((
       (s: SparkSession, d: String) => {
         val tag = graft.Tables.dirTag(d)

@@ -447,6 +447,10 @@ object SoakX10 {
     "q_stream_profile",
     // Streaming skew census: key-domain frequency partials.
     "q_stream_skew",
+    // Sketched skew census: MG pass carries one fixed-size summary per
+    // map partition; KLL pass one sketch over the freq relation — cost
+    // must track scan bandwidth as keys grow 100x.
+    "q_skew_sketch",
     // Prefix-filtered exact set-similarity join: the (1-t)-fraction
     // rare-token index must keep candidate volume near the true-pair
     // count as the corpus scales (cipher copies share no shingles).

@@ -749,6 +749,25 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!"events\\.parquet".r.findAllIn(p).hasNext, p)
   }
 
+  test("q_skew_sketch: sketch passes only — no count-of-counts Window") {
+    // The sketched census's production shape: per axis one raw scan
+    // into the MG/count aggregate (map-only partials, no key-domain
+    // exchange) and the checkpointed frequency relation (ExistingRDD)
+    // into the KLL one-row aggregate + the audit counts. The exact
+    // census's count-of-counts machinery must be absent: no
+    // data-ordered Window, no SortMergeJoin; the only joins pair
+    // one-row aggregates (cross of two one-row relations + the
+    // broadcast of the one-row estimate back over freq).
+    val p = planOf("q_skew_sketch")
+    val scans = "events\\.parquet".r.findAllIn(p).size
+    assert(scans == 2, s"events scans=$scans\n$p")
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("mg_topk"), p)
+    assert(p.contains("kll_agg"), p)
+  }
+
   test("q_stream_profile folds sketch partials; table read only as audit") {
     // The maintained profile derives from the one-row-per-batch sketch
     // partials (hll_union_agg / SUM / min / max); the lineitem table
