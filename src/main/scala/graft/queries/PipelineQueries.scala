@@ -51,6 +51,63 @@ object PipelineQueries {
       concat(lit("R"), col("n_regionkey")).as("from"),
       concat(lit("N"), col("n_nationkey")).as("to"))
 
+  /** q_pipeline_scale's model: the e2e model plus a FACT-sized kind
+    * (one node per customer) so the composed path has real volume. */
+  private val scaleModel = Model(
+    Kind("resource",
+      properties = Seq(
+        Property("id", "string"),
+        Property("name", "string"),
+        Property("kind", "string")),
+      aggregateRoot = true),
+    Kind("infra_nation",
+      bases = Seq("resource"),
+      properties = Seq(Property("regionkey", "int64"))),
+    Kind("infra_customer",
+      bases = Seq("resource"),
+      properties = Seq(Property("nationkey", "int64"))))
+
+  /** The fact-sized envelope stream: nation + customer nodes and
+    * nation→customer edges in ONE unified-envelope relation. The
+    * customer's region ancestor is derived upstream via a broadcast
+    * nation join — the collector-side denormalization the reference's
+    * ancestors block carries (model.py FIXTURES §1). */
+  private def scaleEnvelopes(s: SparkSession, d: String): DataFrame = {
+    val nation = t(s, d, "nation")
+    val cust = t(s, d, "customer")
+    def anc(regionId: org.apache.spark.sql.Column) = struct(struct(struct(
+      regionId.as("id")).as("reported")).as("region")).as("ancestors")
+    val nationNodes = nation.select(
+      lit("node").as("type"),
+      concat(lit("N"), col("n_nationkey")).as("id"),
+      struct(
+        lit("infra_nation").as("kind"),
+        concat(lit("N"), col("n_nationkey")).as("id"),
+        col("n_name").as("name"),
+        col("n_regionkey").cast("long").as("regionkey"),
+        lit(null).cast("long").as("nationkey")).as("reported"),
+      anc(concat(lit("R"), col("n_regionkey"))))
+    val custNodes = cust
+      .join(broadcast(nation.select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(
+        lit("node").as("type"),
+        concat(lit("C"), col("c_custkey")).as("id"),
+        struct(
+          lit("infra_customer").as("kind"),
+          concat(lit("C"), col("c_custkey")).as("id"),
+          col("c_name").as("name"),
+          lit(null).cast("long").as("regionkey"),
+          col("c_nationkey").cast("long").as("nationkey")).as("reported"),
+        anc(concat(lit("R"), col("n_regionkey"))))
+    val edges = cust.select(
+      lit("edge").as("type"),
+      concat(lit("N"), col("c_nationkey")).as("from"),
+      concat(lit("C"), col("c_custkey")).as("to"))
+    nationNodes.unionByName(custNodes)
+      .unionByName(edges, allowMissingColumns = true)
+  }
+
   /** Bump when any envelope-builder below changes: the freshness check
     * compares only fixture mtimes, so without a version in the dump
     * path a code change would keep serving old-shaped dumps. */
@@ -134,6 +191,36 @@ object PipelineQueries {
         |n_name AS name, n_regionkey AS regionkey,
         |'R' || n_regionkey AS region
         |FROM nation ORDER BY to_id""".stripMargin)),
+
+    // The composed pipeline at DATA scale — q_pipeline_e2e's fixture is
+    // deliberately dimension-sized (nation), so this gate drives the
+    // SAME full path (envelope stream → two staging scans → per-kind
+    // partition-pruned flatten → pooled swap-writes → catalog → SQL)
+    // with a fact-sized kind: every customer is a node, every
+    // nation→customer containment an edge, and the customer's REGION
+    // ancestor is denormalized upstream exactly like a collector would
+    // (broadcast nation join before enveloping). This is the gate the
+    // 100x soak composes over (SoakX10 family) — the e2e answer the
+    // catalog serves must be lossless at any envelope volume.
+    "q_pipeline_scale" -> ((
+      (s: SparkSession, d: String) => {
+        val base = s"${graft.Tables.scratchRoot}/graft_pipescale_${graft.Tables.dirTag(d)}"
+        graft.Sync.toParquet(s, scaleEnvelopes(s, d), scaleModel, base)
+        s.sql(
+          """SELECT l.from_id AS nation_id,
+            |  count(*) AS n_customers,
+            |  min(c.name) AS first_name,
+            |  min(c.region) AS region
+            |FROM link_infra_nation_infra_customer l
+            |JOIN infra_customer c ON c._id = l.to_id
+            |GROUP BY l.from_id ORDER BY nation_id""".stripMargin)
+      },
+      """SELECT 'N' || c_nationkey AS nation_id,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  min(c_name) AS first_name,
+        |  min('R' || n_regionkey) AS region
+        |FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Graph source + search pushdown (P1/P2): dump a region→nation graph
     // as JSONL envelopes, read it back through the source, evaluate the

@@ -454,7 +454,12 @@ object SoakX10 {
     // Prefix-filtered exact set-similarity join: the (1-t)-fraction
     // rare-token index must keep candidate volume near the true-pair
     // count as the corpus scales (cipher copies share no shingles).
-    "q_join_setsim")
+    "q_join_setsim",
+    // The composed pipeline (envelope stream -> two staging scans ->
+    // per-kind pruned flatten -> pooled swap-writes -> catalog -> SQL):
+    // the composition must stay linear in envelope volume — its parts
+    // are each plan-gated, this row prices the whole front door.
+    "q_pipeline_scale")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

@@ -768,6 +768,20 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("kll_agg"), p)
   }
 
+  test("q_pipeline_scale: the catalog answer reads only the synced prod dirs") {
+    // The composed gate's returned plan is the CATALOG query: exactly
+    // two scans, both under the synced prod base (the link table and
+    // the flattened kind table) — never the raw fixture tables, never
+    // a staging dir (reading _ingest_/_staging_ would mean the swap
+    // protocol leaked pre-commit data into the served answer).
+    val p = planOf("q_pipeline_scale")
+    assert(p.contains("graft_pipescale"), p)
+    assert(!"(customer|nation)\\.parquet".r.findAllIn(p).hasNext, p)
+    assert(!p.contains("_ingest_") && !p.contains("_staging_"), p)
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 2, s"prod scans=$scans\n$p")
+  }
+
   test("q_stream_profile folds sketch partials; table read only as audit") {
     // The maintained profile derives from the one-row-per-batch sketch
     // partials (hll_union_agg / SUM / min / max); the lineitem table
