@@ -172,6 +172,32 @@ object ExtraQueries {
     * silently under-bounds past n ≈ 2^38 (at fixture scale H ≈ 6 so
     * this is also a TIGHTER gate). Broadcast probe: map-side at
     * 100 TB. */
+  /** Shared oracle of q_quality_expect and q_stream_expect — the
+    * expectation ledger is split-independent by construction, so both
+    * gates pin the identical relational recomputation. */
+  private[graft] val ExpectOracle: String =
+    """WITH r AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderkey,
+      |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS qty_in_range,
+      |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS disc_in_range,
+      |    CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS qty_le_25
+      |  FROM lineitem),
+      |d AS (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS v FROM (
+      |  SELECT count(*) AS c FROM lineitem
+      |  GROUP BY l_orderkey, l_linenumber)),
+      |o AS (SELECT CAST(count(*) AS BIGINT) AS v FROM lineitem l
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |SELECT cname, n_violations, n_violations = 0 AS ok FROM (
+      |  SELECT 'null_orderkey' AS cname, null_orderkey AS n_violations FROM r
+      |  UNION ALL SELECT 'qty_in_range', qty_in_range FROM r
+      |  UNION ALL SELECT 'disc_in_range', disc_in_range FROM r
+      |  UNION ALL SELECT 'qty_le_25', qty_le_25 FROM r
+      |  UNION ALL SELECT 'uniq_line_key', v FROM d
+      |  UNION ALL SELECT 'fk_order_exists', v FROM o)
+      |ORDER BY cname""".stripMargin
+
   /** The deterministic KLL rank-error bound at k = 256 as a column
     * expression over a count column: n·H/256 + 16 with
     * H = max(1, ceil(log2(ceil(2n/256)))) — the kllAudit arithmetic,
@@ -1724,6 +1750,52 @@ object ExtraQueries {
     // cumsum; everything else is map-side. The greedy-prefix contract
     // (hash order, ≤ budget) hash-verifies against the identical SQL
     // window.
+    // Epoch/budget recipe planner — the "data card" arithmetic every
+    // large pretraining run publishes (LLaMA/Dolma-style): given a
+    // total token budget (here 2x the corpus, so some sources MUST
+    // repeat) split equally across sources, emit per source the
+    // available tokens, the requested share, the fractional epoch
+    // count (e2 units, exact integer division), the ceil'd epoch count
+    // a repeat-loader would run, and the oversample flag. One corpus
+    // scan into a per-source census; the budget constant derives from
+    // the census itself via a one-row broadcast (no second scan, no
+    // driver round-trip) — at 100 TB this is a metadata-sized plan on
+    // top of one linear pass.
+    "q_mix_epochs" -> ((
+      (s: SparkSession, d: String) => {
+        val census = t(s, d, "documents")
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("toks").as("avail"))
+        val tot = census.agg(sum("avail").as("total"),
+          count(lit(1)).as("n_sources"))
+        census.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("avail"),
+            expr("total * 2 div n_sources").as("requested"),
+            expr("(total * 2 div n_sources) * 100 div avail")
+              .as("epochs_e2"),
+            expr("(total * 2 div n_sources + avail - 1) div avail")
+              .as("epochs_ceil"),
+            (expr("total * 2 div n_sources") > col("avail"))
+              .as("oversampled"))
+          .orderBy("source")
+      },
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(avail) AS BIGINT) AS total,
+        |        CAST(count(*) AS BIGINT) AS n_sources FROM c)
+        |SELECT source, n_docs, avail,
+        |  CAST(total * 2 // n_sources AS BIGINT) AS requested,
+        |  CAST((total * 2 // n_sources) * 100 // avail AS BIGINT)
+        |    AS epochs_e2,
+        |  CAST((total * 2 // n_sources + avail - 1) // avail AS BIGINT)
+        |    AS epochs_ceil,
+        |  (total * 2 // n_sources > avail) AS oversampled
+        |FROM c, t ORDER BY source""".stripMargin)),
+
     "q_mix_sources" -> ((
       (s: SparkSession, d: String) => {
         val shares = Map("en" -> 3200L, "de" -> 1600L, "es" -> 1600L,
@@ -2081,27 +2153,7 @@ object ExtraQueries {
           .withColumn("ok", col("n_violations") === 0L)
           .orderBy("cname")
       },
-      """WITH r AS (
-        |  SELECT
-        |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderkey,
-        |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS qty_in_range,
-        |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS disc_in_range,
-        |    CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS qty_le_25
-        |  FROM lineitem),
-        |d AS (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS v FROM (
-        |  SELECT count(*) AS c FROM lineitem
-        |  GROUP BY l_orderkey, l_linenumber)),
-        |o AS (SELECT CAST(count(*) AS BIGINT) AS v FROM lineitem l
-        |  WHERE NOT EXISTS (
-        |    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
-        |SELECT cname, n_violations, n_violations = 0 AS ok FROM (
-        |  SELECT 'null_orderkey' AS cname, null_orderkey AS n_violations FROM r
-        |  UNION ALL SELECT 'qty_in_range', qty_in_range FROM r
-        |  UNION ALL SELECT 'disc_in_range', disc_in_range FROM r
-        |  UNION ALL SELECT 'qty_le_25', qty_le_25 FROM r
-        |  UNION ALL SELECT 'uniq_line_key', v FROM d
-        |  UNION ALL SELECT 'fk_order_exists', v FROM o)
-        |ORDER BY cname""".stripMargin)),
+      ExpectOracle)),
 
     // Salted equi-join under the gate: the planned-ahead skew
     // mitigation (graft.functions.SkewJoin — hot keys spread over

@@ -412,6 +412,51 @@ object StreamQueries {
         .groupBy("key", "k").agg(count(lit(1)).as("f")),
       s"$root/skew/batch=$batchId")
 
+  /** One micro-batch of the SKETCHED streaming skew sink
+    * (q_stream_skew_sketch): per key axis ONE row carrying a
+    * Misra-Gries summary (<= 64 (item, est) entries) and the batch
+    * row count — bounded per-batch state regardless of key
+    * cardinality, the seam q_stream_skew's exact key-domain partials
+    * cannot offer (PODS'12 mergeable summaries: the mg_merge fold of
+    * per-batch MG summaries keeps the global N/(k+1) bound). */
+  private[graft] def skewSketchBatch(batch: DataFrame, root: String,
+      batchId: Long): Unit =
+    writePartial(
+      batch.select(lit("user_id").as("key"),
+          col("user_id").cast("string").as("k"))
+        .unionByName(batch.select(lit("event_type").as("key"),
+          col("event_type").as("k")))
+        .groupBy("key")
+        .agg(expr("mg_topk(k, 64, 64)").as("summary"),
+          count(lit(1)).as("n")),
+      s"$root/mg/batch=$batchId")
+
+  /** One micro-batch of the streaming expectations ledger
+    * (q_stream_expect): (a) the row-local expectation sums fold to
+    * ONE row (SUM algebra — the cascade/pii shape); (b) uniqueness
+    * needs cross-batch state, so the batch's (l_orderkey,
+    * l_linenumber) counts land delta-sized (parallel layout, the
+    * cdcBatch artifact class) — cross-batch duplicates surface only
+    * in the report's key fold, and the same folded keys feed the FK
+    * anti-join there, so the static orders dimension is read ONCE per
+    * report, never per batch. */
+  private[graft] def expectBatch(batch: DataFrame, root: String,
+      batchId: Long): Unit = {
+    writePartial(batch.agg(
+      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L))
+        .as("null_orderkey"),
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+        .otherwise(0L)).as("qty_in_range"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+        .otherwise(0L)).as("disc_in_range"),
+      sum(when(col("l_quantity") > 25, 1L).otherwise(0L))
+        .as("qty_le_25")),
+      s"$root/sums/batch=$batchId")
+    batch.groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(s"$root/keys/batch=$batchId")
+  }
+
   /** One micro-batch of the streaming profile sink (q_stream_profile):
     * THIS batch folds to ONE row of per-column sufficient statistics —
     * non-null count, a Datasketches HLL sketch binary (mergeable,
@@ -1491,6 +1536,133 @@ object StreamQueries {
         |  CAST(b.max_f * 10000 // b.n_rows AS BIGINT) AS top_share_e4,
         |  CAST(p.p99_f AS BIGINT) AS p99_f
         |FROM b JOIN p USING (key) ORDER BY key""".stripMargin)),
+
+    // SKETCHED streaming skew census — q_stream_skew with BOUNDED
+    // per-batch state (the q_skew_sketch seam under ingest): each
+    // batch lands one Misra-Gries summary row per key axis (<= 64
+    // counters) instead of a key-domain frequency relation; the report
+    // folds summaries by mg_merge (the PODS'12 merge keeps the global
+    // N/(k+1) bound across arbitrary merge trees) and the log is read
+    // only as the exact AUDIT (max-f / candidate count), exactly the
+    // q_stream_profile audit contract. Estimates are merge-order-
+    // dependent, so the gate hashes guarantee-derived booleans; the
+    // p99-frequency axis is deliberately ABSENT — per-key counts are
+    // irreducible for frequency quantiles (documented on
+    // q_stream_skew), and a deployment wanting only the
+    // broadcast-vs-salt verdict maintains exactly this bounded state.
+    "q_stream_skew_sketch" -> ((
+      (s: SparkSession, d: String) => {
+        graft.functions.TopKSketch.register(s)
+        val tag = graft.Tables.dirTag(d)
+        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_src_${tag}_v$DumpVersion"
+        ensureStreamDump(d, "events", srcDir)(graft.Tables.events(s, d))
+        val root = s"${graft.Tables.scratchRoot}/graft_sskewsk_$tag"
+        graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        withStreamGateConfs(s) {
+          val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            Long) => Unit = (b, id) => skewSketchBatch(b, root, id)
+          val q = stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        val folded = s.read.parquet(s"$root/mg")
+          .groupBy("key")
+          .agg(expr("mg_merge(summary, 64, 1)").as("top"),
+            sum("n").as("n_rows"))
+          .select(col("key"), col("n_rows"),
+            coalesce(expr("try_element_at(top, 1).est_count"), lit(0L))
+              .as("est_f"),
+            expr("try_element_at(top, 1).item").as("cand"))
+        // Exact AUDIT side (the only log read in the returned plan):
+        // per-axis max frequency and the candidate's exact count.
+        val freq = graft.Tables.events(s, d)
+          .select(lit("user_id").as("key"),
+            col("user_id").cast("string").as("k"))
+          .unionByName(graft.Tables.events(s, d)
+            .select(lit("event_type").as("key"),
+              col("event_type").as("k")))
+          .groupBy("key", "k").agg(count(lit(1)).as("f"))
+        freq.join(broadcast(folded), "key")
+          .groupBy("key", "n_rows", "est_f", "cand")
+          .agg(max("f").as("max_f"),
+            max(when(col("k") === col("cand"), col("f"))).as("cand_f"))
+          .select(col("key"), col("n_rows"),
+            (col("max_f") <= col("est_f") + col("n_rows") / lit(64L) +
+              lit(1L)).as("top_complete_ok"),
+            when(col("cand").isNull, lit(true)).otherwise(
+              col("cand_f") >= col("est_f") &&
+                col("cand_f") <= col("est_f") + col("n_rows") / lit(64L) +
+                  lit(1L)).as("cand_bound_ok"))
+          .orderBy("key")
+      },
+      """SELECT key, CAST(count(*) AS BIGINT) AS n_rows,
+        |  TRUE AS top_complete_ok, TRUE AS cand_bound_ok
+        |FROM (SELECT 'user_id' AS key FROM events
+        |      UNION ALL SELECT 'event_type' FROM events) x
+        |GROUP BY key ORDER BY key""".stripMargin)),
+
+    // Streaming expectations ledger — q_quality_expect under ingest
+    // (the Delta-Live-Tables-expectations shape): row-local
+    // expectation sums fold as one-row partials; the uniqueness
+    // expectation keeps per-batch key-count deltas (the cdcBatch
+    // artifact class) whose fold surfaces CROSS-batch duplicates a
+    // per-batch check cannot see; the FK expectation anti-joins the
+    // FOLDED key domain against the static orders dimension ONCE per
+    // report (weighted by row counts), never per batch. The ledger
+    // equals the batch gate's under any micro-batch split (shared
+    // oracle).
+    "q_stream_expect" -> ((
+      (s: SparkSession, d: String) => {
+        val tag = graft.Tables.dirTag(d)
+        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_li_${tag}_v$DumpVersion"
+        ensureStreamDump(d, "lineitem", srcDir,
+          blockBytes = 2L * 1024 * 1024)(
+          graft.Tables.t(s, d, "lineitem"))
+        val root = s"${graft.Tables.scratchRoot}/graft_sexpect_$tag"
+        graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        withStreamGateConfs(s) {
+          val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            Long) => Unit = (b, id) => expectBatch(b, root, id)
+          val q = stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        val sums = s.read.parquet(s"$root/sums")
+          .agg(sum("null_orderkey").as("null_orderkey"),
+            sum("qty_in_range").as("qty_in_range"),
+            sum("disc_in_range").as("disc_in_range"),
+            sum("qty_le_25").as("qty_le_25"))
+          .selectExpr("""stack(4,
+            'null_orderkey', null_orderkey,
+            'qty_in_range', qty_in_range,
+            'disc_in_range', disc_in_range,
+            'qty_le_25', qty_le_25) AS (cname, n_violations)""")
+        val keys = s.read.parquet(s"$root/keys")
+          .groupBy("l_orderkey", "l_linenumber")
+          .agg(sum("c").as("c"))
+        val dups = keys
+          .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n_violations"))
+          .select(lit("uniq_line_key").as("cname"), col("n_violations"))
+        val orders = graft.Tables.t(s, d, "orders").select("o_orderkey")
+        val orphans = keys.groupBy("l_orderkey")
+          .agg(sum("c").as("rows"))
+          .join(orders, col("l_orderkey") === col("o_orderkey"),
+            "left_anti")
+          .agg(coalesce(sum("rows"), lit(0L)).as("n_violations"))
+          .select(lit("fk_order_exists").as("cname"), col("n_violations"))
+        sums.unionByName(dups).unionByName(orphans)
+          .withColumn("ok", col("n_violations") === 0L)
+          .orderBy("cname")
+      },
+      ExtraQueries.ExpectOracle)),
 
     // Streaming profile maintenance — the production shape of the
     // q_profile_approx seam under continuous ingest: per-batch one-row

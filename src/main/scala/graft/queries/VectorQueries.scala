@@ -1519,6 +1519,36 @@ object VectorQueries {
       },
       rankSql(s"SELECT a.vec_id AS qid, b.vec_id AS nid FROM embeddings a, embeddings b WHERE a.vec_id < $NQ AND b.vec_id <> a.vec_id"))),
 
+    // Hard-negative mining — the contrastive-training data op
+    // (triplet/InfoNCE batches need, per anchor, the most-similar
+    // vectors with a DIFFERENT label): same plan shape as
+    // q_embed_cosine (one corpus scan, broadcast anchors, per-anchor
+    // window top-k over the candidate pairs), with the label
+    // inequality pushed into the pair filter so the window ranks only
+    // genuine negatives. At corpus scale the anchor set is a training
+    // batch (bounded, broadcastable) and the scan is the linear cost;
+    // an IVF-probed variant would reuse q_embed_ivf's inverted lists
+    // unchanged — mining is just ANN with a label predicate.
+    "q_embed_hardneg" -> ((
+      (s: SparkSession, d: String) => {
+        VectorFunctions.register(s)
+        // One scan carrying the label (not emb() + a label self-join).
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            expr("transform(embedding, x -> cast(x AS double))").as("v"))
+          .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+        val q = e.filter(col("vec_id") < NQ)
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("nrm").as("qn"), col("label").as("qlab"))
+        val pairs = broadcast(q).crossJoin(e)
+          .filter(col("label") =!= col("qlab"))
+          .withColumn("cosraw",
+            expr("vec_dot(qv, v)") / (col("qn") * col("nrm")))
+          .select(col("qid"), col("vec_id").as("nid"), col("cosraw"))
+        rankTopK(pairs)
+      },
+      rankSql(s"SELECT a.vec_id AS qid, b.vec_id AS nid FROM embeddings a, embeddings b WHERE a.vec_id < $NQ AND b.label <> a.label"))),
+
     // LSH-bucketed ANN: candidates from bucket equality joins, exact
     // re-rank on candidates only. Oracle re-ranks the same candidates.
     "q_embed_ann" -> ((

@@ -459,7 +459,18 @@ object SoakX10 {
     // per-kind pruned flatten -> pooled swap-writes -> catalog -> SQL):
     // the composition must stay linear in envelope volume — its parts
     // are each plan-gated, this row prices the whole front door.
-    "q_pipeline_scale")
+    "q_pipeline_scale",
+    // Hard-negative mining: broadcast anchors x one labeled corpus
+    // scan — must track scan bandwidth as the corpus grows 100x.
+    "q_embed_hardneg",
+    // Epoch recipe planner: one scan into a source-domain census.
+    "q_mix_epochs",
+    // Sketched streaming skew: per-batch MG partials are <= 64 rows
+    // regardless of key cardinality; the audit pays one log scan.
+    "q_stream_skew_sketch",
+    // Streaming expectations: one-row sum partials + key-count deltas;
+    // the FK anti-join runs once per report over the folded domain.
+    "q_stream_expect")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

@@ -768,6 +768,49 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("kll_agg"), p)
   }
 
+  test("q_embed_hardneg: broadcast anchors over one labeled corpus scan") {
+    // Mining is ANN with a label predicate: the anchor set broadcasts
+    // (BroadcastNestedLoopJoin over the bounded batch — never an SMJ),
+    // the corpus is scanned ONCE carrying its label (no label
+    // self-join), and the per-anchor top-k window partitions by qid.
+    val p = planOf("q_embed_hardneg")
+    val scans = "embeddings\\.parquet".r.findAllIn(p).size
+    assert(scans == 2, s"embeddings scans=$scans\n$p") // anchors + corpus
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_mix_epochs: one corpus scan, totals ride a one-row broadcast") {
+    val p = planOf("q_mix_epochs")
+    val scans = "documents\\.parquet".r.findAllIn(p).size
+    assert(scans == 2, s"documents scans=$scans\n$p") // census + totals side
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_stream_skew_sketch: bounded MG partials; log read only as audit") {
+    // The folded summary side must come from the per-batch MG partial
+    // dir (mg_merge over <= 64-entry rows); the events log appears
+    // ONLY as the exact audit's frequency relation, and the candidate
+    // estimate joins it broadcast (2 one-row census rows).
+    val p = planOf("q_stream_skew_sketch")
+    assert(p.contains("graft_sskewsk"), p)
+    assert(p.contains("mg_merge"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_stream_expect: ledger folds partials; orders joined once at report") {
+    // The row-local sums and the key-count deltas come from the
+    // partial dirs; the lineitem stream is never re-scanned. The FK
+    // anti-join runs once at report over the FOLDED key domain.
+    val p = planOf("q_stream_expect")
+    assert(p.contains("graft_sexpect"), p)
+    assert(!"lineitem\\.parquet".r.findAllIn(p).hasNext, p)
+    val orderScans = "orders\\.parquet".r.findAllIn(p).size
+    assert(orderScans == 1, s"orders scans=$orderScans\n$p")
+  }
+
   test("q_pipeline_scale: the catalog answer reads only the synced prod dirs") {
     // The composed gate's returned plan is the CATALOG query: exactly
     // two scans, both under the synced prod base (the link table and
