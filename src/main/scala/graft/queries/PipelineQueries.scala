@@ -53,7 +53,7 @@ object PipelineQueries {
 
   /** q_pipeline_scale's model: the e2e model plus a FACT-sized kind
     * (one node per customer) so the composed path has real volume. */
-  private val scaleModel = Model(
+  private[graft] val scaleModel = Model(
     Kind("resource",
       properties = Seq(
         Property("id", "string"),
@@ -72,7 +72,7 @@ object PipelineQueries {
     * customer's region ancestor is derived upstream via a broadcast
     * nation join — the collector-side denormalization the reference's
     * ancestors block carries (model.py FIXTURES §1). */
-  private def scaleEnvelopes(s: SparkSession, d: String): DataFrame = {
+  private[graft] def scaleEnvelopes(s: SparkSession, d: String): DataFrame = {
     val nation = t(s, d, "nation")
     val cust = t(s, d, "customer")
     def anc(regionId: org.apache.spark.sql.Column) = struct(struct(struct(
@@ -107,6 +107,17 @@ object PipelineQueries {
     nationNodes.unionByName(custNodes)
       .unionByName(edges, allowMissingColumns = true)
   }
+
+  /** Shared oracle of q_pipeline_scale and q_stream_pipeline: the
+    * served catalog answer recomputed relationally — the composed
+    * path must be lossless batch OR streamed. */
+  private[graft] val PipelineScaleOracle: String =
+    """SELECT 'N' || c_nationkey AS nation_id,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  min(c_name) AS first_name,
+      |  min('R' || n_regionkey) AS region
+      |FROM customer JOIN nation ON n_nationkey = c_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Bump when any envelope-builder below changes: the freshness check
     * compares only fixture mtimes, so without a version in the dump
@@ -215,12 +226,7 @@ object PipelineQueries {
             |JOIN infra_customer c ON c._id = l.to_id
             |GROUP BY l.from_id ORDER BY nation_id""".stripMargin)
       },
-      """SELECT 'N' || c_nationkey AS nation_id,
-        |  CAST(count(*) AS BIGINT) AS n_customers,
-        |  min(c_name) AS first_name,
-        |  min('R' || n_regionkey) AS region
-        |FROM customer JOIN nation ON n_nationkey = c_nationkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+      PipelineScaleOracle)),
 
     // Graph source + search pushdown (P1/P2): dump a region→nation graph
     // as JSONL envelopes, read it back through the source, evaluate the

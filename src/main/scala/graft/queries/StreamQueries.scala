@@ -457,6 +457,30 @@ object StreamQueries {
       .write.mode("overwrite").parquet(s"$root/keys/batch=$batchId")
   }
 
+  /** One micro-batch of the streaming sync front door
+    * (q_stream_pipeline): node envelopes FLATTEN immediately (the
+    * row-local half of the sync — per-kind table rows land delta-sized
+    * per batch), the batch's (id, kind) map and raw edge envelopes
+    * land as partials. Edge KEYING is deferred to the report: an edge
+    * may arrive before its endpoints' nodes, so keying per batch would
+    * either drop it or re-scan the accumulated id map every batch —
+    * one join over the FOLDED id domain at read time is both correct
+    * under any arrival order and cheaper. */
+  private[graft] def pipelineBatch(batch: DataFrame, root: String,
+      batchId: Long): Unit = {
+    import graft.queries.PipelineQueries.scaleModel
+    val nodes = batch.filter(col("type") === "node")
+    graft.model.ModelCompiler.tableKinds(scaleModel).foreach { k =>
+      graft.ingest.Flatten.flattenNodes(nodes, k, scaleModel)
+        .write.mode("overwrite").parquet(
+          s"$root/tbl_${graft.model.ModelCompiler.tableName(k.fqn)}/batch=$batchId")
+    }
+    nodes.select(col("id"), col("reported.kind").as("kind"))
+      .write.mode("overwrite").parquet(s"$root/ids/batch=$batchId")
+    batch.filter(col("type") === "edge").select("type", "from", "to")
+      .write.mode("overwrite").parquet(s"$root/edges/batch=$batchId")
+  }
+
   /** One micro-batch of the streaming profile sink (q_stream_profile):
     * THIS batch folds to ONE row of per-column sufficient statistics —
     * non-null count, a Datasketches HLL sketch binary (mergeable,
@@ -1604,6 +1628,58 @@ object StreamQueries {
         |FROM (SELECT 'user_id' AS key FROM events
         |      UNION ALL SELECT 'event_type' FROM events) x
         |GROUP BY key ORDER BY key""".stripMargin)),
+
+    // The composed sync front door under STREAMING ingest —
+    // q_pipeline_scale's envelope stream arriving incrementally (the
+    // mode a collector actually delivers): per batch the row-local
+    // half runs immediately (per-kind flatten with carz denorm,
+    // delta-sized table partials) while edge keying waits for the
+    // report's ONE join over the folded (id, kind) domain — correct
+    // under any arrival order (edges may precede their endpoints'
+    // nodes across batches). The served answer equals the batch sync's
+    // (shared PipelineScaleOracle): the composition is lossless under
+    // any micro-batch split.
+    "q_stream_pipeline" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.queries.PipelineQueries
+        val tag = graft.Tables.dirTag(d)
+        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_env_${tag}_v$DumpVersion"
+        val fp = graft.Tables.sourceFingerprint(
+          Seq(java.nio.file.Paths.get(d, "nation.parquet"),
+            java.nio.file.Paths.get(d, "customer.parquet")),
+          s"envstream_v$DumpVersion")
+        graft.Tables.ensureDerived(srcDir, fp) {
+          PipelineQueries.scaleEnvelopes(s, d)
+            .write.option("parquet.block.size", 2L * 1024 * 1024)
+            .mode("overwrite").parquet(srcDir)
+        }
+        val root = s"${graft.Tables.scratchRoot}/graft_spipe_$tag"
+        graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        withStreamGateConfs(s) {
+          val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            Long) => Unit = (b, id) => pipelineBatch(b, root, id)
+          val q = stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        val ids = s.read.parquet(s"$root/ids")
+        val edges = s.read.parquet(s"$root/edges")
+        val link = graft.ingest.Flatten.keyEdges(edges, ids)
+          .filter(col("from_kind") === "infra_nation" &&
+            col("to_kind") === "infra_customer")
+        val cust = s.read.parquet(s"$root/tbl_infra_customer")
+        link.join(cust, cust("_id") === link("to_id"))
+          .groupBy(col("from_id").as("nation_id"))
+          .agg(count(lit(1)).as("n_customers"),
+            min(col("name")).as("first_name"),
+            min(col("region")).as("region"))
+          .orderBy("nation_id")
+      },
+      PipelineQueries.PipelineScaleOracle)),
 
     // Streaming expectations ledger — q_quality_expect under ingest
     // (the Delta-Live-Tables-expectations shape): row-local

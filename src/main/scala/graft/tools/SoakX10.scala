@@ -470,7 +470,10 @@ object SoakX10 {
     "q_stream_skew_sketch",
     // Streaming expectations: one-row sum partials + key-count deltas;
     // the FK anti-join runs once per report over the folded domain.
-    "q_stream_expect")
+    "q_stream_expect",
+    // The composed sync front door under streaming ingest: row-local
+    // flatten per batch, edge keying once at report over folded ids.
+    "q_stream_pipeline")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

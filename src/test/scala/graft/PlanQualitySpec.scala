@@ -811,6 +811,17 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(orderScans == 1, s"orders scans=$orderScans\n$p")
   }
 
+  test("q_stream_pipeline: answer folds batch partials; no envelope re-scan") {
+    // The served answer derives from the per-batch partial dirs only
+    // (flattened kind rows, the (id, kind) map, raw edges); the
+    // envelope stream and the raw fixture tables never re-enter —
+    // keying is the report's one join over the folded id domain.
+    val p = planOf("q_stream_pipeline")
+    assert(p.contains("graft_spipe"), p)
+    assert(!p.contains("graft_stream_env"), p)
+    assert(!"(customer|nation)\\.parquet".r.findAllIn(p).hasNext, p)
+  }
+
   test("q_pipeline_scale: the catalog answer reads only the synced prod dirs") {
     // The composed gate's returned plan is the CATALOG query: exactly
     // two scans, both under the synced prod base (the link table and
