@@ -110,6 +110,21 @@ class UrlCanonPropSpec extends SparkSpecBase {
     })
   }
 
+  test("utm-PREFIXED params strip; utmX lookalikes survive (r14 advisor)") {
+    // LIKE 'utm_%' treated '_' as a single-char wildcard, silently
+    // merging URLs that differ only in a param NAMED utm<X> (e.g.
+    // utme=1 vs utme=2). The fix is startsWith: lookalikes are real
+    // params and must survive canonicalization.
+    val Seq(a, b, c, d) = canonAll(Seq(
+      "http://site.com/x?utme=1", "http://site.com/x?utme=2",
+      "http://site.com/x?utm_source=feed&id=1",
+      "http://site.com/x?id=1"))
+    assert(a == "http://site.com/x?utme=1")
+    assert(b == "http://site.com/x?utme=2")
+    assert(a != b, "utmX lookalikes must not merge")
+    assert(c == d, "utm_ tracking params must strip")
+  }
+
   test("http :80 strips; https :80 and explicit :8443 survive") {
     val Seq(a, b, c) = canonAll(Seq(
       "http://site.com:80/x", "https://site.com:80/x",
