@@ -1549,6 +1549,92 @@ object VectorQueries {
       },
       rankSql(s"SELECT a.vec_id AS qid, b.vec_id AS nid FROM embeddings a, embeddings b WHERE a.vec_id < $NQ AND b.label <> a.label"))),
 
+    // Index-quality evaluation — recall@k of every ANN index family
+    // against the exact brute-force top-k, as a driver-checked census
+    // (the GATE version of LshRecallSpec/PqRecallSpec's floors, and
+    // the report an index-build pipeline publishes with each index
+    // artifact). Deterministic end to end: planes/codebooks/centroids
+    // are hash-derived, ties break by id, recall is integer percent —
+    // so the number itself hashes, not just a floor boolean. The
+    // candidate generators are the SAME plans the q_embed_* gates
+    // ship (each rebuilt live here); the oracle recomputes exact
+    // top-k and probes the gates' candidate side-files.
+    "q_ann_recall" -> ((
+      (s: SparkSession, d: String) => {
+        val spark = s
+        import spark.implicits._
+        val e0 = emb(s, d)
+        val q = e0.filter(col("vec_id") < NQ)
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("nrm").as("qn"))
+        val exact = rankTopK(broadcast(q).crossJoin(e0)
+            .filter(col("vec_id") =!= col("qid"))
+            .withColumn("cosraw",
+              expr("vec_dot(qv, v)") / (col("qn") * col("nrm")))
+            .select(col("qid"), col("vec_id").as("nid"), col("cosraw")))
+          .select("qid", "nid").localCheckpoint()
+        // One-row aggregates per family (the sanctioned driver-scalar
+        // class): hits = exact-top-k pairs surviving in the candidate
+        // set. Collected inside each index's cache scope so the lazy
+        // candidate lineage never replays uncached.
+        def hitsOf(cand: DataFrame): Long =
+          exact.join(cand.select("qid", "nid"), Seq("qid", "nid"),
+            "left_semi").count()
+        val lshHits = withBucketCache(
+          withBuckets(e0, bitsFor(corpusRows(s, d)))) { b =>
+          hitsOf(annCandPlan(b))
+        }
+        val e = emb(s, d).persist()
+        val (ivfHits, pqHits, ivfpqHits) =
+          try (hitsOf(ivfCandPlan(s, e)), hitsOf(pqCandPlan(s, e)),
+            hitsOf(ivfpqCandPlan(s, e)))
+          finally { e.unpersist(blocking = true); () }
+        val n = NQ.toLong * K
+        Seq(("ivf", ivfHits), ("ivfpq", ivfpqHits), ("lsh", lshHits),
+          ("pq", pqHits))
+          .map { case (f, h) => (f, h, n, h * 100L / n) }
+          .toDF("family", "hits", "n_pairs", "recall_pct")
+          .orderBy("family")
+      },
+      {
+        def fam(name: String, path: String) =
+          s"""SELECT '$name' AS family, CAST(count(*) AS BIGINT) AS hits
+             |FROM topk t WHERE EXISTS (SELECT 1 FROM read_parquet(
+             |  '${graft.Tables.scratchRoot}/graft_cand_${path}_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/*.parquet') c
+             |  WHERE c.qid = t.qid AND c.nid = t.nid)""".stripMargin
+        s"""WITH pairs AS (SELECT a.vec_id AS qid, b.vec_id AS nid
+           |    FROM embeddings a, embeddings b
+           |    WHERE a.vec_id < $NQ AND b.vec_id <> a.vec_id),
+           |e AS (SELECT vec_id, unnest(embedding) AS x,
+           |        generate_subscripts(embedding, 1) AS pos
+           |      FROM embeddings),
+           |norms AS (SELECT vec_id,
+           |    sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+           |  FROM e GROUP BY vec_id),
+           |dots AS (
+           |  SELECT p.qid, p.nid,
+           |    sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+           |  FROM pairs p
+           |  JOIN e a ON a.vec_id = p.qid
+           |  JOIN e b ON b.vec_id = p.nid AND b.pos = a.pos
+           |  GROUP BY 1, 2),
+           |ranked AS (
+           |  SELECT d.qid, d.nid,
+           |    row_number() OVER (PARTITION BY d.qid
+           |      ORDER BY d.dot / (nq.nrm * nc.nrm) DESC, d.nid) AS rn
+           |  FROM dots d
+           |  JOIN norms nq ON nq.vec_id = d.qid
+           |  JOIN norms nc ON nc.vec_id = d.nid),
+           |topk AS (SELECT qid, nid FROM ranked WHERE rn <= $K),
+           |rec AS (${fam("ivf", "ivf")}
+           |  UNION ALL ${fam("ivfpq", "ivfpq")}
+           |  UNION ALL ${fam("lsh", "ann")}
+           |  UNION ALL ${fam("pq", "pq")})
+           |SELECT family, hits, CAST(${NQ.toLong * K} AS BIGINT) AS n_pairs,
+           |  CAST(hits * 100 // ${NQ.toLong * K} AS BIGINT) AS recall_pct
+           |FROM rec ORDER BY family""".stripMargin
+      })),
+
     // LSH-bucketed ANN: candidates from bucket equality joins, exact
     // re-rank on candidates only. Oracle re-ranks the same candidates.
     "q_embed_ann" -> ((

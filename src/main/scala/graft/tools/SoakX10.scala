@@ -473,7 +473,11 @@ object SoakX10 {
     "q_stream_expect",
     // The composed sync front door under streaming ingest: row-local
     // flatten per batch, edge keying once at report over folded ids.
-    "q_stream_pipeline")
+    "q_stream_pipeline",
+    // ANN recall census: rebuilds all four index families live — cost
+    // must track the index builds (linear scans + bounded codebooks),
+    // never the exact cross (anchors are a bounded batch).
+    "q_ann_recall")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen
