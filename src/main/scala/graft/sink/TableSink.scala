@@ -51,11 +51,18 @@ object TableSink {
           override def call(): B = f(n, a)
         })
       }
-      futures.map { case (n, fu) =>
+      try futures.map { case (n, fu) =>
         n -> (try fu.get()
               catch { case e: java.util.concurrent.ExecutionException =>
                 throw e.getCause })
       }.toMap
+      catch { case t: Throwable =>
+        // A failed sync must not keep writing OTHER tables in the
+        // background: cancel everything still queued/running before
+        // surfacing the first failure.
+        futures.foreach(_._2.cancel(true))
+        throw t
+      }
     } finally pool.shutdown()
   }
 
