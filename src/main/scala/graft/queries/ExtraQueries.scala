@@ -161,17 +161,6 @@ object ExtraQueries {
       |JOIN card cb ON cb.event_type = co.b
       |ORDER BY a, b""".stripMargin
 
-  /** The KLL rank-audit pass shared by q_agg_kll_rollup and its
-    * streaming twin q_stream_kll: join the (tiny) weekly estimate
-    * frame back onto the log, count strictly-below/at-or-below ranks,
-    * and emit the guarantee booleans. err is the compactor's TRUE
-    * worst case n·H/k at k=256 (KllSketch scaladoc), with the level
-    * count H = ceil(log2(2n/k)) derived from n_events in pure integer
-    * arithmetic (bit-length via bin()), +16 slop for the sub-compaction
-    * tail — valid at ANY n, unlike the previous n div 8 shortcut which
-    * silently under-bounds past n ≈ 2^38 (at fixture scale H ≈ 6 so
-    * this is also a TIGHTER gate). Broadcast probe: map-side at
-    * 100 TB. */
   /** Shared oracle of q_quality_expect and q_stream_expect — the
     * expectation ledger is split-independent by construction, so both
     * gates pin the identical relational recomputation. */
@@ -208,6 +197,17 @@ object ExtraQueries {
          |       ELSE length(bin((2 * $n + 255) div 256 - 1)) END)
          |  div 256 + 16""".stripMargin)
 
+  /** The KLL rank-audit pass shared by q_agg_kll_rollup and its
+    * streaming twin q_stream_kll: join the (tiny) weekly estimate
+    * frame back onto the log, count strictly-below/at-or-below ranks,
+    * and emit the guarantee booleans. err is the compactor's TRUE
+    * worst case n·H/k at k=256 ([[kllErr]]; KllSketch scaladoc), with
+    * the level count H = ceil(log2(2n/k)) derived from n_events in
+    * pure integer arithmetic (bit-length via bin()), +16 slop for the
+    * sub-compaction tail — valid at ANY n, unlike the previous
+    * n div 8 shortcut which silently under-bounds past n ≈ 2^38 (at
+    * fixture scale H ≈ 6 so this is also a TIGHTER gate). Broadcast
+    * probe: map-side at 100 TB. */
   private[graft] def kllAudit(ev: DataFrame, report: DataFrame): DataFrame = {
     def ltc(c: String) =
       sum(when(col("cents") < col(c), 1L).otherwise(0L))
@@ -215,13 +215,7 @@ object ExtraQueries {
       sum(when(col("cents") <= col(c), 1L).otherwise(0L))
     def okc(p: Int, lt: String, le: String) = {
       val target = expr(s"n_events * $p div 100")
-      // H = ceil(log2(ceil(2n/256))), clamped to >= 1: bit_length(y-1)
-      // counts ceil(log2(y)) exactly for y >= 2.
-      val err = expr(
-        """n_events *
-          |  (CASE WHEN (2 * n_events + 255) div 256 <= 2 THEN 1
-          |        ELSE length(bin((2 * n_events + 255) div 256 - 1))
-          |   END) div 256 + 16""".stripMargin)
+      val err = kllErr("n_events")
       (col(lt) <= target + err) && (col(le) >= target - err)
     }
     ev.withColumn("week", expr("day div 7"))
@@ -1757,17 +1751,21 @@ object ExtraQueries {
     // available tokens, the requested share, the fractional epoch
     // count (e2 units, exact integer division), the ceil'd epoch count
     // a repeat-loader would run, and the oversample flag. One corpus
-    // scan into a per-source census; the budget constant derives from
-    // the census itself via a one-row broadcast (no second scan, no
-    // driver round-trip) — at 100 TB this is a metadata-sized plan on
-    // top of one linear pass.
+    // scan into a per-source census (checkpointed once — tiny); the
+    // budget constant derives from the census itself via a one-row
+    // broadcast, no driver round-trip — at 100 TB this is a
+    // metadata-sized plan on top of one linear pass (plan-gated).
     "q_mix_epochs" -> ((
       (s: SparkSession, d: String) => {
+        // Checkpoint the (source-domain-sized, tiny) census ONCE so
+        // the totals side reuses it — without this the crossJoin's
+        // tot subtree re-executes the full corpus tokenize+census.
         val census = t(s, d, "documents")
           .select(col("source"),
             size(split(col("text"), " ")).cast("long").as("toks"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"), sum("toks").as("avail"))
+          .localCheckpoint()
         val tot = census.agg(sum("avail").as("total"),
           count(lit(1)).as("n_sources"))
         census.crossJoin(broadcast(tot))

@@ -469,16 +469,22 @@ object StreamQueries {
   private[graft] def pipelineBatch(batch: DataFrame, root: String,
       batchId: Long): Unit = {
     import graft.queries.PipelineQueries.scaleModel
-    val nodes = batch.filter(col("type") === "node")
-    graft.model.ModelCompiler.tableKinds(scaleModel).foreach { k =>
-      graft.ingest.Flatten.flattenNodes(nodes, k, scaleModel)
-        .write.mode("overwrite").parquet(
-          s"$root/tbl_${graft.model.ModelCompiler.tableName(k.fqn)}/batch=$batchId")
-    }
-    nodes.select(col("id"), col("reported.kind").as("kind"))
-      .write.mode("overwrite").parquet(s"$root/ids/batch=$batchId")
-    batch.filter(col("type") === "edge").select("type", "from", "to")
-      .write.mode("overwrite").parquet(s"$root/edges/batch=$batchId")
+    // K+2 independent write actions run below — cache the batch so
+    // its file is decoded ONCE, not once per kind table (the
+    // profileBatch per-batch scan-cost discipline).
+    val b = batch.persist()
+    try {
+      val nodes = b.filter(col("type") === "node")
+      graft.model.ModelCompiler.tableKinds(scaleModel).foreach { k =>
+        graft.ingest.Flatten.flattenNodes(nodes, k, scaleModel)
+          .write.mode("overwrite").parquet(
+            s"$root/tbl_${graft.model.ModelCompiler.tableName(k.fqn)}/batch=$batchId")
+      }
+      nodes.select(col("id"), col("reported.kind").as("kind"))
+        .write.mode("overwrite").parquet(s"$root/ids/batch=$batchId")
+      b.filter(col("type") === "edge").select("type", "from", "to")
+        .write.mode("overwrite").parquet(s"$root/edges/batch=$batchId")
+    } finally { b.unpersist(); () }
   }
 
   /** One micro-batch of the streaming profile sink (q_stream_profile):
@@ -1644,13 +1650,16 @@ object StreamQueries {
         import graft.queries.PipelineQueries
         val tag = graft.Tables.dirTag(d)
         val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_env_${tag}_v$DumpVersion"
+        // The rg token self-invalidates the dump if the row-group
+        // layout constant changes (the ensureStreamDump rule).
+        val envRg = 2L * 1024 * 1024
         val fp = graft.Tables.sourceFingerprint(
           Seq(java.nio.file.Paths.get(d, "nation.parquet"),
             java.nio.file.Paths.get(d, "customer.parquet")),
-          s"envstream_v$DumpVersion")
+          s"envstream_v$DumpVersion:rg$envRg")
         graft.Tables.ensureDerived(srcDir, fp) {
           PipelineQueries.scaleEnvelopes(s, d)
-            .write.option("parquet.block.size", 2L * 1024 * 1024)
+            .write.option("parquet.block.size", envRg)
             .mode("overwrite").parquet(srcDir)
         }
         val root = s"${graft.Tables.scratchRoot}/graft_spipe_$tag"

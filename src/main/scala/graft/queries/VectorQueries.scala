@@ -1576,18 +1576,24 @@ object VectorQueries {
         // One-row aggregates per family (the sanctioned driver-scalar
         // class): hits = exact-top-k pairs surviving in the candidate
         // set. Collected inside each index's cache scope so the lazy
-        // candidate lineage never replays uncached.
-        def hitsOf(cand: DataFrame): Long =
-          exact.join(cand.select("qid", "nid"), Seq("qid", "nid"),
-            "left_semi").count()
+        // candidate lineage never replays uncached. Each family writes
+        // its OWN candidate side-file at the verify SF (maybeSideFile)
+        // so the oracle never depends on another gate having run or on
+        // a previous code version's stale files.
+        def hitsOf(fam: String, cand: DataFrame): Long =
+          exact.join(
+            maybeSideFile(s, d, cand.select("qid", "nid"),
+              s"${graft.Tables.scratchRoot}/graft_cand_rec${fam}_${graft.Tables.dirTag(d)}"),
+            Seq("qid", "nid"), "left_semi").count()
         val lshHits = withBucketCache(
           withBuckets(e0, bitsFor(corpusRows(s, d)))) { b =>
-          hitsOf(annCandPlan(b))
+          hitsOf("lsh", annCandPlan(b))
         }
         val e = emb(s, d).persist()
         val (ivfHits, pqHits, ivfpqHits) =
-          try (hitsOf(ivfCandPlan(s, e)), hitsOf(pqCandPlan(s, e)),
-            hitsOf(ivfpqCandPlan(s, e)))
+          try (hitsOf("ivf", ivfCandPlan(s, e)),
+            hitsOf("pq", pqCandPlan(s, e)),
+            hitsOf("ivfpq", ivfpqCandPlan(s, e)))
           finally { e.unpersist(blocking = true); () }
         val n = NQ.toLong * K
         Seq(("ivf", ivfHits), ("ivfpq", ivfpqHits), ("lsh", lshHits),
@@ -1600,7 +1606,7 @@ object VectorQueries {
         def fam(name: String, path: String) =
           s"""SELECT '$name' AS family, CAST(count(*) AS BIGINT) AS hits
              |FROM topk t WHERE EXISTS (SELECT 1 FROM read_parquet(
-             |  '${graft.Tables.scratchRoot}/graft_cand_${path}_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/*.parquet') c
+             |  '${graft.Tables.scratchRoot}/graft_cand_rec${path}_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/*.parquet') c
              |  WHERE c.qid = t.qid AND c.nid = t.nid)""".stripMargin
         s"""WITH pairs AS (SELECT a.vec_id AS qid, b.vec_id AS nid
            |    FROM embeddings a, embeddings b
@@ -1628,7 +1634,7 @@ object VectorQueries {
            |topk AS (SELECT qid, nid FROM ranked WHERE rn <= $K),
            |rec AS (${fam("ivf", "ivf")}
            |  UNION ALL ${fam("ivfpq", "ivfpq")}
-           |  UNION ALL ${fam("lsh", "ann")}
+           |  UNION ALL ${fam("lsh", "lsh")}
            |  UNION ALL ${fam("pq", "pq")})
            |SELECT family, hits, CAST(${NQ.toLong * K} AS BIGINT) AS n_pairs,
            |  CAST(hits * 100 // ${NQ.toLong * K} AS BIGINT) AS recall_pct

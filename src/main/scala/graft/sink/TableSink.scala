@@ -45,10 +45,21 @@ object TableSink {
     if (bound <= 1) return items.map { case (n, a) => n -> f(n, a) }.toMap
     val pool = java.util.concurrent.Executors.newFixedThreadPool(bound,
       r => { val t = new Thread(r, "graft-sync-write"); t.setDaemon(true); t })
+    // One job group for the whole sync (thread-local, set per worker):
+    // cancellation must stop the SPARK JOBS, not just interrupt the
+    // submitting threads — an interrupted thread returns while its
+    // already-scheduled job keeps writing part- files into staging.
+    val groupId = s"graft-sync-write-${java.util.UUID.randomUUID()}"
+    def session = org.apache.spark.sql.SparkSession.getDefaultSession
     try {
       val futures = items.map { case (n, a) =>
         n -> pool.submit(new java.util.concurrent.Callable[B] {
-          override def call(): B = f(n, a)
+          override def call(): B = {
+            session.foreach(_.sparkContext.setJobGroup(groupId,
+              s"sync write $n", interruptOnCancel = true))
+            try f(n, a)
+            finally session.foreach(_.sparkContext.clearJobGroup())
+          }
         })
       }
       try futures.map { case (n, fu) =>
@@ -58,9 +69,14 @@ object TableSink {
       }.toMap
       catch { case t: Throwable =>
         // A failed sync must not keep writing OTHER tables in the
-        // background: cancel everything still queued/running before
-        // surfacing the first failure.
+        // background: cancel the group's running Spark jobs, cancel
+        // queued work, and DRAIN the pool before surfacing the first
+        // failure — a caller that catches and cleans/retries the base
+        // dir must never race a zombie write.
         futures.foreach(_._2.cancel(true))
+        session.foreach(_.sparkContext.cancelJobGroup(groupId))
+        pool.shutdown()
+        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
         throw t
       }
     } finally pool.shutdown()

@@ -780,10 +780,14 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("q_mix_epochs: one corpus scan, totals ride a one-row broadcast") {
+  test("q_mix_epochs: ONE corpus scan; totals reuse the checkpointed census") {
+    // The source census is checkpointed once (tiny), so both the
+    // per-source rows and the totals side show as ExistingRDD — the
+    // corpus is tokenized exactly once at execution.
     val p = planOf("q_mix_epochs")
     val scans = "documents\\.parquet".r.findAllIn(p).size
-    assert(scans == 2, s"documents scans=$scans\n$p") // census + totals side
+    assert(scans == 0, s"documents scans=$scans\n$p")
+    assert(p.contains("ExistingRDD"), p)
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("Window"), p)
   }
