@@ -457,6 +457,19 @@ object StreamQueries {
       .write.mode("overwrite").parquet(s"$root/keys/batch=$batchId")
   }
 
+  /** One micro-batch of the streaming mixture monitor (q_stream_mix):
+    * per-source doc/token counts — source-domain-sized, every column
+    * a SUM, so the recipe shares derived from the fold equal the
+    * batch census under ANY split. */
+  private[graft] def mixBatch(batch: DataFrame, root: String,
+      batchId: Long): Unit =
+    writePartial(batch
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("toks")),
+      s"$root/mix/batch=$batchId")
+
   /** One micro-batch of the streaming sync front door
     * (q_stream_pipeline): node envelopes FLATTEN immediately (the
     * row-local half of the sync — per-kind table rows land delta-sized
@@ -1634,6 +1647,51 @@ object StreamQueries {
         |FROM (SELECT 'user_id' AS key FROM events
         |      UNION ALL SELECT 'event_type' FROM events) x
         |GROUP BY key ORDER BY key""".stripMargin)),
+
+    // Streaming mixture monitor — the recipe-drift census a
+    // continuously-ingesting pretraining pipeline watches (is the
+    // arriving data still the mixture the data card promised?):
+    // per-batch per-source doc/token counts fold by SUM into the
+    // accumulated mixture, and the share arithmetic (e4 integer
+    // units) runs on the source-domain fold — the corpus stream is
+    // never re-scanned (plan-gated).
+    "q_stream_mix" -> ((
+      (s: SparkSession, d: String) => {
+        val tag = graft.Tables.dirTag(d)
+        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_docs_${tag}_v$DumpVersion"
+        ensureStreamDump(d, "documents", srcDir)(
+          graft.Tables.t(s, d, "documents"))
+        val root = s"${graft.Tables.scratchRoot}/graft_smix_$tag"
+        graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        withStreamGateConfs(s) {
+          val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            Long) => Unit = (b, id) => mixBatch(b, root, id)
+          val q = stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        val folded = s.read.parquet(s"$root/mix")
+          .groupBy("source")
+          .agg(sum("n_docs").as("n_docs"), sum("toks").as("toks"))
+          .localCheckpoint()
+        val tot = folded.agg(sum("toks").as("total"))
+        folded.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("toks"),
+            expr("toks * 10000 div total").as("share_e4"))
+          .orderBy("source")
+      },
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(toks) AS BIGINT) AS total FROM c)
+        |SELECT source, n_docs, toks,
+        |  CAST(toks * 10000 // total AS BIGINT) AS share_e4
+        |FROM c, t ORDER BY source""".stripMargin)),
 
     // The composed sync front door under STREAMING ingest —
     // q_pipeline_scale's envelope stream arriving incrementally (the

@@ -477,7 +477,9 @@ object SoakX10 {
     // ANN recall census: rebuilds all four index families live — cost
     // must track the index builds (linear scans + bounded codebooks),
     // never the exact cross (anchors are a bounded batch).
-    "q_ann_recall")
+    "q_ann_recall",
+    // Streaming mixture monitor: source-domain partials fold by SUM.
+    "q_stream_mix")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

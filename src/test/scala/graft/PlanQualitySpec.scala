@@ -815,6 +815,14 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(orderScans == 1, s"orders scans=$orderScans\n$p")
   }
 
+  test("q_stream_mix folds source-domain partials; no corpus re-scan") {
+    val p = planOf("q_stream_mix")
+    assert(p.contains("graft_smix") || p.contains("ExistingRDD"), p)
+    assert(!"documents\\.parquet".r.findAllIn(p).hasNext, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q_stream_pipeline: answer folds batch partials; no envelope re-scan") {
     // The served answer derives from the per-batch partial dirs only
     // (flattened kind rows, the (id, kind) map, raw edges); the
