@@ -60,6 +60,25 @@ object StreamQueries {
     ()
   }
 
+  /** The SHARED full-lineitem stream dump (q_stream_expect +
+    * q_stream_profile read the same dir): one helper owns the dir name
+    * AND the row-group size so the two gates can never diverge on the
+    * fingerprinted layout constant — a divergence would silently
+    * rewrite the shared dump on every alternating run. 2 MB row
+    * groups: each single-file micro-batch decodes across ~file/2MB
+    * parallel tasks instead of ONE (the r15 soak A/B: 2.3 -> 0.57
+    * s/batch at 100x — the sketch aggregate was never the cost, the
+    * one-row-group scan was). */
+  private val SharedLiBlockBytes = 2L * 1024 * 1024
+  private def sharedLineitemDump(s: SparkSession, d: String): String = {
+    val tag = graft.Tables.dirTag(d)
+    val srcDir =
+      s"${graft.Tables.scratchRoot}/graft_stream_li_${tag}_v$DumpVersion"
+    ensureStreamDump(d, "lineitem", srcDir,
+      blockBytes = SharedLiBlockBytes)(graft.Tables.t(s, d, "lineitem"))
+    srcDir
+  }
+
   /** Gate-scale streaming constants, scoped to one query and restored:
     * 4 state partitions (per-store load/commit dwarfs per-row work at
     * this scale — a real deployment sizes this to its key cardinality;
@@ -1761,10 +1780,7 @@ object StreamQueries {
     "q_stream_expect" -> ((
       (s: SparkSession, d: String) => {
         val tag = graft.Tables.dirTag(d)
-        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_li_${tag}_v$DumpVersion"
-        ensureStreamDump(d, "lineitem", srcDir,
-          blockBytes = 2L * 1024 * 1024)(
-          graft.Tables.t(s, d, "lineitem"))
+        val srcDir = sharedLineitemDump(s, d)
         val root = s"${graft.Tables.scratchRoot}/graft_sexpect_$tag"
         graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
         val schema = s.read.parquet(srcDir).schema
@@ -1818,14 +1834,7 @@ object StreamQueries {
     "q_stream_profile" -> ((
       (s: SparkSession, d: String) => {
         val tag = graft.Tables.dirTag(d)
-        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_li_${tag}_v$DumpVersion"
-        // 2 MB row groups: each single-file micro-batch decodes across
-        // ~file/2MB parallel tasks instead of ONE (the r15 soak A/B:
-        // 2.3 -> 0.57 s/batch at 100x — the 11-sketch aggregate was
-        // never the cost, the one-row-group scan was).
-        ensureStreamDump(d, "lineitem", srcDir,
-          blockBytes = 2L * 1024 * 1024)(
-          graft.Tables.t(s, d, "lineitem"))
+        val srcDir = sharedLineitemDump(s, d)
         val root = s"${graft.Tables.scratchRoot}/graft_sprof_$tag"
         graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
         val schema = s.read.parquet(srcDir).schema

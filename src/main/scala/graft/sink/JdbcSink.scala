@@ -37,16 +37,58 @@ object JdbcSink {
     // Bounded-pool concurrent staging writes (TableSink.forEachTable):
     // each table lands in its own tmp_ staging table over its own JDBC
     // connections, so the only shared resource is the target DB's
-    // write throughput — exactly what the pool bound sizes.
-    TableSink.forEachTable(tables) { (name, df) =>
-      val w = TableSink.stringifyNested(df).write
-        .mode("overwrite")
-        .option("batchsize", InsertBatchSize)
-      columnTypes.get(name).filter(_.nonEmpty)
-        .foreach(ddl => w.option("createTableColumnTypes", ddl))
-      w.jdbc(url, staging(name), props(driver))
+    // write throughput. The JDBC pool is bounded SEPARATELY from the
+    // parquet sync pool (SPARK_GRAFT_JDBC_POOL, default 4): overwrite
+    // mode issues DROP/CREATE dictionary DDL, which embedded engines
+    // like Derby serialize under lock timeouts — a wide pool turns that
+    // serialization into intermittent lock-timeout SQLExceptions. Each
+    // table additionally retries transient lock/deadlock errors a few
+    // times before failing the sync, so one unlucky DDL collision does
+    // not cancel every in-flight table write.
+    val jdbcPool = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_JDBC_POOL", "4").toInt)
+    TableSink.forEachTable(tables,
+        tables.values.headOption.map(_.sparkSession), Some(jdbcPool)) {
+      (name, df) => retryTransient(name) {
+        val w = TableSink.stringifyNested(df).write
+          .mode("overwrite")
+          .option("batchsize", InsertBatchSize)
+        columnTypes.get(name).filter(_.nonEmpty)
+          .foreach(ddl => w.option("createTableColumnTypes", ddl))
+        w.jdbc(url, staging(name), props(driver))
+      }
     }
     ()
+  }
+
+  /** Retry a per-table staging write on transient lock-timeout /
+    * deadlock SQLExceptions (SQLState 40XL1/40XL2 on Derby, class 40 =
+    * transaction rollback on any dialect). DDL-vs-DDL collisions under
+    * the pool are transient by construction — the colliding writer
+    * finishes and releases the dictionary lock. */
+  private def retryTransient[T](name: String, attempts: Int = 3)(
+      body: => T): T = {
+    def transient(e: Throwable): Boolean = e match {
+      case s: java.sql.SQLException =>
+        val state = Option(s.getSQLState).getOrElse("")
+        state.startsWith("40") || transientCause(s)
+      case other => transientCause(other)
+    }
+    def transientCause(e: Throwable): Boolean =
+      Option(e.getCause).exists(c => (c ne e) && transient(c))
+    var left = attempts
+    while (true) {
+      try return body
+      catch {
+        case e: Throwable if left > 1 && transient(e) =>
+          left -= 1
+          System.err.println(
+            s"jdbc staging write for '$name' hit a transient lock error " +
+              s"(${e.getMessage}); retrying (${attempts - left}/$attempts)")
+          Thread.sleep(200L * (attempts - left))
+      }
+    }
+    sys.error("unreachable")
   }
 
   def staging(name: String): String = graft.model.ModelCompiler.tmpName(name)

@@ -117,6 +117,10 @@ object SnapshotSwap {
       * brand-new, hence RETAINED): a stat failure must never age a
       * possibly-live staging dir into deletion. */
     def mtimeMs(p: String): Long
+    /** Total bytes of part- data files under `p`, recursive (0 if the
+      * path doesn't exist) — the REPAIR/AUDIT walk behind the
+      * manifest-carried byte totals, never the per-commit path. */
+    def du(p: String): Long
   }
 
   private[sink] object NioSwapFs extends SwapFs {
@@ -159,6 +163,17 @@ object SnapshotSwap {
       // in-flight competitor's staging dir.
       try Files.getLastModifiedTime(Paths.get(p)).toMillis
       catch { case _: java.io.IOException => Long.MaxValue }
+    def du(p: String): Long = {
+      val dir = Paths.get(p)
+      if (!Files.isDirectory(dir)) return 0L
+      var sum = 0L
+      val walk = Files.walk(dir)
+      try walk.forEach { f =>
+        if (Files.isRegularFile(f) &&
+            f.getFileName.toString.startsWith("part-")) sum += Files.size(f)
+      } finally walk.close()
+      sum
+    }
   }
 
   private[sink] final class HadoopSwapFs(
@@ -249,6 +264,21 @@ object SnapshotSwap {
       val (fs, hp) = fsOf(p)
       try fs.getFileStatus(hp).getModificationTime
       catch { case _: java.io.IOException => Long.MaxValue }
+    }
+    def du(p: String): Long = {
+      // Manual listStatus recursion, not listFiles(recursive=true): the
+      // latter materializes LocatedFileStatus permissions, which
+      // RawLocalFileSystem-derived schemes (e.g. the mocks3:// test FS)
+      // cannot serve for non-file URIs.
+      val (fs, hp) = fsOf(p)
+      def walk(dir: org.apache.hadoop.fs.Path): Long =
+        fs.listStatus(dir).foldLeft(0L) { (acc, st) =>
+          if (st.isDirectory) acc + walk(st.getPath)
+          else if (st.getPath.getName.startsWith("part-")) acc + st.getLen
+          else acc
+        }
+      try walk(hp)
+      catch { case _: java.io.FileNotFoundException => 0L }
     }
   }
 
@@ -363,6 +393,11 @@ object SnapshotSwap {
     require(!base.contains("://") || base.startsWith("file:"),
       "delta-append carry links files; object-store bases need " +
         "manifest-level file reuse instead")
+    // The stager records which d=<seq> entry it wrote so the byte-total
+    // marker can be derived INCREMENTALLY: parent marker + du(new entry
+    // only) — the carried base (arbitrarily large) is never re-walked,
+    // keeping the append commit O(batch) end to end.
+    @volatile var newEntry: Option[String] = None
     writeManifestedImpl(delta, base, table, sweepStale = true,
       stager = Some { (dataDir, prevDataDir) =>
         val prev = prevDataDir.getOrElse(sys.error(
@@ -389,6 +424,16 @@ object SnapshotSwap {
         // must still land a schema-bearing part file, or the buffer
         // read fails schema inference when it is the only entry.
         stageParquet(delta, Paths.get(deltaRoot, s"d=$seq"))
+        newEntry = Some(s"$deltaRoot/d=$seq")
+      },
+      statsFn = Some { (fs, dataDir, prevDataDir) =>
+        val (pState, pDelta) = prevDataDir
+          .flatMap(p => statsOf(fs, p).orElse {
+            // Legacy parent without a marker: one repair walk of the
+            // parent, after which every descendant is incremental.
+            val d = fs.du(s"$p/_delta"); Some((fs.du(p) - d, d))
+          }).getOrElse((0L, 0L))
+        (pState, pDelta + newEntry.map(fs.du).getOrElse(0L))
       })
   }
 
@@ -400,33 +445,56 @@ object SnapshotSwap {
       .map(n => listDirNames(s"$base/$n/_delta")
         .count(_.startsWith("d="))).getOrElse(0)
 
-  /** Total data bytes under `dir` (part- files, recursive). */
-  private def dataBytes(dir: Path): Long = {
-    if (!Files.isDirectory(dir)) return 0L
-    var sum = 0L
-    val walk = Files.walk(dir)
-    try walk.forEach { p =>
-      if (Files.isRegularFile(p) &&
-          p.getFileName.toString.startsWith("part-")) sum += Files.size(p)
-    } finally walk.close()
-    sum
-  }
+  /** Manifest-carried byte totals: every committed generation writes a
+    * one-line `_STATS` marker (`state=<bytes>;delta=<bytes>`) into its
+    * own immutable dir BEFORE the pointer commit, so the
+    * compaction-cadence check reads TWO pointer objects per commit —
+    * O(1) — instead of recursively walking the accumulated generation
+    * (on an object store that walk is a recursive LIST per commit; at
+    * 100 TB state it dominates the commit). Delta-append commits derive
+    * the totals incrementally from the parent's marker plus the size of
+    * ONLY the new `d=<seq>` entry; base/compaction commits walk exactly
+    * what they just wrote. The recursive walk survives only as the
+    * repair path (legacy generation without a marker) and the audit
+    * seam ([[walkedBytes]], asserted against the marker in
+    * StreamUpsertSpec). */
+  private val StatsMarker = "_STATS"
+
+  private def statsOf(fs: SwapFs, snapDir: String): Option[(Long, Long)] =
+    fs.readPointer(s"$snapDir/$StatsMarker").flatMap { s =>
+      val kv = s.split(';').flatMap(_.split('=') match {
+        case Array(k, v) => v.toLongOption.map(k -> _)
+        case _ => None
+      }).toMap
+      for (st <- kv.get("state"); d <- kv.get("delta")) yield (st, d)
+    }
+
+  /** (state bytes, delta bytes) by recursive walk — repair/audit only. */
+  private[graft] def walkedBytes(base: String, table: String): (Long, Long) =
+    currentSnapshot(base, table).map { n =>
+      val fs = swapFsFor(base)
+      val delta = fs.du(s"$base/$n/_delta")
+      (fs.du(s"$base/$n") - delta, delta)
+    }.getOrElse((0L, 0L))
+
+  private def statsOrWalk(base: String, table: String): (Long, Long) =
+    currentSnapshot(base, table).map { n =>
+      statsOf(swapFsFor(base), s"$base/$n")
+        .getOrElse(walkedBytes(base, table))
+    }.getOrElse((0L, 0L))
 
   /** Bytes buffered in the published generation's delta dirs — the
-    * compaction-cadence signal's numerator. */
+    * compaction-cadence signal's numerator. O(1): manifest-carried. */
   def bufferedDeltaBytes(base: String, table: String): Long =
-    currentSnapshot(base, table)
-      .map(n => dataBytes(Paths.get(base, n, "_delta"))).getOrElse(0L)
+    statsOrWalk(base, table)._2
 
   /** Bytes in the published generation's compacted base (delta buffer
     * excluded) — the compaction-cadence signal's denominator. Link
     * carries share inodes but each carry still reports its size; this
-    * measures the LOGICAL state footprint a merge-on-read fold pays. */
+    * measures the LOGICAL state footprint a merge-on-read fold pays.
+    * O(1): manifest-carried. */
   def stateDataBytes(base: String, table: String): Long =
-    currentSnapshot(base, table).map { n =>
-      dataBytes(Paths.get(base, n)) -
-        dataBytes(Paths.get(base, n, "_delta"))
-    }.getOrElse(0L)
+    statsOrWalk(base, table)._1
 
   /** Recursively hard-link `src`'s files under `dst` (copy fallback
     * for filesystems without link support). */
@@ -448,7 +516,9 @@ object SnapshotSwap {
     * with the sweep off and leaves cleanup to the next regular sync. */
   private def writeManifestedImpl(df: DataFrame, base: String,
       table: String, sweepStale: Boolean,
-      stager: Option[(String, Option[String]) => Unit] = None): String = {
+      stager: Option[(String, Option[String]) => Unit] = None,
+      statsFn: Option[(SwapFs, String, Option[String]) => (Long, Long)] =
+        None): String = {
     val fs = swapFsFor(base)
     fs.mkdirs(base)
     val manifest = s"$base/$table.manifest"
@@ -484,6 +554,19 @@ object SnapshotSwap {
       case Some(st) => st(dataDir, prev.map(n => s"$base/$n"))
       case None => fs.stage(df, dataDir)
     }
+    // Byte-total marker (see [[statsOf]]): base/compaction commits walk
+    // exactly the files THIS commit wrote (O(commit), and Spark just
+    // listed them); delta-append passes an incremental fn so the carried
+    // base is never re-walked. Written before the pointer commit so a
+    // published generation always carries its totals.
+    val (stateB, deltaB) = statsFn
+      .map(f => f(fs, dataDir, prev.map(n => s"$base/$n")))
+      .getOrElse {
+        val d = fs.du(s"$dataDir/_delta")
+        (fs.du(dataDir) - d, d)
+      }
+    fs.commitPointer(s"$dataDir/$StatsMarker", s"$dataDir/_stats_tmp_$uniq",
+      s"state=$stateB;delta=$deltaB")
     // Manifest chain: every snapshot records its parent (the snapshot
     // published when this sync started) in a `_PARENT` marker inside
     // its own immutable dir — Iceberg's previous-metadata link. Written

@@ -38,10 +38,12 @@ object TableSink {
     * drains). The staging reads feeding each `df` are isolated by
     * construction (Sync's two staging scans), so concurrent per-table
     * writes never race on input. */
-  private[graft] def forEachTable[A, B](tables: Map[String, A])(
+  private[graft] def forEachTable[A, B](tables: Map[String, A],
+      session: Option[SparkSession] = None,
+      poolSize: Option[Int] = None)(
       f: (String, A) => B): Map[String, B] = {
     val items = tables.toSeq
-    val bound = math.min(syncPool, math.max(1, items.size))
+    val bound = math.min(poolSize.getOrElse(syncPool), math.max(1, items.size))
     if (bound <= 1) return items.map { case (n, a) => n -> f(n, a) }.toMap
     val pool = java.util.concurrent.Executors.newFixedThreadPool(bound,
       r => { val t = new Thread(r, "graft-sync-write"); t.setDaemon(true); t })
@@ -49,16 +51,25 @@ object TableSink {
     // cancellation must stop the SPARK JOBS, not just interrupt the
     // submitting threads — an interrupted thread returns while its
     // already-scheduled job keeps writing part- files into staging.
+    // The session is resolved ONCE on the calling thread (getActiveSession
+    // is thread-local and would be None inside the pool workers); callers
+    // that hold DataFrames pass their own session so cancellation works
+    // even when no default session is set.
     val groupId = s"graft-sync-write-${java.util.UUID.randomUUID()}"
-    def session = org.apache.spark.sql.SparkSession.getDefaultSession
+    val sess = session
+      .orElse(org.apache.spark.sql.SparkSession.getActiveSession)
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    if (sess.isEmpty)
+      System.err.println("graft-sync-write: no SparkSession available; " +
+        "failure-path job cancellation is disabled for this sync")
     try {
       val futures = items.map { case (n, a) =>
         n -> pool.submit(new java.util.concurrent.Callable[B] {
           override def call(): B = {
-            session.foreach(_.sparkContext.setJobGroup(groupId,
+            sess.foreach(_.sparkContext.setJobGroup(groupId,
               s"sync write $n", interruptOnCancel = true))
             try f(n, a)
-            finally session.foreach(_.sparkContext.clearJobGroup())
+            finally sess.foreach(_.sparkContext.clearJobGroup())
           }
         })
       }
@@ -69,14 +80,29 @@ object TableSink {
       }.toMap
       catch { case t: Throwable =>
         // A failed sync must not keep writing OTHER tables in the
-        // background: cancel the group's running Spark jobs, cancel
-        // queued work, and DRAIN the pool before surfacing the first
-        // failure — a caller that catches and cleans/retries the base
-        // dir must never race a zombie write.
-        futures.foreach(_._2.cancel(true))
-        session.foreach(_.sparkContext.cancelJobGroup(groupId))
+        // background: cancel the group's running Spark jobs FIRST, then
+        // drop the queued (not-yet-started) work, and DRAIN the pool
+        // before surfacing the first failure. Order matters: a worker
+        // blocked inside a write action must stay blocked until its
+        // Spark job actually terminates with the cancellation error —
+        // interrupting it first would return the thread while the job
+        // keeps writing part- files, so running futures are NOT
+        // interrupted (cancel(false)); pool drain is then equivalent to
+        // job termination, and a caller that catches and cleans/retries
+        // the base dir never races a zombie write.
+        sess.foreach(_.sparkContext.cancelJobGroup(groupId))
+        futures.foreach(_._2.cancel(false))
         pool.shutdown()
-        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+        val drained =
+          pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+        if (!drained) {
+          val e = new IllegalStateException(
+            "graft-sync-write pool failed to drain within 10 minutes " +
+              "after job-group cancellation; staging dirs may still be " +
+              "receiving writes — do NOT clean/retry the base dir")
+          e.addSuppressed(t)
+          throw e
+        }
         throw t
       }
     } finally pool.shutdown()
@@ -87,8 +113,8 @@ object TableSink {
     * (bounded pool; each table's staging->prod swap stays atomic and
     * independent — distinct dirs per table). */
   def writeAll(tables: Map[String, DataFrame], base: String): Map[String, String] =
-    forEachTable(tables) { (name, df) =>
-      SnapshotSwap.write(df, base, name)
+    forEachTable(tables, tables.values.headOption.map(_.sparkSession)) {
+      (name, df) => SnapshotSwap.write(df, base, name)
     }
 
   /** CSV parity for nested data (the reference's CSV converter maps
@@ -111,9 +137,10 @@ object TableSink {
     * arrow/writer.py:245-249). Nested columns are stringified to JSON
     * text automatically. */
   def writeAllCsv(tables: Map[String, DataFrame], base: String): Unit = {
-    forEachTable(tables) { (name, df) =>
-      stringifyNested(df).write.mode("overwrite").option("header", "true")
-        .csv(s"$base/$name")
+    forEachTable(tables, tables.values.headOption.map(_.sparkSession)) {
+      (name, df) =>
+        stringifyNested(df).write.mode("overwrite").option("header", "true")
+          .csv(s"$base/$name")
     }
     ()
   }

@@ -225,6 +225,16 @@ class StreamUpsertSpec extends SparkSpecBase {
     assert(graft.sink.SnapshotSwap.bufferedDeltaCount(base, "state") == 1)
     assert(graft.sink.SnapshotSwap.bufferedDeltaBytes(base, "state") >
       2L * graft.sink.SnapshotSwap.stateDataBytes(base, "state"))
+    // The cadence signal is MANIFEST-CARRIED (O(1) `_STATS` marker per
+    // generation, derived incrementally on delta appends), and the
+    // marker agrees byte-for-byte with the repair/audit walk.
+    val snapB = graft.sink.SnapshotSwap.currentSnapshot(base, "state").get
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(base, snapB, "_STATS")))
+    val (walkState, walkDelta) =
+      graft.sink.SnapshotSwap.walkedBytes(base, "state")
+    assert(graft.sink.SnapshotSwap.stateDataBytes(base, "state") == walkState)
+    assert(graft.sink.SnapshotSwap.bufferedDeltaBytes(base, "state") == walkDelta)
     // ... and the NEXT commit sees buffered bytes >= frac x state
     // bytes and compacts — no fixed cadence involved (depth is far
     // below the backstop).
