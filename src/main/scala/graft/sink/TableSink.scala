@@ -63,22 +63,35 @@ object TableSink {
       System.err.println("graft-sync-write: no SparkSession available; " +
         "failure-path job cancellation is disabled for this sync")
     try {
+      // Completion-ordered observation (ExecutorCompletionService), not
+      // submission-ordered gets: the FIRST failing table surfaces as
+      // soon as it fails, so cancellation reaches still-running sibling
+      // writes — with in-order gets, a failure in table k would go
+      // unobserved until tables 1..k-1 finished, and a 500-kind sync
+      // would run hundreds of doomed writes to completion first.
+      val ecs = new java.util.concurrent.ExecutorCompletionService[
+        (String, B)](pool)
       val futures = items.map { case (n, a) =>
-        n -> pool.submit(new java.util.concurrent.Callable[B] {
-          override def call(): B = {
+        ecs.submit(new java.util.concurrent.Callable[(String, B)] {
+          override def call(): (String, B) = {
             sess.foreach(_.sparkContext.setJobGroup(groupId,
               s"sync write $n", interruptOnCancel = true))
-            try f(n, a)
+            try n -> f(n, a)
             finally sess.foreach(_.sparkContext.clearJobGroup())
           }
         })
       }
-      try futures.map { case (n, fu) =>
-        n -> (try fu.get()
-              catch { case e: java.util.concurrent.ExecutionException =>
-                throw e.getCause })
-      }.toMap
-      catch { case t: Throwable =>
+      try {
+        val out = Map.newBuilder[String, B]
+        var taken = 0
+        while (taken < items.size) {
+          val fu = ecs.take(); taken += 1
+          out += (try fu.get()
+                  catch { case e: java.util.concurrent.ExecutionException =>
+                    throw e.getCause })
+        }
+        out.result()
+      } catch { case t: Throwable =>
         // A failed sync must not keep writing OTHER tables in the
         // background: cancel the group's running Spark jobs FIRST, then
         // drop the queued (not-yet-started) work, and DRAIN the pool
@@ -89,9 +102,11 @@ object TableSink {
         // keeps writing part- files, so running futures are NOT
         // interrupted (cancel(false)); pool drain is then equivalent to
         // job termination, and a caller that catches and cleans/retries
-        // the base dir never races a zombie write.
+        // the base dir never races a zombie write. Tables that COMPLETED
+        // before the failure stay published — each table's
+        // staging->prod swap is atomic and independent by design.
         sess.foreach(_.sparkContext.cancelJobGroup(groupId))
-        futures.foreach(_._2.cancel(false))
+        futures.foreach(_.cancel(false))
         pool.shutdown()
         val drained =
           pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
