@@ -302,6 +302,65 @@ object VectorQueries {
       .select("qid", "nid").distinct()
   }
 
+  /** Multi-probe count: per (query, table), flip the sign bit of the
+    * MProbe planes the vector sits CLOSEST to (smallest |dot| margin) —
+    * the classic multi-probe LSH sequence (Lv et al., VLDB'07). The
+    * single-probe census at sf0.01 measured lsh recall@5 = 4%: a
+    * near-plane vector's true neighbors fall on the other side of that
+    * plane with probability ~1/2, and single-probe never looks there.
+    * Probing T·(1+m) buckets per QUERY buys the recall of T·(1+m) hash
+    * tables without growing the index — the corpus side keeps one
+    * bucket per vector per table, so the 100 TB index build/storage
+    * cost is unchanged; only the (bounded) query side fans out.
+    * Measured at sf0.01 (q_ann_recall census): m=4 → 24%, m=8 → 36% —
+    * diminishing returns past that because single-bit flips exhaust
+    * the near planes (deeper probe sequences need multi-bit combos);
+    * 8 keeps the per-query fan-out trivial (T·9 bucket lookups). */
+  private[graft] val MProbe = 8
+
+  /** Query-side probe buckets: the base bucket plus `mProbe`
+    * nearest-plane flips per (vector, table). Same broadcast-planes
+    * join as [[withBuckets]]; the flip masks come from sorting the
+    * per-plane |margin| (ties broken by plane weight — deterministic,
+    * so the census NUMBER hashes cross-engine). */
+  private def withProbes(q0: DataFrame, bits: Int,
+      mProbe: Int): DataFrame = {
+    val spark = q0.sparkSession
+    import spark.implicits._
+    val planes = planesFor(bits)
+    val planeRows = for {
+      t0 <- 0 until numTables
+      j <- 0 until bits
+    } yield (t0, 1L << j, planes(t0)(j).toSeq)
+    val planesDf = planeRows.toDF("tbl", "w", "plane")
+    q0.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(planesDf))
+      .withColumn("dot", expr("vec_dot(v, plane)"))
+      .groupBy("vec_id", "tbl")
+      .agg(
+        sum(when(col("dot") >= 0, col("w")).otherwise(lit(0L))).as("bkt"),
+        expr(s"transform(slice(array_sort(collect_list(" +
+          s"struct(abs(dot) AS m, w))), 1, $mProbe), x -> x.w)")
+          .as("flips"))
+      .select(col("vec_id"), col("tbl"), col("bkt"),
+        explode(concat(array(lit(0L)), col("flips"))).as("flip"))
+      .select(col("vec_id"), col("tbl"),
+        col("bkt").bitwiseXOR(col("flip")).as("bkt"))
+  }
+
+  /** Multi-probe candidate join: query probe buckets (broadcast —
+    * NQ·tables·(1+m) rows) against the SAME single-probe corpus bucket
+    * relation the lsh family indexes. */
+  private def lshMpCandPlan(e0: DataFrame, buckets: DataFrame,
+      bits: Int, mProbe: Int = MProbe): DataFrame = {
+    val probes = withProbes(e0.filter(col("vec_id") < NQ), bits, mProbe)
+      .select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
+    val c = buckets.select(col("vec_id").as("nid"), col("tbl"), col("bkt"))
+    broadcast(probes).join(c, Seq("tbl", "bkt"))
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+  }
+
   private def annResult(s: SparkSession, d: String,
       candPath: String): DataFrame =
     withBucketCache(withBuckets(emb(s, d), bitsFor(corpusRows(s, d)))) { b =>
@@ -781,6 +840,36 @@ object VectorQueries {
       cosineFor(s, d, dupCandPlan(
         capBuckets(withBuckets(emb(s, d), bitsFor(corpusRows(s, d))))))
         .filter(col("cosraw") >= DupThreshold)
+    case "annmp" =>
+      val e0 = emb(s, d)
+      val bits = bitsFor(corpusRows(s, d))
+      rankTopK(cosineFor(s, d,
+        lshMpCandPlan(e0, withBuckets(e0, bits), bits)))
+  }
+
+  /** The q_ann_recall hit-census wiring, exposed for PlanQualitySpec at
+    * any dir: candidates are materialized to a side-file and re-enter
+    * the census as a parquet SCAN (never an uncached bucket-lineage
+    * replay — the bucket cache is gone by census time), and the exact
+    * side is the ONE broadcast-anchor cross. */
+  private[graft] def recallHitProbe(s: SparkSession, d: String): DataFrame = {
+    val e0 = emb(s, d)
+    val q = e0.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val exact = rankTopK(broadcast(q).crossJoin(e0)
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cosraw",
+          expr("vec_dot(qv, v)") / (col("qn") * col("nrm")))
+        .select(col("qid"), col("vec_id").as("nid"), col("cosraw")))
+      .select("qid", "nid")
+    val candPath =
+      s"${graft.Tables.scratchRoot}/graft_cand_probe_${graft.Tables.dirTag(d)}"
+    val cand = withBucketCache(
+        withBuckets(e0, bitsFor(corpusRows(s, d)))) { b =>
+      materialized(s, annCandPlan(b).select("qid", "nid"), candPath)
+    }
+    exact.join(cand, Seq("qid", "nid"), "left_semi")
   }
 
   // ---- Distributed Lloyd's k-means (quantized, cross-engine exact) ---
@@ -1585,9 +1674,13 @@ object VectorQueries {
             maybeSideFile(s, d, cand.select("qid", "nid"),
               s"${graft.Tables.scratchRoot}/graft_cand_rec${fam}_${graft.Tables.dirTag(d)}"),
             Seq("qid", "nid"), "left_semi").count()
-        val lshHits = withBucketCache(
-          withBuckets(e0, bitsFor(corpusRows(s, d)))) { b =>
-          hitsOf("lsh", annCandPlan(b))
+        val bits = bitsFor(corpusRows(s, d))
+        val (lshHits, lshMpHits) = withBucketCache(
+          withBuckets(e0, bits)) { b =>
+          (hitsOf("lsh", annCandPlan(b)),
+            // Multi-probe over the SAME cached corpus buckets: only
+            // the query side fans out (1+MProbe probes per table).
+            hitsOf("lshmp", lshMpCandPlan(e0, b, bits)))
         }
         val e = emb(s, d).persist()
         val (ivfHits, pqHits, ivfpqHits) =
@@ -1597,7 +1690,7 @@ object VectorQueries {
           finally { e.unpersist(blocking = true); () }
         val n = NQ.toLong * K
         Seq(("ivf", ivfHits), ("ivfpq", ivfpqHits), ("lsh", lshHits),
-          ("pq", pqHits))
+          ("lsh_mp", lshMpHits), ("pq", pqHits))
           .map { case (f, h) => (f, h, n, h * 100L / n) }
           .toDF("family", "hits", "n_pairs", "recall_pct")
           .orderBy("family")
@@ -1635,6 +1728,7 @@ object VectorQueries {
            |rec AS (${fam("ivf", "ivf")}
            |  UNION ALL ${fam("ivfpq", "ivfpq")}
            |  UNION ALL ${fam("lsh", "lsh")}
+           |  UNION ALL ${fam("lsh_mp", "lshmp")}
            |  UNION ALL ${fam("pq", "pq")})
            |SELECT family, hits, CAST(${NQ.toLong * K} AS BIGINT) AS n_pairs,
            |  CAST(hits * 100 // ${NQ.toLong * K} AS BIGINT) AS recall_pct

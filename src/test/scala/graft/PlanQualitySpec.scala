@@ -165,11 +165,26 @@ class PlanQualitySpec extends SparkSpecBase {
         .queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$which:\n$p")
     }
-    Seq("ann", "ivf", "dup", "pq").foreach { which =>
+    Seq("ann", "annmp", "ivf", "dup", "pq").foreach { which =>
       val p = graft.queries.VectorQueries.planProbe(spark, dir, which)
         .queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$which:\n$p")
     }
+  }
+
+  test("q_ann_recall census: candidates enter as a side-file SCAN, exact is one anchor cross") {
+    val df = graft.queries.VectorQueries.recallHitProbe(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // Candidate side = parquet scan of the materialized side-file; an
+    // uncached bucket-lineage replay would reappear as a SECOND
+    // BroadcastNestedLoopJoin (the plane-projection crossJoin) and a
+    // third embeddings scan.
+    assert(p.contains("graft_cand_probe_"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p)
+    assert("embeddings\\.parquet".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // The hit census itself is a semi-join, not a re-rank.
+    assert(p.contains("LeftSemi"), p)
   }
 
   test("q_dedup_exact shuffles a digest key, not full document text") {
