@@ -32,6 +32,51 @@ object FnQueries {
     math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
   }
 
+  /** Shared corrupt-JSONL quarantine fixture (q_ingest_quarantine +
+    * q_stream_quarantine read the SAME dump — one helper owns the dir,
+    * the corruption predicate, and the read schema so the two gates
+    * can never diverge): every 251st document is a truncated JSON
+    * line; the rest are clean JSONL. */
+  private[graft] val QuarantineSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType),
+    StructField("_corrupt_record", StringType)))
+
+  private[graft] def ensureQuarantineDump(s: SparkSession,
+      d: String): String = {
+    val dumpDir =
+      s"${graft.Tables.scratchRoot}/graft_qtn_src_${graft.Tables.dirTag(d)}"
+    val fp = graft.Tables.sourceFingerprint(
+      Seq(java.nio.file.Paths.get(s"$d/documents.parquet")),
+      "quarantine_v1:m251")
+    graft.Tables.ensureDerived(dumpDir, fp) {
+      val docs = t(s, d, "documents")
+      docs.filter(col("doc_id") % 251 =!= 0)
+        .write.mode("overwrite").json(dumpDir)
+      docs.filter(col("doc_id") % 251 === 0)
+        .select(concat(lit("{\"doc_id\": "), col("doc_id"),
+          lit(", \"text\": \"truncated")).as("value"))
+        .write.mode("append").text(dumpDir)
+    }
+    dumpDir
+  }
+
+  /** Shared oracle of q_ingest_quarantine and q_stream_quarantine: the
+    * clean per-source stats with the quarantine count folded in —
+    * batch parse and streamed parse must serve the same census. */
+  private[graft] val QuarantineOracle: String =
+    """WITH bad AS (SELECT CAST(count(*) AS BIGINT) AS n
+      |             FROM documents WHERE doc_id % 251 = 0)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars,
+      |  bad.n AS n_quarantined
+      |FROM documents, bad
+      |WHERE doc_id % 251 <> 0
+      |GROUP BY source, bad.n ORDER BY source""".stripMargin
+
   val entries: Map[String, (Q, String)] = Map(
 
     // CSV write + schema'd read-back (arrow/writer.py:245-249 analogue;
@@ -127,27 +172,9 @@ object FnQueries {
     // with the quarantine count folded into the hashed output.
     "q_ingest_quarantine" -> ((
       (s: SparkSession, d: String) => {
-        val dumpDir = s"${graft.Tables.scratchRoot}/graft_qtn_src_${graft.Tables.dirTag(d)}"
+        val dumpDir = ensureQuarantineDump(s, d)
         val qDir = s"${graft.Tables.scratchRoot}/graft_qtn_bad_${graft.Tables.dirTag(d)}"
-        val fp = graft.Tables.sourceFingerprint(
-          Seq(java.nio.file.Paths.get(s"$d/documents.parquet")),
-          "quarantine_v1:m251")
-        graft.Tables.ensureDerived(dumpDir, fp) {
-          val docs = t(s, d, "documents")
-          docs.filter(col("doc_id") % 251 =!= 0)
-            .write.mode("overwrite").json(dumpDir)
-          docs.filter(col("doc_id") % 251 === 0)
-            .select(concat(lit("{\"doc_id\": "), col("doc_id"),
-              lit(", \"text\": \"truncated")).as("value"))
-            .write.mode("append").text(dumpDir)
-        }
-        val schema = StructType(Seq(
-          StructField("doc_id", LongType),
-          StructField("text", StringType),
-          StructField("lang", StringType),
-          StructField("source", StringType),
-          StructField("n_chars", LongType),
-          StructField("_corrupt_record", StringType)))
+        val schema = QuarantineSchema
         val raw = s.read.schema(schema)
           .option("mode", "PERMISSIVE")
           .option("columnNameOfCorruptRecord", "_corrupt_record")
@@ -164,14 +191,7 @@ object FnQueries {
           .withColumn("n_quarantined", lit(nBad))
           .orderBy("source")
       },
-      """WITH bad AS (SELECT CAST(count(*) AS BIGINT) AS n
-        |             FROM documents WHERE doc_id % 251 = 0)
-        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(n_chars) AS BIGINT) AS chars,
-        |  bad.n AS n_quarantined
-        |FROM documents, bad
-        |WHERE doc_id % 251 <> 0
-        |GROUP BY source, bad.n ORDER BY source""".stripMargin)),
+      QuarantineOracle)),
 
     // Partition restatement via DYNAMIC partition overwrite — the
     // replaceWhere/INSERT OVERWRITE PARTITION semantic every

@@ -519,6 +519,33 @@ object StreamQueries {
     } finally { b.unpersist(); () }
   }
 
+  /** One micro-batch of the streaming quarantine sink
+    * (q_stream_quarantine): parse THIS batch's raw lines against the
+    * explicit schema (from_json PERMISSIVE with _corrupt_record — the
+    * batch gate's contract, never inference), land the corrupt RAW
+    * lines in a batch-id-keyed quarantine dir (full line — what a
+    * triage pass wants), and fold the clean rows to a per-source
+    * (n_docs, chars) partial — sources-domain-sized, never row-sized.
+    * Both artifact classes are idempotent overwrites, so crash-replay
+    * of a batch never double-counts. */
+  private[graft] def quarantineBatch(batch: DataFrame, root: String,
+      batchId: Long): Unit = {
+    val parsed = batch.select(col("value"),
+      from_json(col("value"), FnQueries.QuarantineSchema,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")).as("j"))
+      .persist()
+    try {
+      parsed.filter(col("j._corrupt_record").isNotNull)
+        .select("value")
+        .write.mode("overwrite").text(s"$root/bad/batch=$batchId")
+      writePartial(parsed.filter(col("j._corrupt_record").isNull)
+        .groupBy(col("j.source").as("source"))
+        .agg(count(lit(1)).as("n_docs"), sum("j.n_chars").as("chars")),
+        s"$root/clean/batch=$batchId")
+    } finally { parsed.unpersist(); () }
+  }
+
   /** One micro-batch of the streaming profile sink (q_stream_profile):
     * THIS batch folds to ONE row of per-column sufficient statistics —
     * non-null count, a Datasketches HLL sketch binary (mergeable,
@@ -1549,7 +1576,12 @@ object StreamQueries {
     // mg_merge with bounded per-batch state), while per-key counts
     // are irreducible for frequency QUANTILES, so a deployment
     // wanting only the broadcast-vs-salt verdict maintains MG
-    // summaries and skips this fold entirely.
+    // summaries and skips this fold entirely. PRICED (r16 A/B at
+    // sf0.01, user_id domain scaling with rows): at 100x this fold
+    // carries 4.21M partial rows / 26.3 MB and costs 21.4 s vs the
+    // sketch path's 195 KB partials / 16.3 s (+31% wall, 134x state) —
+    // and the gap is domain-bound, so it keeps widening with key
+    // cardinality while the MG path stays <=64 rows/batch forever.
     "q_stream_skew" -> ((
       (s: SparkSession, d: String) => {
         val tag = graft.Tables.dirTag(d)
@@ -1822,6 +1854,42 @@ object StreamQueries {
           .orderBy("cname")
       },
       ExtraQueries.ExpectOracle)),
+
+    // Corrupt-record quarantine under CONTINUOUS ingest — the
+    // streaming twin of q_ingest_quarantine (the badRecordsPath
+    // contract a web-scale scrape feed needs live, not per-backfill):
+    // each micro-batch parses against the explicit schema, corrupt
+    // raw lines land in a batch-keyed quarantine sink, clean rows
+    // fold to per-source partials. The report SUMs the partials and
+    // counts the quarantine dirs — the raw feed is never re-parsed
+    // (plan-gated) — and equals the batch gate's census under any
+    // micro-batch split (shared QuarantineOracle).
+    "q_stream_quarantine" -> ((
+      (s: SparkSession, d: String) => {
+        val tag = graft.Tables.dirTag(d)
+        val dumpDir = FnQueries.ensureQuarantineDump(s, d)
+        val root = s"${graft.Tables.scratchRoot}/graft_sqtn_$tag"
+        graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
+        val stream = s.readStream
+          .option("maxFilesPerTrigger", "4").text(dumpDir)
+        withStreamGateConfs(s) {
+          val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            Long) => Unit = (b, id) => quarantineBatch(b, root, id)
+          val q = stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        // One driver scalar (the batch gate's own class): the folded
+        // quarantine line count across batch dirs.
+        val nBad = s.read.text(s"$root/bad").count()
+        s.read.parquet(s"$root/clean")
+          .groupBy("source")
+          .agg(sum("n_docs").as("n_docs"), sum("chars").as("chars"))
+          .withColumn("n_quarantined", lit(nBad))
+          .orderBy("source")
+      },
+      FnQueries.QuarantineOracle)),
 
     // Streaming profile maintenance — the production shape of the
     // q_profile_approx seam under continuous ingest: per-batch one-row

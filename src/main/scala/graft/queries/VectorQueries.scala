@@ -1743,6 +1743,27 @@ object VectorQueries {
           .orderBy("qid", "rn"),
       rankSql(s"SELECT DISTINCT qid, nid FROM read_parquet('${graft.Tables.scratchRoot}/graft_cand_ann_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/*.parquet')"))),
 
+    // Multi-probe LSH ANN — q_embed_ann with the query side probing
+    // the base bucket PLUS the MProbe nearest-plane flips per table
+    // (Lv et al., VLDB'07): recall@5 4% -> 36% at sf0.01 (q_ann_recall
+    // census) at unchanged index build/storage cost — only the bounded
+    // query fan-out grows (T·(1+m) bucket lookups per query). Same
+    // exact re-rank on candidates; oracle re-ranks the same side-file.
+    "q_embed_ann_mp" -> ((
+      (s: SparkSession, d: String) => {
+        val e0 = emb(s, d)
+        val bits = bitsFor(corpusRows(s, d))
+        val candPath =
+          s"${graft.Tables.scratchRoot}/graft_cand_annmp_${graft.Tables.dirTag(d)}"
+        withBucketCache(withBuckets(e0, bits)) { b =>
+          materialized(s,
+            rankTopK(cosineFor(s, d,
+              maybeSideFile(s, d, lshMpCandPlan(e0, b, bits), candPath))),
+            candPath + "_res")
+        }.orderBy("qid", "rn")
+      },
+      rankSql(s"SELECT DISTINCT qid, nid FROM read_parquet('${graft.Tables.scratchRoot}/graft_cand_annmp_${graft.Tables.dirTag(graft.Tables.VerifySfDir)}/*.parquet')"))),
+
     // Incremental ANN — the vector twin of q_dedup_minhash_inc: a NEW
     // batch of embeddings (vec_id % 4 == 3) is similarity-probed
     // against the previous snapshot's PERSISTED LSH bucket index; the

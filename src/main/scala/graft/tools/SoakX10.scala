@@ -19,6 +19,7 @@ object SoakX10 {
   private val Family = Seq(
     "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_cluster", "q_dedup_substr", "q_embed_cosine", "q_embed_ann",
+    "q_embed_ann_mp",
     "q_embed_ivf", "q_embed_pq", "q_embed_ivfpq", "q_embed_dup",
     "q_embed_centroid",
     "q_pack_sequences",
@@ -479,7 +480,10 @@ object SoakX10 {
     // never the exact cross (anchors are a bounded batch).
     "q_ann_recall",
     // Streaming mixture monitor: source-domain partials fold by SUM.
-    "q_stream_mix")
+    "q_stream_mix",
+    // Streaming quarantine: per-batch PERMISSIVE parse, corrupt lines
+    // to batch-keyed sinks, sources-domain clean partials.
+    "q_stream_quarantine")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

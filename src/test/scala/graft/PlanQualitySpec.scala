@@ -830,6 +830,28 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(orderScans == 1, s"orders scans=$orderScans\n$p")
   }
 
+  test("q_stream_quarantine: report folds partials; the raw feed is never re-parsed") {
+    // The census comes from the per-batch clean partials (sum fold)
+    // plus the quarantine dirs' line count; the JSONL dump must not
+    // re-enter the report plan, and no from_json survives to report
+    // time — parsing happened once, in the per-batch sink.
+    val p = planOf("q_stream_quarantine")
+    assert(p.contains("graft_sqtn"), p)
+    assert(!p.contains("graft_qtn_src"), p)
+    assert(!p.contains("from_json"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_embed_ann_mp serves the materialized re-rank; candidates from the side-file") {
+    // The gate materializes eagerly (scoped bucket cache), so the
+    // returned plan is the result read-back — cheap by construction;
+    // the live pipeline's shape is pinned by the 'annmp' no-cartesian
+    // probe above.
+    val p = planOf("q_embed_ann_mp")
+    assert(p.contains("graft_cand_annmp_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_stream_mix folds source-domain partials; no corpus re-scan") {
     val p = planOf("q_stream_mix")
     assert(p.contains("graft_smix") || p.contains("ExistingRDD"), p)
