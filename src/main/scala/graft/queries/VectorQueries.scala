@@ -847,6 +847,22 @@ object VectorQueries {
         lshMpCandPlan(e0, withBuckets(e0, bits), bits)))
   }
 
+  /** Test probes (MultiProbeSpec): the single- and multi-probe
+    * candidate plans over the SAME bucket relation, the raw probe
+    * rows, and the query-side base buckets — so the spec can pin the
+    * superset guarantee (flip 0 ⇒ lsh_mp candidates ⊇ lsh candidates,
+    * hence recall can only rise) and the probe structure (1+m probes
+    * per (query, table), each within Hamming 1 of the base). */
+  private[graft] def mpProbes(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, Int) = {
+    val e0 = emb(s, d)
+    val bits = bitsFor(corpusRows(s, d))
+    val b = withBuckets(e0, bits)
+    (annCandPlan(b), lshMpCandPlan(e0, b, bits),
+      withProbes(e0.filter(col("vec_id") < NQ), bits, MProbe),
+      b.filter(col("vec_id") < NQ), bits)
+  }
+
   /** The q_ann_recall hit-census wiring, exposed for PlanQualitySpec at
     * any dir: candidates are materialized to a side-file and re-enter
     * the census as a parquet SCAN (never an uncached bucket-lineage

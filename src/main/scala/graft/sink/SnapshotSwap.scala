@@ -471,16 +471,20 @@ object SnapshotSwap {
 
   /** (state bytes, delta bytes) by recursive walk — repair/audit only. */
   private[graft] def walkedBytes(base: String, table: String): (Long, Long) =
-    currentSnapshot(base, table).map { n =>
-      val fs = swapFsFor(base)
-      val delta = fs.du(s"$base/$n/_delta")
-      (fs.du(s"$base/$n") - delta, delta)
-    }.getOrElse((0L, 0L))
+    currentSnapshot(base, table).map(walkGen(base, _)).getOrElse((0L, 0L))
+
+  private def walkGen(base: String, gen: String): (Long, Long) = {
+    val fs = swapFsFor(base)
+    val delta = fs.du(s"$base/$gen/_delta")
+    (fs.du(s"$base/$gen") - delta, delta)
+  }
 
   private def statsOrWalk(base: String, table: String): (Long, Long) =
     currentSnapshot(base, table).map { n =>
-      statsOf(swapFsFor(base), s"$base/$n")
-        .getOrElse(walkedBytes(base, table))
+      // The repair walk runs against the SAME resolved generation, not
+      // a re-read of the pointer — a concurrent publish between the
+      // two reads must not mix generations.
+      statsOf(swapFsFor(base), s"$base/$n").getOrElse(walkGen(base, n))
     }.getOrElse((0L, 0L))
 
   /** Bytes buffered in the published generation's delta dirs — the

@@ -1,0 +1,55 @@
+package graft
+
+/** Structural guarantees of the multi-probe LSH candidate generator
+  * (q_embed_ann_mp / the q_ann_recall lsh_mp census row), pinned on
+  * the real fixture rather than trusted from the construction:
+  *
+  *  - SUPERSET: the probe sequence includes flip 0 (the base bucket),
+  *    so the multi-probe candidate set contains the single-probe set —
+  *    recall can only rise, never regress, whatever MProbe is set to.
+  *  - STRUCTURE: per (query, table) exactly 1+MProbe DISTINCT probe
+  *    buckets, each within Hamming distance 1 of the base bucket (the
+  *    probes are single-plane sign flips), base included.
+  */
+class MultiProbeSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("multi-probe candidates are a superset of single-probe candidates") {
+    val (single, multi, _, _, _) =
+      graft.queries.VectorQueries.mpProbes(spark, dir)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s1 = pairs(single)
+    val sm = pairs(multi)
+    assert(s1.subsetOf(sm),
+      s"single-probe pairs missing from multi-probe: ${(s1 diff sm).take(5)}")
+    // And the fan-out is real on this fixture (not vacuously equal).
+    assert(sm.size > s1.size, s"multi=${sm.size} single=${s1.size}")
+  }
+
+  test("per (query, table): 1+min(MProbe,bits) distinct probes, each Hamming<=1 from base") {
+    val (_, _, probes, bases, bits) =
+      graft.queries.VectorQueries.mpProbes(spark, dir)
+    // A table only has `bits` planes to flip, so the probe count caps
+    // at 1+bits when MProbe exceeds it (sf0.001: bits=6 < MProbe).
+    val m = math.min(graft.queries.VectorQueries.MProbe, bits)
+    val baseOf = bases.collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    val byQt = probes.collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(byQt.keySet == baseOf.keySet)
+    byQt.foreach { case (qt, bkts) =>
+      assert(bkts.size == 1 + m, s"$qt: ${bkts.size} probes")
+      assert(bkts.distinct.size == bkts.size, s"$qt: duplicate probes")
+      val base = baseOf(qt)
+      assert(bkts.contains(base), s"$qt: base bucket missing")
+      bkts.foreach { b =>
+        assert(java.lang.Long.bitCount(b ^ base) <= 1,
+          s"$qt: probe $b is ${java.lang.Long.bitCount(b ^ base)} bits " +
+            s"from base $base")
+      }
+    }
+  }
+}
