@@ -830,13 +830,17 @@ object StreamQueries {
       cadence: Int = 0): Unit = {
     val isFirst = graft.sink.SnapshotSwap.currentVersion(base, table) == 0L
     val buffered = graft.sink.SnapshotSwap.bufferedDeltaCount(base, table)
+    def bytesRule: Boolean = {
+      // ONE pointer resolve + marker read for both axes (cadenceBytes):
+      // two separate accessor calls would double the per-commit GETs
+      // and could mix generations across a concurrent publish.
+      val (stateB, deltaB) = graft.sink.SnapshotSwap.cadenceBytes(base, table)
+      deltaB >= (UpsertCompactFrac * stateB).toLong
+    }
     val compactNow =
       if (cadence > 0) buffered + 1 >= cadence
       else buffered + 1 >= UpsertMaxDeltaDepth ||
-        (buffered > 0 && // an empty buffer never trips the bytes rule
-          graft.sink.SnapshotSwap.bufferedDeltaBytes(base, table) >=
-            (UpsertCompactFrac *
-              graft.sink.SnapshotSwap.stateDataBytes(base, table)).toLong)
+        (buffered > 0 && bytesRule) // an empty buffer never trips the rule
     if (isFirst || compactNow)
       // repartition on the bucket column before the partitionBy write:
       // without it every write task emits a file into every bucket dir

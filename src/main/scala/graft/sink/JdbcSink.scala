@@ -68,19 +68,27 @@ object JdbcSink {
     * finishes and releases the dictionary lock. */
   private def retryTransient[T](name: String, attempts: Int = 3)(
       body: => T): T = {
-    def transient(e: Throwable): Boolean = e match {
-      case s: java.sql.SQLException =>
-        val state = Option(s.getSQLState).getOrElse("")
-        state.startsWith("40") || transientCause(s)
-      case other => transientCause(other)
+    // Cause-chain walk with a visited set: JDK initCause only forbids
+    // DIRECT self-cause, so a 2-cycle (a.getCause == b, b.getCause ==
+    // a) would otherwise recurse to StackOverflowError from inside the
+    // catch guard, replacing the real failure.
+    def transient(e: Throwable,
+        seen: java.util.IdentityHashMap[Throwable, Unit]): Boolean = {
+      if (e == null || seen.containsKey(e)) return false
+      seen.put(e, ())
+      val own = e match {
+        case s: java.sql.SQLException =>
+          Option(s.getSQLState).getOrElse("").startsWith("40")
+        case _ => false
+      }
+      own || transient(e.getCause, seen)
     }
-    def transientCause(e: Throwable): Boolean =
-      Option(e.getCause).exists(c => (c ne e) && transient(c))
     var left = attempts
     while (true) {
       try return body
       catch {
-        case e: Throwable if left > 1 && transient(e) =>
+        case e: Throwable if left > 1 &&
+            transient(e, new java.util.IdentityHashMap[Throwable, Unit]) =>
           left -= 1
           System.err.println(
             s"jdbc staging write for '$name' hit a transient lock error " +

@@ -351,6 +351,13 @@ object SnapshotSwap {
     require(!base.contains("://") || base.startsWith("file:"),
       "merge-on-write carry links files; object-store bases need " +
         "manifest-level file reuse instead")
+    // The stager records what THIS commit restated so the byte-total
+    // marker derives incrementally from the parent's marker — walking
+    // only the touched partitions (old + new listings), never the
+    // carried state: a MoW commit is O(touched) by design and its
+    // stats must be too.
+    @volatile var writtenDirs: Set[String] = Set.empty
+    @volatile var degenerate = false
     writeManifestedImpl(df, base, table, sweepStale = true,
       stager = Some { (dataDir, prevDataDir) =>
         df.write.mode("overwrite").partitionBy(partCol).parquet(dataDir)
@@ -367,8 +374,35 @@ object SnapshotSwap {
         // schema-only file, KEEPING partCol as a regular column so the
         // schema readers see matches what partition discovery yields
         // on later generations.
-        if (written.isEmpty && toCarry.isEmpty)
+        if (written.isEmpty && toCarry.isEmpty) {
           stageParquet(df, Paths.get(dataDir))
+          degenerate = true
+        }
+        writtenDirs = written
+      },
+      statsFn = Some { (fs, dataDir, prevDataDir) =>
+        val stateB = prevDataDir match {
+          case None => fs.du(dataDir)
+          case _ if degenerate => fs.du(dataDir)
+          case Some(prev) =>
+            val (pState, _) = statsOf(fs, prev).getOrElse {
+              // Legacy parent without a marker: one repair walk.
+              val pd = fs.du(s"$prev/_delta"); (fs.du(prev) - pd, pd)
+            }
+            // Parent loose root part- files (a degenerate ancestor's
+            // schema-only artifact) are NOT carried by the partition
+            // copy loop above — subtract them from the carried total.
+            val looseOld = listDirNames(prev)
+              .filter(_.startsWith("part-"))
+              .map(n => try Files.size(Paths.get(prev, n))
+                catch { case _: java.io.IOException => 0L }).sum
+            val writtenOld = writtenDirs.toSeq
+              .map(p => fs.du(s"$prev/$p")).sum
+            val writtenNew = writtenDirs.toSeq
+              .map(p => fs.du(s"$dataDir/$p")).sum
+            pState - looseOld - writtenOld + writtenNew
+        }
+        (stateB, 0L) // MoW restates the base; the delta buffer is folded
       })
   }
 
@@ -453,8 +487,11 @@ object SnapshotSwap {
     * (on an object store that walk is a recursive LIST per commit; at
     * 100 TB state it dominates the commit). Delta-append commits derive
     * the totals incrementally from the parent's marker plus the size of
-    * ONLY the new `d=<seq>` entry; base/compaction commits walk exactly
-    * what they just wrote. The recursive walk survives only as the
+    * ONLY the new `d=<seq>` entry; merge-on-write commits from the
+    * parent's marker adjusted by the restated partitions (old + new
+    * listings — O(touched), matching the commit's own write cost);
+    * plain base commits walk exactly what they just wrote. The
+    * recursive walk survives only as the
     * repair path (legacy generation without a marker) and the audit
     * seam ([[walkedBytes]], asserted against the marker in
     * StreamUpsertSpec). */
@@ -479,7 +516,12 @@ object SnapshotSwap {
     (fs.du(s"$base/$gen") - delta, delta)
   }
 
-  private def statsOrWalk(base: String, table: String): (Long, Long) =
+  /** The cadence signal as ONE read: (state bytes, delta bytes) of the
+    * published generation — one pointer resolve + one marker parse, so
+    * the per-commit check never does the round-trip twice and can
+    * never return a torn pair if a concurrent publish lands between
+    * two separate calls. Per-axis accessors below delegate here. */
+  def cadenceBytes(base: String, table: String): (Long, Long) =
     currentSnapshot(base, table).map { n =>
       // The repair walk runs against the SAME resolved generation, not
       // a re-read of the pointer — a concurrent publish between the
@@ -490,7 +532,7 @@ object SnapshotSwap {
   /** Bytes buffered in the published generation's delta dirs — the
     * compaction-cadence signal's numerator. O(1): manifest-carried. */
   def bufferedDeltaBytes(base: String, table: String): Long =
-    statsOrWalk(base, table)._2
+    cadenceBytes(base, table)._2
 
   /** Bytes in the published generation's compacted base (delta buffer
     * excluded) — the compaction-cadence signal's denominator. Link
@@ -498,7 +540,7 @@ object SnapshotSwap {
     * measures the LOGICAL state footprint a merge-on-read fold pays.
     * O(1): manifest-carried. */
   def stateDataBytes(base: String, table: String): Long =
-    statsOrWalk(base, table)._1
+    cadenceBytes(base, table)._1
 
   /** Recursively hard-link `src`'s files under `dst` (copy fallback
     * for filesystems without link support). */
@@ -558,11 +600,12 @@ object SnapshotSwap {
       case Some(st) => st(dataDir, prev.map(n => s"$base/$n"))
       case None => fs.stage(df, dataDir)
     }
-    // Byte-total marker (see [[statsOf]]): base/compaction commits walk
+    // Byte-total marker (see [[statsOf]]): plain base commits walk
     // exactly the files THIS commit wrote (O(commit), and Spark just
-    // listed them); delta-append passes an incremental fn so the carried
-    // base is never re-walked. Written before the pointer commit so a
-    // published generation always carries its totals.
+    // listed them); delta-append and merge-on-write pass incremental
+    // fns so the carried base is never re-walked. Written before the
+    // pointer commit so a published generation always carries its
+    // totals.
     val (stateB, deltaB) = statsFn
       .map(f => f(fs, dataDir, prev.map(n => s"$base/$n")))
       .getOrElse {

@@ -93,28 +93,36 @@ object TableSink {
         out.result()
       } catch { case t: Throwable =>
         // A failed sync must not keep writing OTHER tables in the
-        // background: cancel the group's running Spark jobs FIRST, then
-        // drop the queued (not-yet-started) work, and DRAIN the pool
-        // before surfacing the first failure. Order matters: a worker
-        // blocked inside a write action must stay blocked until its
-        // Spark job actually terminates with the cancellation error —
-        // interrupting it first would return the thread while the job
-        // keeps writing part- files, so running futures are NOT
-        // interrupted (cancel(false)); pool drain is then equivalent to
-        // job termination, and a caller that catches and cleans/retries
-        // the base dir never races a zombie write. Tables that COMPLETED
-        // before the failure stay published — each table's
-        // staging->prod swap is atomic and independent by design.
-        sess.foreach(_.sparkContext.cancelJobGroup(groupId))
+        // background: cancel the group's running AND FUTURE Spark jobs
+        // first (cancelJobGroupAndFutureJobs — plain cancelJobGroup
+        // only kills jobs active at call time, so a worker that was
+        // BETWEEN actions, e.g. sleeping in a JDBC retry backoff,
+        // would submit fresh jobs under the dead group and run its
+        // whole write to completion), then drop queued work, and DRAIN
+        // the pool before surfacing the first failure. Workers blocked
+        // inside a write action are NOT thread-interrupted
+        // (cancel(false)): they must stay blocked until their Spark
+        // job actually terminates with the cancellation error, so pool
+        // drain is equivalent to job termination and a caller that
+        // catches and cleans/retries the base dir never races a zombie
+        // write. Tables that COMPLETED before the failure surfaced
+        // stay published — each table's staging->prod swap is atomic
+        // and independent by design.
+        sess.foreach(_.sparkContext.cancelJobGroupAndFutureJobs(groupId))
         futures.foreach(_.cancel(false))
         pool.shutdown()
+        // A failed/interrupted drain must NEVER report "drained": the
+        // caller would clean/retry the base dir while sibling writes
+        // are still landing part- files.
         val drained =
-          pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+          try pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+          catch { case _: InterruptedException =>
+            Thread.currentThread().interrupt(); false }
         if (!drained) {
           val e = new IllegalStateException(
-            "graft-sync-write pool failed to drain within 10 minutes " +
-              "after job-group cancellation; staging dirs may still be " +
-              "receiving writes — do NOT clean/retry the base dir")
+            "graft-sync-write pool failed to drain (timeout or caller " +
+              "interrupt) after job-group cancellation; staging dirs may " +
+              "still be receiving writes — do NOT clean/retry the base dir")
           e.addSuppressed(t)
           throw e
         }

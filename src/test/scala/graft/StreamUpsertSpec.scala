@@ -240,6 +240,14 @@ class StreamUpsertSpec extends SparkSpecBase {
     // below the backstop).
     upsertBatch(spark, events(Seq((5L, 4, 1L, 7.0))), base, "state")
     assert(graft.sink.SnapshotSwap.bufferedDeltaCount(base, "state") == 0)
+    // The COMPACTION (merge-on-write) generation's marker is exact
+    // too: its incremental derivation (parent marker adjusted by the
+    // restated partitions) must equal the audit walk byte-for-byte.
+    val (mowState, mowDelta) =
+      graft.sink.SnapshotSwap.walkedBytes(base, "state")
+    assert(graft.sink.SnapshotSwap.cadenceBytes(base, "state") ==
+      ((mowState, mowDelta)))
+    assert(mowDelta == 0L)
     val s = state(base)
     assert(s.size == 10002, s.size)
     assert(s.exists(r => r._1 == 1L && r._3 == 5L && r._4 == 700L))
