@@ -49,6 +49,52 @@ class StreamMultiBatchSpec extends SparkSpecBase {
     assert(out(0).getAs[Long]("n_events") == 3L)
   }
 
+  test("quarantine ledger is micro-batch-split independent") {
+    val s = spark
+    import s.implicits._
+    // 3 files: clean lines, a file with two corrupt lines, more clean —
+    // the folded census must equal the one-batch run whatever the
+    // trigger slices (per-batch partials are idempotent sums; the
+    // quarantine count folds across batch dirs).
+    val src = java.nio.file.Files.createTempDirectory("graft_mb_qtn").toString
+    def doc(id: Long, src0: String, n: Long): String =
+      s"""{"doc_id": $id, "text": "t", "lang": "en", "source": "$src0", "n_chars": $n}"""
+    Seq(doc(1, "web", 10), doc(2, "web", 20)).toDF("value")
+      .coalesce(1).write.mode("append").text(src)
+    Seq("""{"doc_id": 3, "text": "trunc""", doc(4, "books", 5),
+      """not json at all""").toDF("value")
+      .coalesce(1).write.mode("append").text(src)
+    Seq(doc(5, "books", 7)).toDF("value")
+      .coalesce(1).write.mode("append").text(src)
+
+    def run(maxFiles: Int): Seq[(String, Long, Long, Long)] = {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_mb_qtn_out").toString
+      val schema = s.read.text(src).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", maxFiles.toString).text(src)
+        .writeStream.foreachBatch(
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            graft.queries.StreamQueries.quarantineBatch(b, root, id))
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val nBad = s.read.text(s"$root/bad").count()
+      s.read.parquet(s"$root/clean").groupBy("source")
+        .agg(sum("n_docs").as("n_docs"), sum("chars").as("chars"))
+        .withColumn("n_quarantined", lit(nBad))
+        .orderBy("source").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    }
+    val split = run(1)
+    val whole = run(10)
+    assert(split == whole, s"split=$split whole=$whole")
+    assert(split == Seq(("books", 2L, 12L, 2L), ("web", 2L, 30L, 2L)),
+      split)
+  }
+
   test("band join matches arriving in different batches are not dropped") {
     val s = spark
     import s.implicits._
