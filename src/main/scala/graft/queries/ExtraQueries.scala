@@ -814,6 +814,23 @@ object ExtraQueries {
           .as("cents"))
   }
 
+  /** Shared oracle of q_sample_stratified and q_stream_cap: the
+    * hash-rank quota selection (50 per stratum) must be identical
+    * computed batch-retrospectively or folded under streaming ingest —
+    * top-k-per-key is a lossless mergeable fold. */
+  private[graft] val QuotaOracle: String =
+    """WITH h AS (
+      |  SELECT doc_id, lang,
+      |    sha256('quota:' || CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, lang,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+      |      AS BIGINT) AS rank
+      |  FROM h)
+      |SELECT doc_id, lang, rank FROM r WHERE rank <= 50
+      |ORDER BY doc_id""".stripMargin
+
   val entries: Map[String, (Q, String)] = Map(
 
     // Misra-Gries heavy hitters, hash-verifiable (r9 VERDICT #1): the
@@ -1703,17 +1720,7 @@ object ExtraQueries {
           .select("doc_id", "lang", "rank")
           .orderBy("doc_id")
       },
-      """WITH h AS (
-        |  SELECT doc_id, lang,
-        |    sha256('quota:' || CAST(doc_id AS VARCHAR)) AS h
-        |  FROM documents),
-        |r AS (
-        |  SELECT doc_id, lang,
-        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
-        |      AS BIGINT) AS rank
-        |  FROM h)
-        |SELECT doc_id, lang, rank FROM r WHERE rank <= 50
-        |ORDER BY doc_id""".stripMargin)),
+      QuotaOracle)),
 
     // Weight-proportional sampling — the third sampling mode after
     // fixed-rate (q_sample_hash) and fixed-size (q_sample_stratified):

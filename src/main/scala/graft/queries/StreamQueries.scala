@@ -519,6 +519,31 @@ object StreamQueries {
     } finally { b.unpersist(); () }
   }
 
+  /** One micro-batch of the streaming quota sink (q_stream_cap —
+    * FineWeb-style per-stratum capping maintained under ingest, the
+    * streaming twin of q_sample_stratified): THIS batch's docs prune
+    * to their per-stratum top-50 by (content hash, doc_id) BEFORE
+    * landing. Top-k-per-key is a LOSSLESS mergeable fold — the global
+    * top-k of a union is contained in the union of per-batch top-ks —
+    * so the accumulated state is ≤ batches × strata × 50 candidate
+    * rows (never the doc stream), a later batch can still evict an
+    * earlier keep at the report's re-rank, and the served quota equals
+    * the batch gate's under any micro-batch split. The rank filter
+    * compiles to WindowGroupLimit, so each batch's prune carries
+    * candidates through the exchange, not the batch. */
+  private[graft] def capBatch(batch: DataFrame, root: String,
+      batchId: Long): Unit = {
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    writePartial(batch
+      .select(col("doc_id"), col("lang"))
+      .withColumn("h", sha2(concat(lit("quota:"),
+        col("doc_id").cast("string")), 256))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 50)
+      .select("doc_id", "lang", "h"),
+      s"$root/cap/batch=$batchId")
+  }
+
   /** One micro-batch of the streaming quarantine sink
     * (q_stream_quarantine): parse THIS batch's raw lines against the
     * explicit schema (from_json PERMISSIVE with _corrupt_record — the
@@ -1858,6 +1883,42 @@ object StreamQueries {
           .orderBy("cname")
       },
       ExtraQueries.ExpectOracle)),
+
+    // Per-stratum quota capping under CONTINUOUS ingest — the
+    // streaming twin of q_sample_stratified (FineWeb-style capping: a
+    // live corpus feed must hold "at most N per stratum by hash rank"
+    // as data arrives, and a later batch can displace an earlier
+    // keep). Per-batch top-50 candidate partials (lossless mergeable
+    // fold — see capBatch), report re-ranks the bounded candidate
+    // union; the doc stream is never re-scanned (plan-gated) and the
+    // served quota equals the batch gate's (shared QuotaOracle).
+    "q_stream_cap" -> ((
+      (s: SparkSession, d: String) => {
+        val tag = graft.Tables.dirTag(d)
+        val srcDir = s"${graft.Tables.scratchRoot}/graft_stream_docs_${tag}_v$DumpVersion"
+        ensureStreamDump(d, "documents", srcDir)(
+          graft.Tables.t(s, d, "documents"))
+        val root = s"${graft.Tables.scratchRoot}/graft_scap_$tag"
+        graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        withStreamGateConfs(s) {
+          val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            Long) => Unit = (b, id) => capBatch(b, root, id)
+          val q = stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+        s.read.parquet(s"$root/cap")
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 50)
+          .select("doc_id", "lang", "rank")
+          .orderBy("doc_id")
+      },
+      ExtraQueries.QuotaOracle)),
 
     // Corrupt-record quarantine under CONTINUOUS ingest — the
     // streaming twin of q_ingest_quarantine (the badRecordsPath

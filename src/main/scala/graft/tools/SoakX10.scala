@@ -483,7 +483,10 @@ object SoakX10 {
     "q_stream_mix",
     // Streaming quarantine: per-batch PERMISSIVE parse, corrupt lines
     // to batch-keyed sinks, sources-domain clean partials.
-    "q_stream_quarantine")
+    "q_stream_quarantine",
+    // Streaming per-stratum quota: per-batch top-50 candidate partials
+    // (lossless top-k-per-key fold), report re-ranks the bounded union.
+    "q_stream_cap")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

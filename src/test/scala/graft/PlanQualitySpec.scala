@@ -830,6 +830,18 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(orderScans == 1, s"orders scans=$orderScans\n$p")
   }
 
+  test("q_stream_cap: report re-ranks bounded candidate partials; no doc re-scan") {
+    // The quota comes from the per-batch top-50 candidate partials
+    // (lossless top-k-per-key fold); the doc stream never re-enters,
+    // and the report's rank filter pre-prunes per group
+    // (WindowGroupLimit) before the single stratum exchange.
+    val p = planOf("q_stream_cap")
+    assert(p.contains("graft_scap"), p)
+    assert(!"documents\\.parquet".r.findAllIn(p).hasNext, p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q_stream_quarantine: report folds partials; the raw feed is never re-parsed") {
     // The census comes from the per-batch clean partials (sum fold)
     // plus the quarantine dirs' line count; the JSONL dump must not
