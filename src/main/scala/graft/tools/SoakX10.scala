@@ -16,6 +16,9 @@ import org.apache.spark.sql.functions._
   * Diagnostic main, not part of the driver contract. */
 object SoakX10 {
 
+  /** Exposed for SoakCoverageSpec's ratchet (new gates must join). */
+  private[graft] def familyKeys: Set[String] = Family.toSet
+
   private val Family = Seq(
     "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_cluster", "q_dedup_substr", "q_embed_cosine", "q_embed_ann",

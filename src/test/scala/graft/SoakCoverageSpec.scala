@@ -1,0 +1,56 @@
+package graft
+
+/** Ratchet for the per-gate soak rule ("every new operator gets a
+  * SoakX10 Family entry + 10x/100x rows in PLANS.md"): every `q_*`
+  * key in SparkEntry.queries must be in SoakX10.Family, except the
+  * FROZEN baseline below — pre-rule keys that are either scale-
+  * invariant by construction (dimension-table scans/projections,
+  * snapshot pointer ops whose cost is the pointer protocol, search
+  * gates over dimension-sized graphs) or row-local variants of a
+  * soaked sibling (q_text_lang vs q_text_quality family). A NEW gate
+  * landing without a soak entry fails this test; widening the
+  * baseline is a conscious, reviewable act. Shrink-only. */
+class SoakCoverageSpec extends SparkSpecBase {
+
+  // Frozen at r16 (60 keys). Do NOT add entries for new gates — add
+  // the soak family entry instead.
+  private val frozenBaseline: Set[String] = Set(
+    "q_agg_approx_quantile", "q_agg_cube", "q_agg_grouping_sets",
+    "q_agg_rollup", "q_agg_stats", "q_approx_distinct", "q_array_fns",
+    "q_asof_join", "q_corpus_clean", "q_dates", "q_flatten_struct",
+    "q_graph_hits", "q_graph_pagerank", "q_graph_reach", "q_hash",
+    "q_join_bucketed", "q_join_range", "q_join_salted", "q_json_str",
+    "q_map_to_entries", "q_mix_rebalance", "q_multimodal_decode",
+    "q_multimodal_dedup", "q_multimodal_frames", "q_multimodal_meta",
+    "q_pii_mask", "q_pipeline_e2e", "q_pivot", "q_profile", "q_project",
+    "q_project_pad", "q_sample_hash", "q_sample_stratified",
+    "q_scan_csv", "q_scan_parquet", "q_session_window", "q_set_ops",
+    "q_snapshot_branch", "q_snapshot_diff", "q_snapshot_orphans",
+    "q_snapshot_restore", "q_source_search", "q_source_search_agg",
+    "q_source_search_chain", "q_source_search_depth", "q_stream_late",
+    "q_string_fns", "q_swap_snapshot", "q_text_boilerplate",
+    "q_text_classify", "q_text_decontaminate", "q_text_fingerprint",
+    "q_text_lang", "q_text_pmi", "q_text_quality", "q_text_repetition",
+    "q_text_tfidf", "q_text_tokens", "q_text_winnow", "q_time_fill")
+
+  test("every gate outside the frozen baseline is in the SoakX10 family") {
+    val keys = SparkEntry.queries.keySet
+    val fam = graft.tools.SoakX10.familyKeys
+    val unsoaked = keys.diff(fam).diff(frozenBaseline)
+    assert(unsoaked.isEmpty,
+      s"new gate(s) without a SoakX10 family entry: " +
+        s"${unsoaked.toSeq.sorted.mkString(", ")} — add the soak entry " +
+        "and record 10x/100x rows in PLANS.md (do not extend the " +
+        "frozen baseline)")
+    val stale = frozenBaseline.diff(keys)
+    assert(stale.isEmpty,
+      s"baseline names gates that no longer exist: " +
+        s"${stale.toSeq.sorted.mkString(", ")}")
+    // Family entries must be real gates (a typo'd entry would silently
+    // soak nothing).
+    val phantom = fam.diff(keys)
+    assert(phantom.isEmpty,
+      s"soak family names unknown gates: " +
+        s"${phantom.toSeq.sorted.mkString(", ")}")
+  }
+}
