@@ -123,6 +123,12 @@ object SoakX10 {
     // the probe is a map-only predicate over the big side — pruned
     // shuffle input must keep the join sublinear per-row.
     "q_join_bloom",
+    // Range join (binned interval overlap) and salted skew join: the
+    // two 100 TB-critical join disciplines — bin fan-out and salt
+    // fan-out must keep pair work linear in rows as keys AND skew
+    // scale with the data (r16: moved out of the soak-exempt
+    // baseline).
+    "q_join_range", "q_join_salted",
     // Schema-evolution read: footer union is per-file metadata work;
     // the merged scan must stay linear in rows. Near-dup decon: the
     // benchmark stays fixed-size while the corpus grows 100x — cost is

@@ -12,14 +12,15 @@ package graft
   * baseline is a conscious, reviewable act. Shrink-only. */
 class SoakCoverageSpec extends SparkSpecBase {
 
-  // Frozen at r16 (60 keys). Do NOT add entries for new gates — add
-  // the soak family entry instead.
+  // Frozen at r16 (58 keys; q_join_range/q_join_salted moved INTO the
+  // family same-round). Do NOT add entries for new gates — add the
+  // soak family entry instead.
   private val frozenBaseline: Set[String] = Set(
     "q_agg_approx_quantile", "q_agg_cube", "q_agg_grouping_sets",
     "q_agg_rollup", "q_agg_stats", "q_approx_distinct", "q_array_fns",
     "q_asof_join", "q_corpus_clean", "q_dates", "q_flatten_struct",
     "q_graph_hits", "q_graph_pagerank", "q_graph_reach", "q_hash",
-    "q_join_bucketed", "q_join_range", "q_join_salted", "q_json_str",
+    "q_join_bucketed", "q_json_str",
     "q_map_to_entries", "q_mix_rebalance", "q_multimodal_decode",
     "q_multimodal_dedup", "q_multimodal_frames", "q_multimodal_meta",
     "q_pii_mask", "q_pipeline_e2e", "q_pivot", "q_profile", "q_project",
