@@ -95,6 +95,40 @@ class StreamMultiBatchSpec extends SparkSpecBase {
       split)
   }
 
+  test("quota cap: a later batch displaces an earlier keep at the report re-rank") {
+    val s = spark
+    import s.implicits._
+    // 120 one-lang docs split 80/40 across two batches: batch 1 alone
+    // would keep its hash-rank top-50, but some batch-2 docs hash
+    // lower — the folded report must serve the GLOBAL top-50, i.e.
+    // displace batch-1 keeps, not append to them.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mb_cap").toString
+    def docs(ids: Seq[Long]) = ids.map(i => (i, "en")).toDF("doc_id", "lang")
+    graft.queries.StreamQueries.capBatch(docs(0L until 80L), root, 0L)
+    graft.queries.StreamQueries.capBatch(docs(80L until 120L), root, 1L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    val served = s.read.parquet(s"$root/cap")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // Batch-retrospective ground truth over ALL 120 docs.
+    val expected = docs(0L until 120L)
+      .withColumn("h", sha2(concat(lit("quota:"),
+        col("doc_id").cast("string")), 256))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(served == expected)
+    // The displacement actually happened: some batch-2 doc made the
+    // quota (so the fold is not append-only), and batch 1 wrote a full
+    // 50-candidate partial of which some were evicted.
+    assert(expected.exists(_ >= 80L), "fixture produced no displacement")
+    assert(s.read.parquet(s"$root/cap")
+      .filter(input_file_name().contains("batch=0")).count() == 50L)
+  }
+
   test("band join matches arriving in different batches are not dropped") {
     val s = spark
     import s.implicits._
