@@ -590,11 +590,38 @@ object VectorQueries {
       .select("qid", "nid").distinct()
   }
 
+  /** IVF recall at an explicit probe width — the IVF analogue of the
+    * LSH multi-probe census: recall@5 of the nprobe-nearest-list
+    * candidate set vs the exact top-k, for IvfRecallSpec's
+    * monotonicity/exhaustive-probe receipts. */
+  private[graft] def ivfRecallAt(s: SparkSession, d: String,
+      nprobe: Int): Double = {
+    val e = emb(s, d).persist()
+    try {
+      val q = e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val exact = rankTopK(broadcast(q).crossJoin(e)
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cosraw",
+            expr("vec_dot(qv, v)") / (col("qn") * col("nrm")))
+          .select(col("qid"), col("vec_id").as("nid"), col("cosraw")))
+        .select("qid", "nid").localCheckpoint()
+      val (lists, probes) = ivfListsAndProbes(s, e, nprobe)
+      val cand = broadcast(probes).join(lists, "cid")
+        .filter(col("qid") =!= col("nid"))
+        .select("qid", "nid").distinct()
+      exact.join(cand, Seq("qid", "nid"), "left_semi").count()
+        .toDouble / (NQ.toLong * K)
+    } finally { e.unpersist(blocking = true); () }
+  }
+
   /** The IVF index halves, shared by the pure-IVF plan and the IVF+PQ
     * composite: (lists = corpus vectors in their single nearest
-    * centroid list, probes = each query's top `numProbes` lists). */
-  private def ivfListsAndProbes(s: SparkSession,
-      e: DataFrame): (DataFrame, DataFrame) = {
+    * centroid list, probes = each query's top `nprobe` lists —
+    * defaulting to the gates' numProbes). */
+  private def ivfListsAndProbes(s: SparkSession, e: DataFrame,
+      nprobe: Int = numProbes): (DataFrame, DataFrame) = {
     val spark = s
     import spark.implicits._
     // The training-sample collect inside centroids() is the first
@@ -614,7 +641,7 @@ object VectorQueries {
       .orderBy(col("sim").desc, col("cid"))
     val probes = scored.filter(col("vec_id") < NQ)
       .withColumn("crank", row_number().over(w))
-      .filter(col("crank") <= numProbes)
+      .filter(col("crank") <= nprobe)
       .select(col("vec_id").as("qid"), col("cid"))
     (lists, probes)
   }
