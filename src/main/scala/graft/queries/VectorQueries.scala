@@ -590,12 +590,14 @@ object VectorQueries {
       .select("qid", "nid").distinct()
   }
 
-  /** IVF recall at an explicit probe width — the IVF analogue of the
-    * LSH multi-probe census: recall@5 of the nprobe-nearest-list
-    * candidate set vs the exact top-k, for IvfRecallSpec's
-    * monotonicity/exhaustive-probe receipts. */
-  private[graft] def ivfRecallAt(s: SparkSession, d: String,
-      nprobe: Int): Double = {
+  /** IVF recall as a CURVE over probe widths — the IVF analogue of
+    * the LSH multi-probe census, for IvfRecallSpec's
+    * monotonicity/exhaustive-probe receipts. The nprobe-independent
+    * work (exact top-k ground truth, centroid training, list
+    * assignment, the per-query full centroid ranking) runs ONCE; each
+    * requested width only re-applies the `crank <= nprobe` filter. */
+  private[graft] def ivfRecallCurve(s: SparkSession, d: String,
+      nprobes: Seq[Int]): Seq[(Int, Double)] = {
     val e = emb(s, d).persist()
     try {
       val q = e.filter(col("vec_id") < NQ)
@@ -607,21 +609,37 @@ object VectorQueries {
             expr("vec_dot(qv, v)") / (col("qn") * col("nrm")))
           .select(col("qid"), col("vec_id").as("nid"), col("cosraw")))
         .select("qid", "nid").localCheckpoint()
-      val (lists, probes) = ivfListsAndProbes(s, e, nprobe)
-      val cand = broadcast(probes).join(lists, "cid")
-        .filter(col("qid") =!= col("nid"))
-        .select("qid", "nid").distinct()
-      exact.join(cand, Seq("qid", "nid"), "left_semi").count()
-        .toDouble / (NQ.toLong * K)
+      // ivfListsAndProbes at the WIDEST width, ranks checkpointed once.
+      val widest = nprobes.max
+      val (lists0, probes0) = ivfListsAndProbes(s, e, widest,
+        keepRank = true)
+      val lists = lists0.localCheckpoint()
+      val probes = probes0.localCheckpoint()
+      nprobes.map { np =>
+        val cand = broadcast(probes.filter(col("crank") <= np))
+          .join(lists, "cid")
+          .filter(col("qid") =!= col("nid"))
+          .select("qid", "nid").distinct()
+        np -> exact.join(cand, Seq("qid", "nid"), "left_semi").count()
+          .toDouble / (NQ.toLong * K)
+      }
     } finally { e.unpersist(blocking = true); () }
   }
+
+  /** The coarse-quantizer width, exposed so IvfRecallSpec's
+    * exhaustive-probe receipt stays true by construction if this
+    * constant is ever tuned. */
+  private[graft] def ivfNumCentroids: Int = numCentroids
 
   /** The IVF index halves, shared by the pure-IVF plan and the IVF+PQ
     * composite: (lists = corpus vectors in their single nearest
     * centroid list, probes = each query's top `nprobe` lists —
-    * defaulting to the gates' numProbes). */
+    * defaulting to the gates' numProbes). `keepRank` retains the
+    * `crank` column so the recall-curve probe can re-slice one ranked
+    * relation at several widths. */
   private def ivfListsAndProbes(s: SparkSession, e: DataFrame,
-      nprobe: Int = numProbes): (DataFrame, DataFrame) = {
+      nprobe: Int = numProbes,
+      keepRank: Boolean = false): (DataFrame, DataFrame) = {
     val spark = s
     import spark.implicits._
     // The training-sample collect inside centroids() is the first
@@ -639,10 +657,13 @@ object VectorQueries {
       .select(col("best.cid").as("cid"), col("vec_id").as("nid"))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("sim").desc, col("cid"))
-    val probes = scored.filter(col("vec_id") < NQ)
+    val ranked = scored.filter(col("vec_id") < NQ)
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") <= nprobe)
-      .select(col("vec_id").as("qid"), col("cid"))
+    val probes =
+      if (keepRank) ranked.select(col("vec_id").as("qid"), col("cid"),
+        col("crank"))
+      else ranked.select(col("vec_id").as("qid"), col("cid"))
     (lists, probes)
   }
 

@@ -14,9 +14,13 @@ package graft
   */
 class PlanCoverageSpec extends SparkSpecBase {
 
-  // Frozen at r16 (108 keys). Do NOT add entries for new gates —
+  // Frozen at r16 (112 keys; the last four were vacuously
+  // prefix-matched by a longer sibling's mention until the
+  // word-boundary check landed — their actual coverage is the
+  // planProbe no-cartesian sweeps). Do NOT add entries for new gates —
   // write the plan gate instead.
   private val frozenBaseline: Set[String] = Set(
+    "q_embed_ann", "q_dedup_minhash", "q_profile", "q_stream_dedup",
     "q_agg_approx_quantile", "q_agg_cube", "q_agg_distinct",
     "q_agg_grouping_sets", "q_agg_list", "q_agg_rollup", "q_agg_stats",
     "q_agg_weighted_median", "q_approx_distinct", "q_array_fns",
@@ -52,14 +56,29 @@ class PlanCoverageSpec extends SparkSpecBase {
     "q_window_frames", "q_window_ntile")
 
   test("every gate outside the frozen baseline is mentioned in PlanQualitySpec") {
-    val specFile = new java.io.File(
-      "src/test/scala/graft/PlanQualitySpec.scala")
-    assume(specFile.isFile, "spec source not visible from this cwd")
+    // FAIL (not cancel) if the source isn't where we expect: a
+    // silently-canceled ratchet protects nothing. Resolve relative to
+    // the sbt working dir with a user.dir fallback.
+    val candidates = Seq(
+      new java.io.File("src/test/scala/graft/PlanQualitySpec.scala"),
+      new java.io.File(sys.props.getOrElse("user.dir", "."),
+        "src/test/scala/graft/PlanQualitySpec.scala"))
+    val specFile = candidates.find(_.isFile).getOrElse(
+      fail(s"PlanQualitySpec source not found from cwd " +
+        s"${sys.props.get("user.dir")} — fix the path, do not skip " +
+        "the ratchet"))
     val spec = new String(
       java.nio.file.Files.readAllBytes(specFile.toPath),
       java.nio.charset.StandardCharsets.UTF_8)
     val keys = SparkEntry.queries.keySet
-    val uncovered = keys.filterNot(spec.contains).diff(frozenBaseline)
+    // Word-boundary match, not raw substring: gate names are
+    // prefix-nested (q_source_search vs q_source_search_agg), so a
+    // bare contains() would count a new key as covered whenever a
+    // longer sibling is mentioned.
+    def mentioned(key: String): Boolean =
+      ("(?<![a-z0-9_])" + java.util.regex.Pattern.quote(key) +
+        "(?![a-z0-9_])").r.findFirstIn(spec).isDefined
+    val uncovered = keys.filterNot(mentioned).diff(frozenBaseline)
     assert(uncovered.isEmpty,
       s"new gate(s) without a PlanQualitySpec mention: " +
         s"${uncovered.toSeq.sorted.mkString(", ")} — write the plan " +

@@ -837,6 +837,10 @@ class PlanQualitySpec extends SparkSpecBase {
     // (WindowGroupLimit) before the single stratum exchange.
     val p = planOf("q_stream_cap")
     assert(p.contains("graft_scap"), p)
+    // The gate's doc source is the STREAM DUMP dir, so pin that one
+    // absent too — asserting only documents.parquet would let a
+    // refactor re-scan the dump unnoticed.
+    assert(!p.contains("graft_stream_docs"), p)
     assert(!"documents\\.parquet".r.findAllIn(p).hasNext, p)
     assert(p.contains("WindowGroupLimit"), p)
     assert(!p.contains("Join"), p)
