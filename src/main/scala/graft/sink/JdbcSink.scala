@@ -66,7 +66,7 @@ object JdbcSink {
     * transaction rollback on any dialect). DDL-vs-DDL collisions under
     * the pool are transient by construction — the colliding writer
     * finishes and releases the dictionary lock. */
-  private def retryTransient[T](name: String, attempts: Int = 3)(
+  private[graft] def retryTransient[T](name: String, attempts: Int = 3)(
       body: => T): T = {
     // Cause-chain walk with a visited set: JDK initCause only forbids
     // DIRECT self-cause, so a 2-cycle (a.getCause == b, b.getCause ==

@@ -271,14 +271,23 @@ object SnapshotSwap {
       // RawLocalFileSystem-derived schemes (e.g. the mocks3:// test FS)
       // cannot serve for non-file URIs.
       val (fs, hp) = fsOf(p)
-      def walk(dir: org.apache.hadoop.fs.Path): Long =
-        fs.listStatus(dir).foldLeft(0L) { (acc, st) =>
+      // FNF is caught PER DIRECTORY, not around the whole walk: a
+      // child vanishing mid-walk (concurrent expire/compaction) skips
+      // just that entry. Collapsing the whole total to 0 would make a
+      // caller's bytes-based cadence rule (delta >= frac * state) fire
+      // on state=0 and trigger a spurious immediate compaction.
+      def walk(dir: org.apache.hadoop.fs.Path): Long = {
+        val children =
+          try fs.listStatus(dir)
+          catch { case _: java.io.FileNotFoundException =>
+            return 0L } // this dir vanished: contributes nothing
+        children.foldLeft(0L) { (acc, st) =>
           if (st.isDirectory) acc + walk(st.getPath)
           else if (st.getPath.getName.startsWith("part-")) acc + st.getLen
           else acc
         }
-      try walk(hp)
-      catch { case _: java.io.FileNotFoundException => 0L }
+      }
+      walk(hp)
     }
   }
 
@@ -348,9 +357,14 @@ object SnapshotSwap {
     * fails loudly elsewhere. */
   def writeManifestedMergeOnWrite(df: DataFrame, base: String,
       table: String, partCol: String): String = {
-    require(!base.contains("://") || base.startsWith("file:"),
-      "merge-on-write carry links files; object-store bases need " +
-        "manifest-level file reuse instead")
+    // Bare local paths ONLY — including no `file:` scheme: the link
+    // carry and the incremental stats both resolve paths through
+    // java.nio Paths.get, which treats a URI-style string as a literal
+    // relative path (silently wrong dirs, stats collapsing to 0).
+    require(!base.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*"),
+      "merge-on-write carry links files and requires a bare local " +
+        "path (no URI scheme, not even file:); object-store bases " +
+        "need manifest-level file reuse instead")
     // The stager records what THIS commit restated so the byte-total
     // marker derives incrementally from the parent's marker — walking
     // only the touched partitions (old + new listings), never the
@@ -424,8 +438,12 @@ object SnapshotSwap {
     * merge-on-write path, a local filesystem base for the link carry. */
   def writeManifestedDeltaAppend(delta: DataFrame, base: String,
       table: String, partCol: String): String = {
-    require(!base.contains("://") || base.startsWith("file:"),
-      "delta-append carry links files; object-store bases need " +
+    // Bare local paths ONLY (see writeManifestedMergeOnWrite): the
+    // link carry resolves through java.nio, which misreads URI-style
+    // strings as literal relative paths.
+    require(!base.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*"),
+      "delta-append carry links files and requires a bare local path " +
+        "(no URI scheme, not even file:); object-store bases need " +
         "manifest-level file reuse instead")
     // The stager records which d=<seq> entry it wrote so the byte-total
     // marker can be derived INCREMENTALLY: parent marker + du(new entry

@@ -32,19 +32,53 @@ class SyncPoolFailureSpec extends SparkSpecBase {
     } finally walk.close()
   }
 
+  /** Deterministic zombie probe: poll until N CONSECUTIVE identical
+    * censuses (a still-writing zombie lands a part- byte every few ms,
+    * so it cannot sit still for `stableFor` polls), instead of a single
+    * fixed-sleep before/after pair that flakes when a cancelled task's
+    * final file cleanup happens to land inside the window. */
+  private def stableCensus(base: String, stableFor: Int = 6,
+      intervalMs: Long = 250, maxWaitMs: Long = 60000): Map[String, Long] = {
+    val deadline = System.nanoTime() + maxWaitMs * 1000000L
+    var prev = census(base)
+    var same = 0
+    while (same < stableFor) {
+      assert(System.nanoTime() < deadline,
+        "on-disk census never stabilized after the sync failure " +
+          "surfaced — a zombie write is still landing files")
+      Thread.sleep(intervalMs)
+      val cur = census(base)
+      if (cur == prev) same += 1 else { same = 0; prev = cur }
+    }
+    prev
+  }
+
   test("a failing table write cancels siblings, drains the pool, and the retry succeeds") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_syncpool_fail").toString
     // Slow sibling tables: per-row sleep keeps their write JOBS in
-    // flight on the pool when the bad table throws.
-    val slowRow = udf { (i: Long) => Thread.sleep(2L); i }
+    // flight, and the LAST row of every partition blocks on a latch the
+    // failing table releases just before it throws — so the overlap
+    // (siblings still writing when the failure surfaces) is a
+    // deterministic property of the test, not a wall-clock race.
+    val slowRow = udf { (i: Long) =>
+      Thread.sleep(2L)
+      if (i % 100 == 99)
+        SyncPoolFailureSpec.failureInjected
+          .await(60, java.util.concurrent.TimeUnit.SECONDS)
+      i
+    }
     val siblings = (1 to 4).map { k =>
       s"t$k" -> spark.range(0, 800, 1, 8).select(slowRow($"id").as("v"))
     }.toMap
     // The bad table fails once some rows have flowed (a mid-write
     // failure, not a planning failure).
     val boom = udf { (i: Long) =>
-      if (i >= 100) throw new RuntimeException("injected sync failure"); i
+      if (i >= 100) {
+        SyncPoolFailureSpec.failureInjected.countDown()
+        throw new RuntimeException("injected sync failure")
+      }
+      i
     }
     val bad = spark.range(0, 800, 1, 8).select(boom($"id").as("v"))
 
@@ -65,13 +99,21 @@ class SyncPoolFailureSpec extends SparkSpecBase {
 
       // (a) No zombie writes: by rethrow time the pool has drained and
       // the job group is cancelled, so the on-disk census is STABLE —
-      // no part- file appears or grows afterwards.
+      // no part- file appears or grows afterwards (poll-until-stable,
+      // not a fixed sleep).
       val before = census(base)
-      Thread.sleep(3000)
-      val after = census(base)
-      assert(after == before,
-        s"files changed after the sync failure surfaced: " +
-          s"${(after.toSet diff before.toSet) ++ (before.toSet diff after.toSet)}")
+      val settled = stableCensus(base)
+      // Zombie signature: a file APPEARED or GREW after the rethrow. A
+      // file disappearing (a cancelled task's late attempt-dir cleanup)
+      // is not a write and is tolerated.
+      val zombies = settled.filter { case (f, sz) =>
+        before.get(f) match {
+          case None        => true
+          case Some(prior) => sz > prior
+        }
+      }
+      assert(zombies.isEmpty,
+        s"files appeared or grew after the sync failure surfaced: $zombies")
       // The FAILED table itself is never published (its swap never
       // ran); siblings that completed before the failure MAY be — each
       // table's staging->prod swap is atomic and independent by design.
@@ -90,4 +132,12 @@ class SyncPoolFailureSpec extends SparkSpecBase {
       }
     } finally graft.sink.TableSink.poolOverride = None
   }
+}
+
+object SyncPoolFailureSpec {
+  /** Released by the failing table's UDF just before it throws; sibling
+    * partitions block their last row on it, guaranteeing the
+    * siblings-still-writing overlap deterministically (local mode —
+    * one JVM — so a static latch is visible to every task). */
+  val failureInjected = new java.util.concurrent.CountDownLatch(1)
 }
