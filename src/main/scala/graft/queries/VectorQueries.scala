@@ -17,7 +17,14 @@ import graft.functions.VectorFunctions
   * q_embed_ann — the scale path: random-hyperplane LSH. Each vector
   * hashes to one bucket per hash table; candidates are same-bucket
   * equality-join matches (hash join, never a cartesian), then exact
-  * cosine re-ranking on the candidate set only.
+  * cosine re-ranking on the candidate set only. NOTE: single-probe is
+  * the census BASELINE, not the recommended default — q_embed_ann_mp
+  * probes the same index multi-probe for 9× the recall at zero index
+  * cost, and the full family × recall × cost decision table lives in
+  * PLANS.md §"ANN index family decision table" (short form: pq for
+  * recall ≥0.9 when an ADC code scan is affordable, ivfpq when the
+  * corpus must be pruned before per-pair work, lsh_mp for
+  * continuous-ingest index maintenance).
   *
   * q_embed_dup — embedding near-duplicate pairs corpus-wide: same LSH
   * buckets self-joined, exact cosine >= threshold on candidates.
@@ -687,8 +694,7 @@ object VectorQueries {
   // training); this shape measures ~0.93 recall@5 across inits on the
   // same fixture. The shortlist is a CONSTANT per query at any corpus
   // size, so the re-rank stays ≤128 exact dots per query at 100 TB.
-  private val pqSub = 8                 // subspaces
-  private val pqSubDim = dim / pqSub    // dims per subspace
+  private val pqSub = 8                 // subspaces (dims per subspace = dim/pqSub)
   private val pqCodes = 16              // centroids per subspace codebook
   private val pqShortlist = 128         // ADC shortlist before exact re-rank
 
@@ -698,27 +704,30 @@ object VectorQueries {
     * Sequential double math on ≤KMeansSample subvectors — bit-stable
     * across runs, trivial at any corpus size. Returns (subspace, code,
     * centroid) rows; pqSub×pqCodes total. */
-  private def pqCodebooks(e: DataFrame): Seq[(Int, Int, Seq[Double])] = {
+  private def pqCodebooks(e: DataFrame,
+      sub: Int = pqSub): Seq[(Int, Int, Seq[Double])] = {
+    require(dim % sub == 0, s"pq subvector count $sub must divide dim $dim")
+    val subDim = dim / sub
     val sample: Array[Array[Double]] = trainSample(e).map(_._2)
-    (0 until pqSub).flatMap { m =>
-      val subs = sample.map(_.slice(m * pqSubDim, (m + 1) * pqSubDim))
+    (0 until sub).flatMap { m =>
+      val subs = sample.map(_.slice(m * subDim, (m + 1) * subDim))
       var cs = spreadInits(subs, pqCodes)
       for (_ <- 1 to KMeansIters) {
-        val sums = Array.fill(pqCodes)(new Array[Double](pqSubDim))
+        val sums = Array.fill(pqCodes)(new Array[Double](subDim))
         val counts = new Array[Int](pqCodes)
         subs.foreach { sv =>
           var best = 0; var bestD = Double.MaxValue
           var c = 0
           while (c < cs.length) {
             var ds = 0.0; var i = 0
-            while (i < pqSubDim) {
+            while (i < subDim) {
               val t = sv(i) - cs(c)(i); ds += t * t; i += 1
             }
             if (ds < bestD) { bestD = ds; best = c }
             c += 1
           }
           var i = 0
-          while (i < pqSubDim) { sums(best)(i) += sv(i); i += 1 }
+          while (i < subDim) { sums(best)(i) += sv(i); i += 1 }
           counts(best) += 1
         }
         cs = cs.indices.map(c =>
@@ -741,13 +750,15 @@ object VectorQueries {
   /** The per-(vector, subspace, code) distance frame shared by the
     * pure-PQ plan and the IVF+PQ composite: every subvector scored
     * against the broadcast codebook, integer micro-unit distances. */
-  private def pqScored(s: SparkSession, e: DataFrame): DataFrame = {
+  private def pqScored(s: SparkSession, e: DataFrame,
+      sub: Int = pqSub): DataFrame = {
     val spark = s
     import spark.implicits._
-    val cb = broadcast(pqCodebooks(e).toDF("m", "code", "cv"))
+    val subDim = dim / sub
+    val cb = broadcast(pqCodebooks(e, sub).toDF("m", "code", "cv"))
     val subs = e.select(col("vec_id"), explode(expr(
-        s"transform(sequence(0, ${pqSub - 1}), m -> " +
-          s"struct(m AS m, slice(v, m * $pqSubDim + 1, $pqSubDim) AS sv))"))
+        s"transform(sequence(0, ${sub - 1}), m -> " +
+          s"struct(m AS m, slice(v, m * $subDim + 1, $subDim) AS sv))"))
         .as("x"))
       .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
     // ||sv - cv||² expanded through the codegen'd dot products.
@@ -770,16 +781,56 @@ object VectorQueries {
     (codes, lut)
   }
 
-  private def pqCandPlan(s: SparkSession, e: DataFrame): DataFrame = {
-    val (codes, lut) = pqCodesAndLut(pqScored(s, e))
+  private def pqCandPlan(s: SparkSession, e: DataFrame,
+      sub: Int = pqSub, shortlist: Int = pqShortlist): DataFrame = {
+    val (codes, lut) = pqCodesAndLut(pqScored(s, e, sub))
     val adc = codes.join(broadcast(lut), Seq("m", "code"))
       .filter(col("qid") =!= col("nid"))
       .groupBy("qid", "nid").agg(sum("dist_e6").as("adc"))
     val w = Window.partitionBy("qid").orderBy(col("adc"), col("nid"))
     adc.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= pqShortlist)
+      .filter(col("rn") <= shortlist)
       .select("qid", "nid")
   }
+
+  /** PQ recall as a CURVE over subvector counts M — the PQ analogue of
+    * ivfRecallCurve, for PqRecallSpec's knob receipts. M is the
+    * memory/accuracy dial of the compressed index: each vector stores
+    * M 4-bit codes (pqCodes = 16), so doubling M doubles the code
+    * bytes per vector AND halves each subspace's width (finer
+    * quantization cells → tighter ADC distances → higher recall).
+    * The ground truth (exact brute-force top-k) is computed once;
+    * codebooks/encoding are per-M by construction (a different M IS a
+    * different index). `shortlistOverride` lets the spec pin the
+    * exhaustive anchor: with shortlist >= corpus the ADC cut keeps
+    * everything, so recall is exactly 1.0 regardless of the codes —
+    * proving the re-rank loses nothing beyond the shortlist. */
+  private[graft] def pqRecallCurve(s: SparkSession, d: String,
+      subs: Seq[Int], shortlistOverride: Option[Int] = None)
+      : Seq[(Int, Double)] = {
+    val e = emb(s, d).persist()
+    try {
+      val q = e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val exact = rankTopK(broadcast(q).crossJoin(e)
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cosraw",
+            expr("vec_dot(qv, v)") / (col("qn") * col("nrm")))
+          .select(col("qid"), col("vec_id").as("nid"), col("cosraw")))
+        .select("qid", "nid").localCheckpoint()
+      val shortlist = shortlistOverride.getOrElse(pqShortlist)
+      subs.map { m =>
+        val cand = pqCandPlan(s, e, m, shortlist)
+        m -> exact.join(cand, Seq("qid", "nid"), "left_semi").count()
+          .toDouble / (NQ.toLong * K)
+      }
+    } finally { e.unpersist(blocking = true); () }
+  }
+
+  /** The shipped PQ shape, exposed for PqRecallSpec's curve receipts. */
+  private[graft] def pqSubShipped: Int = pqSub
+  private[graft] def pqShortlistShipped: Int = pqShortlist
 
   /** IVF+PQ composite candidates — the FAISS IndexIVFPQ protocol, the
     * configuration real billion-scale deployments run: the coarse

@@ -76,6 +76,37 @@ class PqRecallSpec extends SparkSpecBase {
     info(f"IVF+PQ recall@5 = $recall%.2f")
   }
 
+  test("PQ recall is a priced curve over M subvectors; exhaustive shortlist is exact") {
+    // The PQ knob receipt (the IVF-nprobe analogue): M is the
+    // memory/accuracy dial — M 4-bit codes per vector, so the index
+    // storage is M/2 bytes/vector and recall rises with M because each
+    // subspace quantizes a narrower slice. Measured on the sf0.01
+    // fixture (500 vectors, shipped shortlist 128); the shipped M=8
+    // must clear the same 0.6 floor as the gate's fixture test.
+    import graft.queries.VectorQueries.{pqRecallCurve, pqSubShipped}
+    val sf001 = "/root/testdata/sf0.01"
+    val widths = Seq(1, 2, 4, pqSubShipped, 16)
+    val curve = pqRecallCurve(spark, sf001, widths).toMap
+    info("recall@5 by M subvectors: " +
+      widths.map(w => s"$w=${curve(w)}").mkString(" "))
+    assert(curve(pqSubShipped) >= 0.6,
+      s"shipped M=$pqSubShipped recall ${curve(pqSubShipped)} under 0.6")
+    assert(curve(1) < curve(pqSubShipped),
+      "the M dial must matter: one 64-dim subspace of 16 cells cannot " +
+        s"match the shipped shape (${curve(1)} vs ${curve(pqSubShipped)})")
+    assert(curve(16) >= curve(pqSubShipped) - 0.2,
+      s"doubling M beyond the shipped width collapsed recall: ${curve(16)}")
+
+    // Exhaustive-shortlist anchor (the IVF exhaustive-probe analogue):
+    // with shortlist >= corpus the ADC cut keeps every candidate, so
+    // recall is EXACTLY 1.0 even at M=1 — the shortlist, not the code
+    // fidelity, is the only lossy stage after it.
+    val exhaustive = pqRecallCurve(spark, sf001, Seq(1),
+      shortlistOverride = Some(1000000)).toMap
+    assert(exhaustive(1) == 1.0,
+      s"exhaustive shortlist recall ${exhaustive(1)} != 1.0")
+  }
+
   test("PQ recall floor holds on an id-SKEWED corpus (hash-rank training sample)") {
     // Re-key vec_id so ids encode content (sorted by label, the way a
     // real corpus's ids encode source/time): a head-of-corpus training
