@@ -495,7 +495,31 @@ object SoakX10 {
     "q_stream_quarantine",
     // Streaming per-stratum quota: per-batch top-50 candidate partials
     // (lossless top-k-per-key fold), report re-ranks the bounded union.
-    "q_stream_cap")
+    "q_stream_cap",
+    // r17: moved OUT of the soak-exempt baseline (the verdict's
+    // shrink-the-exemption tranche). Rollup/cube/grouping-sets are
+    // Expand-based — each input row fans out to its grouping-set
+    // count before the exchange, so the partial aggregation must
+    // absorb the fan-out map-side (exchanges stay grouping-domain-
+    // sized at any row count).
+    "q_agg_rollup", "q_agg_cube", "q_agg_grouping_sets",
+    // As-of join: tag + union + running last() window — ONE exchange
+    // on user_id whose partition count scales with key cardinality;
+    // per-row cost is the within-partition sort, never a range
+    // explosion.
+    "q_asof_join",
+    // INTERSECT/EXCEPT: rows grow 100x while the nationkey domain
+    // stays 25 — partial distincts must collapse map-side so the
+    // exchanges stay domain-sized.
+    "q_set_ops",
+    // Gap-fill: the grid is (user x hour-domain)-sized; the dense
+    // join must track the grid, the running last() one exchange.
+    "q_time_fill",
+    // Streaming session windows + late-data policy: state cardinality
+    // scales with users (events soak offsets user ids per copy);
+    // per-batch work must track the batch, watermark eviction must
+    // keep state bounded.
+    "q_session_window", "q_stream_late")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen
