@@ -962,6 +962,44 @@ object VectorQueries {
       b.filter(col("vec_id") < NQ), bits)
   }
 
+  /** Multi-probe recall as a CURVE over the probe count m — the LSH
+    * analogue of ivfRecallCurve/pqRecallCurve, completing the knob
+    * receipts for all three tunable families. m prices the QUERY-side
+    * fan-out only (T·(1+m) bucket lookups per query); the index is the
+    * same one-bucket-per-vector-per-table relation at every m, so this
+    * is the only knob of the three with zero build/storage cost. m=0
+    * is single-probe (annCandPlan — asserted identical in the spec);
+    * the ceiling at m=bits is the documented Hamming-1 limit: single-
+    * bit flips exhaust the near planes, deeper sequences need
+    * multi-bit combos. */
+  private[graft] def lshMpRecallCurve(s: SparkSession, d: String,
+      ms: Seq[Int]): Seq[(Int, Double)] = {
+    val e0 = emb(s, d)
+    val bits = bitsFor(corpusRows(s, d))
+    val q = e0.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val exact = rankTopK(broadcast(q).crossJoin(e0)
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cosraw",
+          expr("vec_dot(qv, v)") / (col("qn") * col("nrm")))
+        .select(col("qid"), col("vec_id").as("nid"), col("cosraw")))
+      .select("qid", "nid").localCheckpoint()
+    withBucketCache(withBuckets(e0, bits)) { b =>
+      ms.map { m =>
+        val cand =
+          if (m == 0) annCandPlan(b) else lshMpCandPlan(e0, b, bits, m)
+        m -> exact.join(cand, Seq("qid", "nid"), "left_semi").count()
+          .toDouble / (NQ.toLong * K)
+      }
+    }
+  }
+
+  /** LSH plane-count per table for dir `d`, exposed so the curve spec
+    * can pin the Hamming-1 ceiling at m=bits by construction. */
+  private[graft] def lshBitsFor(s: SparkSession, d: String): Int =
+    bitsFor(corpusRows(s, d))
+
   /** The q_ann_recall hit-census wiring, exposed for PlanQualitySpec at
     * any dir: candidates are materialized to a side-file and re-enter
     * the census as a parquet SCAN (never an uncached bucket-lineage

@@ -52,4 +52,33 @@ class MultiProbeSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("recall@5 is a priced monotone curve over m; m=0 equals single-probe") {
+    // The m-knob receipt, completing the family trilogy (IVF nprobe in
+    // IvfRecallSpec, PQ M in PqRecallSpec): recall rises with m at
+    // ZERO index cost — only the per-query bucket lookups (T·(1+m))
+    // grow. Monotone by the superset guarantee (probe sets are margin-
+    // sorted prefixes), so a refactor that breaks the prefix property
+    // shows up as a dent in this curve. Measured sf0.01 (bits=6, so
+    // the shipped m=8 already sits AT the Hamming-1 ceiling): m=0 →
+    // 0.04, 2 → 0.20, 4 → 0.24, 6 → 0.36 = m=8 — single-bit flips
+    // exhausted; lifting past 0.36 needs multi-bit probe combos (or
+    // more tables/fewer bits), which is the census's documented trade.
+    import graft.queries.VectorQueries.{lshMpRecallCurve, lshBitsFor, MProbe}
+    val sf001 = "/root/testdata/sf0.01"
+    val bits = lshBitsFor(spark, sf001)
+    val ms = (Seq(0, 2, 4) ++ Seq(MProbe, bits)).distinct.sorted
+    val curve = lshMpRecallCurve(spark, sf001, ms).toMap
+    info("recall@5 by m probes (bits=" + bits + "): " +
+      ms.map(m => s"$m=${curve(m)}").mkString(" "))
+    ms.sliding(2).foreach { case Seq(a, b) =>
+      assert(curve(a) <= curve(b),
+        s"recall not monotone in m: $a->${curve(a)} vs $b->${curve(b)}")
+    }
+    assert(curve(MProbe) >= 0.3,
+      s"shipped m=$MProbe recall ${curve(MProbe)} under the 0.3 floor")
+    assert(curve(MProbe) >= 4 * curve(0),
+      "the multi-probe lift over single-probe collapsed: " +
+        s"${curve(0)} -> ${curve(MProbe)}")
+  }
 }
