@@ -1529,8 +1529,12 @@ object TextQueries {
     // TF-IDF top terms — per-document distinctive vocabulary. Term
     // frequencies partial-aggregate map-side; document frequency is a
     // second aggregation over the already-collapsed (doc, term)
-    // relation; the vocabulary (Zipf again) broadcasts back onto it.
-    // Ranking is tf/df as one IEEE division of exact integers —
+    // relation, joined back by SIZE-BASED planning — the vocabulary
+    // broadcasts while it fits (it does at gate scale, plan-gated)
+    // and flips to a shuffled term-keyed join on its own when a real
+    // corpus's vocab outgrows the threshold; a forced broadcast()
+    // would collect a data-dependent relation to the driver at any
+    // scale. Ranking is tf/df as one IEEE division of exact integers —
     // identical in every engine, no log() whose libm rounding could
     // diverge — tie-broken by term for a total order.
     "q_text_tfidf" -> ((
@@ -1542,7 +1546,7 @@ object TextQueries {
         val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val w = Window.partitionBy("doc_id")
           .orderBy((col("tf") * 1.0 / col("df")).desc, col("term"))
-        tf.join(broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
           .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"))
@@ -1819,9 +1823,13 @@ object TextQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // PMI collocations — corpus-level bigram association. Two
-    // wordcount-shaped aggregations (bigrams, unigrams) + a broadcast
-    // join of the unigram vocabulary; top-20 by lift compiles to
-    // TakeOrderedAndProject (per-partition top-N, no global sort).
+    // wordcount-shaped aggregations (bigrams, unigrams); the unigram
+    // vocabulary joins back by SIZE-BASED planning (AQE broadcasts it
+    // while it fits — it does at gate scale — and leaves it a
+    // term-keyed shuffled join when a real corpus's vocab outgrows
+    // the threshold; no forced broadcast() of a data-dependent
+    // relation); top-20 by lift compiles to TakeOrderedAndProject
+    // (per-partition top-N, no global sort).
     // Lift n_ab·N / (n_a·n_b) ranks identically to PMI (log is
     // monotone) while staying in exact-integer-fed IEEE division —
     // products stay < 2^53, so every engine computes the same double.
@@ -1842,7 +1850,7 @@ object TextQueries {
           .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
           .filter(col("n_ab") >= 5)
         val ub = uni.select(col("a").as("b"), col("n_a").as("n_b"))
-        bi.join(broadcast(uni), "a").join(broadcast(ub), "b")
+        bi.join(uni, "a").join(ub, "b")
           .withColumn("lift",
             col("n_ab") * lit(nTok) * 1.0 / (col("n_a") * col("n_b")))
           .orderBy(col("lift").desc, col("a"), col("b"))

@@ -519,7 +519,50 @@ object SoakX10 {
     // scales with users (events soak offsets user ids per copy);
     // per-batch work must track the batch, watermark eviction must
     // keep state bounded.
-    "q_session_window", "q_stream_late")
+    "q_session_window", "q_stream_late",
+    // r17 second tranche: the graph-kernel trio left in the baseline.
+    // Their "dimension-sized graph" exemption rationale does not hold:
+    // the FK edge graph's customer/supplier legs scale with the data
+    // (the soak offsets keys per copy). PageRank/HITS are per-round
+    // edge joins + partial/final sums (exchanges node-domain-sized);
+    // reach is a frontier BFS from the 5 region roots whose per-level
+    // distinct must track the reached set, never per-path fan-out.
+    "q_graph_pagerank", "q_graph_hits", "q_graph_reach",
+    // Corpus-vocabulary statistics: tf-idf's doc-frequency relation
+    // and PMI's unigram/bigram tables all grow with the VOCABULARY
+    // (the soak cipher multiplies it per copy) — the soak prices the
+    // vocab-keyed exchanges and the doc-partitioned rank window as
+    // both rows and vocab scale 100x.
+    "q_text_tfidf", "q_text_pmi",
+    // Row-local text transforms: winnowing fingerprints and the
+    // sorted-token sha256 are one codegen'd map pass each; token
+    // counting is two size() calls — cost must equal scan bandwidth.
+    "q_text_winnow", "q_text_fingerprint", "q_text_tokens",
+    // The composed cleaning pipeline (quality gate -> exact
+    // fingerprint dedup -> 5-gram jaccard near-dup removal): each
+    // stage is individually soaked (q_dedup_exact/q_dedup_ngram
+    // family); this row prices the COMPOSITION — the persisted s1
+    // fan-out plus the inverted-index self-join must track true
+    // near-dup pairs as the corpus grows.
+    "q_corpus_clean",
+    // Benchmark decontamination: the eval set stays fixed-size by
+    // definition, so the contamination probe must remain a broadcast
+    // semi-join over the corpus shingle stream — map-only over the
+    // growing side (siblings q_decontaminate_neardup/_large already
+    // soaked).
+    "q_text_decontaminate",
+    // Sampling family completion (q_sample_weighted/coreset already
+    // in): fixed-rate hash sampling is a map-only filter; quota
+    // sampling's rank filter must compile to WindowGroupLimit so the
+    // exchange carries candidates, not rows; the weighted rebalance
+    // adds a broadcast quota join over the same window.
+    "q_sample_hash", "q_sample_stratified", "q_mix_rebalance",
+    // Sketch aggregates over the 100x fact table: HLL distinct +
+    // exact audit, KLL-style approx quantiles + rank audit, and the
+    // exact percentile/stddev census — every exchange is
+    // flag-domain-sized (3 groups) at any row count; the audits pay
+    // the two-level per-key aggregation, which must stay linear.
+    "q_approx_distinct", "q_agg_approx_quantile", "q_agg_stats")
 
   /** Per-copy affine letter permutation i -> (a·i + b) mod 26 with a
     * coprime to 26: a character-substitution CIPHER per copy. Chosen

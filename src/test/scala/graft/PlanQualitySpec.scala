@@ -256,7 +256,18 @@ class PlanQualitySpec extends SparkSpecBase {
   }
 
   test("q_text_tfidf broadcasts the vocabulary back onto the tf relation") {
-    val p = planOf("q_text_tfidf")
+    // The df side is derived from an aggregate (statically unsized),
+    // and the code carries NO broadcast hint — a forced broadcast()
+    // would collect a data-dependent vocabulary to the driver at any
+    // corpus scale. What this gate pins is that SIZE-BASED planning
+    // does the right thing where it can see the sizes: after
+    // execution, AQE's final plan must have converted the join to a
+    // broadcast at gate scale (and would leave it shuffled when a
+    // real vocab outgrows the threshold — the q_join_link flip law).
+    val df = SparkEntry.queries("q_text_tfidf")(spark, dir)
+    df.collect() // finalize AQE on THIS QueryExecution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
@@ -264,6 +275,14 @@ class PlanQualitySpec extends SparkSpecBase {
     val p = planOf("q_text_pmi")
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // The unigram-vocabulary joins carry no broadcast hint (the vocab
+    // is data-dependent); size-based planning must still broadcast
+    // them at gate scale in the AQE-final plan.
+    val df = SparkEntry.queries("q_text_pmi")(spark, dir)
+    df.collect() // finalize AQE on THIS QueryExecution
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("isFinalPlan=true"), fin)
+    assert(fin.contains("BroadcastHashJoin"), fin)
   }
 
   test("q_pack_sequences places via a bucket-partitioned window, never a global one") {

@@ -14,26 +14,29 @@ class SoakCoverageSpec extends SparkSpecBase {
 
   // Frozen at r16 (58 keys); r17 moved the window/rollup tranche +
   // q_asof_join/q_set_ops/q_time_fill/q_session_window/q_stream_late
-  // INTO the family (50 keys remain). Do NOT add entries for new
-  // gates — add the soak family entry instead.
+  // INTO the family (50), then a second r17 tranche moved the graph
+  // kernels, corpus-vocab stats, the composed cleaner, benchmark
+  // decon, the sampling family, and the fact-table sketch aggs (34
+  // remain — every survivor is a dimension-sized scan/projection, a
+  // row-local variant of a soaked sibling, a pointer-protocol
+  // snapshot op, or a search gate over a dimension-sized graph). Do
+  // NOT add entries for new gates — add the soak family entry instead.
   private val frozenBaseline: Set[String] = Set(
-    "q_agg_approx_quantile",
-    "q_agg_stats", "q_approx_distinct", "q_array_fns",
-    "q_corpus_clean", "q_dates", "q_flatten_struct",
-    "q_graph_hits", "q_graph_pagerank", "q_graph_reach", "q_hash",
+    "q_array_fns",
+    "q_dates", "q_flatten_struct",
+    "q_hash",
     "q_join_bucketed", "q_json_str",
-    "q_map_to_entries", "q_mix_rebalance", "q_multimodal_decode",
+    "q_map_to_entries", "q_multimodal_decode",
     "q_multimodal_dedup", "q_multimodal_frames", "q_multimodal_meta",
     "q_pii_mask", "q_pipeline_e2e", "q_pivot", "q_profile", "q_project",
-    "q_project_pad", "q_sample_hash", "q_sample_stratified",
+    "q_project_pad",
     "q_scan_csv", "q_scan_parquet",
     "q_snapshot_branch", "q_snapshot_diff", "q_snapshot_orphans",
     "q_snapshot_restore", "q_source_search", "q_source_search_agg",
     "q_source_search_chain", "q_source_search_depth",
     "q_string_fns", "q_swap_snapshot", "q_text_boilerplate",
-    "q_text_classify", "q_text_decontaminate", "q_text_fingerprint",
-    "q_text_lang", "q_text_pmi", "q_text_quality", "q_text_repetition",
-    "q_text_tfidf", "q_text_tokens", "q_text_winnow")
+    "q_text_classify",
+    "q_text_lang", "q_text_quality", "q_text_repetition")
 
   test("every gate outside the frozen baseline is in the SoakX10 family") {
     val keys = SparkEntry.queries.keySet
