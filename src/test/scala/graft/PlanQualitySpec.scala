@@ -285,6 +285,37 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(fin.contains("BroadcastHashJoin"), fin)
   }
 
+  test("tfidf/pmi vocabulary joins FLIP to shuffled when the vocab outgrows the threshold") {
+    // The flip law, measured instead of argued: with the broadcast
+    // threshold pulled under the vocabulary's size, the SAME gate code
+    // must plan the vocab join as a shuffled join — possible only
+    // because the join carries no broadcast() hint (a hint overrides
+    // the threshold unconditionally, so this test fails on hinted
+    // code). Gate scale stays tiny; shrinking the threshold stands in
+    // for the vocab growing past it, which is the same comparison.
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.get(
+      "spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (q <- Seq("q_text_tfidf", "q_text_pmi")) {
+        val df = SparkEntry.queries(q)(spark, dir)
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+        assert(p.contains("isFinalPlan=true"), s"$q\n$p")
+        assert(!p.contains("BroadcastHashJoin"),
+          s"$q vocab join must flip off broadcast under the threshold\n$p")
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"$q expected a shuffled vocab join\n$p")
+      }
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
+    }
+  }
+
   test("q_pack_sequences places via a bucket-partitioned window, never a global one") {
     val df = SparkEntry.queries("q_pack_sequences")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
