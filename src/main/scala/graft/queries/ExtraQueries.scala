@@ -2799,8 +2799,11 @@ object ExtraQueries {
     // restricting each parent set (every 7th customer / 5th part / 3rd
     // supplier "missing") so the gate exercises non-zero counts. Each
     // constraint is one left-anti join; counts are partial+final aggs.
-    // At 100 TB the parent key set is the dimension side — broadcast
-    // here; when a parent outgrows broadcast, the same anti-join plans
+    // At 100 TB the parent key set is the dimension side — SIZE-BASED
+    // planning broadcasts it at this scale (plan-gated, no broadcast()
+    // hint: customer/part/supplier grow with the data, and a forced
+    // hint would pin a fact-scaled relation to the driver); when a
+    // parent outgrows the threshold, the same anti-join plans
     // as a shuffled SMJ on the key, and the q_join_bloom pre-probe
     // prunes the child scan before its exchange. The three audits scan
     // three independent fact slices, so a real run fuses them into one
@@ -2810,7 +2813,7 @@ object ExtraQueries {
       (s: SparkSession, d: String) => {
         def audit(name: String, child: DataFrame, key: String,
             parent: DataFrame, pkey: String): DataFrame = {
-          val orphans = child.join(broadcast(parent),
+          val orphans = child.join(parent,
               child(key) === parent(pkey), "left_anti")
           child.agg(count(lit(1)).as("n_checked"))
             .crossJoin(orphans.agg(count(lit(1)).as("n_violations")))

@@ -1792,8 +1792,34 @@ class PlanQualitySpec extends SparkSpecBase {
     // Each constraint is a left-anti build on the (filtered, pruned)
     // parent key set; the parent-side modulo filters push into their
     // scans and the only non-equality joins are the single-row
-    // count×count cross products.
+    // count×count cross products. The parent sides carry NO
+    // broadcast() hint (they are fact-scaled tables) — size-based
+    // planning must broadcast them at gate scale, and the same code
+    // flips to shuffled anti-joins when a parent outgrows the
+    // threshold (asserted below by shrinking it).
     assert("BroadcastHashJoin .*LeftAnti".r.findAllIn(p).length == 3, p)
     assert(!p.contains("CartesianProduct"), p)
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.get(
+      "spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q_fk_check")(spark, dir)
+      df.collect()
+      // The executed AdaptiveSparkPlan prints BOTH the final and the
+      // initial plan; assert on the final section only.
+      val fin = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(fin.contains("isFinalPlan=true"), fin)
+      assert(!"BroadcastHashJoin .*LeftAnti".r.findAllIn(fin).hasNext,
+        s"anti-joins must flip off broadcast under the threshold\n$fin")
+      assert("(SortMergeJoin|ShuffledHashJoin) .*LeftAnti".r
+        .findAllIn(fin).length == 3, fin)
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
+    }
   }
 }
