@@ -18,6 +18,11 @@ import graft.Tables.t
   * pairs* (written to a side parquet) exactly — the bucketing is
   * hash-function-specific, the verification math is engine-independent
   * (per VERDICT.md round-1 guidance).
+  *
+  * Choosing a dedup family (exact/URL/n-gram/PPJoin/MinHash/SimHash/
+  * ExactSubstr/SemDeDup, what each catches, measured costs, and the
+  * recommended pipeline order): see the dedup family decision table
+  * in PLANS.md — the dedup twin of the ANN index table.
   */
 object TextQueries {
 
