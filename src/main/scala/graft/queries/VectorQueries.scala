@@ -597,6 +597,31 @@ object VectorQueries {
       .select("qid", "nid").distinct()
   }
 
+  /** Exact brute-force top-K ground truth over `e` for the NQ anchor
+    * queries — the ONE shared oracle of all three recall-curve
+    * receipts (IVF nprobe, PQ M, LSH multi-probe m), extracted so the
+    * three families can never drift onto different ground truths. One
+    * broadcast-anchor cross, checkpointed so every curve point reuses
+    * the materialized truth instead of re-running the cross. */
+  private def exactTopK(e: DataFrame): DataFrame = {
+    val q = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    rankTopK(broadcast(q).crossJoin(e)
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cosraw",
+          expr("vec_dot(qv, v)") / (col("qn") * col("nrm")))
+        .select(col("qid"), col("vec_id").as("nid"), col("cosraw")))
+      .select("qid", "nid").localCheckpoint()
+  }
+
+  /** recall@K of a candidate relation against the exact ground truth
+    * (the shared denominator NQ·K — every anchor has exactly K true
+    * neighbors by construction). */
+  private def recallOf(exact: DataFrame, cand: DataFrame): Double =
+    exact.join(cand, Seq("qid", "nid"), "left_semi").count()
+      .toDouble / (NQ.toLong * K)
+
   /** IVF recall as a CURVE over probe widths — the IVF analogue of
     * the LSH multi-probe census, for IvfRecallSpec's
     * monotonicity/exhaustive-probe receipts. The nprobe-independent
@@ -607,15 +632,7 @@ object VectorQueries {
       nprobes: Seq[Int]): Seq[(Int, Double)] = {
     val e = emb(s, d).persist()
     try {
-      val q = e.filter(col("vec_id") < NQ)
-        .select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("nrm").as("qn"))
-      val exact = rankTopK(broadcast(q).crossJoin(e)
-          .filter(col("vec_id") =!= col("qid"))
-          .withColumn("cosraw",
-            expr("vec_dot(qv, v)") / (col("qn") * col("nrm")))
-          .select(col("qid"), col("vec_id").as("nid"), col("cosraw")))
-        .select("qid", "nid").localCheckpoint()
+      val exact = exactTopK(e)
       // ivfListsAndProbes at the WIDEST width, ranks checkpointed once.
       val widest = nprobes.max
       val (lists0, probes0) = ivfListsAndProbes(s, e, widest,
@@ -627,8 +644,7 @@ object VectorQueries {
           .join(lists, "cid")
           .filter(col("qid") =!= col("nid"))
           .select("qid", "nid").distinct()
-        np -> exact.join(cand, Seq("qid", "nid"), "left_semi").count()
-          .toDouble / (NQ.toLong * K)
+        np -> recallOf(exact, cand)
       }
     } finally { e.unpersist(blocking = true); () }
   }
@@ -810,20 +826,10 @@ object VectorQueries {
       : Seq[(Int, Double)] = {
     val e = emb(s, d).persist()
     try {
-      val q = e.filter(col("vec_id") < NQ)
-        .select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("nrm").as("qn"))
-      val exact = rankTopK(broadcast(q).crossJoin(e)
-          .filter(col("vec_id") =!= col("qid"))
-          .withColumn("cosraw",
-            expr("vec_dot(qv, v)") / (col("qn") * col("nrm")))
-          .select(col("qid"), col("vec_id").as("nid"), col("cosraw")))
-        .select("qid", "nid").localCheckpoint()
+      val exact = exactTopK(e)
       val shortlist = shortlistOverride.getOrElse(pqShortlist)
       subs.map { m =>
-        val cand = pqCandPlan(s, e, m, shortlist)
-        m -> exact.join(cand, Seq("qid", "nid"), "left_semi").count()
-          .toDouble / (NQ.toLong * K)
+        m -> recallOf(exact, pqCandPlan(s, e, m, shortlist))
       }
     } finally { e.unpersist(blocking = true); () }
   }
@@ -974,25 +980,18 @@ object VectorQueries {
     * multi-bit combos. */
   private[graft] def lshMpRecallCurve(s: SparkSession, d: String,
       ms: Seq[Int]): Seq[(Int, Double)] = {
-    val e0 = emb(s, d)
-    val bits = bitsFor(corpusRows(s, d))
-    val q = e0.filter(col("vec_id") < NQ)
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("nrm").as("qn"))
-    val exact = rankTopK(broadcast(q).crossJoin(e0)
-        .filter(col("vec_id") =!= col("qid"))
-        .withColumn("cosraw",
-          expr("vec_dot(qv, v)") / (col("qn") * col("nrm")))
-        .select(col("qid"), col("vec_id").as("nid"), col("cosraw")))
-      .select("qid", "nid").localCheckpoint()
-    withBucketCache(withBuckets(e0, bits)) { b =>
-      ms.map { m =>
-        val cand =
-          if (m == 0) annCandPlan(b) else lshMpCandPlan(e0, b, bits, m)
-        m -> exact.join(cand, Seq("qid", "nid"), "left_semi").count()
-          .toDouble / (NQ.toLong * K)
+    val e0 = emb(s, d).persist()
+    try {
+      val bits = bitsFor(corpusRows(s, d))
+      val exact = exactTopK(e0)
+      withBucketCache(withBuckets(e0, bits)) { b =>
+        ms.map { m =>
+          val cand =
+            if (m == 0) annCandPlan(b) else lshMpCandPlan(e0, b, bits, m)
+          m -> recallOf(exact, cand)
+        }
       }
-    }
+    } finally { e0.unpersist(blocking = true); () }
   }
 
   /** LSH plane-count per table for dir `d`, exposed so the curve spec

@@ -13,6 +13,17 @@ class PlanQualitySpec extends SparkSpecBase {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Execute the DataFrame and return ONLY the AQE-final plan section
+    * (the executed AdaptiveSparkPlan prints both the final and the
+    * initial plan; assertions — negative ones especially — must not
+    * also constrain the pre-execution initial plan). */
+  private def finalPlanOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p)
+    p.split("== Initial Plan ==")(0)
+  }
+
   /** Flatten the physical plan tree, descending through the AQE root
     * (shared by every side-of-join structural assertion below). */
   private def collectNodes(p: org.apache.spark.sql.execution.SparkPlan)
@@ -264,10 +275,7 @@ class PlanQualitySpec extends SparkSpecBase {
     // execution, AQE's final plan must have converted the join to a
     // broadcast at gate scale (and would leave it shuffled when a
     // real vocab outgrows the threshold — the q_join_link flip law).
-    val df = SparkEntry.queries("q_text_tfidf")(spark, dir)
-    df.collect() // finalize AQE on THIS QueryExecution
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("isFinalPlan=true"), p)
+    val p = finalPlanOf(SparkEntry.queries("q_text_tfidf")(spark, dir))
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
@@ -278,10 +286,7 @@ class PlanQualitySpec extends SparkSpecBase {
     // The unigram-vocabulary joins carry no broadcast hint (the vocab
     // is data-dependent); size-based planning must still broadcast
     // them at gate scale in the AQE-final plan.
-    val df = SparkEntry.queries("q_text_pmi")(spark, dir)
-    df.collect() // finalize AQE on THIS QueryExecution
-    val fin = df.queryExecution.executedPlan.toString
-    assert(fin.contains("isFinalPlan=true"), fin)
+    val fin = finalPlanOf(SparkEntry.queries("q_text_pmi")(spark, dir))
     assert(fin.contains("BroadcastHashJoin"), fin)
   }
 
@@ -301,10 +306,7 @@ class PlanQualitySpec extends SparkSpecBase {
     conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
       for (q <- Seq("q_text_tfidf", "q_text_pmi")) {
-        val df = SparkEntry.queries(q)(spark, dir)
-        df.collect()
-        val p = df.queryExecution.executedPlan.toString
-        assert(p.contains("isFinalPlan=true"), s"$q\n$p")
+        val p = finalPlanOf(SparkEntry.queries(q)(spark, dir))
         assert(!p.contains("BroadcastHashJoin"),
           s"$q vocab join must flip off broadcast under the threshold\n$p")
         assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
@@ -1806,13 +1808,7 @@ class PlanQualitySpec extends SparkSpecBase {
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
-      val df = SparkEntry.queries("q_fk_check")(spark, dir)
-      df.collect()
-      // The executed AdaptiveSparkPlan prints BOTH the final and the
-      // initial plan; assert on the final section only.
-      val fin = df.queryExecution.executedPlan.toString
-        .split("== Initial Plan ==")(0)
-      assert(fin.contains("isFinalPlan=true"), fin)
+      val fin = finalPlanOf(SparkEntry.queries("q_fk_check")(spark, dir))
       assert(!"BroadcastHashJoin .*LeftAnti".r.findAllIn(fin).hasNext,
         s"anti-joins must flip off broadcast under the threshold\n$fin")
       assert("(SortMergeJoin|ShuffledHashJoin) .*LeftAnti".r

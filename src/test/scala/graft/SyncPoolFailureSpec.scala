@@ -56,31 +56,58 @@ class SyncPoolFailureSpec extends SparkSpecBase {
   test("a failing table write cancels siblings, drains the pool, and the retry succeeds") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_syncpool_fail").toString
-    // Slow sibling tables: per-row sleep keeps their write JOBS in
-    // flight, and the LAST row of every partition blocks on a latch the
-    // failing table releases just before it throws — so the overlap
-    // (siblings still writing when the failure surfaces) is a
-    // deterministic property of the test, not a wall-clock race.
-    val slowRow = udf { (i: Long) =>
+    // Deterministic overlap WITHOUT slot starvation (the earlier design
+    // blocked every sibling partition's last row on a latch only the
+    // failing table could release — on local[4] the blocked siblings
+    // held all 4 task slots, the failing table's job starved behind
+    // them, and the test burned 60s-timeout waves, ~6 min wall). The
+    // gating is inverted and slot-budgeted for the shared local[4]
+    // session:
+    //  - the BAD table is ONE partition (one task, one slot) and spins
+    //    until it has OBSERVED sibling write progress (>= 300 sibling
+    //    rows), then throws — a mid-write failure with siblings
+    //    provably in flight;
+    //  - exactly TWO "gated" siblings (one task each) hold their LAST
+    //    row until the failure has been thrown, so at most 2 slots are
+    //    ever blocked and 1+ slot is always free to make progress;
+    //  - two plain slow siblings just sleep per row.
+    // Every wait is bounded and released by state the other side is
+    // guaranteed to reach: bad's spin gate is satisfiable from the
+    // gated siblings' own 1600 pre-gate rows, and the gated siblings
+    // release within one 5ms poll of the throw.
+    val gatedRow = udf { (i: Long) =>
       Thread.sleep(2L)
-      if (i % 100 == 99)
-        SyncPoolFailureSpec.failureInjected
-          .await(60, java.util.concurrent.TimeUnit.SECONDS)
+      SyncPoolFailureSpec.siblingRows.incrementAndGet()
+      if (i == 799) { // last row of the single partition
+        val deadline = System.nanoTime() + 20000000000L
+        while (!SyncPoolFailureSpec.badThrown &&
+               System.nanoTime() < deadline) Thread.sleep(5L)
+      }
       i
     }
-    val siblings = (1 to 4).map { k =>
-      s"t$k" -> spark.range(0, 800, 1, 8).select(slowRow($"id").as("v"))
-    }.toMap
+    val slowRow = udf { (i: Long) =>
+      Thread.sleep(2L)
+      SyncPoolFailureSpec.siblingRows.incrementAndGet()
+      i
+    }
+    val siblings = Map(
+      "t1" -> spark.range(0, 800, 1, 1).select(gatedRow($"id").as("v")),
+      "t2" -> spark.range(0, 800, 1, 1).select(gatedRow($"id").as("v")),
+      "t3" -> spark.range(0, 800, 1, 8).select(slowRow($"id").as("v")),
+      "t4" -> spark.range(0, 800, 1, 8).select(slowRow($"id").as("v")))
     // The bad table fails once some rows have flowed (a mid-write
-    // failure, not a planning failure).
+    // failure, not a planning failure) AND siblings are mid-write.
     val boom = udf { (i: Long) =>
       if (i >= 100) {
-        SyncPoolFailureSpec.failureInjected.countDown()
+        val deadline = System.nanoTime() + 20000000000L
+        while (SyncPoolFailureSpec.siblingRows.get() < 300 &&
+               System.nanoTime() < deadline) Thread.sleep(5L)
+        SyncPoolFailureSpec.badThrown = true
         throw new RuntimeException("injected sync failure")
       }
       i
     }
-    val bad = spark.range(0, 800, 1, 8).select(boom($"id").as("v"))
+    val bad = spark.range(0, 800, 1, 1).select(boom($"id").as("v"))
 
     graft.sink.TableSink.poolOverride = Some(8)
     try {
@@ -135,9 +162,11 @@ class SyncPoolFailureSpec extends SparkSpecBase {
 }
 
 object SyncPoolFailureSpec {
-  /** Released by the failing table's UDF just before it throws; sibling
-    * partitions block their last row on it, guaranteeing the
-    * siblings-still-writing overlap deterministically (local mode —
-    * one JVM — so a static latch is visible to every task). */
-  val failureInjected = new java.util.concurrent.CountDownLatch(1)
+  /** Cross-task coordination state (local mode — one JVM — so statics
+    * are visible to every task). `siblingRows` counts sibling rows
+    * written so the failing table can throw only once siblings are
+    * provably mid-write; `badThrown` releases the two gated siblings'
+    * last rows the moment the failure is thrown. */
+  val siblingRows = new java.util.concurrent.atomic.AtomicLong(0)
+  @volatile var badThrown = false
 }
