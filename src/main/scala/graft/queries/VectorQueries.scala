@@ -603,7 +603,7 @@ object VectorQueries {
     * three families can never drift onto different ground truths. One
     * broadcast-anchor cross, checkpointed so every curve point reuses
     * the materialized truth instead of re-running the cross. */
-  private def exactTopK(e: DataFrame): DataFrame = {
+  private def exactTopKPlan(e: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qn"))
@@ -612,8 +612,11 @@ object VectorQueries {
         .withColumn("cosraw",
           expr("vec_dot(qv, v)") / (col("qn") * col("nrm")))
         .select(col("qid"), col("vec_id").as("nid"), col("cosraw")))
-      .select("qid", "nid").localCheckpoint()
+      .select("qid", "nid")
   }
+
+  private def exactTopK(e: DataFrame): DataFrame =
+    exactTopKPlan(e).localCheckpoint()
 
   /** recall@K of a candidate relation against the exact ground truth
     * (the shared denominator NQ·K — every anchor has exactly K true
@@ -1006,15 +1009,10 @@ object VectorQueries {
     * side is the ONE broadcast-anchor cross. */
   private[graft] def recallHitProbe(s: SparkSession, d: String): DataFrame = {
     val e0 = emb(s, d)
-    val q = e0.filter(col("vec_id") < NQ)
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("nrm").as("qn"))
-    val exact = rankTopK(broadcast(q).crossJoin(e0)
-        .filter(col("vec_id") =!= col("qid"))
-        .withColumn("cosraw",
-          expr("vec_dot(qv, v)") / (col("qn") * col("nrm")))
-        .select(col("qid"), col("vec_id").as("nid"), col("cosraw")))
-      .select("qid", "nid")
+    // exactTopKPlan, NOT exactTopK: the plan gate asserts the census's
+    // exact side is the one broadcast-anchor cross IN THE PLAN — a
+    // checkpoint would collapse it to an ExistingRDD.
+    val exact = exactTopKPlan(e0)
     val candPath =
       s"${graft.Tables.scratchRoot}/graft_cand_probe_${graft.Tables.dirTag(d)}"
     val cand = withBucketCache(
@@ -1805,15 +1803,7 @@ object VectorQueries {
         val spark = s
         import spark.implicits._
         val e0 = emb(s, d)
-        val q = e0.filter(col("vec_id") < NQ)
-          .select(col("vec_id").as("qid"), col("v").as("qv"),
-            col("nrm").as("qn"))
-        val exact = rankTopK(broadcast(q).crossJoin(e0)
-            .filter(col("vec_id") =!= col("qid"))
-            .withColumn("cosraw",
-              expr("vec_dot(qv, v)") / (col("qn") * col("nrm")))
-            .select(col("qid"), col("vec_id").as("nid"), col("cosraw")))
-          .select("qid", "nid").localCheckpoint()
+        val exact = exactTopK(e0)
         // One-row aggregates per family (the sanctioned driver-scalar
         // class): hits = exact-top-k pairs surviving in the candidate
         // set. Collected inside each index's cache scope so the lazy
