@@ -21,7 +21,15 @@ class PlanQualitySpec extends SparkSpecBase {
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("isFinalPlan=true"), p)
-    p.split("== Initial Plan ==")(0)
+    // Keep the main FINAL plan and re-append any Subqueries tail (it
+    // prints AFTER "== Initial Plan ==", so truncating at the first
+    // marker alone would blind negative assertions — e.g. the flip
+    // tests' !contains("BroadcastHashJoin") — to a broadcast hiding
+    // inside a subquery's final plan).
+    val main = p.split("== Initial Plan ==")(0)
+    val subMarker = "===== Subqueries ====="
+    val subIdx = p.indexOf(subMarker)
+    if (subIdx < 0) main else main + p.substring(subIdx)
   }
 
   /** Flatten the physical plan tree, descending through the AQE root
@@ -300,8 +308,12 @@ class PlanQualitySpec extends SparkSpecBase {
     // for the vocab growing past it, which is the same comparison.
     val conf = spark.conf
     val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val prevAqe = conf.get(
-      "spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+    // Remember whether the adaptive threshold was EXPLICITLY set: when
+    // it was not, restoring it by set() would pin the fallback value
+    // forever, silently decoupling it from any later change to the
+    // non-adaptive threshold. Restore with unset() in that case.
+    val prevAqeOpt = conf.getOption(
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
@@ -314,7 +326,12 @@ class PlanQualitySpec extends SparkSpecBase {
       }
     } finally {
       conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
+      prevAqeOpt match {
+        case Some(v) =>
+          conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
     }
   }
 
@@ -1803,8 +1820,11 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
     val conf = spark.conf
     val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val prevAqe = conf.get(
-      "spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+    // Same unset-aware restore as the tfidf/pmi flip test: a set()
+    // restore of a previously-unset adaptive threshold would pin the
+    // fallback value permanently.
+    val prevAqeOpt = conf.getOption(
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
@@ -1815,7 +1835,12 @@ class PlanQualitySpec extends SparkSpecBase {
         .findAllIn(fin).length == 3, fin)
     } finally {
       conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
+      prevAqeOpt match {
+        case Some(v) =>
+          conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
     }
   }
 }

@@ -55,6 +55,12 @@ class SyncPoolFailureSpec extends SparkSpecBase {
 
   test("a failing table write cancels siblings, drains the pool, and the retry succeeds") {
     import spark.implicits._
+    // Reset the cross-task statics: on a second run in the same JVM a
+    // stale badThrown=true / non-zero siblingRows would un-gate the
+    // siblings and the overlap this test exists to prove would silently
+    // disappear (the test would pass while asserting less).
+    SyncPoolFailureSpec.badThrown = false
+    SyncPoolFailureSpec.siblingRows.set(0)
     val base = Files.createTempDirectory("graft_syncpool_fail").toString
     // Deterministic overlap WITHOUT slot starvation (the earlier design
     // blocked every sibling partition's last row on a latch only the
