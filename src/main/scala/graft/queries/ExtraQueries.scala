@@ -308,17 +308,64 @@ object ExtraQueries {
   }
 
   private[graft] def profilePlan(s: SparkSession, d: String,
-      exact: Boolean): DataFrame = {
-    def nd(c: Column): Column =
-      if (exact) countDistinct(c) else approx_count_distinct(c, 0.02)
-    val aggs = ProfileNumCols.map(_._1).flatMap { nm => Seq(
-      count(col(nm)).as(s"nn_$nm"), nd(col(nm)).as(s"nd_$nm"),
-      min(col(nm)).as(s"mn_$nm"), max(col(nm)).as(s"mx_$nm"))
-    } ++ ProfileStrCols.flatMap { nm => Seq(
-      count(col(nm)).as(s"nn_$nm"), nd(col(nm)).as(s"nd_$nm"))
-    } :+ count(lit(1)).as("n_rows")
+      exact: Boolean): DataFrame =
+    if (exact) profileExactPlan(s, d)
+    else {
+      def nd(c: Column): Column = approx_count_distinct(c, 0.02)
+      val aggs = ProfileNumCols.map(_._1).flatMap { nm => Seq(
+        count(col(nm)).as(s"nn_$nm"), nd(col(nm)).as(s"nd_$nm"),
+        min(col(nm)).as(s"mn_$nm"), max(col(nm)).as(s"mx_$nm"))
+      } ++ ProfileStrCols.flatMap { nm => Seq(
+        count(col(nm)).as(s"nn_$nm"), nd(col(nm)).as(s"nd_$nm"))
+      } :+ count(lit(1)).as("n_rows")
+      val canon = profileCanon(t(s, d, "lineitem"))
+      profileExplode(canon.agg(aggs.head, aggs.tail: _*))
+    }
+
+  /** The exact census as a NARROW stacked two-level aggregate instead
+    * of the multi-distinct Expand (r18). The Expand shape carries the
+    * full 11-column row (one live field + 10 nulls + gid) through the
+    * partial aggregate and the exchange, so the hash map keys on a
+    * ~100-byte UnsafeRow per entry and spills at soak scale (PLANS.md
+    * r12: 7 GB spill at 10x). Stacking the same 11 values into
+    * (gid, v, sv) rows via ONE posexplode keeps the single scan and
+    * the single pass, but the grouping key is 3 narrow columns: the
+    * per-partition partial dedup hashes/stores ~6x fewer bytes per
+    * entry and the exchange moves (gid, value) pairs, not padded rows.
+    * Level 1 dedups (gid, value); level 2 folds counts per gid —
+    * n_rows rides along as sum(c) (every input row contributes one
+    * stacked row to every gid, nulls included, so each gid's total IS
+    * the row count; no separate count job). Identical output to the
+    * Expand shape, oracle-checked. */
+  private def profileExactPlan(s: SparkSession, d: String): DataFrame = {
     val canon = profileCanon(t(s, d, "lineitem"))
-    profileExplode(canon.agg(aggs.head, aggs.tail: _*))
+    val numNames = ProfileNumCols.map(_._1)
+    val allNames = numNames ++ ProfileStrCols
+    val entries = array(
+      (numNames.map(nm => struct(col(nm).as("v"),
+        lit(null).cast("string").as("sv"))) ++
+       ProfileStrCols.map(nm => struct(lit(null).cast("long").as("v"),
+         col(nm).as("sv")))): _*)
+    val stacked = canon.select(posexplode(entries).as(Seq("gid", "e")))
+      .select(col("gid"), col("e.v").as("v"), col("e.sv").as("sv"))
+    val live = col("v").isNotNull || col("sv").isNotNull
+    val perCol = stacked
+      .groupBy("gid", "v", "sv").agg(count(lit(1)).as("c"))
+      .groupBy("gid").agg(
+        sum("c").as("n_rows"),
+        sum(when(live, col("c")).otherwise(0L)).as("nn"),
+        count(when(live, 1)).as("nd"),
+        min("v").as("mn"), max("v").as("mx"))
+    val nameArr = array(allNames.map(lit): _*)
+    perCol.select(
+      element_at(nameArr, col("gid") + 1).as("col_name"),
+      col("n_rows"),
+      (col("n_rows") - col("nn")).as("n_null"),
+      col("nd").as("n_distinct"),
+      // String gids stack only sv, so min/max over v are null by
+      // construction — the same null literals the Expand shape emitted.
+      col("mn").as("min_v"), col("mx").as("max_v"))
+      .orderBy("col_name")
   }
 
   /** Join an approx (col_name, nd_approx) relation against the

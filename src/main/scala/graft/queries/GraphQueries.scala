@@ -162,8 +162,15 @@ object GraphQueries {
       var round = 0
       var converged = false
       while (round < iters && !converged) {
-        val m = ccRound(labels, e).localCheckpoint()
-        converged = m.filter(col("chg")).isEmpty
+        // Lazy checkpoint + full-scan count: ONE job per round both
+        // materializes the round state (every partition is computed
+        // and cached, so the at-job-end checkpoint finalization has
+        // nothing to recompute) and reads the convergence signal —
+        // the eager-checkpoint + isEmpty shape paid two scheduler
+        // round-trips per round for the same work (the q_dedup_cluster
+        // loop already runs this merged protocol via persist+agg).
+        val m = ccRound(labels, e).localCheckpoint(eager = false)
+        converged = m.filter(col("chg")).count() == 0L
         labels = m.select("node", "lbl")
         round += 1
       }
@@ -355,12 +362,15 @@ object GraphQueries {
     var round = 1L
     var drained = false
     while (!drained) {
+      // Lazy checkpoint + count: one job per round materializes the
+      // new frontier AND reads the drain signal (see ccLoop — the
+      // eager checkpoint + isEmpty shape was two jobs per round).
       val cand = frontier.join(adj, frontier("node") === adj("n"))
         .select(col("nb").as("node"), lit(round).as("d"))
         .distinct()
         .join(dist, Seq("node"), "left_anti")
-        .localCheckpoint()
-      drained = cand.isEmpty
+        .localCheckpoint(eager = false)
+      drained = cand.count() == 0L
       if (!drained) {
         // The settled set stays a LAZY union of already-materialized
         // frontiers — every leaf is a checkpointed RDD, so the
@@ -577,13 +587,14 @@ object GraphQueries {
       var round = 0
       var drained = false
       while (round < iters && !drained) {
-        val m = ssspRound(frontier, dist, e).localCheckpoint()
+        // Lazy checkpoint + filtered count: one job per round both
+        // materializes the round state and reads the fixpoint signal
+        // (an empty improved set means no distance can change again —
+        // relaxation is monotone). See ccLoop for the protocol.
+        val m = ssspRound(frontier, dist, e).localCheckpoint(eager = false)
+        drained = m.filter(col("imp")).count() == 0L
         frontier = m.filter(col("imp")).select("node", "dist")
         dist = m.select("node", "dist")
-        // Fixpoint early-exit: an empty frontier means no distance can
-        // change again (relaxation is monotone) — standard frontier
-        // termination, one cheap scan of the just-materialized state.
-        drained = frontier.isEmpty
         round += 1
       }
     }
@@ -657,10 +668,12 @@ object GraphQueries {
       var round = 0
       var stable = false
       while (round < iters && !stable) {
+        // Lazy checkpoint: the count below materializes the round
+        // state in the same job (see ccLoop for the protocol).
         val next = restrict(alive)
           .groupBy("s").agg(count(lit(1)).as("dg"))
           .filter(col("dg") >= k).select(col("s").as("n"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val n2 = next.count()
         stable = n2 == nAlive
         alive = next

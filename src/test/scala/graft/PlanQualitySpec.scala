@@ -690,15 +690,20 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(hashEx == 1, s"hash exchanges=$hashEx\n$p")
   }
 
-  test("q_profile_table is ONE aggregate pass: one scan, one Expand, no join") {
+  test("q_profile_table is ONE stacked pass: one scan, no Expand, no join") {
     // The whole-table profile must come from a single pass — a
     // per-column UNION of aggregates (the naive ANALYZE) scans the
-    // table once per column.
+    // table once per column. r18: the pass is the narrow stacked
+    // (gid, value) two-level aggregate, not the multi-distinct Expand
+    // (which carried the full padded row through the partial agg and
+    // the exchange) — pin the Expand's absence so a refactor can't
+    // silently fall back to it.
     val p = planOf("q_profile_table")
     assert(!p.contains("Join"), p)
     val scans = "lineitem\\.parquet".r.findAllIn(p).size
     assert(scans == 1, s"lineitem scans=$scans\n$p")
-    assert("Expand".r.findAllIn(p).size <= 2, p) // multi-distinct Expand
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("Generate"), p) // the posexplode stack
   }
 
   test("q_profile_approx's production path: one scan, NO Expand, no join") {
