@@ -1817,22 +1817,44 @@ object VectorQueries {
               s"${graft.Tables.scratchRoot}/graft_cand_rec${fam}_${graft.Tables.dirTag(d)}"),
             Seq("qid", "nid"), "left_semi").count()
         val bits = bitsFor(corpusRows(s, d))
-        val (lshHits, lshMpHits) = withBucketCache(
-          withBuckets(e0, bits)) { b =>
-          (hitsOf("lsh", annCandPlan(b)),
-            // Multi-probe over the SAME cached corpus buckets: only
-            // the query side fans out (1+MProbe probes per table).
-            hitsOf("lshmp", lshMpCandPlan(e0, b, bits)))
-        }
+        // The five family censuses are INDEPENDENT jobs over two
+        // shared read-only caches (the LSH bucket relation; the
+        // normalized corpus) — overlap them on a small thread pool so
+        // each family's scheduling tail back-fills the others' idle
+        // executors instead of serializing five index builds
+        // (sequential: ~4.5 s clean; overlapped: see PLANS.md r18).
+        // Both caches are materialized BEFORE the fan-out so
+        // concurrent builders share cached partitions rather than
+        // racing to compute them. Job descriptions are thread-local,
+        // so each family labels its own jobs.
         val e = emb(s, d).persist()
-        val (ivfHits, pqHits, ivfpqHits) =
-          try (hitsOf("ivf", ivfCandPlan(s, e)),
-            hitsOf("pq", pqCandPlan(s, e)),
-            hitsOf("ivfpq", ivfpqCandPlan(s, e)))
-          finally { e.unpersist(blocking = true); () }
+        val results: Seq[(String, Long)] = withBucketCache(
+          withBuckets(e0, bits)) { b =>
+          b.count()
+          e.count()
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutorService(pool)
+          try {
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.duration.Duration
+            val futs: Seq[(String, scala.concurrent.Future[Long])] = Seq(
+              "lsh" -> Future(hitsOf("lsh", annCandPlan(b))),
+              // Multi-probe over the SAME cached corpus buckets: only
+              // the query side fans out (1+MProbe probes per table).
+              "lsh_mp" -> Future(hitsOf("lshmp",
+                lshMpCandPlan(e0, b, bits))),
+              "ivf" -> Future(hitsOf("ivf", ivfCandPlan(s, e))),
+              "pq" -> Future(hitsOf("pq", pqCandPlan(s, e))),
+              "ivfpq" -> Future(hitsOf("ivfpq", ivfpqCandPlan(s, e))))
+            futs.map { case (f, fut) => f -> Await.result(fut, Duration.Inf) }
+          } finally {
+            pool.shutdown()
+            e.unpersist(blocking = true)
+          }
+        }
         val n = NQ.toLong * K
-        Seq(("ivf", ivfHits), ("ivfpq", ivfpqHits), ("lsh", lshHits),
-          ("lsh_mp", lshMpHits), ("pq", pqHits))
+        results.sortBy(_._1)
           .map { case (f, h) => (f, h, n, h * 100L / n) }
           .toDF("family", "hits", "n_pairs", "recall_pct")
           .orderBy("family")
