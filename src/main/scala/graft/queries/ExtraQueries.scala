@@ -309,18 +309,51 @@ object ExtraQueries {
 
   private[graft] def profilePlan(s: SparkSession, d: String,
       exact: Boolean): DataFrame =
-    if (exact) profileExactPlan(s, d)
-    else {
-      def nd(c: Column): Column = approx_count_distinct(c, 0.02)
-      val aggs = ProfileNumCols.map(_._1).flatMap { nm => Seq(
-        count(col(nm)).as(s"nn_$nm"), nd(col(nm)).as(s"nd_$nm"),
-        min(col(nm)).as(s"mn_$nm"), max(col(nm)).as(s"mx_$nm"))
-      } ++ ProfileStrCols.flatMap { nm => Seq(
-        count(col(nm)).as(s"nn_$nm"), nd(col(nm)).as(s"nd_$nm"))
-      } :+ count(lit(1)).as("n_rows")
-      val canon = profileCanon(t(s, d, "lineitem"))
-      profileExplode(canon.agg(aggs.head, aggs.tail: _*))
-    }
+    if (exact) profileExactPlan(s, d) else profileApproxPlan(s, d)
+
+  /** The approx census on the SAME narrow stacked shape as the exact
+    * one (r18): the wide 11-HLL aggregate paid interpreted dispatch on
+    * every agg path — approx_count_distinct is an ImperativeAggregate,
+    * which switches the whole HashAggregate off whole-stage codegen,
+    * so all ~38 update paths ran interpreted per input row. Stacking
+    * the columns into (gid, v, h) rows via ONE codegen'd posexplode
+    * leaves the interpreted aggregate ONE HLL++ update (plus the
+    * cheap count/min/max riding the same narrow row) per stacked row:
+    * measured min-of-4 at sf0.1/local[32], wide 2.45–2.89 s vs
+    * stacked 1.71–1.93 s full, 1.38 s when downstream prunes to the
+    * nd column (the gate's case — Catalyst drops unused agg
+    * expressions once the explode indirection is gone, which the wide
+    * shape's struct-array explode defeated; ProfileApproxProbe).
+    * The HLL hashes a pre-hashed xxhash64 value: cardinality is
+    * preserved (64-bit collisions are ~n²/2⁶⁵ — immaterial next to
+    * the 2% rsd), null cells stay skipped (h is null iff the value
+    * is), and min/max/count stay EXACT on v — only the nd estimate
+    * shifts within its rsd, and the gate hashes the bound boolean,
+    * never the estimate. */
+  private def profileApproxPlan(s: SparkSession, d: String): DataFrame = {
+    val canon = profileCanon(t(s, d, "lineitem"))
+    val numNames = ProfileNumCols.map(_._1)
+    val allNames = numNames ++ ProfileStrCols
+    val entries = array(
+      (numNames.map(nm => struct(col(nm).as("v"),
+        when(col(nm).isNotNull, xxhash64(col(nm))).as("h"))) ++
+       ProfileStrCols.map(nm => struct(lit(null).cast("long").as("v"),
+         when(col(nm).isNotNull, xxhash64(col(nm))).as("h")))): _*)
+    val stacked = canon.select(posexplode(entries).as(Seq("gid", "e")))
+      .select(col("gid"), col("e.v").as("v"), col("e.h").as("h"))
+    val perCol = stacked.groupBy("gid").agg(
+      count(lit(1)).as("n_rows"), count(col("h")).as("nn"),
+      approx_count_distinct(col("h"), 0.02).as("nd"),
+      min("v").as("mn"), max("v").as("mx"))
+    val nameArr = array(allNames.map(lit): _*)
+    perCol.select(
+      element_at(nameArr, col("gid") + 1).as("col_name"),
+      col("n_rows"),
+      (col("n_rows") - col("nn")).as("n_null"),
+      col("nd").as("n_distinct"),
+      col("mn").as("min_v"), col("mx").as("max_v"))
+      .orderBy("col_name")
+  }
 
   /** The exact census as a NARROW stacked two-level aggregate instead
     * of the multi-distinct Expand (r18). The Expand shape carries the
