@@ -22,7 +22,7 @@ object GraphQueries {
 
   /** Edge list derived from the star-schema FKs, node ids prefixed by
     * type: R=region, N=nation, C=customer, S=supplier. */
-  private def edges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def edges(s: SparkSession, d: String): DataFrame = {
     val n = t(s, d, "nation").select(
       concat(lit("R"), col("n_regionkey")).as("src"),
       concat(lit("N"), col("n_nationkey")).as("dst"))
@@ -169,6 +169,15 @@ object GraphQueries {
         // the eager-checkpoint + isEmpty shape paid two scheduler
         // round-trips per round for the same work (the q_dedup_cluster
         // loop already runs this merged protocol via persist+agg).
+        // NOT broadcast-hinted (r18, measured): unlike the BFS
+        // frontier, the label state is ALL |V| nodes and changes every
+        // round — hinting it broadcast re-collected and re-shipped the
+        // full state per round and broke the aligned node-partitioning
+        // the checkpointed state already carries (GraphLoopProbe,
+        // interleaved in one JVM at sf0.1: off 1.11–1.30 s vs on
+        // 1.12–1.52 s for the 5-round loop); the hint stays on the
+        // loops whose moved side is a shrinking frontier/alive set
+        // (bfsFrom, kcoreLoop — both interleaved-measured wins).
         val m = ccRound(labels, e).localCheckpoint(eager = false)
         converged = m.filter(col("chg")).count() == 0L
         labels = m.select("node", "lbl")
@@ -359,18 +368,37 @@ object GraphQueries {
     var dist = s.range(1).select(lit(src).as("node"), lit(0L).as("d"))
       .localCheckpoint()
     var frontier = dist
+    var frontierRows = 1L
+    var distRows = 1L
     var round = 1L
     var drained = false
     while (!drained) {
       // Lazy checkpoint + count: one job per round materializes the
       // new frontier AND reads the drain signal (see ccLoop — the
       // eager checkpoint + isEmpty shape was two jobs per round).
-      val cand = frontier.join(adj, frontier("node") === adj("n"))
+      //
+      // Join strategy by KNOWN cardinality (r18): with AQE off inside
+      // the loop (see withIterParts) the static planner sees
+      // checkpointed RDDs with no usable size estimate and falls back
+      // to shuffle joins — but the loop itself counts every round's
+      // state, so the frontier join and the settled anti-join can be
+      // hinted broadcast exactly when the EXACT row count fits the
+      // session's broadcast budget (maybeBroadcastByRows). This is
+      // size-based planning with true sizes, not a pinned hint: a
+      // frontier or settled set that outgrows the budget keeps the
+      // shuffle plan (the 100 TB posture — a billion-node component's
+      // settled set must never be collected to the driver). Measured
+      // on the double-sweep gate (DiameterProbe, interleaved
+      // min-of-3): 3.0–3.6 s → 1.9–2.7 s per sweep.
+      val cand = maybeBroadcastByRows(s, frontier, frontierRows)
+        .join(adj, frontier("node") === adj("n"))
         .select(col("nb").as("node"), lit(round).as("d"))
         .distinct()
-        .join(dist, Seq("node"), "left_anti")
+        .join(maybeBroadcastByRows(s, dist, distRows),
+          Seq("node"), "left_anti")
         .localCheckpoint(eager = false)
-      drained = cand.count() == 0L
+      frontierRows = cand.count()
+      drained = frontierRows == 0L
       if (!drained) {
         // The settled set stays a LAZY union of already-materialized
         // frontiers — every leaf is a checkpointed RDD, so the
@@ -378,12 +406,30 @@ object GraphQueries {
         // re-materialization job is saved (one checkpoint per round,
         // not two).
         dist = dist.unionByName(cand)
+        distRows += frontierRows
         frontier = cand
         round += 1
       }
     }
     dist
   }
+
+  /** Broadcast-hint `df` iff its EXACT row count (known to the caller
+    * — fixpoint loops count their state every round) fits the
+    * session's broadcast budget: autoBroadcastJoinThreshold bytes at a
+    * conservative 32 bytes/row. Unlike a bare broadcast() hint this
+    * cannot pin a grown relation to the driver — past the budget the
+    * planner keeps its shuffle plan — and unlike the estimate-driven
+    * default it actually fires on checkpointed loop state, whose
+    * LogicalRDD carries no usable size statistic. */
+  private[graft] def fitsBroadcast(s: SparkSession, rows: Long): Boolean = {
+    val thresholdBytes = s.sessionState.conf.autoBroadcastJoinThreshold
+    thresholdBytes > 0 && rows >= 0 && rows <= thresholdBytes / 32
+  }
+
+  private def maybeBroadcastByRows(s: SparkSession, df: DataFrame,
+      rows: Long): DataFrame =
+    if (fitsBroadcast(s, rows)) broadcast(df) else df
 
   private[graft] def triEdges(s: SparkSession, d: String): DataFrame = {
     val li = t(s, d, "lineitem")
@@ -591,6 +637,9 @@ object GraphQueries {
         // materializes the round state and reads the fixpoint signal
         // (an empty improved set means no distance can change again —
         // relaxation is monotone). See ccLoop for the protocol.
+        // Frontier broadcast hint tried and reverted (r18 A/B:
+        // 1.38 → 1.40 s, neutral) — the full-outer distance merge
+        // cannot broadcast, so the round keeps its exchange either way.
         val m = ssspRound(frontier, dist, e).localCheckpoint(eager = false)
         drained = m.filter(col("imp")).count() == 0L
         frontier = m.filter(col("imp")).select("node", "dist")
@@ -659,9 +708,17 @@ object GraphQueries {
         canon.select(col("t").as("s"), col("s").as("t")))
       .localCheckpoint()
     val nEdges = e.count()
-    def restrict(alive: DataFrame): DataFrame = e
-      .join(alive.withColumnRenamed("n", "s"), Seq("s"), "left_semi")
-      .join(alive.withColumnRenamed("n", "t"), Seq("t"), "left_semi")
+    // The alive set's EXACT count is read every round (the stability
+    // check) — hint both endpoint semi-joins broadcast when it fits
+    // the budget (see maybeBroadcastByRows): the edge fact then never
+    // shuffles during the peel (GraphLoopProbe, interleaved: off
+    // 0.69–0.93 s vs on 0.48–0.56 s for the 3-round peel at sf0.1).
+    def restrict(alive: DataFrame, aliveRows: Long): DataFrame = {
+      def hb(df: DataFrame) =
+        if (fitsBroadcast(s, aliveRows)) broadcast(df) else df
+      e.join(hb(alive.withColumnRenamed("n", "s")), Seq("s"), "left_semi")
+        .join(hb(alive.withColumnRenamed("n", "t")), Seq("t"), "left_semi")
+    }
     var alive = e.select(col("s").as("n")).distinct().localCheckpoint()
     var nAlive = alive.count()
     withIterParts(s, nEdges) {
@@ -670,7 +727,7 @@ object GraphQueries {
       while (round < iters && !stable) {
         // Lazy checkpoint: the count below materializes the round
         // state in the same job (see ccLoop for the protocol).
-        val next = restrict(alive)
+        val next = restrict(alive, nAlive)
           .groupBy("s").agg(count(lit(1)).as("dg"))
           .filter(col("dg") >= k).select(col("s").as("n"))
           .localCheckpoint(eager = false)
@@ -681,7 +738,7 @@ object GraphQueries {
         round += 1
       }
     }
-    restrict(alive)
+    restrict(alive, nAlive)
       .groupBy(col("s").as("node"))
       .agg(count(lit(1)).cast("long").as("deg"))
       .orderBy("node")
