@@ -1934,85 +1934,34 @@ object TextQueries {
           val b = idx.select(col("doc_id").as("doc_b"), col("s"))
           val pairs = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
             .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+          // ONE materialization of the verify pipeline (r18): the
+          // union's two branches and every fixpoint round then read
+          // the checkpointed 2-column pair set instead of replaying
+          // the corpus-wide join — and the checkpointed RDD scan also
+          // beat feeding the loop through a persisted union (the
+          // columnar-cache scan costs more per round than the raw
+          // checkpoint rows at this size: DedupClusterProbe,
+          // interleaved — edges 1.58–3.31 s → 0.73–0.96 s, loop
+          // 1.80–2.46 s → 0.82–1.14 s).
           val dups = jaccardFilter(pairs,
               sizesOf(t(s, d, "documents"), 5), 0.5)
             .select("doc_a", "doc_b")
+            .localCheckpoint()
           val e = dups.select(col("doc_a").as("src"), col("doc_b").as("dst"))
             .union(dups.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-            .persist()
-          // Materialize the pair graph at FULL parallelism (its lineage
-          // is the corpus-wide shingle join), then size the iteration's
-          // shuffle partitions to the graph, not the session default:
-          // the pair graph is orders of magnitude smaller than the
-          // corpus, and per-round exchange overhead on near-empty
-          // partitions dominated the fixpoint loop (3.9 s -> the
-          // per-round constant at gate scale). Scales back up for a
-          // genuinely large pair graph.
-          val nEdges = e.count()
-          val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-          // AQE's initialPartitionNum OVERRIDES shuffle.partitions for
-          // every shuffle while coalescing is on — scoping only the
-          // latter (the round-6 fix) silently reverted when the session
-          // adopted 8x-parallelism initial partitions: each fixpoint
-          // round re-paid ~256 near-empty pre-coalesce partitions
-          // (measured 2.6 s -> 3.7 s on the gate). Scope BOTH to the
-          // graph size, restore both after.
-          val initKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-          val prevInit = s.conf.getOption(initKey)
-          val iterParts = math.max(4L,
-            math.min(prevParts.toLong, nEdges / 500000L + 4L))
-          s.conf.set("spark.sql.shuffle.partitions", iterParts.toString)
-          s.conf.set(initKey, iterParts.toString)
-          // `cached` is always the DataFrame persist() was called on —
-          // unpersisting a plan *derived* from it would be a no-op and
-          // leak one cache entry per round. Initial label = min(self,
-          // min neighbor): the first propagation round fused into the
-          // initialization aggregate (every node appears as src, since
-          // e carries both directions).
-          var cached = e.groupBy("src")
-            .agg(least(col("src"), min("dst")).as("lbl"))
-            .select(col("src").as("id"), col("lbl")).persist()
-          var labels = cached
-          try {
-            cached.count()
-            var changed = 1L
-            var iters = 0
-            while (changed > 0 && iters < 50) {
-              val nbrMin = e.join(labels, e("dst") === labels("id"))
-                .groupBy(col("src")).agg(min("lbl").as("nlbl"))
-              val step = labels.join(nbrMin,
-                  labels("id") === nbrMin("src"), "left")
-                .select(col("id"),
-                  least(col("lbl"), coalesce(col("nlbl"), col("lbl")))
-                    .as("lbl"),
-                  (coalesce(col("nlbl"), col("lbl")) < col("lbl"))
-                    .as("moved"))
-                .persist()
-              // One job materializes the cache AND counts movement —
-              // no separate old-vs-new join per round.
-              changed = step.agg(sum(when(col("moved"), 1L).otherwise(0L)))
-                .head().getLong(0)
-              cached.unpersist(blocking = true)
-              cached = step
-              labels = step.select("id", "lbl")
-              iters += 1
-            }
-            // Materialize before the caches drop — handing the lazy
-            // plan up would replay the whole iterative lineage
-            // uncached when withShingleIndex writes it out.
-            val outPath = s"${graft.Tables.scratchRoot}/graft_cluster_lbl_${graft.Tables.dirTag(d)}"
-            labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
-              .write.mode("overwrite").parquet(outPath)
-            s.read.parquet(outPath)
-          } finally {
-            s.conf.set("spark.sql.shuffle.partitions", prevParts)
-            prevInit match {
-              case Some(v) => s.conf.set(initKey, v)
-              case None => s.conf.unset(initKey)
-            }
-            cached.unpersist(blocking = true)
-            e.unpersist(blocking = true)
-          }
+          // The min-label fixpoint is GraphQueries.ccLoop — the shared
+          // loop protocol (state-scoped shuffle partitions + AQE off,
+          // lazy-checkpoint-plus-count rounds, convergence early-exit).
+          // Near-dup components are shallow by construction; 50 caps a
+          // pathological chain exactly like the old inline loop did.
+          // Materialize before the shingle cache drops — handing the
+          // lazy plan up would replay the iterative lineage uncached
+          // when withShingleIndex writes it out.
+          val outPath = s"${graft.Tables.scratchRoot}/graft_cluster_lbl_${graft.Tables.dirTag(d)}"
+          GraphQueries.ccLoop(s, e, 50)
+            .select(col("node").as("doc_id"), col("lbl").as("cluster"))
+            .write.mode("overwrite").parquet(outPath)
+          s.read.parquet(outPath)
         }.orderBy("doc_id"),
       s"""WITH RECURSIVE ${shinglesSqlCte(5)},
          |inter AS (
