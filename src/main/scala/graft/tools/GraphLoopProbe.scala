@@ -70,6 +70,13 @@ object GraphLoopProbe {
       def restrict(alive: DataFrame): DataFrame = ke
         .join(hb(alive.withColumnRenamed("n", "s")), Seq("s"), "left_semi")
         .join(hb(alive.withColumnRenamed("n", "t")), Seq("t"), "left_semi")
+      if (sys.env.contains("GL_EXPLAIN")) {
+        val alive0 = ke.select(col("s").as("n")).distinct().localCheckpoint()
+        println(s"[gl] KCORE ROUND PLAN (hinted=$hint):")
+        restrict(alive0).groupBy("s").agg(count(lit(1)).as("dg"))
+          .filter(col("dg") >= k).select(col("s").as("n"))
+          .explain("formatted")
+      }
       var alive = ke.select(col("s").as("n")).distinct().localCheckpoint()
       var nAlive = alive.count()
       var round = 0
