@@ -424,7 +424,12 @@ object GraphQueries {
     * LogicalRDD carries no usable size statistic. */
   private[graft] def fitsBroadcast(s: SparkSession, rows: Long): Boolean = {
     val thresholdBytes = s.sessionState.conf.autoBroadcastJoinThreshold
-    thresholdBytes > 0 && rows >= 0 && rows <= thresholdBytes / 32
+    // 64 B/row (r19, ADVICE): loop state rows carry string node ids
+    // ('C123456' ≈ 20 B framed) and a broadcast hash relation costs
+    // 2-4x the UnsafeRow payload, so 32 B/row under-budgeted — the
+    // hint FORCES the broadcast once given, so the budget must bound
+    // the built relation, not the raw rows.
+    thresholdBytes > 0 && rows >= 0 && rows <= thresholdBytes / 64
   }
 
   private def maybeBroadcastByRows(s: SparkSession, df: DataFrame,

@@ -1847,7 +1847,11 @@ object VectorQueries {
               "ivf" -> Future(hitsOf("ivf", ivfCandPlan(s, e))),
               "pq" -> Future(hitsOf("pq", pqCandPlan(s, e))),
               "ivfpq" -> Future(hitsOf("ivfpq", ivfpqCandPlan(s, e))))
-            futs.map { case (f, fut) => f -> Await.result(fut, Duration.Inf) }
+            // Generous finite bound (r19, VERDICT #9): a wedged family
+            // census must fail the gate loudly, not hang it forever.
+            // 15 min >> any family's worst clean build at bench scale.
+            futs.map { case (f, fut) =>
+              f -> Await.result(fut, Duration(15, "min")) }
           } finally {
             pool.shutdown()
             e.unpersist(blocking = true)

@@ -26,7 +26,8 @@ while true; do
     out="$OUTDIR/bench_$attempt.json"
     log="$OUTDIR/bench_$attempt.log"
     echo "$(date +%H:%M:%S) firing attempt $attempt" >> "$OUTDIR/probe.log"
-    flock "$LOCK" env SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+    # timeout so a wedged run releases the lock (ADVICE r18); 1h >> any real run
+    flock "$LOCK" timeout 3600 env SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
       SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_OUT="$out" \
       sbt -batch "runMain graft.Bench" > "$log" 2>&1
     line=$(grep -o '{"metric":"total".*"full".*}' "$log" | tail -1)
@@ -40,5 +41,9 @@ while true; do
       exit 0
     fi
     quiet=0
+    if [ "$attempt" -ge "${MAX_ATTEMPTS:-12}" ]; then
+      echo "$(date +%H:%M:%S) giving up after $attempt attempts" >> "$OUTDIR/probe.log"
+      exit 1
+    fi
   fi
 done
