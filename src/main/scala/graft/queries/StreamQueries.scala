@@ -98,13 +98,32 @@ object StreamQueries {
     val prevNoData =
       s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val initKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
     val prevProvider = s.conf.getOption(providerKey)
+    val prevInit = s.conf.getOption(initKey)
     // Experiment overrides (bench A/B only; the committed defaults are
     // the measured-fastest gate config). A tmpfs checkpoint dir was
     // also A/B'd here and removed: interleaved on/off pairs measured no
     // win (the per-batch WAL on local ext4 is not the bottleneck).
     val parts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4")
     s.conf.set("spark.sql.shuffle.partitions", parts)
+    // AQE's initialPartitionNum (session default: 8x cores) OVERRIDES
+    // shuffle.partitions while coalescing is on — without scoping it
+    // too, every foreachBatch plan's exchange still fanned to 256
+    // map-side partitions and the measured "4 parts" knee never
+    // actually applied to the batch sinks (r19; the withIterParts
+    // lesson). Same restore discipline as the other keys. The sysprop
+    // is the interleaved-A/B escape hatch ("off" = leave the session
+    // default), probe-only.
+    sys.props.get("graft.stream.initparts").getOrElse(parts) match {
+      case "off" => ()
+      case v => s.conf.set(initKey, v)
+    }
+    // Probe-only A/B seam: AQE off across the gate's batch plans.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = s.conf.get(aqeKey, "true")
+    if (sys.props.get("graft.stream.aqe").contains("off"))
+      s.conf.set(aqeKey, "false")
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     // Provider override: sysprop (in-JVM specs — RocksDbStateSpec
     // asserts provider-independence of gate results) before env (bench
@@ -126,8 +145,35 @@ object StreamQueries {
         case Some(v) => s.conf.set(providerKey, v)
         case None => s.conf.unset(providerKey)
       }
+      prevInit match {
+        case Some(v) => s.conf.set(initKey, v)
+        case None => s.conf.unset(initKey)
+      }
+      s.conf.set(aqeKey, prevAqe)
     }
   }
+
+  /** Run INDEPENDENT per-batch write actions concurrently (guide §2.6
+    * overlap — 2-3 jobs in flight back-fill each other's scheduling +
+    * file-commit tails; BatchFloorProbe r19: a tiny single-file write
+    * action costs ~110 ms of mostly serial driver/commit floor, so a
+    * sink with k independent writes pays ~k× that serially). Blocks
+    * until all complete; the first failure propagates so foreachBatch
+    * fails the batch loudly and the replay re-runs it whole. */
+  private def overlap(actions: (() => Unit)*): Unit =
+    if (actions.lengthCompare(2) < 0) actions.foreach(_.apply())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(3, actions.length))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        actions.map(a => Future(a()))
+          .foreach(Await.result(_, Duration(15, "min")))
+      } finally pool.shutdown()
+    }
 
   /** The per-micro-batch observation plan: batch collapsed map-side on
     * its digest, LEFT ANTI against the persisted index (scan-only side
@@ -154,26 +200,39 @@ object StreamQueries {
   private[graft] def incDedupBatch(batch: DataFrame, baseIdx: DataFrame,
       root: String, batchId: Long): Unit = {
     val s = batch.sparkSession
-    incDedupObsPlan(batch, baseIdx)
-      .write.mode("overwrite").parquet(s"$root/obs/batch=$batchId")
-    val obs = s.read.parquet(s"$root/obs/batch=$batchId").select("digest")
-    // Accepted-so-far = strictly EARLIER batches only: a replay of this
-    // batch must not see its own previous attempt's output. The
-    // enumeration goes through the sink layer's SwapFs seam, so it
-    // resolves object-store URIs the same way the snapshot protocol
-    // does (driver-local File listing would silently see nothing
-    // there). One bounded listing per micro-batch; the per-batch dirs
-    // are compacted into the base index at the next full sync, which
-    // also bounds how many dirs this scan unions.
-    val priorDirs = graft.sink.SnapshotSwap.listDirNames(s"$root/idx")
-      .filter(_.startsWith("batch="))
-      .filter(_.stripPrefix("batch=").toLong < batchId)
-      .map(n => s"$root/idx/$n")
-    val accepted =
-      if (priorDirs.isEmpty) obs
-      else obs.join(s.read.parquet(priorDirs: _*).select("digest"),
-        Seq("digest"), "left_anti")
-    accepted.write.mode("overwrite").parquet(s"$root/idx/batch=$batchId")
+    // The observation rows feed BOTH artifacts; materialize them once
+    // (r19 — the read-back of the just-written obs file recomputed
+    // nothing but still paid a scan job, and it serialized the two
+    // writes). Content is identical to the former read-back by
+    // construction, and a foreachBatch replay recomputes the same
+    // deterministic rows — the exactly-once overwrite protocol is
+    // untouched (StreamDedupSpec pins it across a restart).
+    val obs = incDedupObsPlan(batch, baseIdx).persist()
+    try {
+      // Accepted-so-far = strictly EARLIER batches only: a replay of
+      // this batch must not see its own previous attempt's output. The
+      // enumeration goes through the sink layer's SwapFs seam, so it
+      // resolves object-store URIs the same way the snapshot protocol
+      // does (driver-local File listing would silently see nothing
+      // there). One bounded listing per micro-batch; the per-batch dirs
+      // are compacted into the base index at the next full sync, which
+      // also bounds how many dirs this scan unions.
+      val priorDirs = graft.sink.SnapshotSwap.listDirNames(s"$root/idx")
+        .filter(_.startsWith("batch="))
+        .filter(_.stripPrefix("batch=").toLong < batchId)
+        .map(n => s"$root/idx/$n")
+      val accepted =
+        if (priorDirs.isEmpty) obs.select("digest")
+        else obs.select("digest")
+          .join(s.read.parquet(priorDirs: _*).select("digest"),
+            Seq("digest"), "left_anti")
+      // The two artifacts are independent given obs — overlap them.
+      overlap(
+        () => obs.write.mode("overwrite")
+          .parquet(s"$root/obs/batch=$batchId"),
+        () => accepted.write.mode("overwrite")
+          .parquet(s"$root/idx/batch=$batchId"))
+    } finally { obs.unpersist(); () }
   }
 
   /** One micro-batch of the streaming ANN maintenance sink
@@ -191,21 +250,34 @@ object StreamQueries {
     * StreamAnnSpec). At 100 TB the per-batch work is batch-sized: one
     * plane projection over the batch plus an equi-join against the
     * (scan-only, skew-capped) index. */
-  private[graft] def annIncBatch(batch: DataFrame, baseIdx: DataFrame,
+  /** `cappedBase` must be the SKEW-CAPPED base bucket index
+    * (VectorQueries.cappedIndex over the persisted index) — the cap is
+    * static across micro-batches, so callers build it once (ideally
+    * persisted) instead of re-running the index-wide cap window inside
+    * every batch (r19). */
+  private[graft] def annIncBatch(batch: DataFrame, cappedBase: DataFrame,
       bits: Int, root: String, batchId: Long): Unit = {
     val s = batch.sparkSession
     graft.functions.VectorFunctions.register(s)
     val vecs = batch.select(col("vec_id"),
       expr("transform(embedding, x -> cast(x AS double))").as("v"))
-    VectorQueries.bucketsOf(vecs, bits)
-      .write.mode("overwrite").parquet(s"$root/idx/batch=$batchId")
-    s.read.parquet(s"$root/idx/batch=$batchId")
-      .select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
-      .join(VectorQueries.cappedIndex(baseIdx)
-        .select(col("vec_id").as("nid"), col("tbl"), col("bkt")),
-        Seq("tbl", "bkt"))
-      .select("qid", "nid").distinct()
-      .write.mode("overwrite").parquet(s"$root/obs/batch=$batchId")
+    // Bucket THIS batch once and feed both artifacts from the cache
+    // (r19 — the former write-then-read-back recomputed nothing but
+    // paid a scan job and serialized the two writes; the candidate
+    // log's input is the same bucket rows by construction, so the
+    // logged candidates are unchanged — StreamAnnSpec pins equality
+    // with the batch-mode candidate set).
+    val buck = VectorQueries.bucketsOf(vecs, bits).persist()
+    try overlap(
+      () => buck.write.mode("overwrite").parquet(s"$root/idx/batch=$batchId"),
+      () => buck
+        .select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
+        .join(cappedBase
+          .select(col("vec_id").as("nid"), col("tbl"), col("bkt")),
+          Seq("tbl", "bkt"))
+        .select("qid", "nid").distinct()
+        .write.mode("overwrite").parquet(s"$root/obs/batch=$batchId"))
+    finally { buck.unpersist(); () }
   }
 
   /** One micro-batch of the streaming matview-maintenance sink
@@ -460,21 +532,24 @@ object StreamQueries {
     * anti-join there, so the static orders dimension is read ONCE per
     * report, never per batch. */
   private[graft] def expectBatch(batch: DataFrame, root: String,
-      batchId: Long): Unit = {
-    writePartial(batch.agg(
-      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L))
-        .as("null_orderkey"),
-      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
-        .otherwise(0L)).as("qty_in_range"),
-      sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
-        .otherwise(0L)).as("disc_in_range"),
-      sum(when(col("l_quantity") > 25, 1L).otherwise(0L))
-        .as("qty_le_25")),
-      s"$root/sums/batch=$batchId")
-    batch.groupBy("l_orderkey", "l_linenumber")
-      .agg(count(lit(1)).as("c"))
-      .write.mode("overwrite").parquet(s"$root/keys/batch=$batchId")
-  }
+      batchId: Long): Unit =
+    // The two artifacts are independent given the batch — overlap them
+    // (r19, guide §2.6); both scans decode the same one-file batch and
+    // the block manager shares the in-flight computation.
+    overlap(
+      () => writePartial(batch.agg(
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L))
+          .as("null_orderkey"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("qty_in_range"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+          .otherwise(0L)).as("disc_in_range"),
+        sum(when(col("l_quantity") > 25, 1L).otherwise(0L))
+          .as("qty_le_25")),
+        s"$root/sums/batch=$batchId"),
+      () => batch.groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("c"))
+        .write.mode("overwrite").parquet(s"$root/keys/batch=$batchId"))
 
   /** One micro-batch of the streaming mixture monitor (q_stream_mix):
     * per-source doc/token counts — source-domain-sized, every column
@@ -507,15 +582,20 @@ object StreamQueries {
     val b = batch.persist()
     try {
       val nodes = b.filter(col("type") === "node")
-      graft.model.ModelCompiler.tableKinds(scaleModel).foreach { k =>
-        graft.ingest.Flatten.flattenNodes(nodes, k, scaleModel)
-          .write.mode("overwrite").parquet(
-            s"$root/tbl_${graft.model.ModelCompiler.tableName(k.fqn)}/batch=$batchId")
-      }
-      nodes.select(col("id"), col("reported.kind").as("kind"))
-        .write.mode("overwrite").parquet(s"$root/ids/batch=$batchId")
-      b.filter(col("type") === "edge").select("type", "from", "to")
-        .write.mode("overwrite").parquet(s"$root/edges/batch=$batchId")
+      // The K+2 artifacts are independent given the cached batch —
+      // overlap them (r19, guide §2.6: each tiny write is mostly
+      // serial driver/commit floor; concurrent actions back-fill it).
+      val kindWrites = graft.model.ModelCompiler.tableKinds(scaleModel)
+        .map { k => () =>
+          graft.ingest.Flatten.flattenNodes(nodes, k, scaleModel)
+            .write.mode("overwrite").parquet(
+              s"$root/tbl_${graft.model.ModelCompiler.tableName(k.fqn)}/batch=$batchId")
+        }
+      overlap(kindWrites ++ Seq(
+        () => nodes.select(col("id"), col("reported.kind").as("kind"))
+          .write.mode("overwrite").parquet(s"$root/ids/batch=$batchId"),
+        () => b.filter(col("type") === "edge").select("type", "from", "to")
+          .write.mode("overwrite").parquet(s"$root/edges/batch=$batchId")): _*)
     } finally { b.unpersist(); () }
   }
 
@@ -560,15 +640,17 @@ object StreamQueries {
         Map("mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> "_corrupt_record")).as("j"))
       .persist()
-    try {
-      parsed.filter(col("j._corrupt_record").isNotNull)
+    try overlap(
+      // The quarantine and the clean census are independent given the
+      // cached parse — overlap the two commits (r19, guide §2.6).
+      () => parsed.filter(col("j._corrupt_record").isNotNull)
         .select("value")
-        .write.mode("overwrite").text(s"$root/bad/batch=$batchId")
-      writePartial(parsed.filter(col("j._corrupt_record").isNull)
+        .write.mode("overwrite").text(s"$root/bad/batch=$batchId"),
+      () => writePartial(parsed.filter(col("j._corrupt_record").isNull)
         .groupBy(col("j.source").as("source"))
         .agg(count(lit(1)).as("n_docs"), sum("j.n_chars").as("chars")),
-        s"$root/clean/batch=$batchId")
-    } finally { parsed.unpersist(); () }
+        s"$root/clean/batch=$batchId"))
+    finally { parsed.unpersist(); () }
   }
 
   /** One micro-batch of the streaming profile sink (q_stream_profile):
@@ -1019,11 +1101,14 @@ object StreamQueries {
     val b = batch.withColumn("us", expr("unix_micros(ts)"))
       .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
       .select("event_id", "us", "user_id", "event_type", "cents")
-    b.write.mode("overwrite").parquet(s"$root/data/batch=$batchId")
-    b.agg(min("us").as("us_min"), max("us").as("us_max"),
-        count(lit(1)).as("n_rows"))
-      .withColumn("batch", lit(batchId))
-      .write.mode("overwrite").parquet(s"$root/manifest/batch=$batchId")
+    // Data file and its manifest stats are independent given the batch
+    // — overlap the two commits (r19, guide §2.6).
+    overlap(
+      () => b.write.mode("overwrite").parquet(s"$root/data/batch=$batchId"),
+      () => b.agg(min("us").as("us_min"), max("us").as("us_max"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("batch", lit(batchId))
+        .write.mode("overwrite").parquet(s"$root/manifest/batch=$batchId"))
   }
 
   /** One micro-batch of the streaming pair-count maintenance
@@ -1158,7 +1243,13 @@ object StreamQueries {
           t(s, d, "embeddings").filter(col("vec_id") % 4 === 3)
             .repartition(4))
         val (idxDir, bits) = VectorQueries.annIndexFor(s, d)
-        val baseIdx = s.read.parquet(idxDir)
+        // The skew-capped probe side is static across micro-batches;
+        // materializing it up front was TRIED AND REVERTED (r19): the
+        // persist+count job cost more than the 4 per-batch cap windows
+        // it saved (probe: addBatch unchanged, gate +0.3–0.5 s). The
+        // lazy plan below recomputes the cap per batch — at gate scale
+        // that window is ~50 ms over the dimension-sized index.
+        val cappedBase = VectorQueries.cappedIndex(s.read.parquet(idxDir))
         val root = s"${graft.Tables.scratchRoot}/graft_sann_$tag"
         graft.sink.SnapshotSwap.rm(java.nio.file.Paths.get(root))
         val schema = s.read.parquet(srcDir).schema
@@ -1166,7 +1257,7 @@ object StreamQueries {
           .option("maxFilesPerTrigger", "1").parquet(srcDir)
         withStreamGateConfs(s) {
           val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-            Long) => Unit = (b, id) => annIncBatch(b, baseIdx, bits, root, id)
+            Long) => Unit = (b, id) => annIncBatch(b, cappedBase, bits, root, id)
           val q = stream.writeStream.foreachBatch(sink)
             .option("checkpointLocation", s"$root/ckpt")
             .trigger(Trigger.AvailableNow()).start()

@@ -43,15 +43,28 @@ object StreamBatchProbe {
     }
     spark.streams.addListener(listener)
 
+    // Interleaved A/B of the initialPartitionNum scoping: with
+    // SPARK_GRAFT_PROBE_AB=1, odd reps leave the session default
+    // ("off"), even reps scope it to the gate parts — same JVM, so a
+    // contention window hits both arms.
+    val ab = sys.env.contains("SPARK_GRAFT_PROBE_AB")
     val qs = graft.SparkEntry.queries
     (1 to reps).foreach { rep =>
+      val arm =
+        if (!ab) ""
+        else if (sys.env.get("SPARK_GRAFT_PROBE_AB").contains("aqe")) {
+          if (rep % 2 == 1) { sys.props("graft.stream.aqe") = "off"; ",arm=aqeoff" }
+          else { sys.props.remove("graft.stream.aqe"); ",arm=aqeon" }
+        }
+        else if (rep % 2 == 1) { sys.props("graft.stream.initparts") = "off"; ",arm=off" }
+        else { sys.props.remove("graft.stream.initparts"); ",arm=scoped" }
       gates.foreach { g =>
         spark.catalog.clearCache()
-        tag = s"$g,rep=$rep"
+        tag = s"$g,rep=$rep$arm"
         val t0 = System.nanoTime()
         qs(g)(spark, d).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
-        rows.add(f"$g,rep=$rep,TOTAL_GATE_SEC=$dt%.2f")
+        rows.add(f"$g,rep=$rep$arm,TOTAL_GATE_SEC=$dt%.2f")
       }
     }
     // Listener events are async; give the bus a beat to drain.

@@ -52,7 +52,8 @@ class StreamAnnSpec extends SparkSpecBase {
       .join(batchIds, Seq("vec_id"), "left_semi")
     val (idxDir, bits) = graft.queries.VectorQueries.annIndexFor(spark, dir)
     graft.queries.StreamQueries.annIncBatch(replayed,
-      spark.read.parquet(idxDir), bits, root, id)
+      graft.queries.VectorQueries.cappedIndex(spark.read.parquet(idxDir)),
+      bits, root, id)
     val after = (
       spark.read.parquet(s"$root/idx/batch=$id").collect().map(_.toString)
         .sorted.toSeq,
@@ -83,7 +84,8 @@ class StreamAnnSpec extends SparkSpecBase {
       val schema = spark.read.parquet(srcDir).schema
       val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
         Long) => Unit = (b, id) =>
-        graft.queries.StreamQueries.annIncBatch(b, baseIdx, bits, out, id)
+        graft.queries.StreamQueries.annIncBatch(b,
+          graft.queries.VectorQueries.cappedIndex(baseIdx), bits, out, id)
       val q = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
         .writeStream.foreachBatch(sink)
