@@ -284,6 +284,26 @@ object ExtraQueries {
     df.select(ProfileNumCols.map { case (nm, c) => c.as(nm) } ++
       ProfileStrCols.map(col): _*)
 
+  /** Spread a relation across the session's parallelism ONLY when its
+    * natural scan parallelism is below it (r19 — the sf0.1 lineitem
+    * fixture is ONE parquet row group, so the stacked census's ×11
+    * explode + interpreted HLL/dedup partial aggregate ran in ONE task
+    * at any core count; the driver's 8-vs-32-core ratio 0.61 was this
+    * serial stage plus scheduling overhead). At scale the scan carries
+    * many row groups, the condition is false, and NO extra exchange is
+    * paid — same rule as the streaming sinks' one-file-batch
+    * repartition (cmsBatch), made conditional because a batch census
+    * input is corpus-sized, not batch-sized.
+    * The spread HASHES on a caller-supplied high-cardinality key
+    * instead of round-robin: keyless repartition first pays a local
+    * sort of its input (sortBeforeRepartition, guide §2.5) — measured
+    * 1.27 vs 1.00 s on the spread alone, census 1.66 vs 1.29 s. */
+  private def spreadIfNarrow(df: DataFrame,
+      key: org.apache.spark.sql.Column): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores, key) else df
+  }
+
   /** Explode a ONE-ROW profile aggregate (columns nn_/nd_/mn_/mx_
     * per profiled column + n_rows) to column-grain rows, driver-free.
     * Shared by the batch plans and the streaming fold. */
@@ -331,7 +351,7 @@ object ExtraQueries {
     * shifts within its rsd, and the gate hashes the bound boolean,
     * never the estimate. */
   private def profileApproxPlan(s: SparkSession, d: String): DataFrame = {
-    val canon = profileCanon(t(s, d, "lineitem"))
+    val canon = spreadIfNarrow(profileCanon(t(s, d, "lineitem")), col("l_orderkey"))
     val numNames = ProfileNumCols.map(_._1)
     val allNames = numNames ++ ProfileStrCols
     val entries = array(
@@ -371,7 +391,7 @@ object ExtraQueries {
     * the row count; no separate count job). Identical output to the
     * Expand shape, oracle-checked. */
   private def profileExactPlan(s: SparkSession, d: String): DataFrame = {
-    val canon = profileCanon(t(s, d, "lineitem"))
+    val canon = spreadIfNarrow(profileCanon(t(s, d, "lineitem")), col("l_orderkey"))
     val numNames = ProfileNumCols.map(_._1)
     val allNames = numNames ++ ProfileStrCols
     val entries = array(
