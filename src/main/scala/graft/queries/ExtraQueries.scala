@@ -543,24 +543,28 @@ object ExtraQueries {
     * the exact probe counts, emitting the guarantee booleans the
     * oracle pins TRUE (see the q_agg_cms_rollup comment). */
   private[graft] def cmsAudit(s: SparkSession, d: String,
-      cms: DataFrame): DataFrame = {
-    def toks = t(s, d, "documents")
-      .select(explode(split(col("text"), " ")).as("tok"))
+      cms: DataFrame, tokCnt: Option[DataFrame] = None): DataFrame = {
     val nTotal = cms.filter(col("dep") === 0)
       .agg(sum("cnt")).head().getLong(0)
     // Probes: the whole (domain-sized) vocabulary — the realistic CMS
     // consumer is a fixed item-query set, and the fixture's vocabulary
     // IS domain-sized (the soak cipher scales it with the corpus while
-    // the sketch stays d×w). Materialized once: it feeds the estimate
-    // branch AND the exact-count broadcast.
-    val probes = toks.select("tok").distinct().localCheckpoint()
-    val est = probes
+    // the sketch stays d×w). r19: the audit needs only the
+    // (tok, exact count) relation — ONE vocabulary-sized aggregate off
+    // ONE corpus scan (callers that already built a token-count
+    // relation pass it in) instead of the former three corpus passes
+    // (probes distinct + the exact re-count through a broadcast
+    // semi-join that filtered nothing, since every token is a probe).
+    val exact = tokCnt.getOrElse(
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt")))
+      .localCheckpoint()
+    val est = exact.select("tok")
       .select(col("tok"), explode(expr(CmsBucketsExpr)).as("db"))
       .select(col("tok"), col("db.dep").as("dep"), col("db.bkt").as("bkt"))
       .join(broadcast(cms), Seq("dep", "bkt"))
       .groupBy("tok").agg(min("cnt").as("est"))
-    val exact = toks.join(broadcast(probes), "tok")
-      .groupBy("tok").agg(count(lit(1)).as("cnt"))
     exact.join(broadcast(est), "tok")
       .select(col("tok"), col("cnt"),
         (col("est") >= col("cnt")).as("over_ok"),
@@ -1036,19 +1040,33 @@ object ExtraQueries {
       (s: SparkSession, d: String) => {
         val partialDir =
           s"${graft.Tables.scratchRoot}/graft_cmssrc_${graft.Tables.dirTag(d)}"
-        t(s, d, "documents")
+        // ONE corpus scan feeds everything (r19; guide §2.3 "aggregate
+        // before you shuffle"): tokens collapse to the (source, tok)
+        // count relation FIRST — vocabulary×sources-sized — so the ×d
+        // bucket expansion and the sketch partial aggregate run over
+        // counted vocabulary rows instead of every token occurrence,
+        // and the audit's probe set + exact counts fold off the same
+        // materialized relation instead of re-scanning the corpus
+        // twice more. Partial content is bit-identical (the bucket
+        // expansion depends only on tok; counts sum associatively).
+        val stc = t(s, d, "documents")
           .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-          .select(col("source"), explode(expr(CmsBucketsExpr)).as("db"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        stc
+          .select(col("source"), col("c"),
+            explode(expr(CmsBucketsExpr)).as("db"))
           .groupBy(col("source"), col("db.dep").as("dep"),
             col("db.bkt").as("bkt"))
-          .agg(count(lit(1)).as("cnt"))
+          .agg(sum("c").as("cnt"))
           .write.mode("overwrite").parquet(partialDir)
         // Global fold: a SUM over the persisted partials (linearity).
         // Not checkpointed: it feeds one bounded head() and one
         // broadcast — recomputing a d×w aggregate is cheaper than
         // hiding the partial scan from the plan gate.
         cmsAudit(s, d, s.read.parquet(partialDir)
-          .groupBy("dep", "bkt").agg(sum("cnt").as("cnt")))
+          .groupBy("dep", "bkt").agg(sum("cnt").as("cnt")),
+          tokCnt = Some(stc.groupBy("tok").agg(sum("c").as("cnt"))))
       },
       CmsOracle)),
 
