@@ -1264,21 +1264,22 @@ object GraphQueries {
           .persist()
         val out = s"${graft.Tables.scratchRoot}/graft_tri_${graft.Tables.dirTag(d)}"
         try {
-          e.count()
-          // Materialize the ORIENTED set too (same repartition-before-
-          // persist rationale, keyed by src for the wedge join): its
-          // three consumers (both wedge sides + the closing probe)
-          // then read the cache instead of re-running the two
-          // orientation joins per branch (r8: 3.6 s -> back to the r7
-          // profile in the same bench window).
-          val deg = degreesOf(e)
+          // Degrees materialize ONCE (r19): as a lazy plan, deg was
+          // re-evaluated by BOTH orientation broadcasts AND the wedge
+          // total — three aggregation jobs over the edge set. The
+          // eager localCheckpoint also materializes the cached edge
+          // partitions in the same job, replacing the former separate
+          // e.count() round.
+          val deg = degreesOf(e).localCheckpoint()
           // No repartition here: the orientation is a narrow map over
           // the cached (already repartitioned) edge set — o inherits
           // its 32-way layout, and both wedge consumers broadcast o,
-          // so an extra |E| shuffle would buy nothing.
+          // so an extra |E| shuffle would buy nothing. Materialized by
+          // its first consumer's broadcast build (block locks
+          // serialize concurrent fills — no duplicate compute), so the
+          // former eager o.count() round is saved too (r19).
           val o = orientByDegree(e, deg).persist()
           try {
-            o.count()
             triCountsOriented(e, deg, o)
               .write.mode("overwrite").parquet(out)
           } finally o.unpersist(blocking = true)
