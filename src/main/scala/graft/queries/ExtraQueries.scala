@@ -3877,15 +3877,26 @@ object ExtraQueries {
           col("l_returnflag").as("grp"),
           expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
           expr("CAST(l_quantity AS BIGINT)").as("wt"))
-        val hist = li.groupBy("grp", "v").agg(sum("wt").as("w"))
-        val cw = Window.partitionBy("grp").orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        hist
-          .withColumn("cum", sum("w").over(cw))
-          .withColumn("tot", sum("w").over(Window.partitionBy("grp")))
-          .filter(col("cum") * 2L >= col("tot"))
-          .groupBy("grp")
-          .agg(min("v").as("wmedian_e2"), max("tot").as("total_wt"))
+        // r19 (VERDICT #8): the former shape shuffled the whole value
+        // DOMAIN and ran two windows over it (cumulative + total) —
+        // a domain-sized sort per group at 100 TB. The weighted
+        // Selection kernel finds the same value in ⌈log_B(domain)⌉
+        // bucket-count passes (each ONE scan + a B-row exchange +
+        // a B-sized driver read): wmedian = min{v : 2·cumw(v) ≥ tot}
+        // = the smallest v whose cumulative weight reaches
+        // ⌈tot/2⌉ = (tot+1)/2, since cumw is an integer.
+        // Driver state is 3 group totals + B bucket counts — the
+        // sanctioned bounded-scalar class (q_quantile_select).
+        val tots = li.groupBy("grp").agg(sum("wt").as("tot"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val ranks = tots.map { case (g, t) => g -> Seq((t + 1L) / 2L) }
+        val med = Selection.groupedKth(li, "grp", "v", ranks,
+          weight = col("wt"))
+        val spark = s
+        import spark.implicits._
+        tots.toSeq.sortBy(_._1)
+          .map { case (g, t) => (g, med(g).head, t) }
+          .toDF("grp", "wmedian_e2", "total_wt")
           .orderBy("grp")
       },
       """WITH li AS (SELECT l_returnflag AS grp,

@@ -125,9 +125,16 @@ object Selection {
     *
     * Same-sign intervals are guaranteed the same way kthSmallest does
     * it (one negative-count pre-round when a group's [lo, hi] straddles
-    * 0), so bucket arithmetic never wraps. Requires non-null grp/c. */
+    * 0), so bucket arithmetic never wraps. Requires non-null grp/c.
+    *
+    * `weight` (r19) generalizes every per-row count to a weight sum:
+    * rank k then means "the smallest value whose CUMULATIVE WEIGHT
+    * reaches k" — the weighted-median/percentile kernel (weights must
+    * be non-negative longs; the default lit(1L) is bit-identical to
+    * the unweighted behavior since sum(1) = count). */
   def groupedKth(df: DataFrame, grp: String, c: String,
-      ranks: Map[String, Seq[Long]], buckets: Int = 1 << 14)
+      ranks: Map[String, Seq[Long]], buckets: Int = 1 << 14,
+      weight: Column = lit(1L))
       : Map[String, Seq[Long]] = {
     import org.apache.spark.sql.Row
     require(buckets >= 2,
@@ -142,7 +149,7 @@ object Selection {
     // group domain is high-cardinality.
     val wanted = ranks.keySet.toSeq
     val mm = df.filter(col(grp).isin(wanted: _*))
-      .groupBy(col(grp)).agg(min(col(c)), max(col(c)), count(lit(1)))
+      .groupBy(col(grp)).agg(min(col(c)), max(col(c)), sum(weight))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
         r.getLong(3))).toMap
     val states = ranks.toSeq.flatMap { case (g, ks) =>
@@ -159,7 +166,7 @@ object Selection {
       .map(_.g).distinct
     if (straddling.nonEmpty) {
       val negs = df.filter(col(grp).isin(straddling: _*) && col(c) < 0)
-        .groupBy(col(grp)).agg(count(lit(1))).collect()
+        .groupBy(col(grp)).agg(sum(weight)).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       states.filter(s => s.lo < 0 && s.hi >= 0).foreach { s =>
         val neg = negs.getOrElse(s.g, 0L)
@@ -178,11 +185,12 @@ object Selection {
       }.toDF("sid", "g", "lo", "hi", "w"))
       // Row fan-out is ≤ states-per-group (≤R, tiny); the (sid, bucket)
       // partial aggregate collapses map-side before the one exchange.
-      val counts = df.select(col(grp).as("g"), col(c).as("v"))
+      val counts = df.select(col(grp).as("g"), col(c).as("v"),
+          weight.as("wt"))
         .join(stDf, Seq("g"))
         .filter(col("v") >= col("lo") && col("v") <= col("hi"))
-        .select(col("sid"), expr("(v - lo) div w").as("b"))
-        .groupBy("sid", "b").agg(count(lit(1)).as("cnt"))
+        .select(col("sid"), expr("(v - lo) div w").as("b"), col("wt"))
+        .groupBy("sid", "b").agg(sum("wt").as("cnt"))
         .collect().groupBy(_.getInt(0))
       live.zipWithIndex.foreach { case (s, sid) =>
         val width = if (exact) 1L else (s.hi - s.lo) / buckets + 1L

@@ -44,6 +44,37 @@ class SelectionSpec extends SparkSpecBase {
     }
   }
 
+  test("weighted groupedKth == expanded-multiset reference (r19)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new Random(19)
+    val rows = (0 until 300).map { i =>
+      val g = s"g${i % 3}"
+      val v = rnd.nextInt(3) match {
+        case 0 => rnd.nextLong(1L << 40)
+        case 1 => (rnd.nextInt(5) * 100L)
+        case _ => -rnd.nextLong(1L << 30) // sign-straddling
+      }
+      (g, v, 1L + rnd.nextInt(7)) // positive integer weights
+    }
+    val d = rows.toDF("g", "v", "wt")
+    // Reference: weighted rank k over group g == the k-th element of
+    // the multiset where each v repeats wt times.
+    val byG = rows.groupBy(_._1).map { case (g, xs) =>
+      g -> xs.flatMap { case (_, v, w) => Seq.fill(w.toInt)(v) }.sorted
+    }
+    val ranks = byG.map { case (g, xs) =>
+      val n = xs.length.toLong
+      g -> Seq(1L, (n + 1) / 2, n) // incl. the weighted-median rank
+    }
+    val got = Selection.groupedKth(d, "g", "v", ranks, buckets = 8,
+      weight = col("wt"))
+    ranks.foreach { case (g, ks) =>
+      val expect = ks.map(k => byG(g)((k - 1).toInt))
+      assert(got(g) == expect, s"group $g: got ${got(g)} want $expect")
+    }
+  }
+
   test("groupedKth rejects an absent group and an oversized rank") {
     import spark.implicits._
     val d = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
