@@ -1882,18 +1882,26 @@ object ExtraQueries {
     // metadata-sized plan on top of one linear pass (plan-gated).
     "q_mix_epochs" -> ((
       (s: SparkSession, d: String) => {
-        // Checkpoint the (source-domain-sized, tiny) census ONCE so
-        // the totals side reuses it — without this the crossJoin's
-        // tot subtree re-executes the full corpus tokenize+census.
-        val census = t(s, d, "documents")
+        // ONE plan, one job (r19): the totals ride a whole-relation
+        // window over the source-domain-sized census instead of a
+        // checkpoint + one-row aggregate + broadcast crossJoin — the
+        // former shape paid FOUR driver round-trips (checkpoint
+        // materialization, totals agg, broadcast build, report) of
+        // pure job overhead on 20 rows; the driver's 8-vs-32-core
+        // ratio 0.17 was that overhead scaling with the session, not
+        // the data. The corpus is still tokenized exactly once (the
+        // census aggregate is the window's only child — plan-gated);
+        // the window moves the ~|sources| census rows through one
+        // single-partition exchange, domain-sized at any corpus scale.
+        val w = Window.partitionBy(lit(1))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d, "documents")
           .select(col("source"),
             size(split(col("text"), " ")).cast("long").as("toks"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"), sum("toks").as("avail"))
-          .localCheckpoint()
-        val tot = census.agg(sum("avail").as("total"),
-          count(lit(1)).as("n_sources"))
-        census.crossJoin(broadcast(tot))
+          .withColumn("total", sum("avail").over(w))
+          .withColumn("n_sources", count(lit(1)).over(w))
           .select(col("source"), col("n_docs"), col("avail"),
             expr("total * 2 div n_sources").as("requested"),
             expr("(total * 2 div n_sources) * 100 div avail")

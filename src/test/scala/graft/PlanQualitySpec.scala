@@ -869,16 +869,17 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("q_mix_epochs: ONE corpus scan; totals reuse the checkpointed census") {
-    // The source census is checkpointed once (tiny), so both the
-    // per-source rows and the totals side show as ExistingRDD — the
-    // corpus is tokenized exactly once at execution.
+  test("q_mix_epochs: ONE corpus scan; totals ride a census window") {
+    // r19: the totals are a whole-relation window over the
+    // source-domain census inside ONE plan — the corpus is tokenized
+    // exactly once, with no checkpoint, no crossJoin, and no second
+    // census subtree (the former shape's failure mode).
     val p = planOf("q_mix_epochs")
     val scans = "documents\\.parquet".r.findAllIn(p).size
-    assert(scans == 0, s"documents scans=$scans\n$p")
-    assert(p.contains("ExistingRDD"), p)
+    assert(scans == 1, s"documents scans=$scans\n$p")
+    assert(p.contains("Window"), p)
     assert(!p.contains("SortMergeJoin"), p)
-    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("q_stream_skew_sketch: bounded MG partials; log read only as audit") {
