@@ -1845,12 +1845,16 @@ object StreamQueries {
             .trigger(Trigger.AvailableNow()).start()
           q.awaitTermination()
         }
-        val folded = s.read.parquet(s"$root/mix")
+        // ONE plan (r19, the q_mix_epochs lesson): the total rides a
+        // whole-relation window over the source-domain fold instead of
+        // a checkpoint + one-row agg + broadcast crossJoin — three
+        // driver round-trips of job overhead on domain-sized rows.
+        val w = Window.partitionBy(lit(1))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        s.read.parquet(s"$root/mix")
           .groupBy("source")
           .agg(sum("n_docs").as("n_docs"), sum("toks").as("toks"))
-          .localCheckpoint()
-        val tot = folded.agg(sum("toks").as("total"))
-        folded.crossJoin(broadcast(tot))
+          .withColumn("total", sum("toks").over(w))
           .select(col("source"), col("n_docs"), col("toks"),
             expr("toks * 10000 div total").as("share_e4"))
           .orderBy("source")
